@@ -1,0 +1,274 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.segment.{Bounds, Segmenter}
+
+/** One feature: a function applied to strided windows of one series
+  * (reference: tsflex/features/feature.py:121-168).
+  *
+  * @param function   the aggregation (FeatureFuncs registry or custom)
+  * @param seriesName input series name
+  * @param window     window size (None only valid with manual segments)
+  * @param strides    stride(s); duplicates deduped & sorted (M5,
+  *                   reference: feature.py:130)
+  */
+final case class FeatureDescriptor(
+    function: FeatureFunc,
+    seriesName: String,
+    window: Option[Win] = None,
+    strides: Option[Seq[Win]] = None) {
+  require(window.forall(w => strides.forall(_.forall(_.domain == w.domain))),
+    "window and strides must share the same domain (reference: feature.py:142-151)")
+
+  def winRender: String = window.map(_.render).getOrElse("manual")
+  def outputName: String = Win.outputName(Seq(seriesName), function.name, winRender)
+}
+
+/** M2: cross product functions × series × windows, strides shared
+  * (reference: tsflex/features/feature.py:203-283).
+  */
+object MultipleFeatureDescriptors {
+  def apply(functions: Seq[FeatureFunc], seriesNames: Seq[String],
+            windows: Seq[Win], strides: Option[Seq[Win]] = None): Seq[FeatureDescriptor] =
+    for {
+      s <- seriesNames
+      w <- windows
+      f <- functions
+    } yield FeatureDescriptor(f, s, Some(w), strides)
+}
+
+/** The feature-extraction plan + orchestrator — Spark-first analog of the
+  * reference's `FeatureCollection` (tsflex/features/feature_collection.py).
+  *
+  * Physical plan per (series, window, strides) bucket: one lazy segment
+  * table (W1-W4) → arithmetic window assignment (W5, zero-shuffle codegen)
+  * → ONE fused `groupBy(__seg_id).agg(f1, f2, …)` over every feature in the
+  * bucket (the reference runs each function as a separate task over the same
+  * segmentation — fusing them is strictly better) → left join from the
+  * segment table so empty windows survive (W7) → W10 naming → full-outer
+  * merge of buckets on the anchor (S4). All aggregates are algebraic native
+  * functions, so Spark's partial aggregation (map-side combine) keeps the
+  * single shuffle tiny at scale.
+  */
+class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
+  {
+    val names = descriptors.map(_.outputName)
+    require(names.distinct.length == names.length,
+      s"duplicate output names: ${names.diff(names.distinct).mkString(", ")}")
+  }
+
+  /** M1: register additional descriptors. */
+  def add(more: Seq[FeatureDescriptor]): FeatureCollection =
+    new FeatureCollection(descriptors ++ more)
+
+  /** P1: only these series need to be read (column pruning). */
+  def requiredSeries: Seq[String] = descriptors.map(_.seriesName).distinct
+
+  /** M3: rebuild the minimal collection producing `outputNames`
+    * (reference: feature_collection.py:1282-1353).
+    */
+  def reduce(outputNames: Seq[String]): FeatureCollection = {
+    val keep = outputNames.toSet
+    val kept = descriptors.filter(d => keep(d.outputName))
+    val missing = keep -- kept.map(_.outputName).toSet
+    require(missing.isEmpty, s"unknown output names: ${missing.mkString(", ")}")
+    new FeatureCollection(kept)
+  }
+
+  /** Main entry point (reference: feature_collection.py:840-1262).
+    *
+    * @param data              the series (each with its own independent index)
+    * @param strideOverride    calculate-level stride, wins over descriptor
+    *                          strides (M4)
+    * @param segmentStartIdxs  manual segment starts in INTERNAL index units
+    *                          (epoch micros for TIME, raw for SEQUENCE) — W4
+    * @param segmentEndIdxs    manual segment ends, same units
+    * @param windowIdx         output anchor: "begin" | "middle" | "end" (W6)
+    * @param includeFinalWindow W1 final-window rule
+    * @param boundMethod       "inner" | "inner-outer" | "outer" (P3)
+    */
+  def calculate(
+      data: Seq[Series],
+      strideOverride: Option[Seq[Win]] = None,
+      segmentStartIdxs: Option[Seq[Double]] = None,
+      segmentEndIdxs: Option[Seq[Double]] = None,
+      windowIdx: String = "end",
+      includeFinalWindow: Boolean = false,
+      boundMethod: String = "inner"): DataFrame = {
+    require(segmentStartIdxs.isEmpty && segmentEndIdxs.isEmpty || strideOverride.isEmpty,
+      "cannot pass both segment indexes and a stride (M4)")
+    val byName = data.map(s => s.name -> s).toMap
+    val used = requiredSeries.map(n => byName.getOrElse(n,
+      throw new IllegalArgumentException(s"series $n not in data")))
+    val manualSegs = segmentStartIdxs.isDefined || segmentEndIdxs.isDefined
+
+    // One bucket per (series, window, effective strides): shared segmentation,
+    // fused aggregation (reference buckets at feature_collection.py:88-96).
+    val buckets = descriptors.groupBy { d =>
+      (d.seriesName, d.window, if (manualSegs) None else strideOverride.orElse(d.strides))
+    }
+
+    // Both segment arrays given → window ignored → names use w=manual
+    // (reference: strided_rolling.py:198-211, _create_feat_col_name).
+    val bothManual = segmentStartIdxs.isDefined && segmentEndIdxs.isDefined
+    def nameOf(d: FeatureDescriptor): String =
+      if (bothManual) Win.outputName(Seq(d.seriesName), d.function.name, "manual")
+      else d.outputName
+
+    val b: Bounds = Segmenter.bounds(used, boundMethod)
+
+    val bucketFrames = buckets.toSeq.map { case ((sName, win, strides), ds) =>
+      val series = byName(sName)
+      val spark = series.df.sparkSession
+      val isSample = win.exists(_.isInstanceOf[SampleWin])
+
+      // W9: sample-count windows over a TIME index — segment in positional
+      // space, stitch the time index back on via the position (reference:
+      // strided_rolling.py:627-698).
+      val (rows, bounds, posToIdx) =
+        if (isSample) {
+          require(series.domain == Domain.Time,
+            "sample-count windows require a TIME-indexed series")
+          val pos = series.internal.withColumn("__pos",
+            (row_number().over(Window.orderBy("__idx")) - 1).cast("double"))
+          val n = pos.count()
+          (pos.select(col("__pos").as("__idx"), col("__v"), col("__pos"),
+            col("__idx").as("__orig_idx")),
+            Bounds(0.0, (n - 1).toDouble), true)
+        } else (series.internal, b, false)
+
+      val plan =
+        if (manualSegs)
+          Segmenter.manual(spark, segmentStartIdxs, segmentEndIdxs,
+            win.map(_.amount))
+        else {
+          val w = win.getOrElse(throw new IllegalArgumentException(
+            "cannot calculate features without a window or segment indexes"))
+          val st = strides.getOrElse(throw new IllegalArgumentException(
+            "cannot calculate features without a stride or segment indexes"))
+          if (!isSample) require(
+            w.domain == series.domain && st.forall(_.domain == series.domain),
+            s"window/stride domain must match series domain for $sName")
+          Segmenter.regular(spark, bounds, w.amount, st.map(_.amount),
+            includeFinalWindow, w.render)
+        }
+
+      val assigned = Segmenter.assign(rows, plan)
+      val aggCols = ds.map(d =>
+        d.function.agg(col("__idx"), col("__v")).as(nameOf(d)))
+      val agged = assigned.groupBy("__seg_id").agg(aggCols.head, aggCols.tail: _*)
+
+      // W7: segments with zero rows still emit a row (left join, never inner).
+      var joined = plan.segments.join(agged, Seq("__seg_id"), "left")
+      ds.foreach { d =>
+        d.function.emptyValue.foreach { ev =>
+          joined = joined.withColumn(nameOf(d), coalesce(col(nameOf(d)), ev))
+        }
+      }
+      val anchorRaw = Segmenter.anchor(windowIdx)
+      val anchorCol =
+        if (posToIdx) {
+          // stitch original time index back by position
+          val idxMap = rows.select(col("__pos"), col("__orig_idx"))
+          joined = joined.join(idxMap, anchorRaw === col("__pos"), "left")
+          series.restoreIdx(col("__orig_idx"))
+        } else series.restoreIdx(anchorRaw)
+      joined.select(anchorCol.as(series.idxCol) +: ds.map(d => col(nameOf(d))): _*)
+    }
+
+    val idxName = used.head.idxCol
+    val merged = bucketFrames.reduce((a, c) => a.join(c, Seq(idxName), "full_outer"))
+    val featCols = merged.columns.filterNot(_ == idxName).sorted
+    merged.select(col(idxName) +: featCols.map(col): _*).orderBy(idxName)
+  }
+
+  /** G1 `group_by_all` — pseudo-SQL `SELECT f(x) FROM data GROUP BY g`
+    * (reference: feature_collection.py:484-566). Series rows are matched to
+    * group values by index equality; NaN/null group rows ignored (P5);
+    * output names use `w=manual`.
+    */
+  def calculateGroupByAll(data: Seq[Series], group: Series): DataFrame = {
+    val byName = data.map(s => s.name -> s).toMap
+    val g = group.internal
+      .where(col("__v").isNotNull && (group.df.schema(group.valueCol).dataType match {
+        case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType => !isnan(col("__v"))
+        case _ => lit(true)
+      }))
+      .select(col("__idx"), col("__v").as("__grp"))
+    val frames = descriptors.groupBy(_.seriesName).toSeq.map { case (sName, ds) =>
+      val series = byName(sName)
+      val joined = series.internal.join(g, Seq("__idx"), "inner")
+      val aggCols = ds.map { d =>
+        val n = Win.outputName(Seq(d.seriesName), d.function.name, "manual")
+        d.function.agg(col("__idx"), col("__v")).as(n)
+      }
+      joined.groupBy(col("__grp").as(group.name)).agg(aggCols.head, aggCols.tail: _*)
+    }
+    val merged = frames.reduce((a, c) => a.join(c, Seq(group.name), "full_outer"))
+    val featCols = merged.columns.filterNot(_ == group.name).sorted
+    merged.select(col(group.name) +: featCols.map(col): _*).orderBy(group.name)
+  }
+
+  /** G3 `group_by_consecutive` — gaps-and-islands sessionization: maximal
+    * runs of equal group values form segments `[run_start, next_run_start)`
+    * (last run closed by end + 1 unit/day), features per run, output gets
+    * the group value plus `__start`/`__end` run boundaries (reference:
+    * feature_collection.py:568-724). Implemented as lag→change-flag→running
+    * sum → run table → broadcast range join.
+    */
+  def calculateGroupByConsecutive(data: Seq[Series], group: Series): DataFrame = {
+    val byName = data.map(s => s.name -> s).toMap
+    val w = Window.orderBy("__idx")
+    val runsBase = group.internal
+      .where(col("__v").isNotNull)
+      .withColumn("__chg",
+        when(lag(col("__v"), 1).over(w).isNull ||
+          lag(col("__v"), 1).over(w) =!= col("__v"), 1L).otherwise(0L))
+      .withColumn("__run", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val runs = runsBase.groupBy("__run").agg(
+      min(col("__idx")).as("__start"),
+      max(col("__idx")).as("__end"),
+      first(col("__v")).as("__grp"))
+    val lastExt = group.domain match {
+      case Domain.Time     => 86400e6 // +1 day (reference: :682-688)
+      case Domain.Sequence => 1.0
+    }
+    val wr = Window.orderBy("__start")
+    val segs = runs.withColumn("__seg_end",
+      coalesce(lead(col("__start"), 1).over(wr), col("__end") + lit(lastExt)))
+      .select(col("__run").as("__seg_id"), col("__start").as("__seg_start"),
+        col("__seg_end"), col("__start"), col("__end"), col("__grp"))
+
+    val frames = descriptors.groupBy(_.seriesName).toSeq.map { case (sName, ds) =>
+      val series = byName(sName)
+      val rows = series.internal
+      val assigned = rows.join(broadcast(segs.select("__seg_id", "__seg_start", "__seg_end")),
+        col("__idx") >= col("__seg_start") && col("__idx") < col("__seg_end"), "inner")
+      val aggCols = ds.map { d =>
+        val n = Win.outputName(Seq(d.seriesName), d.function.name, "manual")
+        d.function.agg(col("__idx"), col("__v")).as(n)
+      }
+      assigned.groupBy("__seg_id").agg(aggCols.head, aggCols.tail: _*)
+    }
+    val feats = frames.reduce((a, c) => a.join(c, Seq("__seg_id"), "full_outer"))
+    val out = segs.join(feats, Seq("__seg_id"), "left")
+    val featCols = out.columns
+      .filterNot(Set("__seg_id", "__seg_start", "__seg_end", "__start", "__end", "__grp"))
+      .sorted
+    out.select(
+      (col("__grp").as(group.name) +:
+        featCols.map(col)) :+
+        group.restoreIdx(col("__start")).as("__start") :+
+        group.restoreIdx(col("__end")).as("__end"): _*)
+      .orderBy("__start")
+  }
+}
+
+object FeatureCollection {
+  def apply(ds: FeatureDescriptor*): FeatureCollection = new FeatureCollection(ds)
+  def of(ds: Seq[FeatureDescriptor]): FeatureCollection = new FeatureCollection(ds)
+}

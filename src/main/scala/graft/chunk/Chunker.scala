@@ -1,0 +1,104 @@
+package graft.chunk
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Gap-aware chunking (reference: tsflex/chunking/chunking.py:15-204) as
+  * Spark sessionization.
+  *
+  * C1: a chunk boundary falls wherever the index gap exceeds
+  * `gapFactor * (1/fs)` (default 1.5× the sample period); when `fs` is not
+  * given it is inferred as `1 / max(Δidx)` — i.e. the threshold becomes
+  * `gapFactor * max(Δidx)` (reference: chunking.py:44-52).
+  * C2: chunks shorter than `minDur` are dropped; chunks longer than
+  * `maxDur` are split into sub-chunks with `± subChunkOverlap/2` margins
+  * (reference: chunking.py:150-188).
+  * C3: chunks of different series whose spans agree within `margin` are
+  * grouped (reference: chunking.py:88-114).
+  *
+  * All units are INTERNAL index units (micros for TIME series, raw for
+  * SEQUENCE). Everything is lag/groupBy/sequence-explode — distributed,
+  * no driver-side loops (the lone global ordering is inherent to
+  * sessionization; at cluster scale partition by entity first).
+  *
+  * Note: durations are `end - start` spans; the reference approximates
+  * duration as `len(chunk)/fs` — a pandas-ism, not semantic intent.
+  */
+object Chunker {
+
+  /** Rows of `s` tagged with a `__chunk` id (0-based, in index order). */
+  def withChunkIds(s: Series, fs: Option[Double] = None,
+                   gapFactor: Double = 1.5): DataFrame = {
+    val unitPerSec = s.domain match {
+      case Domain.Time     => 1e6
+      case Domain.Sequence => 1.0
+    }
+    val w = Window.orderBy("__idx")
+    val withDiff = s.internal
+      .withColumn("__diff", col("__idx") - lag(col("__idx"), 1).over(w))
+    val withThr = fs match {
+      case Some(hz) => withDiff.withColumn("__thr", lit(gapFactor / hz * unitPerSec))
+      case None =>
+        val mx = withDiff.agg(max(col("__diff")).as("__maxdiff"))
+        withDiff.crossJoin(broadcast(mx))
+          .withColumn("__thr", lit(gapFactor) * col("__maxdiff"))
+    }
+    withThr
+      .withColumn("__new", when(col("__diff").isNull ||
+        col("__diff") > col("__thr"), 1L).otherwise(0L))
+      .withColumn("__chunk",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+      .drop("__diff", "__thr", "__new", "__maxdiff")
+  }
+
+  /** Chunk spans: `(__chunk, __start, __end, __n)` after the C2 duration
+    * rules. Sub-chunk ids get fractional suffixes via a sub index column.
+    */
+  def chunkSpans(s: Series, fs: Option[Double] = None,
+                 gapFactor: Double = 1.5,
+                 minDur: Option[Double] = None,
+                 maxDur: Option[Double] = None,
+                 subChunkOverlap: Double = 0.0): DataFrame = {
+    var spans = withChunkIds(s, fs, gapFactor)
+      .groupBy("__chunk")
+      .agg(min(col("__idx")).as("__start"), max(col("__idx")).as("__end"),
+        count(col("__v")).as("__n"))
+    minDur.foreach(d => spans = spans.where(col("__end") - col("__start") >= lit(d)))
+    maxDur match {
+      case None => spans.withColumn("__sub", lit(0L))
+      case Some(md) =>
+        val nSub = ceil((col("__end") - col("__start")) / lit(md)).cast("long")
+        spans
+          .withColumn("__sub", explode(sequence(lit(0L), greatest(nSub, lit(1L)) - 1)))
+          .withColumn("__sub_start", greatest(col("__start"),
+            col("__start") + col("__sub") * lit(md) - lit(subChunkOverlap / 2)))
+          .withColumn("__sub_end", least(col("__end"),
+            col("__start") + (col("__sub") + 1) * lit(md) + lit(subChunkOverlap / 2)))
+          .select(col("__chunk"), col("__sub"),
+            col("__sub_start").as("__start"), col("__sub_end").as("__end"))
+    }
+  }
+
+  /** C3: group chunk spans of multiple series whose [start, end] agree
+    * within `margin`. Returns matched pairs `(name_a, name_b, …spans…)`
+    * via an interval tolerance self-join.
+    */
+  def matchRanges(spans: Seq[(String, DataFrame)], margin: Double): DataFrame = {
+    val tagged = spans.map { case (n, df) =>
+      df.select(lit(n).as("__series"), col("__chunk"),
+        col("__start"), col("__end"))
+    }.reduce(_.unionAll(_))
+    val a = tagged.as("a")
+    val b = tagged.as("b")
+    a.join(b,
+      abs(col("a.__start") - col("b.__start")) <= lit(margin) &&
+        abs(col("a.__end") - col("b.__end")) <= lit(margin) &&
+        col("a.__series") < col("b.__series"))
+      .select(col("a.__series").as("series_a"), col("b.__series").as("series_b"),
+        col("a.__chunk").as("chunk_a"), col("b.__chunk").as("chunk_b"),
+        col("a.__start").as("start_a"), col("a.__end").as("end_a"),
+        col("b.__start").as("start_b"), col("b.__end").as("end_b"))
+  }
+}

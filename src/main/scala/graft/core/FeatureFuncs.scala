@@ -1,0 +1,122 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** A named per-window aggregation — the analog of the reference's
+  * `FuncWrapper` (reference: tsflex/features/function_wrapper.py:44-143),
+  * re-expressed as a Catalyst aggregate-Column builder so the whole feature
+  * computation stays inside whole-stage codegen (no Python/Scala closures in
+  * the hot path).
+  *
+  * @param name        feature name used in output columns (W10)
+  * @param agg         (idxCol, valueCol) => aggregate Column. Native funcs
+  *                    ignore idxCol; index-aware funcs (A4 `input_type =
+  *                    pd.Series`) may use it.
+  * @param emptyValue  value emitted for empty windows (W7: empty segments
+  *                    still produce a row; e.g. `count` → 0, others → null,
+  *                    matching `len([]) == 0` vs `np.mean([]) == NaN`).
+  */
+final case class FeatureFunc(
+    name: String,
+    agg: (Column, Column) => Column,
+    emptyValue: Option[Column] = None) {
+
+  /** Robust wrapper (A5, reference: tsflex/features/utils.py:153-256
+    * `make_robust`): NaN-mask the window values and, when fewer than
+    * `minNbSamples` non-NaN samples remain, return `errorVal` instead.
+    */
+  def robust(minNbSamples: Int, errorVal: Double = Double.NaN,
+             passThroughNans: Boolean = false): FeatureFunc = {
+    val base = this
+    FeatureFunc(
+      name,
+      (idx, v) => {
+        val masked = when(!isnan(v) && v.isNotNull, v)
+        val inner = base.agg(idx, masked)
+        when(count(masked) >= minNbSamples, inner).otherwise(lit(errorVal))
+      },
+      emptyValue = Some(if (minNbSamples > 0) lit(errorVal) else lit(errorVal)))
+  }
+
+  def as(newName: String): FeatureFunc = copy(name = newName)
+}
+
+/** Registry of built-in feature functions — the oracle set the reference
+  * test-suite exercises (A6, reference:
+  * tests/benchmarks/test_featurecollection.py:11, README.md:49):
+  * np.{min,max,mean,median,std,var,sum}, len, scipy skew/kurtosis,
+  * np.quantile. Numpy std/var are population (ddof=0); scipy
+  * skew/kurtosis use bias=True and Fisher (excess) kurtosis — matching
+  * Spark `skewness`/`kurtosis` exactly.
+  */
+object FeatureFuncs {
+  private def f(name: String)(b: Column => Column): FeatureFunc =
+    FeatureFunc(name, (_, v) => b(v))
+
+  val min: FeatureFunc = f("min")(org.apache.spark.sql.functions.min)
+  val max: FeatureFunc = f("max")(org.apache.spark.sql.functions.max)
+  val mean: FeatureFunc = f("mean")(avg)
+  val median: FeatureFunc = f("median")(v => percentile(v, lit(0.5)))
+  val std: FeatureFunc = f("std")(stddev_pop) // numpy default ddof=0
+  val variance: FeatureFunc = f("var")(var_pop)
+  val sum: FeatureFunc = f("sum")(v => org.apache.spark.sql.functions.sum(v.cast("double")))
+  val len: FeatureFunc =
+    FeatureFunc("len", (_, v) => count(v), emptyValue = Some(lit(0L)))
+  val skew: FeatureFunc = f("skew")(skewness) // scipy bias=True == Spark
+  val kurt: FeatureFunc = f("kurtosis")(kurtosis) // Fisher excess, biased
+  val first: FeatureFunc = f("first")(v => min_by(v, v)) // placeholder; index-ordered first below
+  val last: FeatureFunc = f("last")(v => max_by(v, v))
+
+  def quantile(q: Double): FeatureFunc =
+    f(s"quantile_$q")(v => percentile(v, lit(q)))
+
+  /** Index-ordered first/last values in the window. */
+  val firstByIdx: FeatureFunc = FeatureFunc("first", (idx, v) => min_by(v, idx))
+  val lastByIdx: FeatureFunc = FeatureFunc("last", (idx, v) => max_by(v, idx))
+
+  /** Count of values equal to a category (A7 categorical features,
+    * reference: tests/test_features_feature_collection.py:1965-2001).
+    */
+  def countEq(cat: String): FeatureFunc =
+    FeatureFunc(s"count_$cat", (_, v) => org.apache.spark.sql.functions.sum(
+      when(v === lit(cat), 1L).otherwise(0L)), emptyValue = Some(lit(0L)))
+
+  /** Sum of absolute successive differences, index-ordered — index-aware
+    * example (A7 time-valued features).
+    */
+  val absDiffSum: FeatureFunc = FeatureFunc("abs_diff_sum", (idx, v) => {
+    val pairs = array_sort(collect_list(struct(idx.as("i"), v.as("v"))))
+    val vals = transform(pairs, p => p.getField("v"))
+    aggregate(
+      zip_with(slice(vals, lit(1), size(vals) - 1),
+               slice(vals, lit(2), size(vals) - 1),
+               (a, b) => abs(b - a)),
+      lit(0.0), (acc, x) => acc + x)
+  })
+
+  /** Slope of the least-squares line of value against index. */
+  val slope: FeatureFunc = FeatureFunc("slope", (idx, v) => regr_slope(v, idx))
+
+  /** Root-mean-square. */
+  val rms: FeatureFunc = f("rms")(v => sqrt(avg(v * v)))
+
+  /** Arbitrary Scala function over the index-sorted window values — the UDF
+    * escape hatch (A1/A4). Buffers (idx, value) pairs via collect_list;
+    * keep windows modest when using this path.
+    */
+  def fromArray(name: String, fn: Seq[Double] => Double): FeatureFunc = {
+    val u = udf((arr: Seq[Double]) => fn(arr))
+    FeatureFunc(name, (idx, v) => {
+      val pairs = array_sort(collect_list(struct(idx.as("i"), v.as("v"))))
+      u(transform(pairs, p => p.getField("v")))
+    })
+  }
+
+  val byName: scala.collection.immutable.Map[String, FeatureFunc] =
+    scala.collection.immutable.Map(
+      "min" -> min, "max" -> max, "mean" -> mean, "median" -> median,
+      "std" -> std, "var" -> variance, "sum" -> sum, "len" -> len,
+      "skew" -> skew, "kurtosis" -> kurt, "slope" -> slope, "rms" -> rms,
+      "first" -> firstByIdx, "last" -> lastByIdx, "abs_diff_sum" -> absDiffSum)
+}

@@ -1,0 +1,95 @@
+package graft.proc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Series
+
+/** T1: one processing step — consumes named input series, emits series that
+  * are upserted (replace-if-same-name, else add) into the working set
+  * (reference: tsflex/processing/series_processor.py:57-237; output
+  * dispatch :277-370).
+  *
+  * In Spark the natural unit is a Column expression over a single series
+  * (`mapSeries`) or an arbitrary `DataFrame => DataFrame` over the wide
+  * merged frame (`dataframeFunc`, reference: series_processor.py:19-54).
+  */
+final case class SeriesProcessor(
+    name: String,
+    requiredSeries: Seq[String],
+    apply: Map[String, Series] => Seq[Series])
+
+object SeriesProcessor {
+  /** Transform each of `names` independently, value-wise, index preserved. */
+  def mapSeries(procName: String, names: Seq[String])(f: Column => Column): SeriesProcessor =
+    SeriesProcessor(procName, names, dict => names.map { n =>
+      val s = dict(n)
+      s.copy(df = s.df.withColumn(s.valueCol, f(col(s.valueCol))))
+    })
+
+  /** Transform each of `names` into a NEW series `rename(n)` (add). */
+  def mapSeriesAs(procName: String, names: Seq[String], rename: String => String)(
+      f: Column => Column): SeriesProcessor =
+    SeriesProcessor(procName, names, dict => names.map { n =>
+      val s = dict(n)
+      val out = rename(n)
+      Series(out, s.df.withColumn(out, f(col(s.valueCol))), s.idxCol, out)
+    })
+
+  /** T2 `dataframe_func`: outer-merge the required series into a wide frame,
+    * apply `f`, explode the result back into series.
+    */
+  def dataframeFunc(procName: String, names: Seq[String])(
+      f: DataFrame => DataFrame): SeriesProcessor =
+    SeriesProcessor(procName, names, dict => {
+      val series = names.map(dict)
+      val wide = Series.toWide(series)
+      val out = f(wide)
+      val idxCol = series.head.idxCol
+      Series.fromWide(out, idxCol)
+    })
+}
+
+/** T3: ordered sequential pipeline with upsert semantics (reference:
+  * tsflex/processing/series_pipeline.py:22-271). Spark keeps every step
+  * lazy — the whole pipeline collapses into one Catalyst plan per output
+  * series; Catalyst prunes the steps any given output doesn't need.
+  */
+final class SeriesPipeline(val steps: Seq[SeriesProcessor]) {
+
+  def append(p: SeriesProcessor): SeriesPipeline = new SeriesPipeline(steps :+ p)
+  def insert(i: Int, p: SeriesProcessor): SeriesPipeline =
+    new SeriesPipeline(steps.take(i) ++ (p +: steps.drop(i)))
+
+  /** P1: series required by any step. */
+  def requiredSeries: Seq[String] = steps.flatMap(_.requiredSeries).distinct
+
+  /** Sequential fold; each step sees the accumulated dict (upserts applied).
+    *
+    * @param returnAll when false, only series produced/required by steps are
+    *                  returned (reference: series_pipeline.py:228-245)
+    * @param dropKeys  names removed from the output
+    */
+  def process(data: Seq[Series], returnAll: Boolean = true,
+              dropKeys: Seq[String] = Nil): Seq[Series] = {
+    var dict = scala.collection.immutable.ListMap(data.map(s => s.name -> s): _*)
+    val produced = scala.collection.mutable.LinkedHashSet[String]()
+    steps.foreach { st =>
+      val missing = st.requiredSeries.filterNot(dict.contains)
+      require(missing.isEmpty,
+        s"processor ${st.name}: missing input series ${missing.mkString(", ")}")
+      st.apply(dict).foreach { out =>
+        dict = dict.updated(out.name, out)
+        produced += out.name
+      }
+    }
+    val kept =
+      if (returnAll) dict.values.toSeq
+      else dict.values.filter(s => produced(s.name) || requiredSeries.contains(s.name)).toSeq
+    kept.filterNot(s => dropKeys.contains(s.name))
+  }
+
+  /** `return_df=True` analog: process then outer-merge to a wide frame (S3). */
+  def processToDf(data: Seq[Series], returnAll: Boolean = true,
+                  dropKeys: Seq[String] = Nil): DataFrame =
+    Series.toWide(process(data, returnAll, dropKeys))
+}
