@@ -6,6 +6,7 @@ import graft.api._
 import graft.chunk.Chunker
 import graft.core._
 import graft.proc.{SeriesPipeline, SeriesProcessor}
+import graft.scale.{Ann, Dedup, Multimodal, TextStats}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql` twin) per
   * implemented operator from SURVEY.md §2. Every query projects its result
@@ -243,7 +244,113 @@ object SparkEntry {
       pipe.processToDf(Seq(valueSeries(s, dir)))
         .select(unix_micros(col("ts")).as("ts_anchor"), r6("value"), r6("vlog"))
         .orderBy("ts_anchor")
+    }),
+
+    // ---- dedup: exact after bag-of-words normalization -------------------
+    "q20_dedup_exact" -> ((s, dir) => {
+      Dedup.exactNormalized(docs(s, dir), "doc_id", "text")
+        .select(col("rep_id"), col("n"),
+          concat_ws(",", transform(col("members"), _.cast("string"))).as("members"))
+        .orderBy("rep_id")
+    }),
+
+    // ---- dedup: exact n-gram Jaccard via inverted shingle index ----------
+    "q21_dedup_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.6)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- dedup: MinHash + LSH banding, exact-verified ---------------------
+    "q22_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLsh(docs(s, dir), "doc_id", "text", 3, 16, 8, 0.6)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- dedup: 32-bit SimHash fingerprints -------------------------------
+    "q23_simhash" -> ((s, dir) => {
+      Dedup.simhash32(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // ---- similarity search: brute-force cosine top-k ----------------------
+    "q24_ann_cosine" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.cosineTopK(e.where(col("vec_id") =!= 0), "vec_id", "embedding",
+        e.where(col("vec_id") === 0), 10)
+    }),
+
+    // ---- similarity search: hyperplane-LSH buckets ------------------------
+    "q25_ann_lsh" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.lshBuckets(e, "vec_id", "embedding", 8, 64).orderBy("vec_id")
+    }),
+
+    // ---- multimodal: binary payload plumbing + stub decode ----------------
+    "q26_multimodal" -> ((s, dir) => {
+      val assets = Multimodal.fromText(docs(s, dir), "doc_id", "text")
+      Multimodal.decodeStub(assets).toDF()
+        .select(col("asset_id"), col("n_bytes"), col("width"), col("height"),
+          col("duration_ms"))
+        .orderBy("asset_id")
+    }),
+
+    // ---- text: language-ID heuristic --------------------------------------
+    "q27_lang_id" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        TextStats.langId(col("text")).as("lang_pred")).orderBy("doc_id")
+    }),
+
+    // ---- text: quality scoring --------------------------------------------
+    "q28_text_quality" -> ((s, dir) => {
+      val t = col("text")
+      docs(s, dir).select(col("doc_id"),
+        TextStats.tokenCount(t).cast("long").as("n_tokens"),
+        round(TextStats.punctRatio(t), 6).as("punct_ratio"),
+        round(TextStats.stopwordRatio(t), 6).as("stop_ratio"),
+        round(TextStats.meanWordLen(t), 6).as("mean_word_len"),
+        TextStats.qualityScore(t).as("quality")).orderBy("doc_id")
+    }),
+
+    // ---- text: token counting ----------------------------------------------
+    "q29_token_count" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextStats.tokenEstimate(col("text")).cast("long").as("n_tokens_est"),
+        col("n_chars")).orderBy("doc_id")
+    }),
+
+    // ---- text: rolling-hash document fingerprint ---------------------------
+    "q30_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextStats.fingerprint(col("text"), 8, 4).as("fingerprint")).orderBy("doc_id")
+    }),
+
+    // ---- embeddings: per-label centroids (vector aggregate) ----------------
+    "q31_embed_centroid" -> ((s, dir) => {
+      Ann.centroids(s.read.parquet(s"$dir/embeddings.parquet"), "label", "embedding")
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          round(col("centroid"), 6).as("centroid"), col("n"))
+        .orderBy("label", "dim")
     }))
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** DuckDB CTE fragments shared by the dedup oracles. */
+  private val shingleCte =
+    """docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
+      |  THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in generate_series(1, len(ws)-2)]
+      |  ELSE [array_to_string(ws, ' ')] END)) AS s FROM docs)""".stripMargin
+
+  private val jaccardCte =
+    s"""$shingleCte,
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |jac AS (SELECT id_a, id_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+       |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q00_tpch_q1" ->
@@ -397,5 +504,128 @@ object SparkEntry {
       """SELECT epoch_us(ts) AS ts_anchor,
         | round(LEAST(GREATEST(value, 10.0), 300.0),6) AS value,
         | round(ln(LEAST(GREATEST(value, 10.0), 300.0)),6) AS vlog
-        |FROM events ORDER BY ts_anchor""".stripMargin)
+        |FROM events ORDER BY ts_anchor""".stripMargin,
+
+    "q20_dedup_exact" ->
+      """WITH k AS (SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS key
+        |  FROM documents)
+        |SELECT min(doc_id) AS rep_id, count(*) AS n,
+        | array_to_string(list_sort(list(doc_id)), ',') AS members
+        |FROM k GROUP BY key HAVING count(*) >= 2 ORDER BY rep_id""".stripMargin,
+
+    "q21_dedup_jaccard" ->
+      s"""WITH $jaccardCte
+         |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac
+         |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+
+    "q22_minhash_lsh" -> {
+      val mhCols = (0 until 16).map(i => s"min(md5(s || '#$i')) AS m$i").mkString(", ")
+      val bandSel = (0 until 8).map(b =>
+        s"SELECT doc_id, $b AS b, md5(m${2 * b} || '|' || m${2 * b + 1}) AS key FROM mh")
+        .mkString(" UNION ALL ")
+      s"""WITH $jaccardCte,
+         |mh AS (SELECT doc_id, $mhCols FROM sh GROUP BY doc_id),
+         |bands AS ($bandSel),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+         |FROM cand JOIN jac USING (id_a, id_b)
+         |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q23_simhash" -> {
+      val odd = "('1','3','5','7','9','b','d','f')"
+      val sums = (0 until 32).map(j =>
+        s"sum(CASE WHEN substr(h, ${j + 1}, 1) IN $odd THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+      val fp = (0 until 32).map(j =>
+        s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, md5(unnest(string_split_regex(trim(text), '\\s+'))) AS h FROM documents),
+         |sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id)
+         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums ORDER BY doc_id""".stripMargin
+    },
+
+    "q24_ann_cosine" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 6) AS cosine
+        |FROM embeddings, q WHERE vec_id != 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q25_ann_lsh" ->
+      """WITH w AS (SELECT p, d,
+        |  CASE WHEN substr(md5(p || '_' || d), 1, 1) IN ('1','3','5','7','9','b','d','f')
+        |  THEN 1.0 ELSE -1.0 END AS w
+        |  FROM range(8) t1(p), range(64) t2(d)),
+        |x AS (SELECT vec_id, d, CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) AS v
+        |  FROM embeddings, range(64) t(d)),
+        |dots AS (SELECT vec_id, p, sum(v * w.w) AS s FROM x JOIN w USING (d) GROUP BY 1, 2)
+        |SELECT vec_id, CAST(sum(CASE WHEN s >= 0 THEN 1::BIGINT << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS bucket
+        |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q26_multimodal" ->
+      """SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes,
+        | 16 + (ascii(substr(text, 1, 1)) % 64) * 16 AS width,
+        | 16 + (ascii(substr(text, 2, 1)) % 64) * 16 AS height,
+        | octet_length(encode(text)) * 7 AS duration_ms
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "q27_lang_id" -> {
+      val scores = TextStats.langMarkers.map { case (lang, ms) =>
+        val set = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(toks, t -> t IN ($set))) AS s_$lang"
+      }.mkString(", ")
+      val langs = TextStats.langMarkers.map(_._1)
+      val best = s"GREATEST(${langs.map(l => s"s_$l").mkString(", ")})"
+      val pick = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |sc AS (SELECT doc_id, lang, $scores FROM t),
+         |b AS (SELECT *, $best AS best FROM sc)
+         |SELECT doc_id, lang, CASE $pick ELSE 'und' END AS lang_pred
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+
+    "q28_text_quality" -> {
+      val stop = TextStats.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+         |  FROM documents),
+         |m AS (SELECT doc_id, n_tokens,
+         |  CAST(length(text) - length(regexp_replace(text, '$punctClass', '', 'g')) AS DOUBLE)
+         |    / GREATEST(length(text), 1) AS punct_ratio,
+         |  CAST(len(list_filter(list_transform(toks, x -> lower(x)), t -> t IN ($stop))) AS DOUBLE)
+         |    / GREATEST(len(toks), 1) AS stop_ratio,
+         |  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / GREATEST(len(toks), 1) AS mean_word_len
+         |  FROM t)
+         |SELECT doc_id, n_tokens, round(punct_ratio, 6) AS punct_ratio,
+         | round(stop_ratio, 6) AS stop_ratio, round(mean_word_len, 6) AS mean_word_len,
+         | round(LEAST(n_tokens / 50.0, 1.0)
+         |   * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END)
+         |   * (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.7 END), 6) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "q29_token_count" ->
+      s"""SELECT doc_id,
+         | CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         | CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END
+         |   + length(text) - length(regexp_replace(text, '$punctClass', '', 'g')) AS n_tokens_est,
+         | n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q30_fingerprint" ->
+      """SELECT doc_id,
+        | list_aggregate([md5(substr(text, CAST(i AS INT), 8)) for i in
+        |   generate_series(1, GREATEST(length(text) - 7, 1), 4)], 'min') AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q31_embed_centroid" ->
+      """WITH x AS (SELECT label, d, CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) AS v
+        |  FROM embeddings, range(64) t(d))
+        |SELECT label, d AS dim, round(avg(v), 6) AS centroid, count(*) AS n
+        |FROM x GROUP BY label, d ORDER BY label, dim""".stripMargin)
+
+  /** ASCII punctuation class shared with TextStats (identical meaning in
+    * Java regex and RE2/DuckDB, unlike `\p{Punct}`).
+    */
+  private def punctClass = TextStats.punctClass
 }

@@ -243,11 +243,27 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
       .select(col("__run").as("__seg_id"), col("__start").as("__seg_start"),
         col("__seg_end"), col("__start"), col("__end"), col("__grp"))
 
+    // Runs tile the index axis contiguously, so window→row assignment needs
+    // no join at all: union run-start markers with the data rows, sort, and
+    // propagate the last seen run id (an as-of assignment). Linear, vs the
+    // O(rows × runs) a nested-loop range join would cost.
     val frames = descriptors.groupBy(_.seriesName).toSeq.map { case (sName, ds) =>
       val series = byName(sName)
       val rows = series.internal
-      val assigned = rows.join(broadcast(segs.select("__seg_id", "__seg_start", "__seg_end")),
-        col("__idx") >= col("__seg_start") && col("__idx") < col("__seg_end"), "inner")
+      val vType = rows.schema("__v").dataType
+      val starts = segs.select(col("__seg_start").as("__idx"), lit(0).as("__tag"),
+        col("__seg_id").as("__runid"), lit(null).cast(vType).as("__v"))
+      val term = segs.agg(max(col("__seg_end")).as("__idx"))
+        .select(col("__idx"), lit(0).as("__tag"), lit(-1L).as("__runid"),
+          lit(null).cast(vType).as("__v"))
+      val rowsT = rows.select(col("__idx"), lit(1).as("__tag"),
+        lit(null).cast("long").as("__runid"), col("__v"))
+      val wU = Window.orderBy(col("__idx"), col("__tag"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val assigned = starts.unionByName(term).unionByName(rowsT)
+        .withColumn("__seg_id", last(col("__runid"), ignoreNulls = true).over(wU))
+        .where(col("__tag") === 1 && col("__seg_id").isNotNull &&
+          col("__seg_id") =!= -1L)
       val aggCols = ds.map { d =>
         val n = Win.outputName(Seq(d.seriesName), d.function.name, "manual")
         d.function.agg(col("__idx"), col("__v")).as(n)

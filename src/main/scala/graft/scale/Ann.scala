@@ -1,0 +1,97 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (one codegen'd pass, no shuffle until
+  * the tiny top-k sort). Scale path: random-hyperplane LSH bucketing — the
+  * bucket id is computed relationally (posexplode × broadcast weight table →
+  * partial-aggregated sign sums), so bucketing 10^9 vectors is one
+  * map-side-combined aggregation; candidate generation then joins on the
+  * bucket key only.
+  */
+object Ann {
+
+  /** Cosine similarity between two double arrays, computed with codegen'd
+    * higher-order functions (zip_with + aggregate) — no UDF.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val na = sqrt(aggregate(a, lit(0.0), (s, x) => s + x * x))
+    val nb = sqrt(aggregate(b, lit(0.0), (s, x) => s + x * x))
+    dot / (na * nb)
+  }
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Brute-force cosine top-k of `df`'s `embCol` against the single query
+    * row `queryDf` (one row, column `embCol`). The query side is broadcast;
+    * the scan is a single pass; ordering is (rounded sim desc, id) for
+    * determinism.
+    */
+  def cosineTopK(df: DataFrame, idCol: String, embCol: String,
+                 queryDf: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queryDf.select(asDouble(col(embCol)).as("__q")))
+    df.crossJoin(q)
+      .select(col(idCol),
+        round(cosine(asDouble(col(embCol)), col("__q")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic ±1 hyperplane weight for (plane p, dim d): parity of the
+    * first hex digit of md5("p_d"). Engine-independent (same in DuckDB).
+    */
+  def planeWeight(p: Column, d: Column): Column =
+    when(substring(md5(concat(p.cast("string"), lit("_"), d.cast("string"))), 1, 1)
+      .isin("1", "3", "5", "7", "9", "b", "d", "f"), 1.0).otherwise(-1.0)
+
+  /** Random-hyperplane LSH bucket id per vector: `planes` sign bits packed
+    * into a BIGINT. Relational formulation: posexplode the vector, join the
+    * (plane, dim) → ±1 weight table (broadcast; planes×dims rows), partial
+    * aggregate the per-plane dot products, pack signs.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, embCol: String,
+                 planes: Int, dims: Int): DataFrame = {
+    val spark = df.sparkSession
+    val weights = broadcast(
+      spark.range(planes).select(col("id").as("__p"))
+        .crossJoin(spark.range(dims).select(col("id").as("__d")))
+        .withColumn("__w", planeWeight(col("__p"), col("__d"))))
+    val exploded = df.select(col(idCol),
+      posexplode(asDouble(col(embCol))).as(Seq("__d", "__x")))
+    val dots = exploded.join(weights, Seq("__d"))
+      .groupBy(col(idCol), col("__p"))
+      .agg(sum(col("__x") * col("__w")).as("__dot"))
+    val bits = dots.groupBy(idCol).agg(
+      sum(when(col("__dot") >= 0, expr("shiftleft(1L, cast(__p as int))"))
+        .otherwise(lit(0L))).as("bucket"))
+    bits
+  }
+
+  /** LSH-accelerated top-k: candidates = vectors in the query's bucket,
+    * ranked by exact cosine. Trades recall for touching only one bucket;
+    * multi-probe = relax the bucket equality to Hamming<=1 (left as a
+    * bit-flip union at call site).
+    */
+  def lshTopK(df: DataFrame, idCol: String, embCol: String,
+              queryDf: DataFrame, k: Int, planes: Int, dims: Int): DataFrame = {
+    val buckets = lshBuckets(df, idCol, embCol, planes, dims)
+    val qb = lshBuckets(queryDf.withColumn("__qid", lit(0L)), "__qid", embCol, planes, dims)
+      .select(col("bucket"))
+    val cands = df.join(buckets, Seq(idCol)).join(broadcast(qb), Seq("bucket"))
+    cosineTopK(cands, idCol, embCol, queryDf, k)
+  }
+
+  /** Per-label centroids: average of every dimension, relationally
+    * (posexplode + groupBy(label, dim)) — partial aggregation makes this a
+    * single cheap shuffle of (labels × dims) partial sums at any scale.
+    */
+  def centroids(df: DataFrame, labelCol: String, embCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(asDouble(col(embCol))).as(Seq("dim", "__x")))
+      .groupBy(labelCol, "dim")
+      .agg(avg(col("__x")).as("centroid"), count(lit(1)).as("n"))
+}
