@@ -1,0 +1,121 @@
+package graft.api
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.core._
+
+/** End-to-end FeatureCollection semantics on tiny golden data (mirrors the
+  * reference's e2e style, tests/test_features_feature_collection.py).
+  */
+class FeatureCollectionSpec extends SparkSpec {
+  import FeatureFuncs._
+
+  private def tiny = {
+    import spark.implicits._
+    Seq((0L, 0.0), (1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("idx", "dummy")
+  }
+  private def tinySeries = Series("dummy", tiny, "idx", "dummy")
+
+  test("flagship: sum over window=3 stride=1, anchor end, naming W10") {
+    val fc = FeatureCollection(FeatureDescriptor(sum, "dummy",
+      Some(Win.seq(3L)), Some(Seq(Win.seq(1L)))))
+    val out = fc.calculate(Seq(tinySeries))
+    assert(out.columns.toSeq == Seq("idx", "dummy__sum__w=3"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // [0,3) -> 0+1+2 = 3 @ anchor 3; [1,4) -> 1+2+3 = 6 @ anchor 4
+    assert(rows == Seq((3L, 3.0), (6.0).asInstanceOf[AnyRef] match {
+      case _ => (4L, 6.0)
+    }))
+  }
+
+  test("W7: empty manual segments still emit rows; len is 0") {
+    val fc = FeatureCollection(
+      FeatureDescriptor(len, "dummy", None, None),
+      FeatureDescriptor(mean, "dummy", None, None))
+    val out = fc.calculate(Seq(tinySeries),
+      segmentStartIdxs = Some(Seq(100.0, 0.0)), segmentEndIdxs = Some(Seq(103.0, 3.0)))
+      .orderBy("idx")
+    val rows = out.collect()
+    assert(rows.length == 2)
+    val byAnchor = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byAnchor(103L).getLong(out.columns.indexOf("dummy__len__w=manual")) == 0L)
+    assert(byAnchor(103L).isNullAt(out.columns.indexOf("dummy__mean__w=manual")))
+    assert(byAnchor(3L).getDouble(out.columns.indexOf("dummy__mean__w=manual")) == 1.0)
+  }
+
+  test("index dtype retention: long index stays long, anchors in index space") {
+    val fc = FeatureCollection(FeatureDescriptor(max, "dummy",
+      Some(Win.seq(2L)), Some(Seq(Win.seq(2L)))))
+    val out = fc.calculate(Seq(tinySeries))
+    assert(out.schema("idx").dataType == org.apache.spark.sql.types.LongType)
+  }
+
+  test("duplicate output names rejected (M1)") {
+    intercept[IllegalArgumentException] {
+      FeatureCollection(
+        FeatureDescriptor(mean, "dummy", Some(Win.seq(3L)), Some(Seq(Win.seq(1L)))),
+        FeatureDescriptor(mean, "dummy", Some(Win.seq(3L)), Some(Seq(Win.seq(2L)))))
+    }
+  }
+
+  test("M2 cross product and M3 reduce") {
+    val ds = MultipleFeatureDescriptors(Seq(mean, max), Seq("dummy"),
+      Seq(Win.seq(2L), Win.seq(3L)), Some(Seq(Win.seq(1L))))
+    assert(ds.length == 4)
+    val fc = FeatureCollection.of(ds)
+    val red = fc.reduce(Seq("dummy__mean__w=2"))
+    assert(red.descriptors.length == 1)
+    intercept[IllegalArgumentException](fc.reduce(Seq("nope__mean__w=2")))
+  }
+
+  test("M4: stride override wins; segments + stride rejected") {
+    val fc = FeatureCollection(FeatureDescriptor(len, "dummy",
+      Some(Win.seq(3L)), Some(Seq(Win.seq(1L)))))
+    val out = fc.calculate(Seq(tinySeries), strideOverride = Some(Seq(Win.seq(2L))))
+    assert(out.count() == 1) // stride 2 -> only start 0
+    intercept[IllegalArgumentException] {
+      fc.calculate(Seq(tinySeries), strideOverride = Some(Seq(Win.seq(2L))),
+        segmentStartIdxs = Some(Seq(0.0)))
+    }
+  }
+
+  test("G1 group_by_all matches SQL GROUP BY") {
+    import spark.implicits._
+    val df = Seq((0L, 1.0, "a"), (1L, 2.0, "b"), (2L, 3.0, "a"), (3L, 4.0, "b"))
+      .toDF("idx", "v", "g")
+    val fc = FeatureCollection(FeatureDescriptor(sum, "v", None, None))
+    val out = fc.calculateGroupByAll(
+      Seq(Series("v", df, "idx", "v")), Series("g", df, "idx", "g"))
+    val m = out.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m == Map("a" -> 4.0, "b" -> 6.0))
+    assert(out.columns.toSeq == Seq("g", "v__sum__w=manual"))
+  }
+
+  test("G3 group_by_consecutive runs and boundaries") {
+    import spark.implicits._
+    val df = Seq((0L, 1.0, "x"), (1L, 2.0, "x"), (2L, 3.0, "y"), (3L, 4.0, "x"))
+      .toDF("idx", "v", "g")
+    val fc = FeatureCollection(FeatureDescriptor(sum, "v", None, None))
+    val out = fc.calculateGroupByConsecutive(
+      Seq(Series("v", df, "idx", "v")), Series("g", df, "idx", "g")).orderBy("__start")
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq
+    // runs: x@[0,1] (rows 0,1 -> sum 3), y@[2,2] (row 2 -> 3), x@[3,3] (row 3 -> 4)
+    assert(rows == Seq(("x", 3.0, 0L, 1L), ("y", 3.0, 2L, 2L), ("x", 4.0, 3L, 3L)))
+  }
+
+  test("A5 robust: min_nb_samples guard returns error_val") {
+    val fc = FeatureCollection(FeatureDescriptor(mean.robust(10, -7.0), "dummy",
+      Some(Win.seq(3L)), Some(Seq(Win.seq(1L)))))
+    val out = fc.calculate(Seq(tinySeries))
+    assert(out.collect().forall(_.getDouble(1) == -7.0))
+  }
+
+  test("A1/A4 escape hatch: arbitrary Scala function over sorted window") {
+    val range = FeatureFuncs.fromArray("range", a => if (a.isEmpty) 0.0 else a.max - a.min)
+    val fc = FeatureCollection(FeatureDescriptor(range, "dummy",
+      Some(Win.seq(3L)), Some(Seq(Win.seq(1L)))))
+    val out = fc.calculate(Seq(tinySeries)).orderBy("idx")
+    assert(out.collect().map(_.getDouble(1)).toSeq == Seq(2.0, 2.0))
+  }
+}
