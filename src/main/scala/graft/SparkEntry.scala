@@ -444,8 +444,8 @@ object SparkEntry {
     "q10_cat_counts" ->
       s"""WITH ${segCte(DAY, DAY)}
          |SELECT we AS ts_anchor,
-         | sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS "etype__count_click__w=1D",
-         | sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS "etype__count_purchase__w=1D"
+         | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS "etype__count_click__w=1D",
+         | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS "etype__count_purchase__w=1D"
          |FROM seg LEFT JOIN events ON epoch_us(ts) >= ws AND epoch_us(ts) < we
          |GROUP BY we ORDER BY ts_anchor""".stripMargin,
 
@@ -486,8 +486,8 @@ object SparkEntry {
     "q14_chunks" ->
       """WITH d AS (SELECT ts, value,
         |  epoch_us(ts) - lag(epoch_us(ts)) OVER (ORDER BY ts) AS diff FROM events),
-        |c AS (SELECT *, sum(CASE WHEN diff IS NULL OR diff > 900000000 THEN 1 ELSE 0 END)
-        |  OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS chunk_id FROM d),
+        |c AS (SELECT *, CAST(sum(CASE WHEN diff IS NULL OR diff > 900000000 THEN 1 ELSE 0 END)
+        |  OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS chunk_id FROM d),
         |spans AS (SELECT chunk_id, min(epoch_us(ts)) AS chunk_start, max(epoch_us(ts)) AS chunk_end,
         |  count(value) AS n FROM c GROUP BY chunk_id)
         |SELECT chunk_id, chunk_start, chunk_end, n FROM spans

@@ -171,9 +171,16 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
       val anchorRaw = Segmenter.anchor(windowIdx)
       val anchorCol =
         if (posToIdx) {
-          // stitch original time index back by position
+          // Stitch the original time index back by position. The anchor may
+          // be fractional (windowIdx="middle" → k + 0.5) or one past the last
+          // sample (includeFinalWindow end == n), so floor and clamp to the
+          // positional bounds [0, n-1] — every anchor maps to an existing
+          // sample, mirroring the reference's positional index lookup
+          // (reference: strided_rolling.py:627-698).
+          val anchorPos = least(greatest(floor(anchorRaw).cast("double"),
+            lit(bounds.start)), lit(bounds.end))
           val idxMap = rows.select(col("__pos"), col("__orig_idx"))
-          joined = joined.join(idxMap, anchorRaw === col("__pos"), "left")
+          joined = joined.join(idxMap, anchorPos === col("__pos"), "left")
           series.restoreIdx(col("__orig_idx"))
         } else series.restoreIdx(anchorRaw)
       joined.select(anchorCol.as(series.idxCol) +: ds.map(d => col(nameOf(d))): _*)

@@ -53,24 +53,28 @@ object Chunker {
       .drop("__diff", "__thr", "__new", "__maxdiff")
   }
 
-  /** Chunk spans: `(__chunk, __start, __end, __n)` after the C2 duration
-    * rules. Sub-chunk ids get fractional suffixes via a sub index column.
+  /** Chunk spans: `(__chunk, __sub, __start, __end, __n)` after the C2
+    * duration rules — the same schema whether or not `maxDur` splits
+    * sub-chunks; `__n` is always the row count of the emitted span.
     */
   def chunkSpans(s: Series, fs: Option[Double] = None,
                  gapFactor: Double = 1.5,
                  minDur: Option[Double] = None,
                  maxDur: Option[Double] = None,
                  subChunkOverlap: Double = 0.0): DataFrame = {
-    var spans = withChunkIds(s, fs, gapFactor)
+    val rows = withChunkIds(s, fs, gapFactor)
+    var spans = rows
       .groupBy("__chunk")
       .agg(min(col("__idx")).as("__start"), max(col("__idx")).as("__end"),
         count(col("__v")).as("__n"))
     minDur.foreach(d => spans = spans.where(col("__end") - col("__start") >= lit(d)))
     maxDur match {
-      case None => spans.withColumn("__sub", lit(0L))
+      case None =>
+        spans.select(col("__chunk"), lit(0L).as("__sub"),
+          col("__start"), col("__end"), col("__n"))
       case Some(md) =>
         val nSub = ceil((col("__end") - col("__start")) / lit(md)).cast("long")
-        spans
+        val subs = spans
           .withColumn("__sub", explode(sequence(lit(0L), greatest(nSub, lit(1L)) - 1)))
           .withColumn("__sub_start", greatest(col("__start"),
             col("__start") + col("__sub") * lit(md) - lit(subChunkOverlap / 2)))
@@ -78,6 +82,15 @@ object Chunker {
             col("__start") + (col("__sub") + 1) * lit(md) + lit(subChunkOverlap / 2)))
           .select(col("__chunk"), col("__sub"),
             col("__sub_start").as("__start"), col("__sub_end").as("__end"))
+        // Recount rows per sub-chunk span (inclusive ends — spans are min/max
+        // stamps): chunk-equi join + range predicate.
+        val r = rows.select(col("__chunk").as("__rchunk"), col("__idx"))
+        subs.join(r,
+            col("__chunk") === col("__rchunk") &&
+              col("__idx") >= col("__start") && col("__idx") <= col("__end"),
+            "left")
+          .groupBy("__chunk", "__sub", "__start", "__end")
+          .agg(count(col("__idx")).as("__n"))
     }
   }
 

@@ -34,9 +34,15 @@ final case class FeatureFunc(
       (idx, v) => {
         val masked = when(!isnan(v) && v.isNotNull, v)
         val inner = base.agg(idx, masked)
-        when(count(masked) >= minNbSamples, inner).otherwise(lit(errorVal))
+        // With no minimum the guard is unreachable — skip it so the wrapped
+        // function's output dtype survives (len stays BIGINT, not DOUBLE).
+        if (minNbSamples <= 0) inner
+        else when(count(masked) >= minNbSamples, inner).otherwise(lit(errorVal))
       },
-      emptyValue = Some(if (minNbSamples > 0) lit(errorVal) else lit(errorVal)))
+      // Empty windows: < minNbSamples samples → errorVal; with no minimum the
+      // wrapped function's own empty-window contract is preserved (e.g.
+      // len.robust(0) still emits 0 for an empty window).
+      emptyValue = if (minNbSamples > 0) Some(lit(errorVal)) else base.emptyValue)
   }
 
   def as(newName: String): FeatureFunc = copy(name = newName)
@@ -65,8 +71,6 @@ object FeatureFuncs {
     FeatureFunc("len", (_, v) => count(v), emptyValue = Some(lit(0L)))
   val skew: FeatureFunc = f("skew")(skewness) // scipy bias=True == Spark
   val kurt: FeatureFunc = f("kurtosis")(kurtosis) // Fisher excess, biased
-  val first: FeatureFunc = f("first")(v => min_by(v, v)) // placeholder; index-ordered first below
-  val last: FeatureFunc = f("last")(v => max_by(v, v))
 
   def quantile(q: Double): FeatureFunc =
     f(s"quantile_$q")(v => percentile(v, lit(q)))

@@ -67,10 +67,16 @@ object Win {
     require(s.nonEmpty, "empty time string")
     require(!s.forall(c => c.isDigit || c == '.'),
       s"time-string arg $s must contain a unit")
-    val token = raw"(\d+(?:\.\d+)?)\s*(D|d|day|days|h|hour|hours|min|m|s|sec|seconds|ms|us)".r
+    // Longest alternatives first ('ms' before 'm', 'sec(onds)' before 's') so
+    // sub-second units are reachable; the whole (underscore/space-stripped)
+    // input must be covered by unit tokens — trailing garbage is rejected.
+    val unitPat = "days|day|hours|hour|seconds|sec|min|ms|us|D|d|h|s|m"
+    val token = raw"(\d+(?:\.\d+)?)($unitPat)".r
+    val cleaned = s.replaceAll("[_\\s]", "")
+    require(cleaned.matches(raw"(?:\d+(?:\.\d+)?(?:$unitPat))+"),
+      s"cannot parse time string: $s")
     var total = 0.0
-    var matchedLen = 0
-    token.findAllMatchIn(s.replace("_", "")).foreach { m =>
+    token.findAllMatchIn(cleaned).foreach { m =>
       val v = m.group(1).toDouble
       val unit = m.group(2) match {
         case "D" | "d" | "day" | "days" => 86400e6
@@ -81,9 +87,7 @@ object Win {
         case "us"                       => 1.0
       }
       total += v * unit
-      matchedLen += m.matched.length
     }
-    require(matchedLen > 0, s"cannot parse time string: $s")
     TimeWin(math.round(total))
   }
 

@@ -111,6 +111,40 @@ class FeatureCollectionSpec extends SparkSpec {
     assert(out.collect().forall(_.getDouble(1) == -7.0))
   }
 
+  test("W9 sample windows: middle and end anchors map to existing samples") {
+    import spark.implicits._
+    // 10 samples at irregular timestamps (micros); window=4 samples, stride=2
+    val ts = Seq(0L, 10L, 25L, 30L, 47L, 52L, 61L, 70L, 88L, 95L)
+    val df = ts.zipWithIndex.map { case (t, i) =>
+      (new java.sql.Timestamp(t), i.toDouble)
+    }.toDF("ts", "v")
+    val series = Series("v", df, "ts", "v")
+    def anchors(windowIdx: String): Seq[Long] = {
+      val fc = FeatureCollection(FeatureDescriptor(len, "v",
+        Some(SampleWin(4)), Some(Seq(SampleWin(2)))))
+      fc.calculate(Seq(series), windowIdx = windowIdx)
+        .select(unix_micros(col("ts")))
+        .collect().map(_.getLong(0)).sorted.toSeq
+    }
+    // starts at positions 0,2,4 (nb = (9-4)/2+1 = 3)
+    val tsMs = ts.map(_ * 1000) // java.sql.Timestamp(millis) → micros
+    assert(anchors("begin") == Seq(0, 2, 4).map(tsMs(_)))
+    // middle = pos + 2.0 exactly here; end = pos + 4
+    assert(anchors("middle") == Seq(2, 4, 6).map(tsMs(_)))
+    assert(anchors("end") == Seq(4, 6, 8).map(tsMs(_)))
+    // every anchor resolved (no null timestamps from a failed position join)
+    assert(!anchors("middle").contains(null))
+  }
+
+  test("A5 robust(0) preserves the wrapped function's empty-window contract") {
+    val fc = FeatureCollection(
+      FeatureDescriptor(len.robust(0, -9.0), "dummy", None, None))
+    val out = fc.calculate(Seq(tinySeries),
+      segmentStartIdxs = Some(Seq(100.0)), segmentEndIdxs = Some(Seq(103.0)))
+    // empty window, minNbSamples=0 → len's own emptyValue (0), not error_val
+    assert(out.collect().head.getLong(1) == 0L)
+  }
+
   test("A1/A4 escape hatch: arbitrary Scala function over sorted window") {
     val range = FeatureFuncs.fromArray("range", a => if (a.isEmpty) 0.0 else a.max - a.min)
     val fc = FeatureCollection(FeatureDescriptor(range, "dummy",

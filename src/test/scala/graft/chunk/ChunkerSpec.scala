@@ -1,0 +1,65 @@
+package graft.chunk
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.core.Series
+
+/** C1/C2 chunking semantics on tiny golden data (reference:
+  * tsflex/chunking/chunking.py:15-191).
+  */
+class ChunkerSpec extends SparkSpec {
+
+  // Two dense runs [0..4] and [100..104] separated by a gap; fs = 1 Hz
+  // (sequence domain, unit = 1), gap threshold 1.5.
+  private def gappy = {
+    import spark.implicits._
+    val idx = (0 to 4).map(_.toDouble) ++ (100 to 104).map(_.toDouble)
+    idx.map(i => (i, i * 10)).toDF("idx", "v")
+  }
+  private def series = Series("v", gappy, "idx", "v")
+
+  test("C1: gap splits into chunks; ids 0-based in index order") {
+    val ids = Chunker.withChunkIds(series, fs = Some(1.0))
+      .select("__idx", "__chunk").orderBy("__idx")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(ids.take(5).forall(_._2 == 0L))
+    assert(ids.drop(5).forall(_._2 == 1L))
+  }
+
+  test("C2: minDur filter drops short chunks") {
+    import spark.implicits._
+    val df = (Seq(0.0, 1.0, 2.0, 3.0) ++ Seq(50.0)).map(i => (i, i)).toDF("idx", "v")
+    val spans = Chunker.chunkSpans(Series("v", df, "idx", "v"),
+      fs = Some(1.0), minDur = Some(2.0))
+    val rows = spans.collect()
+    assert(rows.length == 1) // the singleton chunk at 50 has duration 0
+    assert(rows.head.getAs[Double]("__start") == 0.0)
+  }
+
+  test("C2: maxDur branch keeps the same schema incl. a true __n recount") {
+    val plain = Chunker.chunkSpans(series, fs = Some(1.0))
+    val split = Chunker.chunkSpans(series, fs = Some(1.0), maxDur = Some(2.0))
+    assert(plain.columns.toSeq == split.columns.toSeq)
+    val rows = split.orderBy("__chunk", "__sub").collect()
+    // each 5-sample chunk (span 4.0) splits into ceil(4/2)=2 sub-chunks
+    assert(rows.length == 4)
+    // sub-chunk [0,2] has samples {0,1,2} → n=3; (2,4] → {3,4} counted via
+    // inclusive span [2,4] → n=3 (boundary sample shared without overlap)
+    assert(rows.forall(_.getAs[Long]("__n") > 0))
+    val n0 = rows.head
+    assert(n0.getAs[Long]("__n") == 3L) // samples 0,1,2 in [0,2]
+  }
+
+  test("C3: tolerance range matching pairs series with agreeing spans") {
+    import spark.implicits._
+    val a = Seq((0.0, 1.0), (10.0, 1.0)).toDF("idx", "v")
+    val b = Seq((0.5, 1.0), (10.2, 1.0)).toDF("idx", "v")
+    val sa = Chunker.chunkSpans(Series("a", a, "idx", "v"), fs = Some(1.0),
+      gapFactor = 100.0)
+    val sb = Chunker.chunkSpans(Series("b", b, "idx", "v"), fs = Some(1.0),
+      gapFactor = 100.0)
+    val m = Chunker.matchRanges(Seq("a" -> sa, "b" -> sb), margin = 1.0)
+    assert(m.count() == 1)
+    assert(m.collect().head.getAs[String]("series_a") == "a")
+  }
+}

@@ -28,8 +28,14 @@ class WinSpec extends AnyFunSuite {
     assert(Win.time("1D").micros == s2us(86400))
     assert(Win.time("1D2h30m15s").micros == s2us(86400 + 9015))
     assert(Win.time("250ms").micros == 250000L)
+    assert(Win.time("5us").micros == 5L)
+    assert(Win.time("1s500ms").micros == 1500000L)
+    assert(Win.time("2min").micros == s2us(120))
     intercept[IllegalArgumentException](Win.time("30"))
     intercept[IllegalArgumentException](Win.time(""))
+    // trailing garbage after a valid token must be rejected, not ignored
+    intercept[IllegalArgumentException](Win.time("5secx"))
+    intercept[IllegalArgumentException](Win.time("x5sec"))
   }
 
   test("output name construction (W10)") {
