@@ -520,7 +520,9 @@ object SparkEntry {
          |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
 
     "q22_minhash_lsh" -> {
-      val mhCols = (0 until 16).map(i => s"min(md5(s || '#$i')) AS m$i").mkString(", ")
+      // 4 independent 32-bit hash slices per md5 — mirrors Dedup.sliceHash
+      val mhCols = (0 until 16).map(i =>
+        s"min(substr(md5(s || '#${i / 4}'), ${(i % 4) * 8 + 1}, 8)) AS m$i").mkString(", ")
       val bandSel = (0 until 8).map(b =>
         s"SELECT doc_id, $b AS b, md5(m${2 * b} || '|' || m${2 * b + 1}) AS key FROM mh")
         .mkString(" UNION ALL ")

