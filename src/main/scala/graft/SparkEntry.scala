@@ -37,7 +37,19 @@ object SparkEntry {
   private def valueSeries(s: SparkSession, dir: String): Series =
     Series("value", events(s, dir), "ts", "value")
 
-  private def r6(c: String): org.apache.spark.sql.Column = round(col(c), 6).as(c)
+  /** col() with backtick quoting so output names containing dots (e.g.
+    * `value__quantile_0.25__w=1D`) resolve as single columns.
+    */
+  private def qc(c: String): org.apache.spark.sql.Column = col(s"`$c`")
+
+  private def r6(c: String): org.apache.spark.sql.Column = round(qc(c), 6).as(c)
+
+  /** Like r6 but `+ 0.0` afterwards: IEEE turns a rounded `-0.0` into `0.0`,
+    * keeping near-zero columns (slopes, skews) hash-identical across engines
+    * whose 7th-decimal noise straddles zero. Oracle twins append `+ 0.0`.
+    */
+  private def r6z(c: String): org.apache.spark.sql.Column =
+    (round(qc(c), 6) + lit(0.0)).as(c)
 
   /** DuckDB CTE producing segments (ws, we) over `src` rows with the W1
     * formula; mirrors Segmenter.regular + nbSegments exactly.
@@ -246,6 +258,46 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- A6: higher-moment + quantile aggregates -------------------------
+    "q17_skew_quantile" -> ((s, dir) => {
+      val fns = Seq(skew, kurt, quantile(0.25))
+      val fc = FeatureCollection.of(fns.map(f => FeatureDescriptor(f, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
+      val out = fc.calculate(Seq(valueSeries(s, dir)))
+      out.select(unix_micros(col("ts")).as("ts_anchor"),
+        r6z("value__skew__w=1D"), r6z("value__kurtosis__w=1D"),
+        r6("value__quantile_0.25__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
+    // ---- A4/A7: index-aware funcs (slope, rms, diffs, first/last) --------
+    "q18_index_funcs" -> ((s, dir) => {
+      val fns = Seq(slope, rms, absDiffSum, firstByIdx, lastByIdx)
+      val fc = FeatureCollection.of(fns.map(f => FeatureDescriptor(f, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
+      fc.calculate(Seq(valueSeries(s, dir)))
+        .select(unix_micros(col("ts")).as("ts_anchor"),
+          (round(col("value__slope__w=1D") * lit(1e9), 6) + lit(0.0))
+            .as("value__slope__w=1D"),
+          r6("value__rms__w=1D"), r6("value__abs_diff_sum__w=1D"),
+          r6("value__first__w=1D"), r6("value__last__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
+    // ---- T2: dataframe_func (row-wise dropna over the wide frame) --------
+    "q19_dropna_wide" -> ((s, dir) => {
+      val ev = events(s, dir)
+      // "val" covers every timestamp; "purchase" only a subset — the outer
+      // merge injects nulls on non-purchase rows, dropna removes them.
+      val all = Series("val", ev, "ts", "value")
+      val purch = Series("purchase", ev.where(col("event_type") === "purchase"), "ts", "value")
+      val pipe = new SeriesPipeline(Seq(
+        SeriesProcessor.dataframeFunc("dropna", Seq("val", "purchase"))(_.na.drop())))
+      pipe.processToDf(Seq(all, purch))
+        .select(unix_micros(col("ts")).as("ts_anchor"), r6("val"), r6("purchase"))
+        .orderBy("ts_anchor")
+    }),
+
     // ---- dedup: exact after bag-of-words normalization -------------------
     "q20_dedup_exact" -> ((s, dir) => {
       Dedup.exactNormalized(docs(s, dir), "doc_id", "text")
@@ -332,6 +384,75 @@ object SparkEntry {
         .select(col("label"), col("dim").cast("long").as("dim"),
           round(col("centroid"), 6).as("centroid"), col("n"))
         .orderBy("label", "dim")
+    }),
+
+    // ---- dedup: embedding-cosine near-dups (LSH bucket + exact verify) ----
+    "q32_dedup_embed" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Dedup.embedNearDups(e, "vec_id", "embedding", 4, 64, 0.35)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- C3: cross-series chunk-range matching ----------------------------
+    "q33_chunk_match" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val click = Series("click", ev.where(col("event_type") === "click"), "ts", "value")
+      val purch = Series("purchase", ev.where(col("event_type") === "purchase"), "ts", "value")
+      val spans = Seq(click, purch).map(sr =>
+        sr.name -> Chunker.chunkSpans(sr, fs = Some(1.0 / 3600.0)))
+      Chunker.matchRanges(spans, margin = 4 * 3600e6)
+        .select(col("series_a"), col("series_b"),
+          col("chunk_a"), col("chunk_b"),
+          col("start_a").cast("long").as("start_a"),
+          col("end_a").cast("long").as("end_a"),
+          col("start_b").cast("long").as("start_b"),
+          col("end_b").cast("long").as("end_b"))
+        .orderBy("chunk_a", "chunk_b")
+    }),
+
+    // ---- W6: middle anchor -------------------------------------------------
+    "q34_anchor_middle" -> ((s, dir) => {
+      val fc = FeatureCollection(FeatureDescriptor(max, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h")))))
+      fc.calculate(Seq(valueSeries(s, dir)), windowIdx = "middle")
+        .select(unix_micros(col("ts")).as("ts_anchor"), r6("value__max__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
+    // ---- W4: one-sided manual segments (starts + window → ends) ----------
+    "q35_manual_starts" -> ((s, dir) => {
+      val jan1 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L
+      val starts = (4 to 10).map(d => (jan1 + d.toLong * DAY).toDouble)
+      val fc = FeatureCollection(
+        FeatureDescriptor(len, "value", Some(Win.time("1D")), None))
+      fc.calculate(Seq(valueSeries(s, dir)), segmentStartIdxs = Some(starts))
+        .select(unix_micros(col("ts")).as("ts_anchor"), col("value__len__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
+    // ---- W8: sparsity check (per-series segment-count peak-to-peak) ------
+    "q36_sparsity" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val click = Series("click", ev.where(col("event_type") === "click"), "ts", "value")
+      val purch = Series("purchase", ev.where(col("event_type") === "purchase"), "ts", "value")
+      val b = graft.segment.Segmenter.bounds(Seq(click, purch), "inner")
+      graft.segment.Segmenter.sparsity(Seq(click, purch), b,
+        DAY.toDouble, Seq(DAY.toDouble))
+        .orderBy("series")
+    }),
+
+    // ---- multimodal: frame/sample selection over binary payloads ---------
+    "q37_frame_sample" -> ((s, dir) => {
+      val assets = Multimodal.fromText(docs(s, dir), "doc_id", "text")
+      Multimodal.frameSample(assets, 64)
+        .orderBy("asset_id", "frame_idx")
+    }),
+
+    // ---- similarity search: IVF (coarse cells + probe) --------------------
+    "q39_ivf_ann" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.ivfTopK(e.where(col("vec_id") =!= 0), "vec_id", "embedding", "label",
+        e.where(col("vec_id") === 0), 10, 2)
     }))
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -624,7 +745,130 @@ object SparkEntry {
       """WITH x AS (SELECT label, d, CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) AS v
         |  FROM embeddings, range(64) t(d))
         |SELECT label, d AS dim, round(avg(v), 6) AS centroid, count(*) AS n
-        |FROM x GROUP BY label, d ORDER BY label, dim""".stripMargin)
+        |FROM x GROUP BY label, d ORDER BY label, dim""".stripMargin,
+
+    "q17_skew_quantile" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)},
+         |j AS (SELECT we, value FROM seg LEFT JOIN events
+         |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |m AS (SELECT we, avg(value) AS m1, avg(value*value) AS m2,
+         |  avg(value*value*value) AS m3, avg(value*value*value*value) AS m4,
+         |  quantile_cont(value, 0.25) AS q FROM j GROUP BY we)
+         |SELECT we AS ts_anchor,
+         | round((m3 - 3*m1*m2 + 2*m1*m1*m1) / power(m2 - m1*m1, 1.5), 6) + 0.0 AS "value__skew__w=1D",
+         | round((m4 - 4*m1*m3 + 6*m1*m1*m2 - 3*m1*m1*m1*m1) / power(m2 - m1*m1, 2) - 3, 6) + 0.0 AS "value__kurtosis__w=1D",
+         | round(q, 6) AS "value__quantile_0.25__w=1D"
+         |FROM m ORDER BY ts_anchor""".stripMargin,
+
+    "q18_index_funcs" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)},
+         |j AS (SELECT we, ts, value FROM seg LEFT JOIN events
+         |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |d AS (SELECT we, ts, value,
+         |  abs(value - lag(value) OVER (PARTITION BY we ORDER BY ts)) AS dd FROM j)
+         |SELECT we AS ts_anchor,
+         | round(regr_slope(value, epoch_us(ts)) * 1e9, 6) + 0.0 AS "value__slope__w=1D",
+         | round(sqrt(avg(value*value)), 6) AS "value__rms__w=1D",
+         | round(coalesce(sum(dd), 0.0), 6) AS "value__abs_diff_sum__w=1D",
+         | round(min_by(value, ts), 6) AS "value__first__w=1D",
+         | round(max_by(value, ts), 6) AS "value__last__w=1D"
+         |FROM d GROUP BY we ORDER BY ts_anchor""".stripMargin,
+
+    "q19_dropna_wide" ->
+      """SELECT epoch_us(ts) AS ts_anchor, round(value,6) AS val,
+        | round(value,6) AS purchase
+        |FROM events WHERE event_type='purchase' ORDER BY ts_anchor""".stripMargin,
+
+    "q32_dedup_embed" ->
+      """WITH w AS (SELECT p, d,
+        |  CASE WHEN substr(md5(p || '_' || d), 1, 1) IN ('1','3','5','7','9','b','d','f')
+        |  THEN 1.0 ELSE -1.0 END AS w
+        |  FROM range(4) t1(p), range(64) t2(d)),
+        |x AS (SELECT vec_id, d, CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) AS v
+        |  FROM embeddings, range(64) t(d)),
+        |dots AS (SELECT vec_id, p, sum(v * w.w) AS s FROM x JOIN w USING (d) GROUP BY 1, 2),
+        |bk AS (SELECT vec_id, CAST(sum(CASE WHEN s >= 0 THEN 1::BIGINT << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+        | round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cosine
+        |FROM bk a JOIN bk b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        |JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b2.vec_id
+        |WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q33_chunk_match" ->
+      """WITH ra AS (SELECT epoch_us(ts) AS u,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (ORDER BY ts) AS diff
+        |  FROM events WHERE event_type='click'),
+        |ia AS (SELECT u, CAST(sum(CASE WHEN diff IS NULL OR diff > 5400000000 THEN 1 ELSE 0 END)
+        |  OVER (ORDER BY u ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS chunk_id FROM ra),
+        |ca AS (SELECT chunk_id, min(u) AS s, max(u) AS e FROM ia GROUP BY chunk_id),
+        |rb AS (SELECT epoch_us(ts) AS u,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (ORDER BY ts) AS diff
+        |  FROM events WHERE event_type='purchase'),
+        |ib AS (SELECT u, CAST(sum(CASE WHEN diff IS NULL OR diff > 5400000000 THEN 1 ELSE 0 END)
+        |  OVER (ORDER BY u ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS chunk_id FROM rb),
+        |cb AS (SELECT chunk_id, min(u) AS s, max(u) AS e FROM ib GROUP BY chunk_id)
+        |SELECT 'click' AS series_a, 'purchase' AS series_b,
+        | ca.chunk_id AS chunk_a, cb.chunk_id AS chunk_b,
+        | ca.s AS start_a, ca.e AS end_a, cb.s AS start_b, cb.e AS end_b
+        |FROM ca JOIN cb ON abs(ca.s - cb.s) <= 14400000000 AND abs(ca.e - cb.e) <= 14400000000
+        |ORDER BY chunk_a, chunk_b""".stripMargin,
+
+    "q34_anchor_middle" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)}
+         |SELECT ws + (we - ws) // 2 AS ts_anchor, round(max(value),6) AS "value__max__w=1D"
+         |FROM seg LEFT JOIN events ON epoch_us(ts) >= ws AND epoch_us(ts) < we
+         |GROUP BY 1 ORDER BY ts_anchor""".stripMargin,
+
+    "q35_manual_starts" -> {
+      val jan1 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L
+      val rows = (4 to 10).map(d => s"(${jan1 + d.toLong * DAY}, ${jan1 + (d + 1).toLong * DAY})").mkString(", ")
+      s"""WITH seg(ws, we) AS (VALUES $rows)
+         |SELECT we AS ts_anchor, count(value) AS "value__len__w=1D"
+         |FROM seg LEFT JOIN events ON epoch_us(ts) >= ws AND epoch_us(ts) < we
+         |GROUP BY we ORDER BY ts_anchor""".stripMargin
+    },
+
+    "q36_sparsity" ->
+      s"""WITH ba AS (SELECT epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e FROM events WHERE event_type='click'),
+         |bb AS (SELECT epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e FROM events WHERE event_type='purchase'),
+         |b AS (SELECT GREATEST(ba.s, bb.s) AS s, LEAST(ba.e, bb.e) AS e FROM ba, bb),
+         |bn AS (SELECT s, e, CAST(GREATEST((e - s - $DAY) // $DAY + 1, 0) AS BIGINT) AS nb FROM b),
+         |seg AS (SELECT s + k*$DAY AS ws, s + k*$DAY + $DAY AS we
+         |        FROM bn, unnest(generate_series(0, nb - 1)) AS t(k)),
+         |ca AS (SELECT seg.we, count(ev.value) AS n FROM seg LEFT JOIN events ev
+         |  ON ev.event_type='click' AND epoch_us(ev.ts) >= ws AND epoch_us(ev.ts) < we GROUP BY seg.we),
+         |cb AS (SELECT seg.we, count(ev.value) AS n FROM seg LEFT JOIN events ev
+         |  ON ev.event_type='purchase' AND epoch_us(ev.ts) >= ws AND epoch_us(ev.ts) < we GROUP BY seg.we)
+         |SELECT * FROM (
+         | SELECT 'click' AS series, min(n) AS min_n, max(n) AS max_n, max(n) - min(n) AS ptp FROM ca
+         | UNION ALL
+         | SELECT 'purchase' AS series, min(n) AS min_n, max(n) AS max_n, max(n) - min(n) AS ptp FROM cb
+         |) ORDER BY series""".stripMargin,
+
+    "q37_frame_sample" ->
+      """SELECT doc_id AS asset_id, CAST(b // 64 AS INT) AS frame_idx, CAST(b AS INT) AS byte_offset
+        |FROM documents, unnest(generate_series(0, GREATEST(octet_length(encode(text)) - 1, 0), 64)) t(b)
+        |ORDER BY asset_id, frame_idx""".stripMargin,
+
+    "q39_ivf_ann" ->
+      """WITH x AS (SELECT label, d, CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) AS v
+        |  FROM embeddings, range(64) t(d) WHERE vec_id != 0),
+        |cents AS (SELECT label, list(c ORDER BY d) AS cv FROM
+        |  (SELECT label, d, avg(v) AS c FROM x GROUP BY label, d) GROUP BY label),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |sims AS (SELECT e.vec_id, cents.label AS cell,
+        |  list_cosine_similarity(e.emb, cents.cv) AS s FROM e, cents),
+        |assign AS (SELECT vec_id, arg_max(cell, s) AS cell FROM sims
+        |  WHERE vec_id != 0 GROUP BY vec_id),
+        |probe AS (SELECT cell FROM (SELECT cell, row_number() OVER (ORDER BY s DESC, cell) AS rk
+        |  FROM sims WHERE vec_id = 0) WHERE rk <= 2),
+        |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id AS vec_id, round(list_cosine_similarity(emb, qe), 6) AS cosine
+        |FROM e JOIN assign USING (vec_id) JOIN probe USING (cell), q
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin)
 
   /** ASCII punctuation class shared with TextStats (identical meaning in
     * Java regex and RE2/DuckDB, unlike `\p{Punct}`).

@@ -54,6 +54,10 @@ object MultipleFeatureDescriptors {
   * single shuffle tiny at scale.
   */
 class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
+  // col() with backtick quoting: feature names may contain dots
+  // (e.g. quantile_0.25), which bare col() would parse as field access.
+  private def qc(name: String): Column = col(s"`$name`")
+
   {
     val names = descriptors.map(_.outputName)
     require(names.distinct.length == names.length,
@@ -165,7 +169,7 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
       var joined = plan.segments.join(agged, Seq("__seg_id"), "left")
       ds.foreach { d =>
         d.function.emptyValue.foreach { ev =>
-          joined = joined.withColumn(nameOf(d), coalesce(col(nameOf(d)), ev))
+          joined = joined.withColumn(nameOf(d), coalesce(qc(nameOf(d)), ev))
         }
       }
       val anchorRaw = Segmenter.anchor(windowIdx)
@@ -183,13 +187,13 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
           joined = joined.join(idxMap, anchorPos === col("__pos"), "left")
           series.restoreIdx(col("__orig_idx"))
         } else series.restoreIdx(anchorRaw)
-      joined.select(anchorCol.as(series.idxCol) +: ds.map(d => col(nameOf(d))): _*)
+      joined.select(anchorCol.as(series.idxCol) +: ds.map(d => qc(nameOf(d))): _*)
     }
 
     val idxName = used.head.idxCol
     val merged = bucketFrames.reduce((a, c) => a.join(c, Seq(idxName), "full_outer"))
     val featCols = merged.columns.filterNot(_ == idxName).sorted
-    merged.select(col(idxName) +: featCols.map(col): _*).orderBy(idxName)
+    merged.select(col(idxName) +: featCols.map(qc): _*).orderBy(idxName)
   }
 
   /** G1 `group_by_all` — pseudo-SQL `SELECT f(x) FROM data GROUP BY g`
@@ -216,7 +220,7 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
     }
     val merged = frames.reduce((a, c) => a.join(c, Seq(group.name), "full_outer"))
     val featCols = merged.columns.filterNot(_ == group.name).sorted
-    merged.select(col(group.name) +: featCols.map(col): _*).orderBy(group.name)
+    merged.select(col(group.name) +: featCols.map(qc): _*).orderBy(group.name)
   }
 
   /** G3 `group_by_consecutive` — gaps-and-islands sessionization: maximal
@@ -284,7 +288,7 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
       .sorted
     out.select(
       (col("__grp").as(group.name) +:
-        featCols.map(col)) :+
+        featCols.map(qc)) :+
         group.restoreIdx(col("__start")).as("__start") :+
         group.restoreIdx(col("__end")).as("__end"): _*)
       .orderBy("__start")

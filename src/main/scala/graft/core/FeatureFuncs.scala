@@ -92,12 +92,15 @@ object FeatureFuncs {
   val absDiffSum: FeatureFunc = FeatureFunc("abs_diff_sum", (idx, v) => {
     val pairs = array_sort(collect_list(struct(idx.as("i"), v.as("v"))))
     val vals = transform(pairs, p => p.getField("v"))
-    aggregate(
-      zip_with(slice(vals, lit(1), size(vals) - 1),
-               slice(vals, lit(2), size(vals) - 1),
-               (a, b) => abs(b - a)),
-      lit(0.0), (acc, x) => acc + x)
-  })
+    // guard: slice() rejects negative lengths, so windows with <2 samples
+    // short-circuit to 0 (a single sample has no successive differences)
+    when(size(vals) <= 1, lit(0.0)).otherwise(
+      aggregate(
+        zip_with(slice(vals, lit(1), size(vals) - 1),
+                 slice(vals, lit(2), size(vals) - 1),
+                 (a, b) => abs(b - a)),
+        lit(0.0), (acc, x) => acc + x))
+  }, emptyValue = Some(lit(0.0)))
 
   /** Slope of the least-squares line of value against index. */
   val slope: FeatureFunc = FeatureFunc("slope", (idx, v) => regr_slope(v, idx))

@@ -86,6 +86,49 @@ object Ann {
     cosineTopK(cands, idCol, embCol, queryDf, k)
   }
 
+  /** Coarse-quantizer cells as (cell id, centroid vector) — centroids
+    * collected per label into dimension-ordered arrays. The cell table is
+    * tiny (n_cells rows) and meant to be broadcast.
+    */
+  def cells(df: DataFrame, labelCol: String, embCol: String): DataFrame =
+    centroids(df, labelCol, embCol)
+      .groupBy(labelCol)
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        p => p.getField("centroid")).as("__cell_vec"))
+
+  /** IVF-style ANN: assign every vector to its nearest coarse cell (here:
+    * per-label centroids standing in for a k-means codebook — the cell table
+    * is pluggable), then answer a query by probing only the `nProbe` cells
+    * nearest to it and ranking those cells' vectors by exact cosine.
+    *
+    * Scale shape: the cell table broadcasts (n_cells rows), assignment is one
+    * codegen'd pass over the vectors (no shuffle), and the probe prunes the
+    * candidate scan to nProbe/n_cells of the data — the inverted-file
+    * structure, relationally.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, embCol: String, labelCol: String,
+              queryDf: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val cellsB = broadcast(cells(df, labelCol, embCol)
+      .select(col(labelCol).as("__cell"), col("__cell_vec")))
+    def cellSims(vecs: DataFrame): DataFrame =
+      vecs.crossJoin(cellsB)
+        .select(col(idCol), col("__cell"),
+          cosine(asDouble(col(embCol)), col("__cell_vec")).as("__sim"))
+    // assignment is a map-side partial aggregate (max_by) — the shuffle
+    // carries one row per vector, not one per (vector, cell)
+    val assigned = cellSims(df).groupBy(idCol)
+      .agg(max_by(col("__cell"), col("__sim")).as("__cell"))
+    val probed = cellSims(queryDf)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(idCol).orderBy(col("__sim").desc, col("__cell"))))
+      .where(col("__rk") <= nProbe)
+      .select(col("__cell"))
+    val cands = df.join(assigned, Seq(idCol))
+      .join(broadcast(probed), Seq("__cell"))
+    cosineTopK(cands, idCol, embCol, queryDf, k)
+  }
+
   /** Per-label centroids: average of every dimension, relationally
     * (posexplode + groupBy(label, dim)) — partial aggregation makes this a
     * single cheap shuffle of (labels × dims) partial sums at any scale.

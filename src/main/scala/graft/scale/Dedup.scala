@@ -181,6 +181,28 @@ object Dedup {
     sums.select(col(idCol), fp.as("simhash"))
   }
 
+  /** Embedding-cosine near-dup pairs: random-hyperplane LSH buckets
+    * prefilter the pair space (vectors agreeing on every `planes` sign bit),
+    * then candidates are verified with exact cosine >= threshold. The bucket
+    * join shuffles on the bucket id only — the all-pairs O(n^2) cosine never
+    * materializes, which is what makes this the 100 TB path.
+    */
+  def embedNearDups(df: DataFrame, idCol: String, embCol: String,
+                    planes: Int, dims: Int, threshold: Double): DataFrame = {
+    val withBucket = df
+      .join(Ann.lshBuckets(df, idCol, embCol, planes, dims), Seq(idCol))
+      .select(col(idCol), col(embCol), col("bucket"))
+      .repartition(col("bucket"))
+    val pairs = withBucket.as("x").join(withBucket.as("y"),
+      col("x.bucket") === col("y.bucket") && col(s"x.$idCol") < col(s"y.$idCol"))
+    pairs
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        round(Ann.cosine(
+          transform(col(s"x.$embCol"), c => c.cast("double")),
+          transform(col(s"y.$embCol"), c => c.cast("double"))), 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** SimHash-equal near-dup pairs (Hamming distance 0 buckets). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val s = simhash32(df, idCol, textCol)

@@ -146,6 +146,28 @@ object Segmenter {
         .select(rows.columns.map(col) :+ col("__seg_id"): _*)
   }
 
+  /** W8 sparsity check (reference: strided_rolling.py:230-239): per series,
+    * the per-segment sample counts' peak-to-peak (max - min, empty segments
+    * counting 0). A nonzero ptp means the series is sparse w.r.t. this
+    * segmentation — the reference warns unless `approve_sparsity`.
+    * Returns one row per series: (series, min_n, max_n, ptp).
+    */
+  def sparsity(series: Seq[Series], b: Bounds, window: Double,
+               strides: Seq[Double], includeFinalWindow: Boolean = false): DataFrame = {
+    val frames = series.map { s =>
+      val plan = regular(s.df.sparkSession, b, window, strides,
+        includeFinalWindow, "w")
+      val counts = assign(s.internal, plan)
+        .groupBy("__seg_id").agg(count(col("__v")).as("__n"))
+      plan.segments.join(counts, Seq("__seg_id"), "left")
+        .select(coalesce(col("__n"), lit(0L)).as("__n"))
+        .agg(min(col("__n")).as("min_n"), max(col("__n")).as("max_n"))
+        .select(lit(s.name).as("series"), col("min_n"), col("max_n"),
+          (col("max_n") - col("min_n")).as("ptp"))
+    }
+    frames.reduce(_.unionByName(_))
+  }
+
   /** W6: output anchor column for a segment (reference:
     * strided_rolling.py:276-293): end (default) / middle / begin.
     */
