@@ -1,0 +1,42 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+
+/** S5 round-trip: JSON spec persistence with registry-resolved functions. */
+class SerdeSpec extends AnyFunSuite {
+  import FeatureFuncs._
+
+  test("save/load round-trips descriptors, windows, and strides") {
+    val fc = FeatureCollection(
+      FeatureDescriptor(mean, "eda", Some(Win.time("30s")), Some(Seq(Win.time("10s")))),
+      FeatureDescriptor(len, "eda", Some(Win.seq(3L)), Some(Seq(Win.seq(1L), Win.seq(2L)))),
+      FeatureDescriptor(max, "tmp", Some(SampleWin(500)), Some(Seq(SampleWin(250)))),
+      FeatureDescriptor(sum, "tmp", None, None))
+    val json = FeatureCollectionSerde.toJson(fc)
+    val back = FeatureCollectionSerde.fromJson(json)
+    assert(back.descriptors.length == fc.descriptors.length)
+    assert(back.descriptors.map(_.outputName) == fc.descriptors.map(_.outputName))
+    assert(back.descriptors.map(_.window) == fc.descriptors.map(_.window))
+    assert(back.descriptors.map(_.strides) == fc.descriptors.map(_.strides))
+    // loaded functions are the registry instances (same aggregation)
+    assert(back.descriptors.head.function.name == "mean")
+  }
+
+  test("unknown function name fails with a registry hint") {
+    val custom = FeatureFunc("mystery", (_, v) => org.apache.spark.sql.functions.max(v))
+    val fc = FeatureCollection(FeatureDescriptor(custom, "x", Some(Win.seq(2L)),
+      Some(Seq(Win.seq(1L)))))
+    val json = FeatureCollectionSerde.toJson(fc)
+    intercept[IllegalArgumentException](FeatureCollectionSerde.fromJson(json))
+    // resolvable once registered
+    val back = FeatureCollectionSerde.fromJson(json,
+      FeatureFuncs.byName + ("mystery" -> custom))
+    assert(back.descriptors.head.function.name == "mystery")
+  }
+
+  test("non-spec JSON rejected") {
+    intercept[IllegalArgumentException](
+      FeatureCollectionSerde.fromJson("""{"format":"other"}"""))
+  }
+}

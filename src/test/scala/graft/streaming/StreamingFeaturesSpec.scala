@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+import graft.core._
+
+/** Streaming extension: rolling features and session chunking over a
+  * MemoryStream, checked against hand-computed window values.
+  */
+class StreamingFeaturesSpec extends SparkSpec {
+  import FeatureFuncs._
+
+  test("rolling mean over a stream matches the batch windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, Double)]
+    // minutes 0..9 at value = minute index, epoch-aligned
+    ms.addData((0 until 10).map(i => (i * 60000000L, i.toDouble)))
+    val sdf = ms.toDF().select(timestamp_micros(col("_1")).as("ts"),
+      col("_2").as("v"))
+    val out = StreamingFeatures.rolling(sdf, "ts", "v", "v",
+      Win.time("5m").asInstanceOf[TimeWin], Win.time("5m").asInstanceOf[TimeWin],
+      Seq(mean, len))
+    val q = out.writeStream.format("memory").queryName("roll")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("roll")
+      .select(unix_micros(col("ts")), col("`v__mean__w=5m`"), col("`v__len__w=5m`"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // two tumbling 5m windows: [0,5m) mean 2, [5m,10m) mean 7
+    assert(rows == Seq((300000000L, 2.0, 5L), (600000000L, 7.0, 5L)))
+  }
+
+  test("session chunking splits on inactivity gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(String, Long, Double)]
+    // series "a": two bursts separated by 1 hour; series "b": one burst
+    // overlapping a's gap; gap threshold 10 minutes
+    ms.addData(
+      Seq(0L, 60000000L, 120000000L, 3720000000L, 3780000000L).map(t => ("a", t, 1.0)) ++
+        Seq(1000000000L, 1060000000L).map(t => ("b", t, 1.0)))
+    val sdf = ms.toDF().select(col("_1").as("series"),
+      timestamp_micros(col("_2")).as("ts"), col("_3").as("v"))
+    val out = StreamingFeatures.chunkSessions(sdf, "ts", "v",
+      Win.time("10m").asInstanceOf[TimeWin], Seq("series"))
+    val q = out.writeStream.format("memory").queryName("chunks")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("chunks")
+      .select(col("series"), unix_micros(col("__start")),
+        unix_micros(col("__end")), col("__n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows == Seq(
+      ("a", 0L, 120000000L, 3L), ("a", 3720000000L, 3780000000L, 2L),
+      ("b", 1000000000L, 1060000000L, 2L)))
+  }
+}
