@@ -136,8 +136,9 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
         if (isSample) {
           require(series.domain == Domain.Time,
             "sample-count windows require a TIME-indexed series")
-          val pos = series.internal.withColumn("__pos",
-            (row_number().over(Window.orderBy("__idx")) - 1).cast("double"))
+          // distributed positional index (no single-partition row_number)
+          val pos = Scan.position(series.internal, "__idx", "__posl")
+            .withColumn("__pos", col("__posl").cast("double")).drop("__posl")
           val n = pos.count()
           (pos.select(col("__pos").as("__idx"), col("__v"), col("__pos"),
             col("__idx").as("__orig_idx")),
@@ -232,14 +233,15 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
     */
   def calculateGroupByConsecutive(data: Seq[Series], group: Series): DataFrame = {
     val byName = data.map(s => s.name -> s).toMap
-    val w = Window.orderBy("__idx")
-    val runsBase = group.internal
-      .where(col("__v").isNotNull)
-      .withColumn("__chg",
-        when(lag(col("__v"), 1).over(w).isNull ||
-          lag(col("__v"), 1).over(w) =!= col("__v"), 1L).otherwise(0L))
-      .withColumn("__run", sum(col("__chg")).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)))
+    // change-flag + run numbering as DISTRIBUTED prefix scans (Scan) — the
+    // reference's `(v != v.shift()).cumsum()` without a single-partition
+    // global window.
+    val lagged = Scan.withLagged(group.internal.where(col("__v").isNotNull),
+      "__idx", Seq("__v"))
+    val flagged = lagged.withColumn("__chg",
+      when(col("__lag___v").isNull || col("__lag___v") =!= col("__v"), 1L)
+        .otherwise(0L))
+    val runsBase = Scan.runningSum(flagged, "__idx", "__chg", "__run")
     val runs = runsBase.groupBy("__run").agg(
       min(col("__idx")).as("__start"),
       max(col("__idx")).as("__end"),
@@ -248,11 +250,23 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
       case Domain.Time     => 86400e6 // +1 day (reference: :682-688)
       case Domain.Sequence => 1.0
     }
-    val wr = Window.orderBy("__start")
-    val segs = runs.withColumn("__seg_end",
-      coalesce(lead(col("__start"), 1).over(wr), col("__end") + lit(lastExt)))
+    // run ids are CONSECUTIVE integers (inclusive running sum of change
+    // flags), so "next run's start" is a plain equi-join on run+1 — a hash
+    // join that reuses the groupBy's partitioning, no ordered scan needed
+    val runsLead = runs.join(
+      runs.select((col("__run") - 1).as("__run"),
+        col("__start").as("__next_start")),
+      Seq("__run"), "left")
+    // The run table feeds three plan branches (marker union, final join,
+    // feature frames); a lazy localCheckpoint materializes it once instead
+    // of recomputing the scan pipeline per branch. It is bounded by the
+    // number of RUNS (not rows), and blocks are dropped when the frame is
+    // garbage-collected.
+    val segs = runsLead.withColumn("__seg_end",
+      coalesce(col("__next_start"), col("__end") + lit(lastExt)))
       .select(col("__run").as("__seg_id"), col("__start").as("__seg_start"),
         col("__seg_end"), col("__start"), col("__end"), col("__grp"))
+      .localCheckpoint(false)
 
     // Runs tile the index axis contiguously, so window→row assignment needs
     // no join at all: union run-start markers with the data rows, sort, and
@@ -269,10 +283,10 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
           lit(null).cast(vType).as("__v"))
       val rowsT = rows.select(col("__idx"), lit(1).as("__tag"),
         lit(null).cast("long").as("__runid"), col("__v"))
-      val wU = Window.orderBy(col("__idx"), col("__tag"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val assigned = starts.unionByName(term).unionByName(rowsT)
-        .withColumn("__seg_id", last(col("__runid"), ignoreNulls = true).over(wU))
+      // as-of carry of the last seen run id — distributed forward fill
+      val assigned = Scan.fillForward(
+        starts.unionByName(term).unionByName(rowsT),
+        Seq("__idx", "__tag"), "__runid", "__seg_id")
         .where(col("__tag") === 1 && col("__seg_id").isNotNull &&
           col("__seg_id") =!= -1L)
       val aggCols = ds.map { d =>

@@ -28,16 +28,21 @@ import graft.core._
   */
 object Chunker {
 
-  /** Rows of `s` tagged with a `__chunk` id (0-based, in index order). */
+  /** Rows of `s` tagged with a `__chunk` id (0-based, in index order).
+    *
+    * Gap detection + chunk numbering run as DISTRIBUTED scans (Scan.withLagged
+    * / Scan.runningSum — range-partitioned two-phase prefix scans), not a
+    * single-partition global window, so chunking an arbitrarily long series
+    * parallelizes across executors.
+    */
   def withChunkIds(s: Series, fs: Option[Double] = None,
                    gapFactor: Double = 1.5): DataFrame = {
     val unitPerSec = s.domain match {
       case Domain.Time     => 1e6
       case Domain.Sequence => 1.0
     }
-    val w = Window.orderBy("__idx")
-    val withDiff = s.internal
-      .withColumn("__diff", col("__idx") - lag(col("__idx"), 1).over(w))
+    val withDiff = Scan.withLagged(s.internal, "__idx", Seq("__idx"))
+      .withColumn("__diff", col("__idx") - col("__lag___idx"))
     val withThr = fs match {
       case Some(hz) => withDiff.withColumn("__thr", lit(gapFactor / hz * unitPerSec))
       case None =>
@@ -45,12 +50,12 @@ object Chunker {
         withDiff.crossJoin(broadcast(mx))
           .withColumn("__thr", lit(gapFactor) * col("__maxdiff"))
     }
-    withThr
+    val flagged = withThr
       .withColumn("__new", when(col("__diff").isNull ||
         col("__diff") > col("__thr"), 1L).otherwise(0L))
-      .withColumn("__chunk",
-        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
-      .drop("__diff", "__thr", "__new", "__maxdiff")
+    Scan.runningSum(flagged, "__idx", "__new", "__chunk0")
+      .withColumn("__chunk", col("__chunk0") - 1)
+      .drop("__diff", "__thr", "__new", "__maxdiff", "__lag___idx", "__chunk0", "__pid")
   }
 
   /** Chunk spans: `(__chunk, __sub, __start, __end, __n)` after the C2

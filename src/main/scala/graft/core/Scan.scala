@@ -1,0 +1,124 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed ordered-scan primitives.
+  *
+  * A naive `Window.orderBy(idx)` with no partition key collapses the whole
+  * dataset into ONE task (Spark warns "No Partition Defined for Window
+  * operation") — fine at 60k rows, fatal at 100 TB. Every scan here uses the
+  * classic two-phase formulation instead:
+  *
+  *   1. `repartitionByRange(idx)` so partitions hold contiguous index
+  *      ranges; run the window function WITHIN each partition (parallel);
+  *   2. fix up partition boundaries with a per-partition summary table
+  *      (numPartitions rows), combined via a tiny triangular self-join —
+  *      no global window anywhere in the plan.
+  *
+  * The result is bit-identical to the global window at any partition count.
+  * This powers gap chunking (C1), group_by_consecutive (G3), and positional
+  * indexes (W9) — the reference's cumsum/shift patterns, distributed.
+  */
+object Scan {
+
+  private def ranged(df: DataFrame, orderCols: Seq[String]): DataFrame =
+    df.repartitionByRange(orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+
+  /** For each `__pid` of `summary` (a tiny per-partition table), aggregate
+    * over all STRICTLY PRECEDING pids — the prefix-combine step, as a
+    * triangular self-join on numPartitions rows. `aggs` reference the
+    * predecessor rows' columns prefixed `b_`.
+    */
+  private def overPrev(summary: DataFrame, aggs: Seq[Column]): DataFrame = {
+    val b = summary.toDF(summary.columns.map(c => s"b_$c"): _*)
+    summary.select(col("__pid"))
+      .join(b, col("b___pid") < col("__pid"), "left")
+      .groupBy("__pid").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-row lag of `lagCols` in `orderCol` order (null for the first row),
+    * computed with partition-local windows + a boundary hand-off. Output
+    * columns are named `__lag_<c>`; the helper `__pid` column is retained
+    * so downstream scans can reuse the partitioning.
+    */
+  def withLagged(df: DataFrame, orderCol: String, lagCols: Seq[String]): DataFrame = {
+    val p = ranged(df, Seq(orderCol))
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+    var out = p.withColumn("__rn", row_number().over(w))
+    lagCols.foreach { c =>
+      out = out.withColumn(s"__lag_$c", lag(col(c), 1).over(w))
+    }
+    // each partition's first row receives the last row of the nearest
+    // preceding NON-EMPTY partition (null-skipping max_by over the summary
+    // self-join — robust to empty range partitions)
+    val lastAggs = lagCols.map(c => max_by(col(c), col(orderCol)).as(s"__pl_$c"))
+    val perPid = p.groupBy("__pid").agg(lastAggs.head, lastAggs.tail: _*)
+    val handoff = overPrev(perPid, lagCols.map(c =>
+      max_by(col(s"b___pl_$c"),
+        when(col(s"b___pl_$c").isNotNull, col("b___pid"))).as(s"__pl_$c")))
+    out = out.join(broadcast(handoff), Seq("__pid"), "left")
+    lagCols.foreach { c =>
+      out = out.withColumn(s"__lag_$c",
+        when(col("__rn") === 1, col(s"__pl_$c")).otherwise(col(s"__lag_$c")))
+    }
+    out.drop("__rn" +: lagCols.map(c => s"__pl_$c"): _*)
+  }
+
+  /** Running (inclusive) sum of `flagCol` in `orderCol` order → `outCol`.
+    * If the frame already carries `__pid` from a prior scan over the same
+    * ordering, that partitioning is reused (no second range shuffle).
+    */
+  def runningSum(df: DataFrame, orderCol: String, flagCol: String,
+                 outCol: String): DataFrame = {
+    val p = if (df.columns.contains("__pid")) df else ranged(df, Seq(orderCol))
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = p.withColumn("__loc", sum(col(flagCol)).over(w))
+    val perPid = p.groupBy("__pid").agg(sum(col(flagCol)).as("__tot"))
+    val offsets = overPrev(perPid,
+      Seq(coalesce(sum(col("b___tot")), lit(0L)).as("__off")))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, col("__loc") + col("__off"))
+      .drop("__loc", "__off")
+  }
+
+  /** 0-based position of each row in `orderCol` order (distributed
+    * row_number). Ties are broken by partition-local order, matching the
+    * global window's behavior for unique keys.
+    */
+  def position(df: DataFrame, orderCol: String, outCol: String): DataFrame = {
+    val p = ranged(df, Seq(orderCol))
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+    val local = p.withColumn("__loc", row_number().over(w).cast("long"))
+    val perPid = p.groupBy("__pid").agg(count(lit(1)).as("__tot"))
+    val offsets = overPrev(perPid,
+      Seq(coalesce(sum(col("b___tot")), lit(0L)).as("__off")))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, col("__loc") + col("__off") - 1)
+      .drop("__loc", "__off", "__pid")
+  }
+
+  /** Last non-null `valCol` at-or-before each row in `orderCols` order
+    * (distributed forward fill / as-of carry) → `outCol`.
+    */
+  def fillForward(df: DataFrame, orderCols: Seq[String], valCol: String,
+                  outCol: String): DataFrame = {
+    val p = ranged(df, orderCols)
+    val w = Window.partitionBy("__pid").orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = p.withColumn("__loc",
+      last(col(valCol), ignoreNulls = true).over(w))
+    val ordKey = struct(orderCols.map(col): _*)
+    val perPid = p.groupBy("__pid").agg(
+      max_by(col(valCol), when(col(valCol).isNotNull, ordKey)).as("__pl"))
+    val carry = overPrev(perPid, Seq(
+      max_by(col("b___pl"), when(col("b___pl").isNotNull, col("b___pid")))
+        .as("__carry")))
+    local.join(broadcast(carry), Seq("__pid"))
+      .withColumn(outCol, coalesce(col("__loc"), col("__carry")))
+      .drop("__loc", "__carry", "__pid")
+  }
+}

@@ -43,33 +43,32 @@ object Ann {
   }
 
   /** Deterministic ±1 hyperplane weight for (plane p, dim d): parity of the
-    * first hex digit of md5("p_d"). Engine-independent (same in DuckDB).
+    * first hex digit of md5("p_d") — computed at PLAN BUILD time (the md5 of
+    * a constant string), yielding the exact same values as the DuckDB-side
+    * `md5(p || '_' || d)` used by the oracle.
     */
-  def planeWeight(p: Column, d: Column): Column =
-    when(substring(md5(concat(p.cast("string"), lit("_"), d.cast("string"))), 1, 1)
-      .isin("1", "3", "5", "7", "9", "b", "d", "f"), 1.0).otherwise(-1.0)
+  def planeWeight(p: Int, d: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${p}_$d".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xf) % 2 == 1) 1.0 else -1.0
+  }
 
   /** Random-hyperplane LSH bucket id per vector: `planes` sign bits packed
-    * into a BIGINT. Relational formulation: posexplode the vector, join the
-    * (plane, dim) → ±1 weight table (broadcast; planes×dims rows), partial
-    * aggregate the per-plane dot products, pack signs.
+    * into a BIGINT. The weight matrix is a plan-time literal (planes×dims
+    * doubles), so bucketing is a single map-only codegen'd projection —
+    * no explode, no join, no shuffle; bucketing 10^9 vectors is
+    * embarrassingly parallel.
     */
   def lshBuckets(df: DataFrame, idCol: String, embCol: String,
                  planes: Int, dims: Int): DataFrame = {
-    val spark = df.sparkSession
-    val weights = broadcast(
-      spark.range(planes).select(col("id").as("__p"))
-        .crossJoin(spark.range(dims).select(col("id").as("__d")))
-        .withColumn("__w", planeWeight(col("__p"), col("__d"))))
-    val exploded = df.select(col(idCol),
-      posexplode(asDouble(col(embCol))).as(Seq("__d", "__x")))
-    val dots = exploded.join(weights, Seq("__d"))
-      .groupBy(col(idCol), col("__p"))
-      .agg(sum(col("__x") * col("__w")).as("__dot"))
-    val bits = dots.groupBy(idCol).agg(
-      sum(when(col("__dot") >= 0, expr("shiftleft(1L, cast(__p as int))"))
-        .otherwise(lit(0L))).as("bucket"))
-    bits
+    val emb = asDouble(col(embCol))
+    val bucket = (0 until planes).map { p =>
+      val wArr = array((0 until dims).map(d => lit(planeWeight(p, d))): _*)
+      val dot = aggregate(zip_with(emb, wArr, (a, b) => a * b),
+        lit(0.0), (s, x) => s + x)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(col(idCol), bucket.as("bucket"))
   }
 
   /** LSH-accelerated top-k: candidates = vectors in the query's bucket,

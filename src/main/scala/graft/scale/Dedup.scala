@@ -125,7 +125,10 @@ object Dedup {
                  numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sh = shinglesWithSize(df, idCol, textCol, k)
+    // The inverted index feeds three plan branches (signatures + both sides
+    // of candidate verification); materialize it once (lazy localCheckpoint,
+    // spills to disk, dropped on GC) instead of re-shingling per branch.
+    val sh = shinglesWithSize(df, idCol, textCol, k).localCheckpoint(false)
     val sigAggs = (0 until numHashes).map(i =>
       min(sliceHash(col("__shingle"), i)).as(s"__m$i"))
     val sig = sh.groupBy(idCol).agg(sigAggs.head, sigAggs.tail: _*)
@@ -189,17 +192,25 @@ object Dedup {
     */
   def embedNearDups(df: DataFrame, idCol: String, embCol: String,
                     planes: Int, dims: Int, threshold: Double): DataFrame = {
+    // Pre-cast to double and precompute each vector's norm ONCE per row —
+    // inside the pair join only the dot product remains (the norms and array
+    // casts would otherwise be recomputed per candidate pair).
+    val emb = transform(col(embCol), c => c.cast("double"))
+    // lshBuckets is a map-only projection, so no equi-join with a bucket
+    // table is needed — compute bucket/norm inline; the self-join below
+    // hash-joins on the bucket id.
     val withBucket = df
       .join(Ann.lshBuckets(df, idCol, embCol, planes, dims), Seq(idCol))
-      .select(col(idCol), col(embCol), col("bucket"))
-      .repartition(col("bucket"))
+      .select(col(idCol), emb.as("__e"),
+        sqrt(aggregate(emb, lit(0.0), (s, x) => s + x * x)).as("__nrm"),
+        col("bucket"))
     val pairs = withBucket.as("x").join(withBucket.as("y"),
       col("x.bucket") === col("y.bucket") && col(s"x.$idCol") < col(s"y.$idCol"))
+    val dot = aggregate(zip_with(col("x.__e"), col("y.__e"), (a, b) => a * b),
+      lit(0.0), (s, x) => s + x)
     pairs
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
-        round(Ann.cosine(
-          transform(col(s"x.$embCol"), c => c.cast("double")),
-          transform(col(s"y.$embCol"), c => c.cast("double"))), 6).as("cosine"))
+        round(dot / (col("x.__nrm") * col("y.__nrm")), 6).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 
