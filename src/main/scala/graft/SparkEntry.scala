@@ -448,6 +448,19 @@ object SparkEntry {
         .orderBy("asset_id", "frame_idx")
     }),
 
+    // ---- A3 many-to-one: paired-series windowed corr/covar ---------------
+    "q38_corr_pair" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val v = Series("v", ev, "ts", "value")
+      val vsq = Series("vsq", ev.withColumn("vsq", col("value") * col("value")),
+        "ts", "vsq")
+      PairedFeatures.calculate(v, vsq, Win.time("1D"), Seq(Win.time("6h")),
+        Seq(PairedFeatures.corr2, PairedFeatures.covar))
+        .select(unix_micros(col("ts")).as("ts_anchor"),
+          r6("v|vsq__corr__w=1D"), r6("v|vsq__covar__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
     // ---- similarity search: IVF (coarse cells + probe) --------------------
     "q39_ivf_ann" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -852,6 +865,14 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, CAST(b // 64 AS INT) AS frame_idx, CAST(b AS INT) AS byte_offset
         |FROM documents, unnest(generate_series(0, GREATEST(octet_length(encode(text)) - 1, 0), 64)) t(b)
         |ORDER BY asset_id, frame_idx""".stripMargin,
+
+    "q38_corr_pair" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)}
+         |SELECT we AS ts_anchor,
+         | round(corr(value, value*value), 6) AS "v|vsq__corr__w=1D",
+         | round(covar_pop(value, value*value), 6) AS "v|vsq__covar__w=1D"
+         |FROM seg LEFT JOIN events ON epoch_us(ts) >= ws AND epoch_us(ts) < we
+         |GROUP BY we ORDER BY ts_anchor""".stripMargin,
 
     "q39_ivf_ann" ->
       """WITH x AS (SELECT label, d, CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) AS v
