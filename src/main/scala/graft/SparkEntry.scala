@@ -448,6 +448,16 @@ object SparkEntry {
         .orderBy("asset_id", "frame_idx")
     }),
 
+    // ---- A3 one-to-many: multi-output function (struct → columns) --------
+    "q40_multi_output" -> ((s, dir) => {
+      val fc = FeatureCollection(FeatureDescriptor(FeatureFuncs.minMax, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h")))))
+      fc.calculate(Seq(valueSeries(s, dir)))
+        .select(unix_micros(col("ts")).as("ts_anchor"),
+          r6("value__mm_min__w=1D"), r6("value__mm_max__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
     // ---- A3 many-to-one: paired-series windowed corr/covar ---------------
     "q38_corr_pair" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -865,6 +875,14 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, CAST(b // 64 AS INT) AS frame_idx, CAST(b AS INT) AS byte_offset
         |FROM documents, unnest(generate_series(0, GREATEST(octet_length(encode(text)) - 1, 0), 64)) t(b)
         |ORDER BY asset_id, frame_idx""".stripMargin,
+
+    "q40_multi_output" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)}
+         |SELECT we AS ts_anchor,
+         | round(min(value),6) AS "value__mm_min__w=1D",
+         | round(max(value),6) AS "value__mm_max__w=1D"
+         |FROM seg LEFT JOIN events ON epoch_us(ts) >= ws AND epoch_us(ts) < we
+         |GROUP BY we ORDER BY ts_anchor""".stripMargin,
 
     "q38_corr_pair" ->
       s"""WITH ${segCte(DAY, 6 * HOUR)}

@@ -25,6 +25,14 @@ final case class FeatureDescriptor(
 
   def winRender: String = window.map(_.render).getOrElse("manual")
   def outputName: String = Win.outputName(Seq(seriesName), function.name, winRender)
+
+  /** All output column names — one per entry of the function's
+    * `outputNames` (multi-output FuncWrapper, A3), else the single name.
+    */
+  def outputNamesAll: Seq[String] = function.outputNames match {
+    case Some(os) => os.map(o => Win.outputName(Seq(seriesName), o, winRender))
+    case None     => Seq(outputName)
+  }
 }
 
 /** M2: cross product functions × series × windows, strides shared
@@ -59,7 +67,7 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
   private def qc(name: String): Column = col(s"`$name`")
 
   {
-    val names = descriptors.map(_.outputName)
+    val names = descriptors.flatMap(_.outputNamesAll)
     require(names.distinct.length == names.length,
       s"duplicate output names: ${names.diff(names.distinct).mkString(", ")}")
   }
@@ -76,8 +84,8 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
     */
   def reduce(outputNames: Seq[String]): FeatureCollection = {
     val keep = outputNames.toSet
-    val kept = descriptors.filter(d => keep(d.outputName))
-    val missing = keep -- kept.map(_.outputName).toSet
+    val kept = descriptors.filter(d => d.outputNamesAll.exists(keep))
+    val missing = keep -- kept.flatMap(_.outputNamesAll).toSet
     require(missing.isEmpty, s"unknown output names: ${missing.mkString(", ")}")
     new FeatureCollection(kept)
   }
@@ -188,7 +196,16 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
           joined = joined.join(idxMap, anchorPos === col("__pos"), "left")
           series.restoreIdx(col("__orig_idx"))
         } else series.restoreIdx(anchorRaw)
-      joined.select(anchorCol.as(series.idxCol) +: ds.map(d => qc(nameOf(d))): _*)
+      // multi-output functions (A3 one-to-many) return a struct — expand
+      // each declared output into its own W10-named column
+      def expand(d: FeatureDescriptor): Seq[Column] = d.function.outputNames match {
+        case Some(os) =>
+          val winR = if (bothManual) "manual" else d.winRender
+          os.map(o => qc(nameOf(d)).getField(o)
+            .as(Win.outputName(Seq(d.seriesName), o, winR)))
+        case None => Seq(qc(nameOf(d)))
+      }
+      joined.select(anchorCol.as(series.idxCol) +: ds.flatMap(expand): _*)
     }
 
     val idxName = used.head.idxCol

@@ -17,10 +17,16 @@ import org.apache.spark.sql.functions._
   *                    still produce a row; e.g. `count` → 0, others → null,
   *                    matching `len([]) == 0` vs `np.mean([]) == NaN`).
   */
+/** @param outputNames when set, the aggregate returns a STRUCT whose fields
+  *                     are these names; the collection expands them into one
+  *                     output column each (`FuncWrapper(output_names=[...])`,
+  *                     reference: tsflex/features/function_wrapper.py:90-143)
+  */
 final case class FeatureFunc(
     name: String,
     agg: (Column, Column) => Column,
-    emptyValue: Option[Column] = None) {
+    emptyValue: Option[Column] = None,
+    outputNames: Option[Seq[String]] = None) {
 
   /** Robust wrapper (A5, reference: tsflex/features/utils.py:153-256
     * `make_robust`): NaN-mask the window values and, when fewer than
@@ -74,6 +80,19 @@ object FeatureFuncs {
 
   def quantile(q: Double): FeatureFunc =
     f(s"quantile_$q")(v => percentile(v, lit(q)))
+
+  /** Multi-output function from named sub-aggregates (one-to-many, A3):
+    * computes all sub-aggregates in one pass, emits one column per name.
+    */
+  def multi(name: String, outs: Seq[(String, Column => Column)]): FeatureFunc =
+    FeatureFunc(name,
+      (_, v) => struct(outs.map { case (o, b) => b(v).as(o) }: _*),
+      outputNames = Some(outs.map(_._1)))
+
+  /** min+max in a single windowed pass (two output columns). */
+  val minMax: FeatureFunc = multi("minmax", Seq(
+    "mm_min" -> (v => org.apache.spark.sql.functions.min(v)),
+    "mm_max" -> (v => org.apache.spark.sql.functions.max(v))))
 
   /** Index-ordered first/last values in the window. */
   val firstByIdx: FeatureFunc = FeatureFunc("first", (idx, v) => min_by(v, idx))

@@ -145,6 +145,20 @@ class FeatureCollectionSpec extends SparkSpec {
     assert(out.collect().head.getLong(1) == 0L)
   }
 
+  test("A3 one-to-many: multi-output function expands struct into columns") {
+    val fc = FeatureCollection(FeatureDescriptor(FeatureFuncs.minMax, "dummy",
+      Some(Win.seq(3L)), Some(Seq(Win.seq(1L)))))
+    val out = fc.calculate(Seq(tinySeries)).orderBy("idx")
+    assert(out.columns.toSeq ==
+      Seq("idx", "dummy__mm_max__w=3", "dummy__mm_min__w=3"))
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getDouble(out.columns.indexOf("dummy__mm_min__w=3")),
+        r.getDouble(out.columns.indexOf("dummy__mm_max__w=3")))).toSeq
+    assert(rows == Seq((3L, 0.0, 2.0), (4L, 1.0, 3.0)))
+    // reduce keeps the descriptor when any of its outputs is requested
+    assert(fc.reduce(Seq("dummy__mm_min__w=3")).descriptors.length == 1)
+  }
+
   test("A1/A4 escape hatch: arbitrary Scala function over sorted window") {
     val range = FeatureFuncs.fromArray("range", a => if (a.isEmpty) 0.0 else a.max - a.min)
     val fc = FeatureCollection(FeatureDescriptor(range, "dummy",
