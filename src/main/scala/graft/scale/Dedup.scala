@@ -81,17 +81,40 @@ object Dedup {
         .where(col("__df") <= lim)
       sh = sh.join(freq.select("__shingle"), Seq("__shingle"))
     }
-    // Identical plans on both sides of the self-join hanging off ONE shuffle
-    // exchange (the explicit repartition defeats a one-sided broadcast that
-    // would recompute shingling twice); sizes ride along on the index rows,
-    // so intersection counting is the only aggregation.
-    val shP = sh.repartition(col("__shingle"))
-    val inter = shP.as("x").join(shP.as("y"),
+    // The index feeds candidate generation AND both verification sides —
+    // materialize once (lazy localCheckpoint, dropped on GC).
+    sh = sh.localCheckpoint(false)
+
+    // PREFIX FILTERING (AllPairs/PPJoin): order shingles globally by
+    // (document frequency, shingle) — rarest first — and keep only each
+    // doc's first n - ceil(t*n) + 1 shingles. Any pair with Jaccard >= t
+    // must share a prefix shingle, so the candidate join touches only the
+    // rare end of the index: the quadratic blowup on stop-shingles that
+    // kills a naive self-join at scale never happens, and the result stays
+    // EXACT (verification below computes true Jaccard).
+    val freq = sh.groupBy("__shingle").agg(count(lit(1)).as("__df"))
+    val ranked = sh.join(freq, Seq("__shingle"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(idCol).orderBy(col("__df"), col("__shingle"))))
+    val prefix = ranked
+      .where(col("__rk") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+      .select(col(idCol), col("__shingle"))
+      .repartition(col("__shingle"))
+    val cand = prefix.as("x").join(prefix.as("y"),
         col("x.__shingle") === col("y.__shingle") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
-      .groupBy(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
-      .agg(count(lit(1)).as("__i"),
-        first(col("x.__n")).as("__na"), first(col("y.__n")).as("__nb"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+
+    // exact verification of the (small) candidate set
+    val inter = sh.select(col(idCol).as("id_a"), col("__n").as("__na"),
+        col("__shingle"))
+      .join(broadcast(cand), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__n").as("__nb"),
+        col("__shingle")), Seq("id_b", "__shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__i"),
+        first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
     inter
       .withColumn("jaccard",
         col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
