@@ -211,7 +211,9 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
     val idxName = used.head.idxCol
     val merged = bucketFrames.reduce((a, c) => a.join(c, Seq(idxName), "full_outer"))
     val featCols = merged.columns.filterNot(_ == idxName).sorted
-    merged.select(col(idxName) +: featCols.map(qc): _*).orderBy(idxName)
+    // ordering is the caller's concern (every sink re-sorts anyway) — not
+    // baked into the plan, saving a global sort stage per calculate()
+    merged.select(col(idxName) +: featCols.map(qc): _*)
   }
 
   /** G1 `group_by_all` — pseudo-SQL `SELECT f(x) FROM data GROUP BY g`
@@ -238,7 +240,7 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
     }
     val merged = frames.reduce((a, c) => a.join(c, Seq(group.name), "full_outer"))
     val featCols = merged.columns.filterNot(_ == group.name).sorted
-    merged.select(col(group.name) +: featCols.map(qc): _*).orderBy(group.name)
+    merged.select(col(group.name) +: featCols.map(qc): _*)
   }
 
   /** G3 `group_by_consecutive` — gaps-and-islands sessionization: maximal
@@ -322,7 +324,6 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
         featCols.map(qc)) :+
         group.restoreIdx(col("__start")).as("__start") :+
         group.restoreIdx(col("__end")).as("__end"): _*)
-      .orderBy("__start")
   }
 }
 

@@ -67,6 +67,21 @@ object Series {
     names.map(c => Series(c, df.where(col(c).isNotNull), idxCol, c))
   }
 
+  /** Long/tidy format → series list: one Series per distinct value of
+    * `keyCol` (the reference ships this as a documented recipe,
+    * docs/pdoc_include/root_documentation.md:51-88). The key set is
+    * collected to the driver (it is the SERIES list — inherently small);
+    * each series is a pushdown-friendly filter over the same source.
+    */
+  def fromLong(df: DataFrame, idxCol: String, keyCol: String,
+               valueCol: String): Seq[Series] = {
+    val keys = df.select(keyCol).distinct()
+      .collect().map(_.get(0).toString).sorted
+    keys.toSeq.map(k => Series(k,
+      df.where(col(keyCol) === k).select(col(idxCol), col(valueCol).as(k)),
+      idxCol, k))
+  }
+
   /** S3: series-dict → wide frame sink — full outer equi-join of all series
     * on the index (reference: tsflex/utils/data.py:16-71
     * `series_dict_to_df`).
@@ -77,6 +92,5 @@ object Series {
       col(s.valueCol).as(s.name)))
     frames.reduce((a, b) => a.join(b, Seq("__join_idx"), "full_outer"))
       .withColumnRenamed("__join_idx", series.head.idxCol)
-      .orderBy(series.head.idxCol)
   }
 }

@@ -19,7 +19,7 @@ class FeatureCollectionSpec extends SparkSpec {
   test("flagship: sum over window=3 stride=1, anchor end, naming W10") {
     val fc = FeatureCollection(FeatureDescriptor(sum, "dummy",
       Some(Win.seq(3L)), Some(Seq(Win.seq(1L)))))
-    val out = fc.calculate(Seq(tinySeries))
+    val out = fc.calculate(Seq(tinySeries)).orderBy("idx")
     assert(out.columns.toSeq == Seq("idx", "dummy__sum__w=3"))
     val rows = out.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     // [0,3) -> 0+1+2 = 3 @ anchor 3; [1,4) -> 1+2+3 = 6 @ anchor 4
