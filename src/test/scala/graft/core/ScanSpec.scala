@@ -1,0 +1,72 @@
+package graft.core
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Scan's two-phase distributed scans must be BIT-IDENTICAL to the global
+  * single-partition window formulation at any partition count — checked on
+  * irregular random data spread across many range partitions.
+  */
+class ScanSpec extends SparkSpec {
+
+  // 2000 rows, irregular gaps, deterministic seed; force many partitions so
+  // boundary hand-off paths are exercised
+  private def data = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    var t = 0L
+    (1 to 2000).map { i =>
+      t += 1 + rnd.nextInt(50)
+      (t, rnd.nextDouble(), if (rnd.nextInt(5) == 0) null else s"g${rnd.nextInt(3)}")
+    }.toDF("idx", "v", "g")
+      .repartition(16)
+  }
+
+  test("withLagged equals global lag") {
+    val d = data
+    val got = Scan.withLagged(d, "idx", Seq("idx", "v"))
+      .select(col("idx"), col("__lag_idx"), col("__lag_v"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+      .sortBy(_._1).toSeq
+    val w = Window.orderBy("idx")
+    val exp = d.select(col("idx"), lag(col("idx"), 1).over(w),
+        lag(col("v"), 1).over(w))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+      .sortBy(_._1).toSeq
+    assert(got == exp)
+  }
+
+  test("runningSum equals global cumulative sum") {
+    val d = data.withColumn("f", when(col("v") > 0.7, 1L).otherwise(0L))
+    val got = Scan.runningSum(d, "idx", "f", "cum")
+      .select("idx", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    val exp = d.select(col("idx"), sum(col("f")).over(w))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == exp)
+  }
+
+  test("position equals global row_number - 1") {
+    val d = data
+    val got = Scan.position(d, "idx", "pos")
+      .select("idx", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val exp = d.select(col("idx"),
+        (row_number().over(Window.orderBy("idx")) - 1).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == exp)
+  }
+
+  test("fillForward equals global last-non-null carry") {
+    val d = data
+    val got = Scan.fillForward(d, Seq("idx"), "g", "gf")
+      .select("idx", "gf").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1).toSeq
+    val w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    val exp = d.select(col("idx"), last(col("g"), ignoreNulls = true).over(w))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1).toSeq
+    assert(got == exp)
+  }
+}
