@@ -448,6 +448,16 @@ object SparkEntry {
         .orderBy("asset_id", "frame_idx")
     }),
 
+    // ---- distinct aggregate: windowed exact unique-user counts -----------
+    "q41_distinct_users" -> ((s, dir) => {
+      val uid = Series("uid", events(s, dir), "ts", "user_id")
+      val fc = FeatureCollection(FeatureDescriptor(FeatureFuncs.nUnique, "uid",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h")))))
+      fc.calculate(Seq(uid))
+        .select(unix_micros(col("ts")).as("ts_anchor"), col("uid__nunique__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
     // ---- A3 one-to-many: multi-output function (struct → columns) --------
     "q40_multi_output" -> ((s, dir) => {
       val fc = FeatureCollection(FeatureDescriptor(FeatureFuncs.minMax, "value",
@@ -875,6 +885,12 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, CAST(b // 64 AS INT) AS frame_idx, CAST(b AS INT) AS byte_offset
         |FROM documents, unnest(generate_series(0, GREATEST(octet_length(encode(text)) - 1, 0), 64)) t(b)
         |ORDER BY asset_id, frame_idx""".stripMargin,
+
+    "q41_distinct_users" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)}
+         |SELECT we AS ts_anchor, count(DISTINCT user_id) AS "uid__nunique__w=1D"
+         |FROM seg LEFT JOIN events ON epoch_us(ts) >= ws AND epoch_us(ts) < we
+         |GROUP BY we ORDER BY ts_anchor""".stripMargin,
 
     "q40_multi_output" ->
       s"""WITH ${segCte(DAY, 6 * HOUR)}

@@ -139,6 +139,13 @@ object FeatureFuncs {
     })
   }
 
+  /** Count of distinct values in the window. Spark plans distinct
+    * aggregates as a two-phase expand — still one shuffle with partial
+    * aggregation on the (segment, value) pairs.
+    */
+  val nUnique: FeatureFunc =
+    FeatureFunc("nunique", (_, v) => count_distinct(v), emptyValue = Some(lit(0L)))
+
   val byName: scala.collection.immutable.Map[String, FeatureFunc] =
     scala.collection.immutable.Map(
       "min" -> min, "max" -> max, "mean" -> mean, "median" -> median,

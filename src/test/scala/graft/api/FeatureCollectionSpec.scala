@@ -166,4 +166,15 @@ class FeatureCollectionSpec extends SparkSpec {
     val out = fc.calculate(Seq(tinySeries)).orderBy("idx")
     assert(out.collect().map(_.getDouble(1)).toSeq == Seq(2.0, 2.0))
   }
+
+  test("A1 typed Aggregator escape hatch: index-sorted window via udaf") {
+    // last - first of the index-SORTED values: order-sensitive on purpose
+    val delta = WindowAgg.sortedWindowFunc("delta",
+      a => if (a.isEmpty) 0.0 else a.last - a.head)
+    val fc = FeatureCollection(FeatureDescriptor(delta, "dummy",
+      Some(Win.seq(3L)), Some(Seq(Win.seq(1L)))))
+    val out = fc.calculate(Seq(tinySeries)).orderBy("idx")
+    // windows [0,3): 2-0=2; [1,4): 3-1=2
+    assert(out.collect().map(_.getDouble(1)).toSeq == Seq(2.0, 2.0))
+  }
 }
