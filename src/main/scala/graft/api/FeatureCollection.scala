@@ -243,6 +243,16 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
     merged.select(col(group.name) +: featCols.map(qc): _*)
   }
 
+  /** G2: pre-grouped wide-frame convenience — `df` holds the index, the
+    * grouping column, and every required series as columns (the analog of
+    * passing a `DataFrameGroupBy`, reference:
+    * feature_collection.py:876-879). Thin sugar over `calculateGroupByAll`.
+    */
+  def calculateGrouped(df: DataFrame, idxCol: String, groupCol: String): DataFrame =
+    calculateGroupByAll(
+      requiredSeries.map(n => Series(n, df, idxCol, n)),
+      Series(groupCol, df, idxCol, groupCol))
+
   /** G3 `group_by_consecutive` — gaps-and-islands sessionization: maximal
     * runs of equal group values form segments `[run_start, next_run_start)`
     * (last run closed by end + 1 unit/day), features per run, output gets

@@ -91,6 +91,16 @@ class FeatureCollectionSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("g", "v__sum__w=manual"))
   }
 
+  test("G2 pre-grouped wide frame equals G1 on explicit series") {
+    import spark.implicits._
+    val df = Seq((0L, 1.0, "a"), (1L, 2.0, "b"), (2L, 3.0, "a"), (3L, 4.0, "b"))
+      .toDF("idx", "v", "g")
+    val fc = FeatureCollection(FeatureDescriptor(sum, "v", None, None))
+    val out = fc.calculateGrouped(df, "idx", "g").orderBy("g")
+    val m = out.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m == Map("a" -> 4.0, "b" -> 6.0))
+  }
+
   test("G3 group_by_consecutive runs and boundaries") {
     import spark.implicits._
     val df = Seq((0L, 1.0, "x"), (1L, 2.0, "x"), (2L, 3.0, "y"), (3L, 4.0, "x"))
