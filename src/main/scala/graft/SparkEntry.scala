@@ -349,8 +349,14 @@ object SparkEntry {
 
     // ---- text: language-ID heuristic --------------------------------------
     "q27_lang_id" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"), col("lang"),
-        TextStats.langId(col("text")).as("lang_pred")).orderBy("doc_id")
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          split(lower(trim(col("text"))), "\\s+").as("__toks"))
+        .select(col("doc_id"), col("lang"),
+          TextStats.langCountsFromToks(col("__toks")).as("__c"))
+        .select(col("doc_id"), col("lang"),
+          TextStats.langIdFromCounts(col("__c")).as("lang_pred"))
+        .orderBy("doc_id")
     }),
 
     // ---- text: quality scoring --------------------------------------------

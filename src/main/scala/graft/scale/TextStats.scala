@@ -75,16 +75,36 @@ object TextStats {
     }
   }
 
-  /** Predicted language ('und' when no marker hits). Ties break by the
-    * fixed marker order.
+  /** Marker-hit counts per language as one int array. Tokenize via this
+    * column in its OWN projection, then scan the materialized token array
+    * once per language — branching `when` chains defeat common-
+    * subexpression elimination, so never inline the split into them.
     */
-  def langId(text: Column): Column = {
-    val scores = langScores(text)
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
-      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+  def langCounts(text: Column): Column =
+    langCountsFromToks(split(lower(trim(text)), "\\s+"))
+
+  /** Per-language marker counts from an already-materialized token array. */
+  def langCountsFromToks(toks: Column): Column =
+    array(langMarkers.map { case (_, ms) =>
+      size(filter(toks, t => t.isin(ms: _*)))
+    }: _*)
+
+  /** argmax over a `langCounts` array ('und' when no marker hits; ties
+    * break by the fixed marker order).
+    */
+  def langIdFromCounts(counts: Column): Column = {
+    val best = array_max(counts)
+    langMarkers.zipWithIndex.foldRight(lit("und"): Column) {
+      case (((lang, _), i), acc) =>
+        when(element_at(counts, i + 1) === best && best > 0, lit(lang))
+          .otherwise(acc)
     }
   }
+
+  /** Predicted language — convenience one-shot form; prefer
+    * `langCounts` + `langIdFromCounts` across two projections in hot paths.
+    */
+  def langId(text: Column): Column = langIdFromCounts(langCounts(text))
 
   /** Document fingerprint: minimum md5 over character k-grams sampled every
     * `stride` positions — the winnowing/rolling-hash family reduced to its
