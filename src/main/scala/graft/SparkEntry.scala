@@ -361,13 +361,20 @@ object SparkEntry {
 
     // ---- text: quality scoring --------------------------------------------
     "q28_text_quality" -> ((s, dir) => {
+      // measures materialized in one projection; quality derived from them
       val t = col("text")
       docs(s, dir).select(col("doc_id"),
         TextStats.tokenCount(t).cast("long").as("n_tokens"),
-        round(TextStats.punctRatio(t), 6).as("punct_ratio"),
-        round(TextStats.stopwordRatio(t), 6).as("stop_ratio"),
-        round(TextStats.meanWordLen(t), 6).as("mean_word_len"),
-        TextStats.qualityScore(t).as("quality")).orderBy("doc_id")
+        TextStats.punctRatio(t).as("__punct"),
+        TextStats.stopwordRatio(t).as("__stop"),
+        round(TextStats.meanWordLen(t), 6).as("mean_word_len"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("__punct"), 6).as("punct_ratio"),
+          round(col("__stop"), 6).as("stop_ratio"),
+          col("mean_word_len"),
+          TextStats.qualityFromMeasures(col("n_tokens"), col("__punct"),
+            col("__stop")).as("quality"))
+        .orderBy("doc_id")
     }),
 
     // ---- text: token counting ----------------------------------------------

@@ -48,15 +48,21 @@ object TextStats {
       greatest(size(toks), lit(1)).cast("double")
   }
 
-  /** Composite quality score in [0,1]: length sweet-spot, low punctuation,
-    * some-but-not-too-many stopwords (C4-style heuristics).
+  /** Composite quality score in [0,1] from ALREADY-MATERIALIZED measures
+    * (length sweet-spot, low punctuation, some-but-not-too-many stopwords —
+    * C4-style heuristics). Compute the measures in their own projection:
+    * the when-branches here would otherwise re-run each measure's regex.
     */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(tokenCount(text).cast("double") / lit(50.0), lit(1.0))
-    val punctOk = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.5)
-    val stopOk = when(stopwordRatio(text).between(0.01, 0.6), 1.0).otherwise(0.7)
+  def qualityFromMeasures(nTokens: Column, punct: Column, stop: Column): Column = {
+    val lenScore = least(nTokens.cast("double") / lit(50.0), lit(1.0))
+    val punctOk = when(punct <= 0.2, 1.0).otherwise(0.5)
+    val stopOk = when(stop.between(0.01, 0.6), 1.0).otherwise(0.7)
     round(lenScore * punctOk * stopOk, 6)
   }
+
+  /** One-shot convenience form; prefer `qualityFromMeasures` in hot paths. */
+  def qualityScore(text: Column): Column =
+    qualityFromMeasures(tokenCount(text), punctRatio(text), stopwordRatio(text))
 
   /** Stopword-hit language ID heuristic: count distinctive function-word
     * tokens per language, argmax with fixed precedence (en,de,fr,es,zh).
