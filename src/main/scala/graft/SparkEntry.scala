@@ -461,6 +461,27 @@ object SparkEntry {
         .orderBy("asset_id", "frame_idx")
     }),
 
+    // ---- W1 sequence domain: rolling agg over a numeric index ------------
+    "q43_seq_rolling" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val series = Series("price", orders, "o_orderkey", "o_totalprice")
+      val fc = FeatureCollection(FeatureDescriptor(mean, "price",
+        Some(Win.seq(1000L)), Some(Seq(Win.seq(500L)))))
+      fc.calculate(Seq(series))
+        .select(col("o_orderkey").cast("long").as("key_anchor"),
+          r6("price__mean__w=1000"))
+        .orderBy("key_anchor")
+    }),
+
+    // ---- text: vocabulary (global token frequency table) ------------------
+    "q42_vocab" -> ((s, dir) => {
+      docs(s, dir)
+        .select(explode(Dedup.words(lower(trim(col("text"))))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(100)
+    }),
+
     // ---- distinct aggregate: windowed exact unique-user counts -----------
     "q41_distinct_users" -> ((s, dir) => {
       val uid = Series("uid", events(s, dir), "ts", "user_id")
@@ -898,6 +919,21 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, CAST(b // 64 AS INT) AS frame_idx, CAST(b AS INT) AS byte_offset
         |FROM documents, unnest(generate_series(0, GREATEST(octet_length(encode(text)) - 1, 0), 64)) t(b)
         |ORDER BY asset_id, frame_idx""".stripMargin,
+
+    "q43_seq_rolling" ->
+      """WITH b AS (SELECT min(o_orderkey) AS s, max(o_orderkey) AS e FROM orders),
+        |bn AS (SELECT s, e, CAST(GREATEST((e - s - 1000) // 500 + 1, 0) AS BIGINT) AS nb FROM b),
+        |seg AS (SELECT s + k*500 AS ws, s + k*500 + 1000 AS we
+        |        FROM bn, unnest(generate_series(0, nb - 1)) AS t(k))
+        |SELECT CAST(we AS BIGINT) AS key_anchor,
+        | round(avg(o_totalprice),6) AS "price__mean__w=1000"
+        |FROM seg LEFT JOIN orders ON o_orderkey >= ws AND o_orderkey < we
+        |GROUP BY we ORDER BY key_anchor""".stripMargin,
+
+    "q42_vocab" ->
+      """SELECT token, count(*) AS freq FROM (
+        | SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents)
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
 
     "q41_distinct_users" ->
       s"""WITH ${segCte(DAY, 6 * HOUR)}
