@@ -461,6 +461,16 @@ object SparkEntry {
         .orderBy("asset_id", "frame_idx")
     }),
 
+    // ---- keyed (per-entity) rolling features — the 100TB workload shape --
+    "q44_keyed_rolling" -> ((s, dir) => {
+      KeyedFeatures.calculate(events(s, dir), "user_id", "ts", "value",
+        Win.time("1D"), Seq(Win.time("1D")), Seq(len, mean), "value")
+        .select(col("user_id").cast("long").as("user_id"),
+          unix_micros(col("ts")).as("ts_anchor"),
+          col("value__len__w=1D"), r6("value__mean__w=1D"))
+        .orderBy("user_id", "ts_anchor")
+    }),
+
     // ---- W1 sequence domain: rolling agg over a numeric index ------------
     "q43_seq_rolling" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -919,6 +929,19 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, CAST(b // 64 AS INT) AS frame_idx, CAST(b AS INT) AS byte_offset
         |FROM documents, unnest(generate_series(0, GREATEST(octet_length(encode(text)) - 1, 0), 64)) t(b)
         |ORDER BY asset_id, frame_idx""".stripMargin,
+
+    "q44_keyed_rolling" ->
+      s"""WITH b AS (SELECT user_id, epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+         |  FROM events GROUP BY user_id),
+         |bn AS (SELECT user_id, s, CAST(GREATEST((e - s - $DAY) // $DAY + 1, 0) AS BIGINT) AS nb FROM b),
+         |seg AS (SELECT user_id, s + k*$DAY AS ws, s + k*$DAY + $DAY AS we
+         |        FROM bn, unnest(generate_series(0, nb - 1)) AS t(k))
+         |SELECT CAST(seg.user_id AS BIGINT) AS user_id, we AS ts_anchor,
+         | count(ev.value) AS "value__len__w=1D",
+         | round(avg(ev.value),6) AS "value__mean__w=1D"
+         |FROM seg LEFT JOIN events ev ON ev.user_id = seg.user_id
+         |  AND epoch_us(ev.ts) >= ws AND epoch_us(ev.ts) < we
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q43_seq_rolling" ->
       """WITH b AS (SELECT min(o_orderkey) AS s, max(o_orderkey) AS e FROM orders),

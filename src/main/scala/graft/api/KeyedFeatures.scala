@@ -1,0 +1,108 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Per-key strided-rolling feature extraction — the shape a 100 TB workload
+  * actually has: millions of INDEPENDENT series (one per user / device /
+  * session), each segmented relative to ITS OWN bounds, extracted in one
+  * shot. The reference covers this only by looping `calculate` over series;
+  * here the key is a first-class partitioning column:
+  *
+  *   1. per-key bounds: one partial-aggregated `groupBy(key)` pass;
+  *   2. per-key segment table: `sequence`+`explode` OVER THE BOUNDS ROWS
+  *      (no shuffle — nb segments derived per key);
+  *   3. window→row assignment: the same arithmetic k-range explode as the
+  *      single-series engine, with the key's own start offset joined in;
+  *   4. ONE fused `groupBy(key, segment).agg(...)`, left-joined back onto
+  *      the per-key segment table so empty windows survive (W7).
+  *
+  * Everything shuffles ON THE KEY — adding keys scales out instead of up,
+  * and no stage ever sees a single global ordering.
+  */
+object KeyedFeatures {
+
+  /** @param funcs   features to fuse into the single per-segment aggregate
+    * @param windowIdx "begin" | "middle" | "end" output anchor (W6)
+    */
+  def calculate(df: DataFrame, keyCol: String, idxCol: String, valueCol: String,
+                window: Win, strides: Seq[Win], funcs: Seq[FeatureFunc],
+                seriesName: String, windowIdx: String = "end",
+                includeFinalWindow: Boolean = false): DataFrame = {
+    val series = Series(seriesName, df, idxCol, valueCol)
+    val internal = df.select(col(keyCol).as("__key"),
+      (series.domain match {
+        case Domain.Time     => unix_micros(col(idxCol).cast("timestamp")).cast("double")
+        case Domain.Sequence => col(idxCol).cast("double")
+      }).as("__idx"), col(valueCol).as("__v"))
+      .where(col("__idx").isNotNull)
+
+    val w = window.amount
+    val sts = strides.map(_.amount).distinct.sorted
+
+    // 1. per-key bounds
+    val bounds = internal.groupBy("__key")
+      .agg(min(col("__idx")).as("__s0"), max(col("__idx")).as("__e0"))
+
+    // 2. per-key segment table (never driver-materialized)
+    val segsPerStride = sts.map { st =>
+      val nb0 = greatest(floor((col("__e0") - col("__s0") - lit(w)) / lit(st))
+        .cast("long") + 1, lit(0L))
+      val nb = if (includeFinalWindow)
+        nb0 + when(col("__s0") + lit(st) * nb0 <= col("__e0"), 1L).otherwise(0L)
+      else nb0
+      bounds.select(col("__key"), col("__s0"),
+        explode(when(nb > 0, sequence(lit(0L), nb - 1))
+          .otherwise(array().cast("array<bigint>"))).as("__k"))
+        .select(col("__key"),
+          (col("__s0") + col("__k").cast("double") * lit(st)).as("__seg_start"))
+    }
+    var segs = segsPerStride.reduce(_.unionAll(_))
+    if (sts.length > 1) segs = segs.distinct()
+    val segments = segs.select(col("__key"), col("__seg_start"),
+      (col("__seg_start") + lit(w)).as("__seg_end"))
+
+    // 3. arithmetic assignment with the key's own start offset
+    val withStart = internal.join(bounds.select(col("__key"), col("__s0")), Seq("__key"))
+    val t = col("__idx")
+    val arrays: Seq[Column] = sts.map { st =>
+      val kmin = greatest(lit(0L),
+        (floor((t - col("__s0") - lit(w)) / lit(st)) + 1).cast("long"))
+      val kmax = floor((t - col("__s0")) / lit(st)).cast("long")
+      when(kmax >= kmin,
+        transform(sequence(kmin, kmax),
+          k => col("__s0") + k.cast("double") * lit(st)))
+        .otherwise(array().cast("array<double>"))
+    }
+    val all = if (arrays.length == 1) arrays.head
+              else array_distinct(concat(arrays: _*))
+    // starts past the key's own segment range (tail rows) must not invent
+    // segments — semi-constrain via the join with the segment table below
+    val assigned = withStart.select(col("__key"), col("__idx"), col("__v"),
+      explode(all).as("__seg_start"))
+      .join(segments, Seq("__key", "__seg_start"))
+
+    // 4. one fused aggregate; empty windows restored by the left join
+    val names = funcs.map(f => Win.outputName(Seq(seriesName), f.name, window.render))
+    val aggs = funcs.zip(names).map { case (f, n) =>
+      f.agg(col("__idx"), col("__v")).as(n)
+    }
+    val agged = assigned.groupBy("__key", "__seg_start").agg(aggs.head, aggs.tail: _*)
+    var joined = segments.join(agged, Seq("__key", "__seg_start"), "left")
+    funcs.zip(names).foreach { case (f, n) =>
+      f.emptyValue.foreach { ev =>
+        joined = joined.withColumn(n, coalesce(col(s"`$n`"), ev))
+      }
+    }
+    val anchorRaw = windowIdx match {
+      case "end"    => col("__seg_end")
+      case "middle" => col("__seg_start") + (col("__seg_end") - col("__seg_start")) / 2
+      case "begin"  => col("__seg_start")
+      case x => throw new IllegalArgumentException(s"bad windowIdx $x")
+    }
+    joined.select(col("__key").as(keyCol) +:
+      series.restoreIdx(anchorRaw).as(idxCol) +:
+      names.map(n => col(s"`$n`")): _*)
+  }
+}
