@@ -461,6 +461,15 @@ object SparkEntry {
         .orderBy("asset_id", "frame_idx")
     }),
 
+    // ---- deterministic hash-based train/val/test split --------------------
+    "q45_split" -> ((s, dir) => {
+      graft.scale.Sampling.deterministicSplit(docs(s, dir), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy("split").agg(count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.min(col("doc_id")).as("min_id"))
+        .orderBy("split")
+    }),
+
     // ---- keyed (per-entity) rolling features — the 100TB workload shape --
     "q44_keyed_rolling" -> ((s, dir) => {
       KeyedFeatures.calculate(events(s, dir), "user_id", "ts", "value",
@@ -929,6 +938,15 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, CAST(b // 64 AS INT) AS frame_idx, CAST(b AS INT) AS byte_offset
         |FROM documents, unnest(generate_series(0, GREATEST(octet_length(encode(text)) - 1, 0), 64)) t(b)
         |ORDER BY asset_id, frame_idx""".stripMargin,
+
+    "q45_split" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS b
+        |  FROM documents),
+        |sp AS (SELECT doc_id, CASE WHEN b < 80 THEN 'train'
+        |  WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM s)
+        |SELECT split, count(*) AS n, min(doc_id) AS min_id
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin,
 
     "q44_keyed_rolling" ->
       s"""WITH b AS (SELECT user_id, epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e

@@ -1,0 +1,36 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-independent sampling/splitting for training-data
+  * pipelines. Seeded RNG samplers (`df.sample`) are engine- and
+  * partitioning-dependent; hashing the ID instead makes membership a pure
+  * function of the row — reproducible across engines, runs, cluster sizes,
+  * and incremental re-runs (a new data drop never reshuffles old rows'
+  * split assignment). Map-only: no shuffle, no state.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, 100) from the id's md5 (16 bits → mod 100). */
+  def hashBucket(id: Column): Column =
+    (conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int") % 100)
+
+  /** Named split assignment by cumulative percentage: e.g.
+    * `Seq("train" -> 80, "val" -> 10, "test" -> 10)`.
+    */
+  def deterministicSplit(df: DataFrame, idCol: String,
+                         splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.map(_._2).sum == 100, "split percentages must sum to 100")
+    val b = hashBucket(col(idCol))
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val expr = splits.zip(cum).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), hi), acc) => when(b < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Deterministic p% sample (hash-gated filter — pushdown-friendly). */
+  def deterministicSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
+    df.where(hashBucket(col(idCol)) < pct)
+}
