@@ -121,6 +121,16 @@ class FeatureCollectionSpec extends SparkSpec {
     assert(out.collect().forall(_.getDouble(1) == -7.0))
   }
 
+  test("W4 ends-only manual segments derive starts from the window") {
+    val fc = FeatureCollection(FeatureDescriptor(len, "dummy",
+      Some(Win.seq(3L)), None))
+    val out = fc.calculate(Seq(tinySeries),
+      segmentEndIdxs = Some(Seq(3.0, 5.0))).orderBy("idx")
+    // ends 3,5 with window 3 → [0,3) holds {0,1,2}, [2,5) holds {2,3,4}
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((3L, 3L), (5L, 3L)))
+  }
+
   test("W9 sample windows: middle and end anchors map to existing samples") {
     import spark.implicits._
     // 10 samples at irregular timestamps (micros); window=4 samples, stride=2
