@@ -34,6 +34,40 @@ class StreamingFeaturesSpec extends SparkSpec {
     assert(rows == Seq((300000000L, 2.0, 5L), (600000000L, 7.0, 5L)))
   }
 
+  test("grid offset reproduces the batch engine's data-anchored windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // data starts at t=100s; batch anchors windows at the data min, the
+    // stream grid at the epoch — offset (s0 mod window) aligns them
+    val tsUs = (0 until 10).map(i => 100000000L + i * 30000000L) // 100s + k*30s
+    val batch = {
+      val df = tsUs.toDF("us").select(timestamp_micros(col("us")).as("ts"),
+        (col("us") / 1e6).as("v"))
+      val fc = graft.api.FeatureCollection(graft.api.FeatureDescriptor(
+        mean, "v", Some(Win.time("1m")), Some(Seq(Win.time("1m")))))
+      fc.calculate(Seq(graft.core.Series("v", df, "ts", "v")))
+        .select(unix_micros(col("ts")), col("`v__mean__w=1m`"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    }
+    val ms = MemoryStream[(Long, Double)]
+    ms.addData(tsUs.map(t => (t, t / 1e6)))
+    val sdf = ms.toDF().select(timestamp_micros(col("_1")).as("ts"),
+      col("_2").as("v"))
+    val out = StreamingFeatures.rolling(sdf, "ts", "v", "v",
+      Win.time("1m").asInstanceOf[TimeWin], Win.time("1m").asInstanceOf[TimeWin],
+      Seq(mean), offset = Some("40 seconds")) // 100s mod 60s
+    val q = out.writeStream.format("memory").queryName("gridroll")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("gridroll")
+      .select(unix_micros(col("ts")), col("`v__mean__w=1m`"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    // batch generates nb = floor((end-start-w)/s)+1 windows; the stream emits
+    // every grid window touched by data (incl. the final partial one) — the
+    // common prefix must agree exactly
+    assert(streamed.take(batch.length) == batch)
+  }
+
   test("session chunking splits on inactivity gaps") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
