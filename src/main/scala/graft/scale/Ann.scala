@@ -22,7 +22,10 @@ object Ann {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
     val na = sqrt(aggregate(a, lit(0.0), (s, x) => s + x * x))
     val nb = sqrt(aggregate(b, lit(0.0), (s, x) => s + x * x))
-    dot / (na * nb)
+    // zero vectors → null, not an ANSI division-by-zero error (Spark 4
+    // default ANSI mode makes x/0 throw)
+    val denom = na * nb
+    when(denom =!= 0.0, dot / denom)
   }
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))

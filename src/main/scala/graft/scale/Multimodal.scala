@@ -75,4 +75,53 @@ object Multimodal {
     assets.select(col("asset_id"),
       posexplode(sequence(lit(0), greatest(col("meta.n_bytes").cast("int") - 1, lit(0)),
         lit(stride))).as(Seq("frame_idx", "byte_offset")))
+
+  final case class ResizedMeta(asset_id: Long, width: Int, height: Int,
+                               payload: Array[Byte])
+
+  /** STUB resize: streams per-partition batches through the "codec" and
+    * re-emits payloads with target dimensions. The real implementation
+    * swaps the body for an image library; the iterator shape (no partition
+    * materialization, executor-parallel) is the production contract.
+    */
+  def resizeStub(df: DataFrame, w: Int, h: Int): Dataset[ResizedMeta] = {
+    implicit val enc = Encoders.product[ResizedMeta]
+    df.select(col("asset_id"), col("payload")).mapPartitions { it =>
+      it.map { row =>
+        val bytes = if (row.isNullAt(1)) Array.emptyByteArray
+                    else row.getAs[Array[Byte]](1)
+        // deterministic fake: truncate/pad payload to w*h/64 bytes
+        val target = math.max(w * h / 64, 1)
+        val out = java.util.Arrays.copyOf(bytes, target)
+        ResizedMeta(row.getLong(0), w, h, out)
+      }
+    }
+  }
+
+  final case class ExtractedFeatures(asset_id: Long, embedding: Array[Float])
+
+  /** STUB feature extraction: deterministic fake embedding derived from the
+    * payload bytes (rolling byte sums per dimension, L2-normalized) — the
+    * schema (`array<float>`) and batch shape feed directly into the Ann
+    * operators, so the multimodal → similarity-search pipeline runs
+    * end-to-end without the real encoder.
+    */
+  def extractFeaturesStub(df: DataFrame, dim: Int): Dataset[ExtractedFeatures] = {
+    implicit val enc = Encoders.product[ExtractedFeatures]
+    df.select(col("asset_id"), col("payload")).mapPartitions { it =>
+      it.map { row =>
+        val bytes = if (row.isNullAt(1)) Array.emptyByteArray
+                    else row.getAs[Array[Byte]](1)
+        val acc = new Array[Float](dim)
+        var i = 0
+        while (i < bytes.length) {
+          acc(i % dim) += (bytes(i) & 0xff) / 255.0f
+          i += 1
+        }
+        val norm = math.sqrt(acc.map(x => x * x).sum).toFloat
+        val emb = if (norm > 0) acc.map(_ / norm) else acc
+        ExtractedFeatures(row.getLong(0), emb)
+      }
+    }
+  }
 }
