@@ -461,6 +461,14 @@ object SparkEntry {
         .orderBy("asset_id", "frame_idx")
     }),
 
+    // ---- text: canonical normalization ------------------------------------
+    "q46_normalize" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        md5(TextStats.normalize(col("text"))).as("norm_md5"),
+        length(TextStats.normalize(col("text"))).as("norm_len"))
+        .orderBy("doc_id")
+    }),
+
     // ---- deterministic hash-based train/val/test split --------------------
     "q45_split" -> ((s, dir) => {
       graft.scale.Sampling.deterministicSplit(docs(s, dir), "doc_id",
@@ -938,6 +946,13 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, CAST(b // 64 AS INT) AS frame_idx, CAST(b AS INT) AS byte_offset
         |FROM documents, unnest(generate_series(0, GREATEST(octet_length(encode(text)) - 1, 0), 64)) t(b)
         |ORDER BY asset_id, frame_idx""".stripMargin,
+
+    "q46_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        | trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f]', '', 'g'),
+        |   '\s+', ' ', 'g')) AS nt FROM documents)
+        |SELECT doc_id, md5(nt) AS norm_md5, length(nt) AS norm_len
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "q45_split" ->
       """WITH s AS (SELECT doc_id,

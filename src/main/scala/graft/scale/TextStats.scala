@@ -112,6 +112,16 @@ object TextStats {
     */
   def langId(text: Column): Column = langIdFromCounts(langCounts(text))
 
+  /** Canonical text normalization: lowercase, strip ASCII control chars,
+    * collapse whitespace runs to single spaces, trim. The regexes use
+    * explicit ASCII classes so Java regex (Spark) and RE2 (DuckDB/the
+    * oracle) agree byte-for-byte.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\x00-\\x1f]", ""),
+      "\\s+", " "))
+
   /** Document fingerprint: minimum md5 over character k-grams sampled every
     * `stride` positions — the winnowing/rolling-hash family reduced to its
     * deterministic core (identical in DuckDB for the oracle). `stride > 1`
