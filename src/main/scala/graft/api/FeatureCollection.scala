@@ -213,7 +213,7 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
     val featCols = merged.columns.filterNot(_ == idxName).sorted
     // ordering is the caller's concern (every sink re-sorts anyway) — not
     // baked into the plan, saving a global sort stage per calculate()
-    merged.select(col(idxName) +: featCols.map(qc): _*)
+    merged.select(col(idxName) +: featCols.toIndexedSeq.map(qc): _*)
   }
 
   /** G1 `group_by_all` — pseudo-SQL `SELECT f(x) FROM data GROUP BY g`
@@ -240,7 +240,7 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
     }
     val merged = frames.reduce((a, c) => a.join(c, Seq(group.name), "full_outer"))
     val featCols = merged.columns.filterNot(_ == group.name).sorted
-    merged.select(col(group.name) +: featCols.map(qc): _*)
+    merged.select(col(group.name) +: featCols.toIndexedSeq.map(qc): _*)
   }
 
   /** G2: pre-grouped wide-frame convenience — `df` holds the index, the
@@ -331,7 +331,7 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
       .sorted
     out.select(
       (col("__grp").as(group.name) +:
-        featCols.map(qc)) :+
+        featCols.toIndexedSeq.map(qc)) :+
         group.restoreIdx(col("__start")).as("__start") :+
         group.restoreIdx(col("__end")).as("__end"): _*)
   }

@@ -33,7 +33,7 @@ object Scan {
     * predecessor rows' columns prefixed `b_`.
     */
   private def overPrev(summary: DataFrame, aggs: Seq[Column]): DataFrame = {
-    val b = summary.toDF(summary.columns.map(c => s"b_$c"): _*)
+    val b = summary.toDF(summary.columns.toIndexedSeq.map(c => s"b_$c"): _*)
     summary.select(col("__pid"))
       .join(b, col("b___pid") < col("__pid"), "left")
       .groupBy("__pid").agg(aggs.head, aggs.tail: _*)

@@ -143,7 +143,7 @@ object Segmenter {
       rows.join(broadcast(segs),
         col("__idx") >= col("__seg_start") && col("__idx") < col("__seg_end"),
         "inner")
-        .select(rows.columns.map(col) :+ col("__seg_id"): _*)
+        .select(rows.columns.toIndexedSeq.map(col) :+ col("__seg_id"): _*)
   }
 
   /** W8 sparsity check (reference: strided_rolling.py:230-239): per series,
