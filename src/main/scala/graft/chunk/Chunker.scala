@@ -99,6 +99,30 @@ object Chunker {
     }
   }
 
+  /** Keyed gap chunking: one chunk stream per entity (user/device), with
+    * ids, spans and counts per key — `lag`/`sum` windows PARTITIONED BY THE
+    * KEY are already parallel (state splits across executors), so no
+    * distributed-scan machinery is needed. The batch twin of
+    * `StreamingFeatures.chunkSessions`.
+    * Returns (key, __chunk, __start, __end, __n).
+    */
+  def keyedChunkSpans(df: DataFrame, keyCol: String, idxCol: String,
+                      valueCol: String, fs: Double, gapFactor: Double = 1.5,
+                      unitPerSec: Double = 1e6): DataFrame = {
+    val thr = gapFactor / fs * unitPerSec
+    val w = Window.partitionBy(keyCol).orderBy(idxCol)
+    df.select(col(keyCol), col(idxCol), col(valueCol))
+      .withColumn("__diff", col(idxCol).cast("double") -
+        lag(col(idxCol).cast("double"), 1).over(w))
+      .withColumn("__new", when(col("__diff").isNull ||
+        col("__diff") > lit(thr), 1L).otherwise(0L))
+      .withColumn("__chunk",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+      .groupBy(col(keyCol), col("__chunk"))
+      .agg(min(col(idxCol)).as("__start"), max(col(idxCol)).as("__end"),
+        count(col(valueCol)).as("__n"))
+  }
+
   /** C3: group chunk spans of multiple series whose [start, end] agree
     * within `margin`. Returns matched pairs `(name_a, name_b, …spans…)`
     * via an interval tolerance self-join.

@@ -50,6 +50,21 @@ class ChunkerSpec extends SparkSpec {
     assert(n0.getAs[Long]("__n") == 3L) // samples 0,1,2 in [0,2]
   }
 
+  test("keyed chunking sessionizes per entity in parallel") {
+    import spark.implicits._
+    val df = (Seq(0.0, 1.0, 2.0, 50.0, 51.0).map(("a", _)) ++
+      Seq(100.0, 101.0).map(("b", _)))
+      .toDF("k", "idx").withColumn("v", col("idx"))
+    val spans = Chunker.keyedChunkSpans(df, "k", "idx", "v",
+      fs = 1.0, unitPerSec = 1.0)
+      .orderBy("k", "__chunk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4))).toSeq
+    assert(spans == Seq(
+      ("a", 0L, 0.0, 2.0, 3L), ("a", 1L, 50.0, 51.0, 2L),
+      ("b", 0L, 100.0, 101.0, 2L)))
+  }
+
   test("C3: tolerance range matching pairs series with agreeing spans") {
     import spark.implicits._
     val a = Seq((0.0, 1.0), (10.0, 1.0)).toDF("idx", "v")
