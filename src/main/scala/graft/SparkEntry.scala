@@ -461,6 +461,13 @@ object SparkEntry {
         .orderBy("asset_id", "frame_idx")
     }),
 
+    // ---- T1-family: as-of grid resampling ---------------------------------
+    "q47_resample" -> ((s, dir) => {
+      graft.proc.Resample.asofGrid(valueSeries(s, dir), 3600e6)
+        .select(unix_micros(col("ts")).as("ts_anchor"), r6("value"))
+        .orderBy("ts_anchor")
+    }),
+
     // ---- text: canonical normalization ------------------------------------
     "q46_normalize" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -946,6 +953,16 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, CAST(b // 64 AS INT) AS frame_idx, CAST(b AS INT) AS byte_offset
         |FROM documents, unnest(generate_series(0, GREATEST(octet_length(encode(text)) - 1, 0), 64)) t(b)
         |ORDER BY asset_id, frame_idx""".stripMargin,
+
+    "q47_resample" ->
+      """WITH b AS (SELECT epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e FROM events),
+        |bn AS (SELECT s, CAST((e - s) // 3600000000 AS BIGINT) AS nb FROM b),
+        |grid AS (SELECT s + k*3600000000 AS g
+        |         FROM bn, unnest(generate_series(0, nb)) AS t(k)),
+        |ev AS (SELECT epoch_us(ts) AS u, value FROM events)
+        |SELECT g AS ts_anchor, round(value, 6) AS value
+        |FROM grid ASOF LEFT JOIN ev ON g >= u
+        |ORDER BY ts_anchor""".stripMargin,
 
     "q46_normalize" ->
       """WITH n AS (SELECT doc_id,

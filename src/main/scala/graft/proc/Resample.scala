@@ -1,0 +1,38 @@
+package graft.proc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{Scan, Series}
+
+/** Regular-grid resampling with as-of (last-known) values — the tsflex
+  * processing recipes do this with pandas `resample`/`reindex`; here the
+  * grid markers are unioned with the data rows and the value is carried
+  * forward by a DISTRIBUTED as-of scan (Scan.fillForward), so resampling a
+  * year of nanosecond data is a partition-parallel plan, not a loop.
+  */
+object Resample {
+
+  /** One row per grid step in [min, max] (inclusive of the last step at or
+    * before max), with the series' last value at-or-before that instant
+    * (a sample exactly ON a grid point is included). Output: (idxCol,
+    * valueCol) in the series' original index dtype.
+    */
+  def asofGrid(s: Series, step: Double): DataFrame = {
+    val spark = s.df.sparkSession
+    val internal = s.internal
+    val mm = internal.agg(min(col("__idx")), max(col("__idx"))).head()
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val nb = math.floor((hi - lo) / step).toLong + 1
+    val grid = spark.range(nb)
+      .select((lit(lo) + col("id").cast("double") * lit(step)).as("__idx"),
+        lit(1).as("__tag"),
+        lit(null).cast(internal.schema("__v").dataType).as("__v"))
+    // data rows sort BEFORE the grid marker at the same instant (tag 0 < 1),
+    // so an exactly-aligned sample is visible to its grid point
+    val data = internal.select(col("__idx"), lit(0).as("__tag"), col("__v"))
+    Scan.fillForward(data.unionByName(grid), Seq("__idx", "__tag"), "__v", "__fv")
+      .where(col("__tag") === 1)
+      .select(s.restoreIdx(col("__idx")).as(s.idxCol),
+        col("__fv").as(s.valueCol))
+  }
+}
