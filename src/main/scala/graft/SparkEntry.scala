@@ -468,6 +468,13 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- T1-family: linear interpolation to the grid ----------------------
+    "q48_interpolate" -> ((s, dir) => {
+      graft.proc.Resample.linearGrid(valueSeries(s, dir), 3600e6)
+        .select(unix_micros(col("ts")).as("ts_anchor"), r6("value"))
+        .orderBy("ts_anchor")
+    }),
+
     // ---- text: canonical normalization ------------------------------------
     "q46_normalize" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -953,6 +960,22 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, CAST(b // 64 AS INT) AS frame_idx, CAST(b AS INT) AS byte_offset
         |FROM documents, unnest(generate_series(0, GREATEST(octet_length(encode(text)) - 1, 0), 64)) t(b)
         |ORDER BY asset_id, frame_idx""".stripMargin,
+
+    "q48_interpolate" ->
+      """WITH b AS (SELECT epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e FROM events),
+        |bn AS (SELECT s, CAST((e - s) // 3600000000 AS BIGINT) AS nb FROM b),
+        |grid AS (SELECT s + k*3600000000 AS g
+        |         FROM bn, unnest(generate_series(0, nb)) AS t(k)),
+        |ev AS (SELECT epoch_us(ts) AS u, value FROM events),
+        |prv AS (SELECT g, u AS pu, value AS pv FROM grid ASOF LEFT JOIN ev ON g >= u),
+        |nxt AS (SELECT g, -nu AS nu, value AS nv FROM grid
+        |        ASOF LEFT JOIN (SELECT -u AS nu, value FROM ev) ON -g >= nu)
+        |SELECT g AS ts_anchor, round(
+        |  CASE WHEN pu IS NULL THEN nv
+        |       WHEN nu IS NULL THEN pv
+        |       WHEN nu = pu THEN pv
+        |       ELSE pv + (nv - pv) * (g - pu) / (nu - pu) END, 6) AS value
+        |FROM prv JOIN nxt USING (g) ORDER BY ts_anchor""".stripMargin,
 
     "q47_resample" ->
       """WITH b AS (SELECT epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e FROM events),

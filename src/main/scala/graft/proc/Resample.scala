@@ -17,7 +17,7 @@ object Resample {
     * (a sample exactly ON a grid point is included). Output: (idxCol,
     * valueCol) in the series' original index dtype.
     */
-  def asofGrid(s: Series, step: Double): DataFrame = {
+  private def gridUnion(s: Series, step: Double): DataFrame = {
     val spark = s.df.sparkSession
     val internal = s.internal
     val mm = internal.agg(min(col("__idx")), max(col("__idx"))).head()
@@ -29,10 +29,41 @@ object Resample {
         lit(null).cast(internal.schema("__v").dataType).as("__v"))
     // data rows sort BEFORE the grid marker at the same instant (tag 0 < 1),
     // so an exactly-aligned sample is visible to its grid point
-    val data = internal.select(col("__idx"), lit(0).as("__tag"), col("__v"))
-    Scan.fillForward(data.unionByName(grid), Seq("__idx", "__tag"), "__v", "__fv")
+    internal.select(col("__idx"), lit(0).as("__tag"), col("__v"))
+      .unionByName(grid)
+  }
+
+  def asofGrid(s: Series, step: Double): DataFrame =
+    Scan.fillForward(gridUnion(s, step), Seq("__idx", "__tag"), "__v", "__fv")
       .where(col("__tag") === 1)
       .select(s.restoreIdx(col("__idx")).as(s.idxCol),
         col("__fv").as(s.valueCol))
+
+  /** Linear interpolation to the grid: each grid point combines the nearest
+    * sample at-or-before and at-or-after (two distributed as-of scans, the
+    * second over the negated index). Grid points outside the sample range
+    * fall back to the available side; exactly-aligned samples pass through.
+    */
+  def linearGrid(s: Series, step: Double): DataFrame = {
+    val u = gridUnion(s, step)
+      .withColumn("__pv", when(col("__tag") === 0,
+        struct(col("__idx").as("u"), col("__v").as("v"))))
+    val withPrev = Scan.fillForward(u, Seq("__idx", "__tag"), "__pv", "__prev")
+    // backward pass = forward scan over the negated index; data's tag (0)
+    // still sorts before the grid marker at an equal instant, so aligned
+    // samples are visible from both directions
+    val withBoth = Scan.fillForward(
+      withPrev.withColumn("__nidx", -col("__idx")),
+      Seq("__nidx", "__tag"), "__pv", "__next")
+    val g = col("__idx")
+    val pu = col("__prev.u"); val pv = col("__prev.v")
+    val nu = col("__next.u"); val nv = col("__next.v")
+    val interp =
+      when(col("__prev").isNull, nv)
+        .when(col("__next").isNull, pv)
+        .when(nu === pu, pv) // aligned sample (or duplicate instant)
+        .otherwise(pv + (nv - pv) * (g - pu) / (nu - pu))
+    withBoth.where(col("__tag") === 1)
+      .select(s.restoreIdx(g).as(s.idxCol), interp.as(s.valueCol))
   }
 }
