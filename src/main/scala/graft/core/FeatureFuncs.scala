@@ -39,7 +39,10 @@ final case class FeatureFunc(
       name,
       (idx, v) => {
         val masked = when(!isnan(v) && v.isNotNull, v)
-        val inner = base.agg(idx, masked)
+        // passThroughNans (reference: features/utils.py:189-196): the min-
+        // sample guard still counts non-NaN samples, but the function sees
+        // the RAW window including NaNs
+        val inner = base.agg(idx, if (passThroughNans) v else masked)
         // With no minimum the guard is unreachable — skip it so the wrapped
         // function's output dtype survives (len stays BIGINT, not DOUBLE).
         if (minNbSamples <= 0) inner
@@ -136,6 +139,19 @@ object FeatureFuncs {
     FeatureFunc(name, (idx, v) => {
       val pairs = array_sort(collect_list(struct(idx.as("i"), v.as("v"))))
       u(transform(pairs, p => p.getField("v")))
+    })
+  }
+
+  /** Arbitrary Scala function over the index-sorted (index, value) PAIRS —
+    * the `input_type = pd.Series` analog (A4: the function sees the window's
+    * index too, e.g. for irregular-sampling-aware features).
+    */
+  def fromPairs(name: String, fn: Seq[(Double, Double)] => Double): FeatureFunc = {
+    val u = udf((idxs: Seq[Double], vals: Seq[Double]) => fn(idxs.zip(vals)))
+    FeatureFunc(name, (idx, v) => {
+      val pairs = array_sort(collect_list(struct(idx.as("i"), v.as("v"))))
+      u(transform(pairs, p => p.getField("i")),
+        transform(pairs, p => p.getField("v")))
     })
   }
 

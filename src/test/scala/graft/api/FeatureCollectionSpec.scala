@@ -187,6 +187,20 @@ class FeatureCollectionSpec extends SparkSpec {
     assert(out.collect().map(_.getDouble(1)).toSeq == Seq(2.0, 2.0))
   }
 
+  test("A4 index-aware escape hatch: function sees (idx, value) pairs") {
+    // mean slope between consecutive samples — needs the index
+    val msl = FeatureFuncs.fromPairs("msl", p =>
+      if (p.length < 2) 0.0
+      else p.sliding(2).map { case Seq((i1, v1), (i2, v2)) =>
+        (v2 - v1) / (i2 - i1)
+      }.sum / (p.length - 1))
+    val fc = FeatureCollection(FeatureDescriptor(msl, "dummy",
+      Some(Win.seq(3L)), Some(Seq(Win.seq(1L)))))
+    val out = fc.calculate(Seq(tinySeries)).orderBy("idx")
+    // values = idx → slope 1.0 everywhere
+    assert(out.collect().map(_.getDouble(1)).toSeq == Seq(1.0, 1.0))
+  }
+
   test("A1 typed Aggregator escape hatch: index-sorted window via udaf") {
     // last - first of the index-SORTED values: order-sensitive on purpose
     val delta = WindowAgg.sortedWindowFunc("delta",
