@@ -295,7 +295,6 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
       coalesce(col("__next_start"), col("__end") + lit(lastExt)))
       .select(col("__run").as("__seg_id"), col("__start").as("__seg_start"),
         col("__seg_end"), col("__start"), col("__end"), col("__grp"))
-      .localCheckpoint(false)
 
     // Runs tile the index axis contiguously, so window→row assignment needs
     // no join at all: union run-start markers with the data rows, sort, and
