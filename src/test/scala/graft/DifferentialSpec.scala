@@ -36,6 +36,22 @@ class DifferentialSpec extends SparkSpec {
     assert(keyed == single)
   }
 
+  test("a JSON-reloaded collection computes identical features") {
+    import spark.implicits._
+    val df = (0 until 200).map(i => (i.toDouble, math.sin(i / 7.0) * 50))
+      .toDF("idx", "v")
+    val series = Series("v", df, "idx", "v")
+    val fc = FeatureCollection(
+      FeatureDescriptor(mean, "v", Some(Win.seq(20L)), Some(Seq(Win.seq(5L)))),
+      FeatureDescriptor(std, "v", Some(Win.seq(20L)), Some(Seq(Win.seq(5L)))))
+    def run(c: FeatureCollection) =
+      c.calculate(Seq(series)).collect()
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    val reloaded = FeatureCollectionSerde.fromJson(FeatureCollectionSerde.toJson(fc))
+    assert(run(reloaded) == run(fc))
+  }
+
   test("prefix-filtered Jaccard equals the naive exact self-join") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
