@@ -461,6 +461,16 @@ object SparkEntry {
         .orderBy("asset_id", "frame_idx")
     }),
 
+    // ---- T1: standardization (fit global stats, transform map-only) ------
+    "q49_standardize" -> ((s, dir) => {
+      val pipe = new SeriesPipeline(Seq(
+        SeriesProcessor.standardize("z", Seq("value"))))
+      pipe.processToDf(Seq(valueSeries(s, dir)))
+        .select(unix_micros(col("ts")).as("ts_anchor"),
+          (round(col("value"), 6) + lit(0.0)).as("value"))
+        .orderBy("ts_anchor")
+    }),
+
     // ---- T1-family: as-of grid resampling ---------------------------------
     "q47_resample" -> ((s, dir) => {
       graft.proc.Resample.asofGrid(valueSeries(s, dir), 3600e6)
@@ -960,6 +970,12 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, CAST(b // 64 AS INT) AS frame_idx, CAST(b AS INT) AS byte_offset
         |FROM documents, unnest(generate_series(0, GREATEST(octet_length(encode(text)) - 1, 0), 64)) t(b)
         |ORDER BY asset_id, frame_idx""".stripMargin,
+
+    "q49_standardize" ->
+      """WITH st AS (SELECT avg(value) AS m, stddev_pop(value) AS sd FROM events)
+        |SELECT epoch_us(ts) AS ts_anchor,
+        | round(CASE WHEN sd <> 0 THEN (value - m) / sd ELSE 0.0 END, 6) + 0.0 AS value
+        |FROM events, st ORDER BY ts_anchor""".stripMargin,
 
     "q48_interpolate" ->
       """WITH b AS (SELECT epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e FROM events),

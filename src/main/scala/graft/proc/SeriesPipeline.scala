@@ -35,6 +35,26 @@ object SeriesProcessor {
       Series(out, s.df.withColumn(out, f(col(s.valueCol))), s.idxCol, out)
     })
 
+  /** Standardize each series to zero mean / unit variance (population):
+    * the per-series stats are one partial-aggregated pass, broadcast into a
+    * map-only transform — the classic "fit then transform" processing step
+    * with no driver round-trip. Constant series map to 0.
+    */
+  def standardize(procName: String, names: Seq[String]): SeriesProcessor =
+    SeriesProcessor(procName, names, dict => names.map { n =>
+      val s = dict(n)
+      val stats = s.df.agg(
+        avg(col(s.valueCol)).as("__m"),
+        stddev_pop(col(s.valueCol)).as("__sd"))
+      val out = s.df.crossJoin(broadcast(stats))
+        .withColumn(s.valueCol,
+          when(col("__sd") =!= 0.0,
+            (col(s.valueCol) - col("__m")) / col("__sd"))
+            .otherwise(lit(0.0)))
+        .drop("__m", "__sd")
+      s.copy(df = out)
+    })
+
   /** T2 `dataframe_func`: outer-merge the required series into a wide frame,
     * apply `f`, explode the result back into series.
     */
