@@ -271,26 +271,27 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
       when(col("__lag___v").isNull || col("__lag___v") =!= col("__v"), 1L)
         .otherwise(0L))
     val runsBase = Scan.runningSum(flagged, "__idx", "__chg", "__run")
+    // The run table feeds several plan branches (start markers per series
+    // frame, the next-run self-join, the final output join); a lazy
+    // localCheckpoint materializes the two-scan pipeline above ONCE and lets
+    // every branch read the cached result. It is bounded by the number of
+    // RUNS (not rows), and blocks are dropped when the frame is GC'd.
     val runs = runsBase.groupBy("__run").agg(
       min(col("__idx")).as("__start"),
       max(col("__idx")).as("__end"),
       first(col("__v")).as("__grp"))
+      .localCheckpoint(eager = false)
     val lastExt = group.domain match {
       case Domain.Time     => 86400e6 // +1 day (reference: :682-688)
       case Domain.Sequence => 1.0
     }
     // run ids are CONSECUTIVE integers (inclusive running sum of change
     // flags), so "next run's start" is a plain equi-join on run+1 — a hash
-    // join that reuses the groupBy's partitioning, no ordered scan needed
+    // join over the checkpointed run table, no ordered scan needed
     val runsLead = runs.join(
       runs.select((col("__run") - 1).as("__run"),
         col("__start").as("__next_start")),
       Seq("__run"), "left")
-    // The run table feeds three plan branches (marker union, final join,
-    // feature frames); a lazy localCheckpoint materializes it once instead
-    // of recomputing the scan pipeline per branch. It is bounded by the
-    // number of RUNS (not rows), and blocks are dropped when the frame is
-    // garbage-collected.
     val segs = runsLead.withColumn("__seg_end",
       coalesce(col("__next_start"), col("__end") + lit(lastExt)))
       .select(col("__run").as("__seg_id"), col("__start").as("__seg_start"),
@@ -304,9 +305,15 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
       val series = byName(sName)
       val rows = series.internal
       val vType = rows.schema("__v").dataType
-      val starts = segs.select(col("__seg_start").as("__idx"), lit(0).as("__tag"),
-        col("__seg_id").as("__runid"), lit(null).cast(vType).as("__v"))
-      val term = segs.agg(max(col("__seg_end")).as("__idx"))
+      // start markers come straight off the checkpointed run table (seg_start
+      // IS the run's min idx — no next-run join needed on this branch)
+      val starts = runs.select(col("__start").as("__idx"), lit(0).as("__tag"),
+        col("__run").as("__runid"), lit(null).cast(vType).as("__v"))
+      // the terminator closes the LAST run at max(__seg_end) = the group
+      // series' max index + lastExt — computable from the raw group rows
+      // (one map+agg over the parquet scan, no scan pipeline)
+      val term = group.internal.where(col("__v").isNotNull)
+        .agg((max(col("__idx")) + lit(lastExt)).as("__idx"))
         .select(col("__idx"), lit(0).as("__tag"), lit(-1L).as("__runid"),
           lit(null).cast(vType).as("__v"))
       val rowsT = rows.select(col("__idx"), lit(1).as("__tag"),
