@@ -485,6 +485,27 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- tz retention: wall-clock (NTZ) index declared Europe/Brussels ----
+    "q50_tz_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types.TimestampNTZType
+      // Brussels wall-clock copy of the instant index; the Series declares
+      // the zone, so segmentation happens on true instants and the output
+      // anchor is restored to Brussels wall time (reference:
+      // strided_rolling.py:572-596,604-614)
+      val ev = events(s, dir).select(
+        convert_timezone(lit("UTC"), lit("Europe/Brussels"),
+          timestamp_add("MICROSECOND", unix_micros(col("ts")),
+            lit("1970-01-01 00:00:00").cast(TimestampNTZType))).as("ts_wall"),
+        col("value"))
+      val fc = FeatureCollection(FeatureDescriptor(mean, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h")))))
+      fc.calculate(Seq(Series("value", ev, "ts_wall", "value",
+        tz = Some("Europe/Brussels"))))
+        .select(date_format(col("ts_wall"), "yyyy-MM-dd HH:mm:ss").as("wall_anchor"),
+          r6("value__mean__w=1D"))
+        .orderBy("wall_anchor")
+    }),
+
     // ---- text: canonical normalization ------------------------------------
     "q46_normalize" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -976,6 +997,14 @@ object SparkEntry {
         |SELECT epoch_us(ts) AS ts_anchor,
         | round(CASE WHEN sd <> 0 THEN (value - m) / sd ELSE 0.0 END, 6) + 0.0 AS value
         |FROM events, st ORDER BY ts_anchor""".stripMargin,
+
+    "q50_tz_roundtrip" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)}
+         |SELECT strftime(timezone('Europe/Brussels', timezone('UTC', make_timestamp(we))),
+         |               '%Y-%m-%d %H:%M:%S') AS wall_anchor,
+         | round(avg(value),6) AS "value__mean__w=1D"
+         |FROM seg LEFT JOIN events ON epoch_us(ts) >= ws AND epoch_us(ts) < we
+         |GROUP BY 1 ORDER BY wall_anchor""".stripMargin,
 
     "q48_interpolate" ->
       """WITH b AS (SELECT epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e FROM events),

@@ -115,6 +115,13 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
     val byName = data.map(s => s.name -> s).toMap
     val used = requiredSeries.map(n => byName.getOrElse(n,
       throw new IllegalArgumentException(s"series $n not in data")))
+    // all TIME series in one calculate must share a timezone (reference:
+    // strided_rolling.py:572-580 "strided rolling input data must all have
+    // same timezone")
+    val tzs = used.filter(_.domain == Domain.Time).map(_.tz).distinct
+    require(tzs.lengthCompare(1) <= 0,
+      s"strided rolling input data must all have the same timezone, got: " +
+        tzs.map(_.getOrElse("<none>")).mkString(", "))
     val manualSegs = segmentStartIdxs.isDefined || segmentEndIdxs.isDefined
 
     // One bucket per (series, window, effective strides): shared segmentation,
@@ -205,7 +212,10 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
             .as(Win.outputName(Seq(d.seriesName), o, winR)))
         case None => Seq(qc(nameOf(d)))
       }
-      joined.select(anchorCol.as(series.idxCol) +: ds.flatMap(expand): _*)
+      // anchor column carries the input zone as metadata (tz retention for
+      // instant-typed indexes; NTZ indexes round-trip via restoreIdx)
+      joined.select(anchorCol.as(series.idxCol, series.idxMetadata) +:
+        ds.flatMap(expand): _*)
     }
 
     val idxName = used.head.idxCol

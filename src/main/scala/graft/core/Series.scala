@@ -12,6 +12,19 @@ import org.apache.spark.sql.types._
   * different sampling rates); alignment happens only at segmentation time,
   * never by row join (SURVEY §1.1).
   *
+  * Timezone retention (reference: strided_rolling.py:572-596,604-614): a
+  * tz-aware pandas index maps to Spark as either
+  *   - `TimestampType` (an absolute instant) + `tz` as the RENDERING zone —
+  *     instants are zone-independent, so the engine only carries the zone
+  *     through to the output anchor column's metadata (`{"tz": …}`), or
+  *   - `TimestampNTZType` (wall-clock times) + `tz` declaring which zone
+  *     those wall times live in — the engine converts wall→instant on the
+  *     way in and instant→wall (in the SAME zone) on the way out, so window
+  *     arithmetic happens on true instants (DST-correct) while anchors
+  *     round-trip to the caller's wall clock.
+  * All conversions are wall-clock arithmetic over `convert_timezone` /
+  * `timestamp_diff`, independent of `spark.sql.session.timeZone`.
+  *
   * @param name     unique series name; must not contain `|` or `__`
   *                 (reserved for output names, reference:
   *                 feature_collection.py:56-71)
@@ -19,8 +32,10 @@ import org.apache.spark.sql.types._
   * @param idxCol   the sortable index column (TimestampType → TIME domain,
   *                 numeric → SEQUENCE domain)
   * @param valueCol the value column (any dtype — datatype retention)
+  * @param tz       optional IANA zone of the index (TIME domain only)
   */
-final case class Series(name: String, df: DataFrame, idxCol: String, valueCol: String) {
+final case class Series(name: String, df: DataFrame, idxCol: String,
+                        valueCol: String, tz: Option[String] = None) {
   require(!name.contains("|") && !name.contains("__"),
     s"series name '$name' may not contain '|' or '__'")
 
@@ -32,27 +47,55 @@ final case class Series(name: String, df: DataFrame, idxCol: String, valueCol: S
     case t => throw new IllegalArgumentException(s"unsupported index dtype $t for series $name")
   }
 
+  require(tz.isEmpty || domain == Domain.Time,
+    s"series $name: tz is only meaningful for a TIME-domain index")
+
+  private def epochNtz = lit("1970-01-01 00:00:00").cast(TimestampNTZType)
+
   /** Internal normalized frame: `__idx DOUBLE` (epoch micros for TIME — exact
     * below 2^53 — raw value for SEQUENCE), `__v` (original dtype retained).
-    * NULL index rows are dropped (they are unorderable).
+    * NULL index rows are dropped (they are unorderable). A tz-declared
+    * wall-clock (NTZ) index is interpreted in that zone, so `__idx` is the
+    * true epoch instant.
     */
   def internal: DataFrame = {
-    val idxExpr = domain match {
-      case Domain.Time     => unix_micros(col(idxCol).cast(TimestampType)).cast(DoubleType)
-      case Domain.Sequence => col(idxCol).cast(DoubleType)
+    val idxExpr = (domain, idxType, tz) match {
+      case (Domain.Time, TimestampNTZType, Some(zone)) =>
+        // wall time in `zone` → UTC wall time → micros since the epoch wall
+        // (pure NTZ arithmetic — no session-tz dependence anywhere)
+        timestamp_diff("MICROSECOND", epochNtz,
+          convert_timezone(lit(zone), lit("UTC"), col(idxCol))).cast(DoubleType)
+      case (Domain.Time, _, _) =>
+        unix_micros(col(idxCol).cast(TimestampType)).cast(DoubleType)
+      case _ => col(idxCol).cast(DoubleType)
     }
     df.select(idxExpr.as("__idx"), col(valueCol).as("__v"))
       .where(col("__idx").isNotNull)
   }
 
   /** Restore an internal Double index/anchor column to the original dtype
-    * (datatype & index-dtype retention guarantee, SURVEY §1.3).
+    * (datatype & index-dtype retention guarantee, SURVEY §1.3) — and, for a
+    * tz-declared wall-clock index, back to wall time in the input zone
+    * (reference: strided_rolling.py:593-596 `tz_convert(self._tz_index)`).
     */
-  def restoreIdx(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = idxType match {
-    case TimestampType | TimestampNTZType | DateType =>
-      timestamp_micros(c.cast(LongType)).cast(idxType)
-    case t: NumericType => c.cast(t)
-    case t => c.cast(t)
+  def restoreIdx(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (idxType, tz) match {
+      case (TimestampNTZType, Some(zone)) =>
+        convert_timezone(lit("UTC"), lit(zone),
+          timestamp_add("MICROSECOND", c.cast(LongType), epochNtz))
+      case (TimestampType | TimestampNTZType | DateType, _) =>
+        timestamp_micros(c.cast(LongType)).cast(idxType)
+      case (t: NumericType, _) => c.cast(t)
+      case (t, _)              => c.cast(t)
+    }
+
+  /** Column metadata for output anchor columns: carries the declared zone so
+    * sinks can render instants in the input tz (`TimestampType` has no
+    * per-column zone in Spark — metadata is the native channel for it).
+    */
+  def idxMetadata: Metadata = tz match {
+    case Some(zone) => new MetadataBuilder().putString("tz", zone).build()
+    case None       => Metadata.empty
   }
 }
 
@@ -62,9 +105,10 @@ object Series {
     * (the reference warns against NaN-injecting wide joins,
     * docs/pdoc_include/root_documentation.md:57-68).
     */
-  def fromWide(df: DataFrame, idxCol: String, cols: Seq[String] = Nil): Seq[Series] = {
+  def fromWide(df: DataFrame, idxCol: String, cols: Seq[String] = Nil,
+               tz: Option[String] = None): Seq[Series] = {
     val names = if (cols.nonEmpty) cols else df.columns.filterNot(_ == idxCol).toSeq
-    names.map(c => Series(c, df.where(col(c).isNotNull), idxCol, c))
+    names.map(c => Series(c, df.where(col(c).isNotNull), idxCol, c, tz))
   }
 
   /** Long/tidy format → series list: one Series per distinct value of
