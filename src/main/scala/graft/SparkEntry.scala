@@ -580,10 +580,28 @@ object SparkEntry {
       val v = Series("v", ev, "ts", "value")
       val vsq = Series("vsq", ev.withColumn("vsq", col("value") * col("value")),
         "ts", "vsq")
-      PairedFeatures.calculate(v, vsq, Win.time("1D"), Seq(Win.time("6h")),
-        Seq(PairedFeatures.corr2, PairedFeatures.covar))
+      val win = Some(Win.time("1D")); val st = Some(Seq(Win.time("6h")))
+      FeatureCollection(
+        NaryFeatureDescriptor(NaryFuncs.corr2, Seq("v", "vsq"), win, st),
+        NaryFeatureDescriptor(NaryFuncs.covar, Seq("v", "vsq"), win, st))
+        .calculate(Seq(v, vsq))
         .select(unix_micros(col("ts")).as("ts_anchor"),
           r6("v|vsq__corr__w=1D"), r6("v|vsq__covar__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
+    // ---- n-ary tuple feature (arity 3): weighted windowed correlation ----
+    "q51_nary_wcorr" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val a = Series("a", ev.select(col("ts"), col("value").as("a")), "ts", "a")
+      val b = Series("b", ev.select(col("ts"),
+        col("user_id").cast("double").as("b")), "ts", "b")
+      val w = Series("w", ev.select(col("ts"),
+        (col("event_id") % 7 + 1).cast("double").as("w")), "ts", "w")
+      FeatureCollection(NaryFeatureDescriptor(NaryFuncs.wcorr, Seq("a", "b", "w"),
+        Some(Win.time("1D")), Some(Seq(Win.time("6h")))))
+        .calculate(Seq(a, b, w))
+        .select(unix_micros(col("ts")).as("ts_anchor"), r6z("a|b|w__wcorr__w=1D"))
         .orderBy("ts_anchor")
     }),
 
@@ -997,6 +1015,21 @@ object SparkEntry {
         |SELECT epoch_us(ts) AS ts_anchor,
         | round(CASE WHEN sd <> 0 THEN (value - m) / sd ELSE 0.0 END, 6) + 0.0 AS value
         |FROM events, st ORDER BY ts_anchor""".stripMargin,
+
+    "q51_nary_wcorr" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)},
+         |j AS (SELECT we, (event_id % 7 + 1)::DOUBLE AS w, value AS a,
+         |             user_id::DOUBLE AS b
+         |      FROM seg LEFT JOIN events ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |agg AS (SELECT we, sum(w) sw, sum(w*a) swa, sum(w*b) swb,
+         |               sum(w*a*b) swab, sum(w*a*a) swaa, sum(w*b*b) swbb
+         |        FROM j GROUP BY we)
+         |SELECT we AS ts_anchor,
+         | round(CASE WHEN (sw*swaa - swa*swa) > 0 AND (sw*swbb - swb*swb) > 0
+         |   THEN (sw*swab - swa*swb)
+         |        / sqrt((sw*swaa - swa*swa) * (sw*swbb - swb*swb))
+         |   ELSE NULL END, 6) + 0.0 AS "a|b|w__wcorr__w=1D"
+         |FROM agg ORDER BY ts_anchor""".stripMargin,
 
     "q50_tz_roundtrip" ->
       s"""WITH ${segCte(DAY, 6 * HOUR)}

@@ -6,6 +6,36 @@ import org.apache.spark.sql.functions._
 import graft.core._
 import graft.segment.{Bounds, Segmenter}
 
+/** Common surface of unary and tuple-series feature descriptors — the
+  * reference's `series_name: Union[str, Tuple[str, ...]]`
+  * (tsflex/features/feature.py:121-168). Output naming joins the tuple with
+  * `|` (W10, reference: strided_rolling.py:502-507).
+  */
+sealed trait AnyFeatureDescriptor {
+  def seriesNames: Seq[String]
+  def window: Option[Win]
+  def strides: Option[Seq[Win]]
+  def funcName: String
+  def funcOutputNames: Option[Seq[String]]
+  def emptyValue: Option[Column]
+
+  /** Build the aggregate over the per-window rows: `idx` is the internal
+    * index, `vs` one value column per series in `seriesNames` order.
+    */
+  def aggOver(idx: Column, vs: Seq[Column]): Column
+
+  final def winRender: String = window.map(_.render).getOrElse("manual")
+  final def outputName: String = Win.outputName(seriesNames, funcName, winRender)
+
+  /** All output column names — one per entry of the function's
+    * `outputNames` (multi-output FuncWrapper, A3), else the single name.
+    */
+  final def outputNamesAll: Seq[String] = funcOutputNames match {
+    case Some(os) => os.map(o => Win.outputName(seriesNames, o, winRender))
+    case None     => Seq(outputName)
+  }
+}
+
 /** One feature: a function applied to strided windows of one series
   * (reference: tsflex/features/feature.py:121-168).
   *
@@ -19,20 +49,37 @@ final case class FeatureDescriptor(
     function: FeatureFunc,
     seriesName: String,
     window: Option[Win] = None,
-    strides: Option[Seq[Win]] = None) {
+    strides: Option[Seq[Win]] = None) extends AnyFeatureDescriptor {
   require(window.forall(w => strides.forall(_.forall(_.domain == w.domain))),
     "window and strides must share the same domain (reference: feature.py:142-151)")
 
-  def winRender: String = window.map(_.render).getOrElse("manual")
-  def outputName: String = Win.outputName(Seq(seriesName), function.name, winRender)
+  def seriesNames: Seq[String] = Seq(seriesName)
+  def funcName: String = function.name
+  def funcOutputNames: Option[Seq[String]] = function.outputNames
+  def emptyValue: Option[Column] = function.emptyValue
+  def aggOver(idx: Column, vs: Seq[Column]): Column = function.agg(idx, vs.head)
+}
 
-  /** All output column names — one per entry of the function's
-    * `outputNames` (multi-output FuncWrapper, A3), else the single name.
-    */
-  def outputNamesAll: Seq[String] = function.outputNames match {
-    case Some(os) => os.map(o => Win.outputName(Seq(seriesName), o, winRender))
-    case None     => Seq(outputName)
-  }
+/** A feature over a TUPLE of series (arity >= 2): each series is windowed
+  * independently by the shared segment table, the per-window views are
+  * paired by (segment, index), and `function` aggregates the paired columns
+  * (reference: feature.py:121-168 tuple series_name; tests
+  * test_features_feature_collection.py:1752-1838).
+  */
+final case class NaryFeatureDescriptor(
+    function: NaryFunc,
+    override val seriesNames: Seq[String],
+    window: Option[Win] = None,
+    strides: Option[Seq[Win]] = None) extends AnyFeatureDescriptor {
+  require(seriesNames.lengthCompare(2) >= 0,
+    "an n-ary feature needs at least two series (use FeatureDescriptor for one)")
+  require(window.forall(w => strides.forall(_.forall(_.domain == w.domain))),
+    "window and strides must share the same domain (reference: feature.py:142-151)")
+
+  def funcName: String = function.name
+  def funcOutputNames: Option[Seq[String]] = function.outputNames
+  def emptyValue: Option[Column] = function.emptyValue
+  def aggOver(idx: Column, vs: Seq[Column]): Column = function.agg(idx, vs)
 }
 
 /** M2: cross product functions × series × windows, strides shared
@@ -61,10 +108,19 @@ object MultipleFeatureDescriptors {
   * functions, so Spark's partial aggregation (map-side combine) keeps the
   * single shuffle tiny at scale.
   */
-class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
+class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
   // col() with backtick quoting: feature names may contain dots
   // (e.g. quantile_0.25), which bare col() would parse as field access.
   private def qc(name: String): Column = col(s"`$name`")
+
+  /** The group-by paths (G1/G3) operate on plain single-series features —
+    * tuple features have no per-group pairing semantics in the reference.
+    */
+  private def groupedUnary: Seq[(String, Seq[AnyFeatureDescriptor])] = {
+    require(descriptors.forall(_.seriesNames.lengthCompare(1) == 0),
+      "group-by calculations support single-series features only")
+    descriptors.groupBy(_.seriesNames.head).toSeq
+  }
 
   {
     val names = descriptors.flatMap(_.outputNamesAll)
@@ -73,11 +129,11 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
   }
 
   /** M1: register additional descriptors. */
-  def add(more: Seq[FeatureDescriptor]): FeatureCollection =
+  def add(more: Seq[AnyFeatureDescriptor]): FeatureCollection =
     new FeatureCollection(descriptors ++ more)
 
   /** P1: only these series need to be read (column pruning). */
-  def requiredSeries: Seq[String] = descriptors.map(_.seriesName).distinct
+  def requiredSeries: Seq[String] = descriptors.flatMap(_.seriesNames).distinct
 
   /** M3: rebuild the minimal collection producing `outputNames`
     * (reference: feature_collection.py:1282-1353).
@@ -124,25 +180,31 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
         tzs.map(_.getOrElse("<none>")).mkString(", "))
     val manualSegs = segmentStartIdxs.isDefined || segmentEndIdxs.isDefined
 
-    // One bucket per (series, window, effective strides): shared segmentation,
-    // fused aggregation (reference buckets at feature_collection.py:88-96).
+    // One bucket per (series tuple, window, effective strides): shared
+    // segmentation, fused aggregation (reference buckets at
+    // feature_collection.py:88-96).
     val buckets = descriptors.groupBy { d =>
-      (d.seriesName, d.window, if (manualSegs) None else strideOverride.orElse(d.strides))
+      (d.seriesNames, d.window, if (manualSegs) None else strideOverride.orElse(d.strides))
     }
 
     // Both segment arrays given → window ignored → names use w=manual
     // (reference: strided_rolling.py:198-211, _create_feat_col_name).
     val bothManual = segmentStartIdxs.isDefined && segmentEndIdxs.isDefined
-    def nameOf(d: FeatureDescriptor): String =
-      if (bothManual) Win.outputName(Seq(d.seriesName), d.function.name, "manual")
+    def nameOf(d: AnyFeatureDescriptor): String =
+      if (bothManual) Win.outputName(d.seriesNames, d.funcName, "manual")
       else d.outputName
 
     val b: Bounds = Segmenter.bounds(used, boundMethod)
 
-    val bucketFrames = buckets.toSeq.map { case ((sName, win, strides), ds) =>
-      val series = byName(sName)
+    val bucketFrames = buckets.toSeq.map { case ((sNames, win, strides), ds) =>
+      val seriesSeq = sNames.map(byName)
+      require(seriesSeq.map(_.domain).distinct.lengthCompare(1) == 0,
+        s"all series of a tuple feature must share a domain: ${sNames.mkString("|")}")
+      val series = seriesSeq.head
       val spark = series.df.sparkSession
       val isSample = win.exists(_.isInstanceOf[SampleWin])
+      require(!isSample || seriesSeq.lengthCompare(1) == 0,
+        "sample-count windows support single-series features only")
 
       // W9: sample-count windows over a TIME index — segment in positional
       // space, stitch the time index back on via the position (reference:
@@ -171,20 +233,35 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
             "cannot calculate features without a stride or segment indexes"))
           if (!isSample) require(
             w.domain == series.domain && st.forall(_.domain == series.domain),
-            s"window/stride domain must match series domain for $sName")
+            s"window/stride domain must match series domain for ${sNames.mkString("|")}")
           Segmenter.regular(spark, bounds, w.amount, st.map(_.amount),
             includeFinalWindow, w.render)
         }
 
-      val assigned = Segmenter.assign(rows, plan)
+      // Unary: one assigned frame, values in __v. Tuple: each series is
+      // assigned independently by the SAME plan, then the per-window views
+      // pair by (segment, index) — one co-partitioned equi-join per extra
+      // series, each side shuffled on the same key (reference passes one
+      // windowed view per series, strided_rolling.py:455-470).
+      val (assigned, valueCols) =
+        if (seriesSeq.lengthCompare(1) == 0)
+          (Segmenter.assign(rows, plan), Seq(col("__v")))
+        else {
+          val parts = seriesSeq.zipWithIndex.map { case (s2, i) =>
+            Segmenter.assign(s2.internal, plan)
+              .select(col("__seg_id"), col("__idx"), col("__v").as(s"__v$i"))
+          }
+          (parts.reduce((a, c) => a.join(c, Seq("__seg_id", "__idx"))),
+            seriesSeq.indices.map(i => col(s"__v$i")))
+        }
       val aggCols = ds.map(d =>
-        d.function.agg(col("__idx"), col("__v")).as(nameOf(d)))
+        d.aggOver(col("__idx"), valueCols).as(nameOf(d)))
       val agged = assigned.groupBy("__seg_id").agg(aggCols.head, aggCols.tail: _*)
 
       // W7: segments with zero rows still emit a row (left join, never inner).
       var joined = plan.segments.join(agged, Seq("__seg_id"), "left")
       ds.foreach { d =>
-        d.function.emptyValue.foreach { ev =>
+        d.emptyValue.foreach { ev =>
           joined = joined.withColumn(nameOf(d), coalesce(qc(nameOf(d)), ev))
         }
       }
@@ -205,11 +282,11 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
         } else series.restoreIdx(anchorRaw)
       // multi-output functions (A3 one-to-many) return a struct — expand
       // each declared output into its own W10-named column
-      def expand(d: FeatureDescriptor): Seq[Column] = d.function.outputNames match {
+      def expand(d: AnyFeatureDescriptor): Seq[Column] = d.funcOutputNames match {
         case Some(os) =>
           val winR = if (bothManual) "manual" else d.winRender
           os.map(o => qc(nameOf(d)).getField(o)
-            .as(Win.outputName(Seq(d.seriesName), o, winR)))
+            .as(Win.outputName(d.seriesNames, o, winR)))
         case None => Seq(qc(nameOf(d)))
       }
       // anchor column carries the input zone as metadata (tz retention for
@@ -239,12 +316,12 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
         case _ => lit(true)
       }))
       .select(col("__idx"), col("__v").as("__grp"))
-    val frames = descriptors.groupBy(_.seriesName).toSeq.map { case (sName, ds) =>
+    val frames = groupedUnary.map { case (sName, ds) =>
       val series = byName(sName)
       val joined = series.internal.join(g, Seq("__idx"), "inner")
       val aggCols = ds.map { d =>
-        val n = Win.outputName(Seq(d.seriesName), d.function.name, "manual")
-        d.function.agg(col("__idx"), col("__v")).as(n)
+        val n = Win.outputName(d.seriesNames, d.funcName, "manual")
+        d.aggOver(col("__idx"), Seq(col("__v"))).as(n)
       }
       joined.groupBy(col("__grp").as(group.name)).agg(aggCols.head, aggCols.tail: _*)
     }
@@ -311,7 +388,7 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
     // no join at all: union run-start markers with the data rows, sort, and
     // propagate the last seen run id (an as-of assignment). Linear, vs the
     // O(rows × runs) a nested-loop range join would cost.
-    val frames = descriptors.groupBy(_.seriesName).toSeq.map { case (sName, ds) =>
+    val frames = groupedUnary.map { case (sName, ds) =>
       val series = byName(sName)
       val rows = series.internal
       val vType = rows.schema("__v").dataType
@@ -335,8 +412,8 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
         .where(col("__tag") === 1 && col("__seg_id").isNotNull &&
           col("__seg_id") =!= -1L)
       val aggCols = ds.map { d =>
-        val n = Win.outputName(Seq(d.seriesName), d.function.name, "manual")
-        d.function.agg(col("__idx"), col("__v")).as(n)
+        val n = Win.outputName(d.seriesNames, d.funcName, "manual")
+        d.aggOver(col("__idx"), Seq(col("__v"))).as(n)
       }
       assigned.groupBy("__seg_id").agg(aggCols.head, aggCols.tail: _*)
     }
@@ -354,6 +431,6 @@ class FeatureCollection(val descriptors: Seq[FeatureDescriptor]) {
 }
 
 object FeatureCollection {
-  def apply(ds: FeatureDescriptor*): FeatureCollection = new FeatureCollection(ds)
-  def of(ds: Seq[FeatureDescriptor]): FeatureCollection = new FeatureCollection(ds)
+  def apply(ds: AnyFeatureDescriptor*): FeatureCollection = new FeatureCollection(ds)
+  def of(ds: Seq[AnyFeatureDescriptor]): FeatureCollection = new FeatureCollection(ds)
 }

@@ -38,8 +38,13 @@ object FeatureCollectionSerde {
     val arr = root.putArray("descriptors")
     fc.descriptors.foreach { d =>
       val n = arr.addObject()
-      n.put("function", d.function.name)
-      n.put("series", d.seriesName)
+      n.put("function", d.funcName)
+      d match {
+        case u: FeatureDescriptor => n.put("series", u.seriesName)
+        case t: NaryFeatureDescriptor =>
+          val sa = n.putArray("series")
+          t.seriesNames.foreach(sa.add)
+      }
       d.window.foreach(w => n.set[ObjectNode]("window", winNode(w)))
       d.strides.foreach { ss =>
         val sa = n.putArray("strides")
@@ -53,7 +58,8 @@ object FeatureCollectionSerde {
     * (defaults to the built-in FeatureFuncs surface).
     */
   def fromJson(json: String,
-               registry: Map[String, FeatureFunc] = FeatureFuncs.byName): FeatureCollection = {
+               registry: Map[String, FeatureFunc] = FeatureFuncs.byName,
+               naryRegistry: Map[String, NaryFunc] = NaryFuncs.byName): FeatureCollection = {
     val root = mapper.readTree(json)
     require(root.path("format").asText() == "graft-feature-collection",
       "not a graft feature-collection spec")
@@ -62,14 +68,20 @@ object FeatureCollectionSerde {
         (0 until arr.size()).map { i =>
           val n = arr.get(i)
           val fname = n.get("function").asText()
-          val f = registry.getOrElse(fname, throw new IllegalArgumentException(
-            s"function '$fname' not in registry — register it before loading"))
-          FeatureDescriptor(
-            f,
-            n.get("series").asText(),
-            Option(n.get("window")).map(winFrom),
-            Option(n.get("strides")).map(sa =>
-              (0 until sa.size()).map(j => winFrom(sa.get(j)))))
+          val window = Option(n.get("window")).map(winFrom)
+          val strides = Option(n.get("strides")).map(sa =>
+            (0 until sa.size()).map(j => winFrom(sa.get(j))))
+          n.get("series") match {
+            case sa: ArrayNode => // tuple-series (n-ary) descriptor
+              val f = naryRegistry.getOrElse(fname, throw new IllegalArgumentException(
+                s"n-ary function '$fname' not in registry — register it before loading"))
+              NaryFeatureDescriptor(f,
+                (0 until sa.size()).map(j => sa.get(j).asText()), window, strides)
+            case sn =>
+              val f = registry.getOrElse(fname, throw new IllegalArgumentException(
+                s"function '$fname' not in registry — register it before loading"))
+              FeatureDescriptor(f, sn.asText(), window, strides)
+          }
         }
       case _ => throw new IllegalArgumentException("missing descriptors array")
     }

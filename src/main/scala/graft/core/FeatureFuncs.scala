@@ -169,3 +169,55 @@ object FeatureFuncs {
       "skew" -> skew, "kurtosis" -> kurt, "slope" -> slope, "rms" -> rms,
       "first" -> firstByIdx, "last" -> lastByIdx, "abs_diff_sum" -> absDiffSum)
 }
+
+/** A named aggregation over a TUPLE of series — the analog of a reference
+  * FeatureDescriptor whose `series_name` is a tuple of any arity (reference:
+  * tsflex/features/feature.py:121-168; the function receives one windowed
+  * view per series, strided_rolling.py:455-470). In the relational form the
+  * per-window views are paired by (segment, index) before aggregation —
+  * co-sampled series pair 1:1; series sampled differently only aggregate
+  * their index-intersection (the engine's join-based analog of the
+  * reference's "make sure the function can deal with different lengths").
+  *
+  * @param agg (idxCol, valueCols) => aggregate Column; valueCols holds one
+  *            column per series, in descriptor order.
+  */
+final case class NaryFunc(
+    name: String,
+    agg: (Column, Seq[Column]) => Column,
+    emptyValue: Option[Column] = None,
+    outputNames: Option[Seq[String]] = None)
+
+/** Built-in tuple-series aggregates (all single-pass algebraic natives). */
+object NaryFuncs {
+  /** Pearson correlation of two co-windowed series. */
+  val corr2: NaryFunc = NaryFunc("corr", (_, vs) => corr(vs(0), vs(1)))
+  /** Population covariance of two co-windowed series. */
+  val covar: NaryFunc = NaryFunc("covar", (_, vs) => covar_pop(vs(0), vs(1)))
+  /** Windowed dot product. */
+  val dot: NaryFunc = NaryFunc("dot",
+    (_, vs) => org.apache.spark.sql.functions.sum(vs(0) * vs(1)))
+  /** Least-squares slope of b against a (regressor, response). */
+  val regrSlope: NaryFunc = NaryFunc("regr_slope", (_, vs) => regr_slope(vs(1), vs(0)))
+
+  /** Weighted Pearson correlation of (a, b) under weight series w — a true
+    * 3-ary feature, computed from six weighted sums in ONE aggregate pass
+    * (fully codegen'd, no second scan).
+    */
+  val wcorr: NaryFunc = NaryFunc("wcorr", (_, vs) => {
+    val Seq(a, b, w) = vs.take(3)
+    val sw = org.apache.spark.sql.functions.sum(w)
+    val swa = org.apache.spark.sql.functions.sum(w * a)
+    val swb = org.apache.spark.sql.functions.sum(w * b)
+    val swab = org.apache.spark.sql.functions.sum(w * a * b)
+    val swaa = org.apache.spark.sql.functions.sum(w * a * a)
+    val swbb = org.apache.spark.sql.functions.sum(w * b * b)
+    val va = sw * swaa - swa * swa
+    val vb = sw * swbb - swb * swb
+    when(va > 0 && vb > 0, (sw * swab - swa * swb) / sqrt(va * vb))
+  })
+
+  val byName: scala.collection.immutable.Map[String, NaryFunc] =
+    scala.collection.immutable.Map("corr" -> corr2, "covar" -> covar,
+      "dot" -> dot, "regr_slope" -> regrSlope, "wcorr" -> wcorr)
+}

@@ -20,7 +20,7 @@ class SerdeSpec extends AnyFunSuite {
     assert(back.descriptors.map(_.window) == fc.descriptors.map(_.window))
     assert(back.descriptors.map(_.strides) == fc.descriptors.map(_.strides))
     // loaded functions are the registry instances (same aggregation)
-    assert(back.descriptors.head.function.name == "mean")
+    assert(back.descriptors.head.funcName == "mean")
   }
 
   test("unknown function name fails with a registry hint") {
@@ -32,7 +32,7 @@ class SerdeSpec extends AnyFunSuite {
     // resolvable once registered
     val back = FeatureCollectionSerde.fromJson(json,
       FeatureFuncs.byName + ("mystery" -> custom))
-    assert(back.descriptors.head.function.name == "mystery")
+    assert(back.descriptors.head.funcName == "mystery")
   }
 
   test("non-spec JSON rejected") {
