@@ -175,6 +175,18 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- A5+A4: robust wrapper over the fromArray UDF escape hatch --------
+    "q52_robust_udf" -> ((s, dir) => {
+      val p2p = FeatureFuncs.fromArray("p2p",
+        a => if (a.isEmpty) Double.NaN else a.max - a.min)
+        .robust(40, -1.0, passThroughNans = false)
+      val fc = FeatureCollection(FeatureDescriptor(p2p, "value",
+        Some(Win.time("2h")), Some(Seq(Win.time("2h")))))
+      fc.calculate(Seq(valueSeries(s, dir)))
+        .select(unix_micros(col("ts")).as("ts_anchor"), r6("value__p2p__w=2h"))
+        .orderBy("ts_anchor")
+    }),
+
     // ---- A7: categorical window counts over a string series --------------
     "q10_cat_counts" -> ((s, dir) => {
       val etype = Series("etype", events(s, dir), "ts", "event_type")
@@ -1015,6 +1027,14 @@ object SparkEntry {
         |SELECT epoch_us(ts) AS ts_anchor,
         | round(CASE WHEN sd <> 0 THEN (value - m) / sd ELSE 0.0 END, 6) + 0.0 AS value
         |FROM events, st ORDER BY ts_anchor""".stripMargin,
+
+    "q52_robust_udf" ->
+      s"""WITH ${segCte(2 * HOUR, 2 * HOUR)}
+         |SELECT we AS ts_anchor,
+         | round(CASE WHEN count(value) >= 40 THEN max(value) - min(value)
+         |            ELSE -1.0 END, 6) AS "value__p2p__w=2h"
+         |FROM seg LEFT JOIN events ON epoch_us(ts) >= ws AND epoch_us(ts) < we
+         |GROUP BY we ORDER BY ts_anchor""".stripMargin,
 
     "q51_nary_wcorr" ->
       s"""WITH ${segCte(DAY, 6 * HOUR)},

@@ -29,29 +29,42 @@ final case class FeatureFunc(
     outputNames: Option[Seq[String]] = None) {
 
   /** Robust wrapper (A5, reference: tsflex/features/utils.py:153-256
-    * `make_robust`): NaN-mask the window values and, when fewer than
-    * `minNbSamples` non-NaN samples remain, return `errorVal` instead.
+    * `make_robust`): optionally NaN-mask the window values and, when fewer
+    * than `minNbSamples` samples remain, return `errorVal` instead.
+    *
+    * Matches the reference's order of operations exactly
+    * (utils.py:189-196): with `passThroughNans` (the reference default) the
+    * guard counts the RAW window length — NaNs included — and the function
+    * sees the raw values; with masking the NaN filter runs FIRST and the
+    * guard counts what survives. Composes with any FeatureFunc, including
+    * the `fromArray`/`fromPairs` UDF escape hatches (their collect step
+    * drops masked-out rows) and multi-output functions (every output gets
+    * `errorVal`, the reference's tuple-of-error_val).
     */
   def robust(minNbSamples: Int, errorVal: Double = Double.NaN,
-             passThroughNans: Boolean = false): FeatureFunc = {
+             passThroughNans: Boolean = true): FeatureFunc = {
     val base = this
+    // multi-output: a struct of errorVals, one per declared output
+    val errCol: Column = base.outputNames match {
+      case Some(os) => struct(os.map(o => lit(errorVal).as(o)): _*)
+      case None     => lit(errorVal)
+    }
     FeatureFunc(
       name,
       (idx, v) => {
         val masked = when(!isnan(v) && v.isNotNull, v)
-        // passThroughNans (reference: features/utils.py:189-196): the min-
-        // sample guard still counts non-NaN samples, but the function sees
-        // the RAW window including NaNs
         val inner = base.agg(idx, if (passThroughNans) v else masked)
+        val guard = if (passThroughNans) count(v) else count(masked)
         // With no minimum the guard is unreachable — skip it so the wrapped
         // function's output dtype survives (len stays BIGINT, not DOUBLE).
         if (minNbSamples <= 0) inner
-        else when(count(masked) >= minNbSamples, inner).otherwise(lit(errorVal))
+        else when(guard >= minNbSamples, inner).otherwise(errCol)
       },
       // Empty windows: < minNbSamples samples → errorVal; with no minimum the
       // wrapped function's own empty-window contract is preserved (e.g.
       // len.robust(0) still emits 0 for an empty window).
-      emptyValue = if (minNbSamples > 0) Some(lit(errorVal)) else base.emptyValue)
+      emptyValue = if (minNbSamples > 0) Some(errCol) else base.emptyValue,
+      outputNames = base.outputNames)
   }
 
   def as(newName: String): FeatureFunc = copy(name = newName)
@@ -112,7 +125,8 @@ object FeatureFuncs {
     * example (A7 time-valued features).
     */
   val absDiffSum: FeatureFunc = FeatureFunc("abs_diff_sum", (idx, v) => {
-    val pairs = array_sort(collect_list(struct(idx.as("i"), v.as("v"))))
+    val pairs = array_sort(collect_list(
+      when(v.isNotNull, struct(idx.as("i"), v.as("v")))))
     val vals = transform(pairs, p => p.getField("v"))
     // guard: slice() rejects negative lengths, so windows with <2 samples
     // short-circuit to 0 (a single sample has no successive differences)
@@ -137,7 +151,10 @@ object FeatureFuncs {
   def fromArray(name: String, fn: Seq[Double] => Double): FeatureFunc = {
     val u = udf((arr: Seq[Double]) => fn(arr))
     FeatureFunc(name, (idx, v) => {
-      val pairs = array_sort(collect_list(struct(idx.as("i"), v.as("v"))))
+      // null-valued rows (e.g. masked out by `robust`) collect as null
+      // inputs, which collect_list skips — the UDF never sees them
+      val pairs = array_sort(collect_list(
+        when(v.isNotNull, struct(idx.as("i"), v.as("v")))))
       u(transform(pairs, p => p.getField("v")))
     })
   }
@@ -149,7 +166,8 @@ object FeatureFuncs {
   def fromPairs(name: String, fn: Seq[(Double, Double)] => Double): FeatureFunc = {
     val u = udf((idxs: Seq[Double], vals: Seq[Double]) => fn(idxs.zip(vals)))
     FeatureFunc(name, (idx, v) => {
-      val pairs = array_sort(collect_list(struct(idx.as("i"), v.as("v"))))
+      val pairs = array_sort(collect_list(
+        when(v.isNotNull, struct(idx.as("i"), v.as("v")))))
       u(transform(pairs, p => p.getField("i")),
         transform(pairs, p => p.getField("v")))
     })
