@@ -45,6 +45,17 @@ object Ann {
       .limit(k)
   }
 
+  /** Plane count for a corpus of `n` vectors targeting ~`targetBucket`
+    * vectors per bucket: planes ≈ log2(n / targetBucket). With a FIXED plane
+    * count the within-bucket candidate set grows linearly with the corpus
+    * (quadratic pair work); growing planes with n keeps buckets constant-size
+    * so the bucketed join's cost stays linear at any scale.
+    */
+  def autoPlanes(n: Long, targetBucket: Long = 64L): Int = {
+    require(n > 0 && targetBucket > 0)
+    math.max(1, math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt)
+  }
+
   /** Deterministic ±1 hyperplane weight for (plane p, dim d): parity of the
     * first hex digit of md5("p_d") — computed at PLAN BUILD time (the md5 of
     * a constant string), yielding the exact same values as the DuckDB-side
@@ -74,16 +85,31 @@ object Ann {
     df.select(col(idCol), bucket.as("bucket"))
   }
 
+  /** The probe set of a bucket id at Hamming radius 0 or 1: the bucket
+    * itself plus (for radius 1) every single-bit flip — `planes + 1` ids,
+    * generated as plan-literal XORs (no UDF, no blowup beyond the tiny
+    * probe list).
+    */
+  def probeBuckets(bucket: Column, planes: Int, hamming: Int): Column = {
+    require(hamming == 0 || hamming == 1, "probe radius must be 0 or 1")
+    if (hamming == 0) array(bucket)
+    else array(bucket +: (0 until planes).map(p =>
+      bucket.bitwiseXOR(lit(1L << p))): _*)
+  }
+
   /** LSH-accelerated top-k: candidates = vectors in the query's bucket,
-    * ranked by exact cosine. Trades recall for touching only one bucket;
-    * multi-probe = relax the bucket equality to Hamming<=1 (left as a
-    * bit-flip union at call site).
+    * ranked by exact cosine. `probeHamming = 1` enables multi-probe — the
+    * query also probes every bucket one sign-bit away (planes + 1 buckets),
+    * recovering most of the recall a near-boundary vector loses to a single
+    * flipped hyperplane sign while still scanning only probed buckets.
     */
   def lshTopK(df: DataFrame, idCol: String, embCol: String,
-              queryDf: DataFrame, k: Int, planes: Int, dims: Int): DataFrame = {
+              queryDf: DataFrame, k: Int, planes: Int, dims: Int,
+              probeHamming: Int = 0): DataFrame = {
     val buckets = lshBuckets(df, idCol, embCol, planes, dims)
     val qb = lshBuckets(queryDf.withColumn("__qid", lit(0L)), "__qid", embCol, planes, dims)
-      .select(col("bucket"))
+      .select(explode(probeBuckets(col("bucket"), planes, probeHamming)).as("bucket"))
+      .distinct()
     val cands = df.join(buckets, Seq(idCol)).join(broadcast(qb), Seq("bucket"))
     cosineTopK(cands, idCol, embCol, queryDf, k)
   }

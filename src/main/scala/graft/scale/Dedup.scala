@@ -212,9 +212,18 @@ object Dedup {
     * then candidates are verified with exact cosine >= threshold. The bucket
     * join shuffles on the bucket id only — the all-pairs O(n^2) cosine never
     * materializes, which is what makes this the 100 TB path.
+    *
+    * Sizing: pass `planes = Ann.autoPlanes(n)` (≈ log2(n / targetBucket)) so
+    * buckets stay constant-size as the corpus grows — a fixed plane count
+    * turns quadratic within buckets at 10^9 vectors. `probeHamming = 1`
+    * additionally pairs vectors whose buckets differ by ONE sign bit
+    * (multi-probe), recovering near-threshold pairs that a single flipped
+    * hyperplane would otherwise split; candidates stay bucket-bounded
+    * (planes + 1 probes per row).
     */
   def embedNearDups(df: DataFrame, idCol: String, embCol: String,
-                    planes: Int, dims: Int, threshold: Double): DataFrame = {
+                    planes: Int, dims: Int, threshold: Double,
+                    probeHamming: Int = 0): DataFrame = {
     // Pre-cast to double and precompute each vector's norm ONCE per row —
     // inside the pair join only the dot product remains (the norms and array
     // casts would otherwise be recomputed per candidate pair).
@@ -227,13 +236,27 @@ object Dedup {
       .select(col(idCol), emb.as("__e"),
         sqrt(aggregate(emb, lit(0.0), (s, x) => s + x * x)).as("__nrm"),
         col("bucket"))
-    val pairs = withBucket.as("x").join(withBucket.as("y"),
-      col("x.bucket") === col("y.bucket") && col(s"x.$idCol") < col(s"y.$idCol"))
-    val dot = aggregate(zip_with(col("x.__e"), col("y.__e"), (a, b) => a * b),
+    // Multi-probe: the RIGHT side explodes to its probe set and the join
+    // stays an equi-join on the probed bucket. For an unordered pair (a, b)
+    // with Hamming(bucket_a, bucket_b) <= probeHamming exactly one probe of
+    // b equals a's bucket, so each pair emits once — no dedup pass needed.
+    // (At radius 0 the right side stays a plain rename so both join children
+    // canonicalize identically and reuse ONE shuffle exchange.)
+    val right =
+      if (probeHamming == 0)
+        withBucket.select(col(idCol).as("__yid"), col("__e").as("__ye"),
+          col("__nrm").as("__ynrm"), col("bucket"))
+      else
+        withBucket.select(col(idCol).as("__yid"), col("__e").as("__ye"),
+          col("__nrm").as("__ynrm"),
+          explode(Ann.probeBuckets(col("bucket"), planes, probeHamming)).as("bucket"))
+    val pairs = withBucket.as("x").join(right,
+      col("x.bucket") === right("bucket") && col(s"x.$idCol") < col("__yid"))
+    val dot = aggregate(zip_with(col("x.__e"), col("__ye"), (a, b) => a * b),
       lit(0.0), (s, x) => s + x)
     pairs
-      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
-        round(dot / (col("x.__nrm") * col("y.__nrm")), 6).as("cosine"))
+      .select(col(s"x.$idCol").as("id_a"), col("__yid").as("id_b"),
+        round(dot / (col("x.__nrm") * col("__ynrm")), 6).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 
