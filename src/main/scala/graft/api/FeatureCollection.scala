@@ -119,7 +119,24 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
   private def groupedUnary: Seq[(String, Seq[AnyFeatureDescriptor])] = {
     require(descriptors.forall(_.seriesNames.lengthCompare(1) == 0),
       "group-by calculations support single-series features only")
+    requireDistinctManualNames()
     descriptors.groupBy(_.seriesNames.head).toSeq
+  }
+
+  /** Manual renames (`w=manual`) collapse the window out of the output name,
+    * so descriptors that pass the constructor's duplicate check (distinct
+    * windows) can still collide. Re-validate the EFFECTIVE names wherever the
+    * manual rename applies, turning a late ambiguous-column failure into the
+    * clear duplicate-names error.
+    */
+  private def requireDistinctManualNames(): Unit = {
+    val eff = descriptors.flatMap(d => d.funcOutputNames match {
+      case Some(os) => os.map(o => Win.outputName(d.seriesNames, o, "manual"))
+      case None     => Seq(Win.outputName(d.seriesNames, d.funcName, "manual"))
+    })
+    require(eff.distinct.length == eff.length,
+      s"duplicate output names under manual segments: " +
+        eff.diff(eff.distinct).distinct.mkString(", "))
   }
 
   {
@@ -190,6 +207,7 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
     // Both segment arrays given → window ignored → names use w=manual
     // (reference: strided_rolling.py:198-211, _create_feat_col_name).
     val bothManual = segmentStartIdxs.isDefined && segmentEndIdxs.isDefined
+    if (bothManual) requireDistinctManualNames()
     def nameOf(d: AnyFeatureDescriptor): String =
       if (bothManual) Win.outputName(d.seriesNames, d.funcName, "manual")
       else d.outputName

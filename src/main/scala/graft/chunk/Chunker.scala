@@ -46,16 +46,18 @@ object Chunker {
     val withThr = fs match {
       case Some(hz) => withDiff.withColumn("__thr", lit(gapFactor / hz * unitPerSec))
       case None =>
-        val mx = withDiff.agg(max(col("__diff")).as("__maxdiff"))
+        // summary-sized second pass sharing the main pipeline's range
+        // exchange (Scan.maxGap) — NOT a second full lag pipeline
+        val mx = Scan.maxGap(s.internal, "__idx")
         withDiff.crossJoin(broadcast(mx))
-          .withColumn("__thr", lit(gapFactor) * col("__maxdiff"))
+          .withColumn("__thr", lit(gapFactor) * col("__maxgap"))
     }
     val flagged = withThr
       .withColumn("__new", when(col("__diff").isNull ||
         col("__diff") > col("__thr"), 1L).otherwise(0L))
     Scan.runningSum(flagged, "__idx", "__new", "__chunk0")
       .withColumn("__chunk", col("__chunk0") - 1)
-      .drop("__diff", "__thr", "__new", "__maxdiff", "__lag___idx", "__chunk0", "__pid")
+      .drop("__diff", "__thr", "__new", "__maxgap", "__lag___idx", "__chunk0", "__pid")
   }
 
   /** Chunk spans: `(__chunk, __sub, __start, __end, __n)` after the C2

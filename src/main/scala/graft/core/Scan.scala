@@ -51,18 +51,22 @@ object Scan {
     lagCols.foreach { c =>
       out = out.withColumn(s"__lag_$c", lag(col(c), 1).over(w))
     }
-    // each partition's first row receives the last row of the nearest
-    // preceding NON-EMPTY partition (null-skipping max_by over the summary
-    // self-join — robust to empty range partitions)
-    val lastAggs = lagCols.map(c => max_by(col(c), col(orderCol)).as(s"__pl_$c"))
+    // each partition's first row receives the value of the last ROW of the
+    // nearest preceding NON-EMPTY partition. The struct wrapper keeps a
+    // null-VALUED last row distinct from an absent partition (empty range
+    // partitions have no summary row at all), so the hand-off stays
+    // bit-identical to the global window even when a lag column is null at
+    // a partition boundary.
+    val lastAggs = lagCols.map(c =>
+      max_by(struct(col(c).as("v")), col(orderCol)).as(s"__pl_$c"))
     val perPid = p.groupBy("__pid").agg(lastAggs.head, lastAggs.tail: _*)
     val handoff = overPrev(perPid, lagCols.map(c =>
-      max_by(col(s"b___pl_$c"),
-        when(col(s"b___pl_$c").isNotNull, col("b___pid"))).as(s"__pl_$c")))
+      max_by(col(s"b___pl_$c"), col("b___pid")).as(s"__pl_$c")))
     out = out.join(broadcast(handoff), Seq("__pid"), "left")
     lagCols.foreach { c =>
       out = out.withColumn(s"__lag_$c",
-        when(col("__rn") === 1, col(s"__pl_$c")).otherwise(col(s"__lag_$c")))
+        when(col("__rn") === 1, col(s"__pl_$c").getField("v"))
+          .otherwise(col(s"__lag_$c")))
     }
     out.drop("__rn" +: lagCols.map(c => s"__pl_$c"): _*)
   }
@@ -99,6 +103,31 @@ object Scan {
     local.join(broadcast(offsets), Seq("__pid"))
       .withColumn(outCol, col("__loc") + col("__off") - 1)
       .drop("__loc", "__off", "__pid")
+  }
+
+  /** Largest gap between CONSECUTIVE values of `orderCol` as a one-row
+    * frame (column `__maxgap`) — max over the partition-local lag diffs and
+    * the cross-boundary diffs derived from the per-partition summary. Uses
+    * the same `ranged` partitioning as `withLagged` over the same input, so
+    * when both appear in one plan the range exchange is REUSED, not
+    * recomputed (vs. a naive `withLagged(...).agg(max(diff))` second
+    * pipeline).
+    */
+  def maxGap(df: DataFrame, orderCol: String): DataFrame = {
+    val p = ranged(df, Seq(orderCol))
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+    val local = p.withColumn("__d", col(orderCol) - lag(col(orderCol), 1).over(w))
+    val perPid = local.groupBy("__pid").agg(
+      max(col("__d")).as("__lm"),
+      min(col(orderCol)).as("__mn"), max(col(orderCol)).as("__mx"))
+    // boundary gap of pid = its min minus the max of the nearest preceding
+    // NON-EMPTY partition (empty range partitions carry null summaries)
+    val prev = overPrev(perPid, Seq(
+      max_by(col("b___mx"), when(col("b___mx").isNotNull, col("b___pid")))
+        .as("__prev_mx")))
+    perPid.join(broadcast(prev), Seq("__pid"))
+      .agg(max(greatest(col("__lm"), col("__mn") - col("__prev_mx")))
+        .as("__maxgap"))
   }
 
   /** Last non-null `valCol` at-or-before each row in `orderCols` order

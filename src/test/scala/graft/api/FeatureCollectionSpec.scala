@@ -28,6 +28,18 @@ class FeatureCollectionSpec extends SparkSpec {
     }))
   }
 
+  test("manual rename collisions fail fast with the duplicate-names error") {
+    // distinct windows pass the constructor check, but both-manual segments
+    // rename every output to w=manual — must raise the clear error, not a
+    // late ambiguous-column failure
+    val fc = FeatureCollection(
+      FeatureDescriptor(mean, "dummy", Some(Win.seq(2L)), Some(Seq(Win.seq(2L)))),
+      FeatureDescriptor(mean, "dummy", Some(Win.seq(4L)), Some(Seq(Win.seq(4L)))))
+    val e = intercept[IllegalArgumentException](fc.calculate(Seq(tinySeries),
+      segmentStartIdxs = Some(Seq(0.0)), segmentEndIdxs = Some(Seq(4.0))))
+    assert(e.getMessage.contains("duplicate output names"))
+  }
+
   test("W7: empty manual segments still emit rows; len is 0") {
     val fc = FeatureCollection(
       FeatureDescriptor(len, "dummy", None, None),

@@ -26,6 +26,25 @@ class ChunkerSpec extends SparkSpec {
     assert(ids.drop(5).forall(_._2 == 1L))
   }
 
+  test("C1: fs inference (None) thresholds on maxGap, single scan pipeline") {
+    // threshold = 1.5 * max(diff) = 1.5 * 95 — nothing exceeds it, ONE chunk
+    val one = Chunker.withChunkIds(series, fs = None)
+      .select("__chunk").distinct().collect().map(_.getLong(0)).toSeq
+    assert(one == Seq(0L))
+    // and with a tighter gapFactor the gap splits again
+    val ids = Chunker.withChunkIds(series, fs = None, gapFactor = 0.5)
+      .select("__idx", "__chunk").orderBy("__idx")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(ids.take(5).forall(_._2 == 0L) && ids.drop(5).forall(_._2 == 1L))
+    // plan hygiene: the inference pass is a summary-sized maxGap branch —
+    // its range exchange is reused within the plan (AQE finalizes reuse only
+    // after execution, so run the query first)
+    val df = Chunker.withChunkIds(series, fs = None)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "fs-inference plan should reuse a range exchange")
+  }
+
   test("C2: minDur filter drops short chunks") {
     import spark.implicits._
     val df = (Seq(0.0, 1.0, 2.0, 3.0) ++ Seq(50.0)).map(i => (i, i)).toDF("idx", "v")

@@ -37,6 +37,28 @@ class ScanSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("withLagged equals global lag on a NULL-RIDDLED lag column") {
+    // every third value null — partition boundaries will land on nulls, so
+    // the boundary hand-off must carry "last ROW was null", not skip to an
+    // older non-null value
+    val d = data.withColumn("vn", when(col("v") > 0.33, col("v")))
+    val got = Scan.withLagged(d, "idx", Seq("vn"))
+      .select(col("idx"), col("__lag_vn"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1).toSeq
+    val exp = d.select(col("idx"), lag(col("vn"), 1).over(Window.orderBy("idx")))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1).toSeq
+    assert(got == exp)
+  }
+
+  test("maxGap equals the global max of consecutive diffs") {
+    val d = data
+    val got = Scan.maxGap(d, "idx").head.getLong(0)
+    val w = Window.orderBy("idx")
+    val exp = d.select((col("idx") - lag(col("idx"), 1).over(w)).as("d"))
+      .agg(max(col("d"))).head.getLong(0)
+    assert(got == exp)
+  }
+
   test("runningSum equals global cumulative sum") {
     val d = data.withColumn("f", when(col("v") > 0.7, 1L).otherwise(0L))
     val got = Scan.runningSum(d, "idx", "f", "cum")
