@@ -12,6 +12,11 @@ import org.apache.spark.sql.types._
   * different sampling rates); alignment happens only at segmentation time,
   * never by row join (SURVEY §1.1).
   *
+  * Row order is irrelevant: every consumer orders by the index itself
+  * (relational semantics), so the reference's warn-then-sort contract for
+  * non-monotonic input (feature_collection.py:455-466) has no analog here —
+  * unsorted input is simply fine, with no warning to emit.
+  *
   * Timezone retention (reference: strided_rolling.py:572-596,604-614): a
   * tz-aware pandas index maps to Spark as either
   *   - `TimestampType` (an absolute instant) + `tz` as the RENDERING zone —
