@@ -15,13 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Cosine similarity between two double arrays, computed with codegen'd
-    * higher-order functions (zip_with + aggregate) — no UDF.
+  /** Cosine similarity between two double arrays via the native codegen'd
+    * `ArrayDot` expression (one fused loop per product inside whole-stage
+    * codegen — the HOF zip_with/aggregate formulation allocates a zipped
+    * array and evaluates lambdas outside codegen; bit-identical results,
+    * see ArrayDotSpec).
     */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
-    val na = sqrt(aggregate(a, lit(0.0), (s, x) => s + x * x))
-    val nb = sqrt(aggregate(b, lit(0.0), (s, x) => s + x * x))
+    val dot = graft.expr.GraftFunctions.arrayDot(a, b)
+    val na = sqrt(graft.expr.GraftFunctions.arrayDot(a, a))
+    val nb = sqrt(graft.expr.GraftFunctions.arrayDot(b, b))
     // zero vectors → null, not an ANSI division-by-zero error (Spark 4
     // default ANSI mode makes x/0 throw)
     val denom = na * nb
@@ -78,8 +81,7 @@ object Ann {
     val emb = asDouble(col(embCol))
     val bucket = (0 until planes).map { p =>
       val wArr = array((0 until dims).map(d => lit(planeWeight(p, d))): _*)
-      val dot = aggregate(zip_with(emb, wArr, (a, b) => a * b),
-        lit(0.0), (s, x) => s + x)
+      val dot = graft.expr.GraftFunctions.arrayDot(emb, wArr)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     df.select(col(idCol), bucket.as("bucket"))

@@ -234,7 +234,7 @@ object Dedup {
     val withBucket = df
       .join(Ann.lshBuckets(df, idCol, embCol, planes, dims), Seq(idCol))
       .select(col(idCol), emb.as("__e"),
-        sqrt(aggregate(emb, lit(0.0), (s, x) => s + x * x)).as("__nrm"),
+        sqrt(graft.expr.GraftFunctions.arrayDot(emb, emb)).as("__nrm"),
         col("bucket"))
     // Multi-probe: the RIGHT side explodes to its probe set and the join
     // stays an equi-join on the probed bucket. For an unordered pair (a, b)
@@ -252,8 +252,7 @@ object Dedup {
           explode(Ann.probeBuckets(col("bucket"), planes, probeHamming)).as("bucket"))
     val pairs = withBucket.as("x").join(right,
       col("x.bucket") === right("bucket") && col(s"x.$idCol") < col("__yid"))
-    val dot = aggregate(zip_with(col("x.__e"), col("__ye"), (a, b) => a * b),
-      lit(0.0), (s, x) => s + x)
+    val dot = graft.expr.GraftFunctions.arrayDot(col("x.__e"), col("__ye"))
     pairs
       .select(col(s"x.$idCol").as("id_a"), col("__yid").as("id_b"),
         round(dot / (col("x.__nrm") * col("__ynrm")), 6).as("cosine"))

@@ -1,0 +1,68 @@
+package graft.expr
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** ArrayDot must be bit-identical to the HOF formulation
+  * `aggregate(zip_with(a,b,(x,y)=>x*y), 0.0, (s,x)=>s+x)` on every input
+  * shape, and must survive codegen-only expression compilation.
+  */
+class ArrayDotSpec extends SparkSpec {
+  import GraftFunctions.arrayDot
+
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  private def randomArrays = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to 500).map { i =>
+      val n = 1 + rnd.nextInt(8)
+      def arr = Seq.fill(n)(rnd.nextDouble() * 100 - 50)
+      val a = if (i % 37 == 0) null else arr
+      val b = if (i % 41 == 0) null
+              else if (i % 13 == 0) arr.drop(1) // length mismatch
+              else arr.map(v => v + 1)
+      (i, a, b)
+    }.toDF("i", "a", "b")
+  }
+
+  test("bit-identical to the zip_with/aggregate fold on random data") {
+    val d = randomArrays
+    val out = d.select(col("i"), arrayDot(col("a"), col("b")).as("nat"),
+      hofDot(col("a"), col("b")).as("hof")).collect()
+    out.foreach { r =>
+      val nat = Option(r.get(1)); val hof = Option(r.get(2))
+      assert(nat == hof, s"row ${r.getInt(0)}: $nat vs $hof")
+    }
+    // nulls and mismatches actually occurred
+    assert(out.exists(_.isNullAt(1)) && out.exists(!_.isNullAt(1)))
+  }
+
+  test("null element propagates to null (matches HOF)") {
+    import spark.implicits._
+    val d = Seq((Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+    val r = d.select(arrayDot(col("a"), col("b")), hofDot(col("a"), col("b"))).head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("codegen path compiles and runs (CODEGEN_ONLY factory mode)") {
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val d = randomArrays.where(col("a").isNotNull && col("b").isNotNull)
+      val s = d.select(sum(arrayDot(col("a"), col("b")))).head.getDouble(0)
+      val e = d.select(sum(hofDot(col("a"), col("b")))).head.getDouble(0)
+      assert(s == e)
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
+  test("SQL registration: array_dot callable via call_function and SQL") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val d = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+    assert(d.select(call_function("array_dot", col("a"), col("b"))).head.getDouble(0) == 11.0)
+    d.createOrReplaceTempView("__ad")
+    assert(spark.sql("select array_dot(a, b) from __ad").head.getDouble(0) == 11.0)
+  }
+}
