@@ -16,25 +16,15 @@ object Dedup {
   /** Whitespace word tokens. */
   def words(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Distinct word k-gram shingles of `text` as an array column.
-    *
-    * Built as k-1 `zip_with`s of the word array against its shifted self —
-    * one `slice` per ROW, not per shingle. The per-shingle alternatives
-    * measured 6x (slice-per-shingle) to 12x (element_at lambda) slower;
-    * this form keeps the whole shingling inside codegen'd array kernels.
-    * Tail entries hit the zip_with null-padding (concat → null) and are
-    * sliced off.
+  /** Distinct word k-gram shingles of `text` as an array column — the
+    * native one-pass `WordShingles` expression (graft.expr). History: the
+    * k-1 chained `zip_with` formulation was already 6-12x faster than
+    * per-shingle slicing, but still allocated k intermediate arrays per row;
+    * the fused codegen kernel replaces all of it (bit-identical output,
+    * WordShinglesSpec).
     */
-  def shingleArr(text: Column, k: Int): Column = {
-    val ws = words(text)
-    val joined = (2 to k).foldLeft(ws) { (acc, j) =>
-      zip_with(acc, slice(ws, lit(j), greatest(size(ws) - (j - 1), lit(0))),
-        (a, b) => concat(a, lit(" "), b))
-    }
-    array_distinct(
-      when(size(ws) >= k, slice(joined, lit(1), size(ws) - (k - 1)))
-        .otherwise(array(concat_ws(" ", ws))))
-  }
+  def shingleArr(text: Column, k: Int): Column =
+    graft.expr.WordShingles(text, k)
 
   /** Exploded inverted index: one row per (id, distinct shingle). */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
