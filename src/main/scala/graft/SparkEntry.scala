@@ -617,6 +617,17 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- similarity search: IVF with a distributed k-means codebook -------
+    // (iterative fit — no DuckDB oracle twin; deterministic seeds/ties make
+    // the rows-only check stable)
+    "q53_ivf_kmeans" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val base = e.where(col("vec_id") =!= 0)
+      val codebook = Ann.kmeansCells(base, "vec_id", "embedding", 8, 3)
+      Ann.ivfTopK(base, "vec_id", "embedding", "label",
+        e.where(col("vec_id") === 0), 10, 3, codebook = Some(codebook))
+    }),
+
     // ---- similarity search: IVF (coarse cells + probe) --------------------
     "q39_ivf_ann" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")

@@ -3,6 +3,9 @@ package graft.scale
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** Row shape for a k-means codebook entry (top-level for the encoder). */
+case class KmeansCell(cell: Long, vec: Seq[Double])
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
   *
@@ -137,9 +140,12 @@ object Ann {
     * structure, relationally.
     */
   def ivfTopK(df: DataFrame, idCol: String, embCol: String, labelCol: String,
-              queryDf: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    val cellsB = broadcast(cells(df, labelCol, embCol)
-      .select(col(labelCol).as("__cell"), col("__cell_vec")))
+              queryDf: DataFrame, k: Int, nProbe: Int,
+              codebook: Option[DataFrame] = None): DataFrame = {
+    // codebook: any (__cell, __cell_vec) table — e.g. kmeansCells; defaults
+    // to per-label centroids
+    val cellsB = broadcast(codebook.getOrElse(cells(df, labelCol, embCol)
+      .select(col(labelCol).as("__cell"), col("__cell_vec"))))
     def cellSims(vecs: DataFrame): DataFrame =
       vecs.crossJoin(cellsB)
         .select(col(idCol), col("__cell"),
@@ -167,4 +173,54 @@ object Ann {
     df.select(col(labelCol), posexplode(asDouble(col(embCol))).as(Seq("dim", "__x")))
       .groupBy(labelCol, "dim")
       .agg(avg(col("__x")).as("centroid"), count(lit(1)).as("n"))
+
+  /** Distributed Lloyd's k-means over the embedding column, returning a
+    * cells table `(__cell BIGINT, __cell_vec array<double>)` usable as the
+    * IVF codebook.
+    *
+    * Scale shape (fit-broadcast-transform): the MODEL (k × dims doubles)
+    * lives on the driver between iterations — like any trained-parameter
+    * broadcast — while every data pass is distributed: assignment is one
+    * codegen'd pass against the broadcast centroid literals (ArrayDot
+    * cosine, max_by partial aggregate), and the update is one partial-
+    * aggregated groupBy of (cell, dim) sums. Collecting per iteration keeps
+    * the plan shallow (k plans of depth 2, not one of depth 2k).
+    * Deterministic: seeds are the k smallest md5(id)s; ties in assignment
+    * break toward the lower cell id; empty cells keep their previous
+    * centroid.
+    */
+  def kmeansCells(df: DataFrame, idCol: String, embCol: String,
+                  k: Int, iters: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    val vecs = df.select(col(idCol), asDouble(col(embCol)).as("__e"))
+    var model: Array[(Long, Seq[Double])] = vecs
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .orderBy("__h").limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
+
+    def cellsOf(m: Array[(Long, Seq[Double])]): DataFrame =
+      spark.createDataFrame(m.map { case (c, v) => KmeansCell(c, v) }.toSeq)
+        .select(col("cell").as("__cell"), col("vec").as("__cell_vec"))
+
+    for (_ <- 1 to iters) {
+      val cellsB = broadcast(cellsOf(model))
+      val assigned = vecs.crossJoin(cellsB)
+        .select(col(idCol), col("__cell"), col("__e"),
+          cosine(col("__e"), col("__cell_vec")).as("__sim"))
+        .groupBy(idCol)
+        .agg(max_by(struct(col("__cell"), col("__e")),
+          struct(col("__sim"), -col("__cell"))).as("__a"))
+        .select(col("__a.__cell").as("__cell"), col("__a.__e").as("__e"))
+      val updated = assigned
+        .select(col("__cell"), posexplode(col("__e")).as(Seq("__dim", "__x")))
+        .groupBy("__cell", "__dim").agg(avg(col("__x")).as("__c"))
+        .groupBy("__cell")
+        .agg(transform(array_sort(collect_list(struct(col("__dim"), col("__c")))),
+          p => p.getField("__c")).as("__vec"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+      model = model.map { case (c, v) => (c, updated.getOrElse(c, v)) }
+    }
+    cellsOf(model)
+  }
 }
