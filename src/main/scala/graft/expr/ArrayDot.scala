@@ -35,6 +35,13 @@ case class ArrayDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "array_dot"
 
+  /** Nullable regardless of input nullability: a length mismatch or a null
+    * ELEMENT yields null even when both array columns are non-null. (Also
+    * load-bearing for codegen — the non-nullable nullSafeCodeGen path never
+    * declares the isNull variable this expression's loop assigns.)
+    */
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

@@ -57,6 +57,20 @@ class ArrayDotSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 
+  test("codegen with NON-NULLABLE inputs (regression: undeclared isNull)") {
+    // aggregate-produced arrays are non-nullable; the non-nullable
+    // nullSafeCodeGen path must still compile (ArrayDot declares itself
+    // nullable — length mismatch / null element yield null regardless)
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val d = spark.range(100).select(
+        transform(sequence(lit(1), lit(4)), x => x.cast("double") + col("id")).as("a"))
+      val r = d.select(sum(arrayDot(col("a"), col("a")))).head.getDouble(0)
+      val e = d.select(sum(hofDot(col("a"), col("a")))).head.getDouble(0)
+      assert(r == e)
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
   test("SQL registration: array_dot callable via call_function and SQL") {
     GraftFunctions.register(spark)
     import spark.implicits._
