@@ -41,8 +41,13 @@ object Bench {
       // toRdd.count() forces full materialization of every output row
       // (a bare DataFrame.count() lets Catalyst prune the projections,
       // under-measuring compute-heavy queries).
+      // a failing query must still leave a trace (the DAGScheduler logger is
+      // raised above ERROR for the accumulator-GC noise, so this line is the
+      // only diagnostic) — and its timing would otherwise read as a speedup
       try { SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val pass1 = names.map(n => n -> once(n)).toMap

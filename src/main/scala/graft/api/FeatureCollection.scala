@@ -73,6 +73,9 @@ final case class NaryFeatureDescriptor(
     strides: Option[Seq[Win]] = None) extends AnyFeatureDescriptor {
   require(seriesNames.lengthCompare(2) >= 0,
     "an n-ary feature needs at least two series (use FeatureDescriptor for one)")
+  require(seriesNames.lengthCompare(function.arity) == 0,
+    s"${function.name} consumes ${function.arity} series, got " +
+      s"${seriesNames.length}: ${seriesNames.mkString("|")}")
   require(window.forall(w => strides.forall(_.forall(_.domain == w.domain))),
     "window and strides must share the same domain (reference: feature.py:142-151)")
 
@@ -121,6 +124,17 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
       "group-by calculations support single-series features only")
     requireDistinctManualNames()
     descriptors.groupBy(_.seriesNames.head).toSeq
+  }
+
+  /** G1/G3 join per-series instants directly, so mixed timezones would
+    * silently misalign rather than error — enforce the same-tz contract
+    * calculate() applies (reference: strided_rolling.py:572-580).
+    */
+  private def requireSameTz(all: Seq[Series]): Unit = {
+    val tzs = all.filter(_.domain == Domain.Time).map(_.tz).distinct
+    require(tzs.lengthCompare(1) <= 0,
+      s"all series must share the same timezone, got: " +
+        tzs.map(_.getOrElse("<none>")).mkString(", "))
   }
 
   /** Manual renames (`w=manual`) collapse the window out of the output name,
@@ -327,6 +341,7 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
     * output names use `w=manual`.
     */
   def calculateGroupByAll(data: Seq[Series], group: Series): DataFrame = {
+    requireSameTz(data :+ group)
     val byName = data.map(s => s.name -> s).toMap
     val g = group.internal
       .where(col("__v").isNotNull && (group.df.schema(group.valueCol).dataType match {
@@ -366,6 +381,7 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
     * sum → run table → broadcast range join.
     */
   def calculateGroupByConsecutive(data: Seq[Series], group: Series): DataFrame = {
+    requireSameTz(data :+ group)
     val byName = data.map(s => s.name -> s).toMap
     // change-flag + run numbering as DISTRIBUTED prefix scans (Scan) — the
     // reference's `(v != v.shift()).cumsum()` without a single-partition

@@ -197,33 +197,42 @@ object FeatureFuncs {
   * their index-intersection (the engine's join-based analog of the
   * reference's "make sure the function can deal with different lengths").
   *
+  * @param arity number of series the function consumes — the descriptor
+  *              enforces `seriesNames.length == arity`, so a mismatch fails
+  *              at construction with a clear message instead of a MatchError
+  *              (too few) or a silently-wrong statistic under a misleading
+  *              column name (too many: the extra series would only shrink
+  *              the index intersection without entering the math).
   * @param agg (idxCol, valueCols) => aggregate Column; valueCols holds one
   *            column per series, in descriptor order.
   */
 final case class NaryFunc(
     name: String,
+    arity: Int,
     agg: (Column, Seq[Column]) => Column,
     emptyValue: Option[Column] = None,
-    outputNames: Option[Seq[String]] = None)
+    outputNames: Option[Seq[String]] = None) {
+  require(arity >= 2, "NaryFunc arity must be >= 2")
+}
 
 /** Built-in tuple-series aggregates (all single-pass algebraic natives). */
 object NaryFuncs {
   /** Pearson correlation of two co-windowed series. */
-  val corr2: NaryFunc = NaryFunc("corr", (_, vs) => corr(vs(0), vs(1)))
+  val corr2: NaryFunc = NaryFunc("corr", 2, (_, vs) => corr(vs(0), vs(1)))
   /** Population covariance of two co-windowed series. */
-  val covar: NaryFunc = NaryFunc("covar", (_, vs) => covar_pop(vs(0), vs(1)))
+  val covar: NaryFunc = NaryFunc("covar", 2, (_, vs) => covar_pop(vs(0), vs(1)))
   /** Windowed dot product. */
-  val dot: NaryFunc = NaryFunc("dot",
+  val dot: NaryFunc = NaryFunc("dot", 2,
     (_, vs) => org.apache.spark.sql.functions.sum(vs(0) * vs(1)))
   /** Least-squares slope of b against a (regressor, response). */
-  val regrSlope: NaryFunc = NaryFunc("regr_slope", (_, vs) => regr_slope(vs(1), vs(0)))
+  val regrSlope: NaryFunc = NaryFunc("regr_slope", 2, (_, vs) => regr_slope(vs(1), vs(0)))
 
   /** Weighted Pearson correlation of (a, b) under weight series w — a true
     * 3-ary feature, computed from six weighted sums in ONE aggregate pass
     * (fully codegen'd, no second scan).
     */
-  val wcorr: NaryFunc = NaryFunc("wcorr", (_, vs) => {
-    val Seq(a, b, w) = vs.take(3)
+  val wcorr: NaryFunc = NaryFunc("wcorr", 3, (_, vs) => {
+    val Seq(a, b, w) = vs
     val sw = org.apache.spark.sql.functions.sum(w)
     val swa = org.apache.spark.sql.functions.sum(w * a)
     val swb = org.apache.spark.sql.functions.sum(w * b)

@@ -151,9 +151,10 @@ object Ann {
         .select(col(idCol), col("__cell"),
           cosine(asDouble(col(embCol)), col("__cell_vec")).as("__sim"))
     // assignment is a map-side partial aggregate (max_by) — the shuffle
-    // carries one row per vector, not one per (vector, cell)
+    // carries one row per vector, not one per (vector, cell); ties break to
+    // the lower cell id so the probed candidate set is run-deterministic
     val assigned = cellSims(df).groupBy(idCol)
-      .agg(max_by(col("__cell"), col("__sim")).as("__cell"))
+      .agg(max_by(col("__cell"), struct(col("__sim"), -col("__cell"))).as("__cell"))
     val probed = cellSims(queryDf)
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -192,7 +193,11 @@ object Ann {
   def kmeansCells(df: DataFrame, idCol: String, embCol: String,
                   k: Int, iters: Int = 5): DataFrame = {
     val spark = df.sparkSession
+    // the vectors feed the seed pass plus one assignment pass per iteration
+    // — materialize the scan+cast once (lazy localCheckpoint, dropped on GC)
+    // instead of re-reading the source every round
     val vecs = df.select(col(idCol), asDouble(col(embCol)).as("__e"))
+      .localCheckpoint(eager = false)
     var model: Array[(Long, Seq[Double])] = vecs
       .withColumn("__h", md5(col(idCol).cast("string")))
       .orderBy("__h").limit(k)

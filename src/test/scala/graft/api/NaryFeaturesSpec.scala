@@ -84,4 +84,16 @@ class NaryFeaturesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       NaryFeatureDescriptor(NaryFuncs.corr2, Seq("a"), win, st))
   }
+
+  test("function/series arity mismatch fails at construction") {
+    // too few: wcorr consumes 3 — would be a MatchError at plan build
+    val few = intercept[IllegalArgumentException](
+      NaryFeatureDescriptor(NaryFuncs.wcorr, Seq("a", "b"), win, st))
+    assert(few.getMessage.contains("consumes 3"))
+    // too many: corr consumes 2 — the extra series would silently shrink
+    // the index intersection without entering the statistic
+    val many = intercept[IllegalArgumentException](
+      NaryFeatureDescriptor(NaryFuncs.corr2, Seq("a", "b", "c"), win, st))
+    assert(many.getMessage.contains("consumes 2"))
+  }
 }

@@ -73,6 +73,25 @@ class TimezoneSpec extends SparkSpec {
     assert(out.schema("ts").metadata.getString("tz") == "Europe/Brussels")
   }
 
+  test("DST fall-back ambiguous wall times raise (reference AmbiguousTimeError)") {
+    // Europe/Brussels 2024-10-27: 03:00 CEST -> 02:00 CET, so 02:30 occurs
+    // twice — the reference raises pandas.AmbiguousTimeError
+    val df = spark.createDataFrame(Seq(("2024-10-27 02:30:00", 1.0)))
+      .toDF("wall", "v").withColumn("wall", col("wall").cast(TimestampNTZType))
+    val s = Series("v", df, "wall", "v", tz = Some("Europe/Brussels"))
+    val e = intercept[Exception](s.internal.collect())
+    assert(e.getMessage.contains("ambiguous wall time"))
+  }
+
+  test("DST gap nonexistent wall times raise (reference NonExistentTimeError)") {
+    // Europe/Brussels 2024-03-31: 02:00 -> 03:00, so 02:30 never happens
+    val df = spark.createDataFrame(Seq(("2024-03-31 02:30:00", 1.0)))
+      .toDF("wall", "v").withColumn("wall", col("wall").cast(TimestampNTZType))
+    val s = Series("v", df, "wall", "v", tz = Some("Europe/Brussels"))
+    val e = intercept[Exception](s.internal.collect())
+    assert(e.getMessage.contains("nonexistent wall time"))
+  }
+
   test("mixed timezones in one calculate are rejected") {
     val a = Series("a", dstFrame.withColumnRenamed("v", "a"), "wall", "a",
       tz = Some("Europe/Brussels"))
@@ -82,6 +101,12 @@ class TimezoneSpec extends SparkSpec {
       FeatureDescriptor(mean, n, Some(Win.time("1h")), Some(Seq(Win.time("1h"))))))
     val e = intercept[IllegalArgumentException](fc.calculate(Seq(a, b)))
     assert(e.getMessage.contains("same timezone"))
+    // the group-by paths join instants directly — same contract, same error
+    val fcg = FeatureCollection(FeatureDescriptor(mean, "a", None, None))
+    val eg = intercept[IllegalArgumentException](fcg.calculateGroupByAll(Seq(a), b))
+    assert(eg.getMessage.contains("same timezone"))
+    val ec = intercept[IllegalArgumentException](fcg.calculateGroupByConsecutive(Seq(a), b))
+    assert(ec.getMessage.contains("same timezone"))
   }
 
   test("tz on a sequence-domain index is rejected") {
