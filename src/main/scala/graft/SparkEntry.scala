@@ -325,6 +325,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- post-dedup: near-dup pairs -> duplicate clusters (connected
+    // components, alternating large/small-star) ----------------------------
+    "q54_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.6)
+      graft.scale.Components.dupClusters(pairs)
+        .select(col("id").as("doc_id"), col("rep"), col("n"))
+        .orderBy("doc_id")
+    }),
+
     // ---- dedup: MinHash + LSH banding, exact-verified ---------------------
     "q22_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLsh(docs(s, dir), "doc_id", "text", 3, 16, 8, 0.6)
@@ -819,6 +828,18 @@ object SparkEntry {
       s"""WITH $jaccardCte
          |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac
          |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+
+    "q54_dup_clusters" ->
+      s"""WITH RECURSIVE $jaccardCte,
+         |p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6),
+         |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+         |reach(u, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         |  UNION
+         |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
+         |cl AS (SELECT u AS doc_id, min(r) AS rep FROM reach GROUP BY u)
+         |SELECT doc_id, rep, count(*) OVER (PARTITION BY rep) AS n
+         |FROM cl ORDER BY doc_id""".stripMargin,
 
     "q22_minhash_lsh" -> {
       // 4 independent 32-bit hash slices per md5 — mirrors Dedup.sliceHash
