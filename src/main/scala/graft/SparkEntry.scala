@@ -575,6 +575,14 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // ---- text: per-doc top tf-idf terms -----------------------------------
+    "q55_tfidf" -> ((s, dir) => {
+      TextStats.tfIdf(docs(s, dir), "doc_id", "text", 3)
+        .select(col("doc_id"), col("token"),
+          (round(col("tfidf"), 6) + lit(0.0)).as("tfidf"), col("rk"))
+        .orderBy("doc_id", "rk")
+    }),
+
     // ---- distinct aggregate: windowed exact unique-user counts -----------
     "q41_distinct_users" -> ((s, dir) => {
       val uid = Series("uid", events(s, dir), "ts", "user_id")
@@ -1160,6 +1168,20 @@ object SparkEntry {
       """SELECT token, count(*) AS freq FROM (
         | SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents)
         |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+
+    "q55_tfidf" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS N FROM documents),
+        |sc AS (SELECT doc_id, token, tf * ln(N * 1.0 / df) AS s
+        |       FROM tf JOIN dfq USING (token), n),
+        |rk AS (SELECT doc_id, token, s,
+        |       row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, token) AS rk
+        |       FROM sc)
+        |SELECT doc_id, token, round(s, 6) + 0.0 AS tfidf, rk
+        |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     "q41_distinct_users" ->
       s"""WITH ${segCte(DAY, 6 * HOUR)}

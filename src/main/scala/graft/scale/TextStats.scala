@@ -131,4 +131,29 @@ object TextStats {
     array_min(transform(
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1)), lit(stride)),
       i => md5(text.substr(i, lit(k)))))
+
+  /** Top-`topK` tf-idf terms per document: tf = raw in-doc count,
+    * idf = ln(N / df), ties broken by token so ranks are engine-stable.
+    *
+    * Scale shape: two partial-aggregated groupBys (term counts, document
+    * frequencies), the doc count broadcast as a one-row scalar, and the
+    * per-doc rank window partitioned by doc_id — every stage shuffles on a
+    * key, nothing global. Returns (idCol, token, tfidf, rk).
+    */
+  def tfIdf(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+            topK: Int): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+    val tf = toks.groupBy(idCol, "token").agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("__df"))
+    val nDocs = df.agg(count(lit(1)).as("__N"))
+    tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("__tf") * log(col("__N") / col("__df")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(idCol).orderBy(col("tfidf").desc, col("token"))))
+      .where(col("rk") <= topK)
+      .select(col(idCol), col("token"), col("tfidf"), col("rk"))
+  }
 }
