@@ -535,6 +535,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- C1-keyed oracle: per-user gap sessionization ---------------------
+    "q56_keyed_chunks" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("u"), col("value"))
+      // fs = 1/3600 Hz, gapFactor 1 -> a new session after a >1h silence
+      Chunker.keyedChunkSpans(ev, "user_id", "u", "value",
+        fs = 1.0 / 3600, gapFactor = 1.0)
+        .select(col("user_id"), col("__chunk").as("chunk"),
+          col("__start").as("cstart"), col("__end").as("cend"), col("__n").as("n"))
+        .orderBy("user_id", "chunk")
+    }),
+
+    // ---- stratified split: exact per-stratum proportions ------------------
+    "q57_stratified_split" -> ((s, dir) => {
+      graft.scale.Sampling.stratifiedSplit(docs(s, dir), "doc_id", "source",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy("source", "split").agg(count(lit(1)).as("n"))
+        .orderBy("source", "split")
+    }),
+
     // ---- deterministic hash-based train/val/test split --------------------
     "q45_split" -> ((s, dir) => {
       graft.scale.Sampling.deterministicSplit(docs(s, dir), "doc_id",
@@ -1168,6 +1188,29 @@ object SparkEntry {
       """SELECT token, count(*) AS freq FROM (
         | SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents)
         |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+
+    "q56_keyed_chunks" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS u, value FROM events),
+        |d AS (SELECT user_id, u, value,
+        |  u - lag(u) OVER (PARTITION BY user_id ORDER BY u) AS diff FROM e),
+        |f AS (SELECT user_id, u, value,
+        |  CASE WHEN diff IS NULL OR diff > 3600000000 THEN 1 ELSE 0 END AS nw FROM d),
+        |c AS (SELECT user_id, u, value,
+        |  sum(nw) OVER (PARTITION BY user_id ORDER BY u
+        |                ROWS UNBOUNDED PRECEDING) - 1 AS chunk FROM f)
+        |SELECT user_id, chunk, min(u) AS cstart, max(u) AS cend,
+        |       count(value) AS n
+        |FROM c GROUP BY 1, 2 ORDER BY user_id, chunk""".stripMargin,
+
+    "q57_stratified_split" ->
+      """WITH t AS (SELECT source, ntile(100) OVER (
+        |    PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))) AS tile
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN tile <= 80 THEN 'train'
+        |       WHEN tile <= 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM t GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
 
     "q55_tfidf" ->
       """WITH t AS (SELECT doc_id,
