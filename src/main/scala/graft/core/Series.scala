@@ -66,33 +66,14 @@ final case class Series(name: String, df: DataFrame, idxCol: String,
   def internal: DataFrame = {
     val idxExpr = (domain, idxType, tz) match {
       case (Domain.Time, TimestampNTZType, Some(zone)) =>
-        // wall time in `zone` → UTC wall time → micros since the epoch wall
-        // (pure NTZ arithmetic — no session-tz dependence anywhere).
-        // DST edge cases match the reference's strictness (pandas raises
+        // wall time in `zone` → true epoch instant, via a native codegen'd
+        // expression (one ZoneRules.getValidOffsets lookup per row). DST edge
+        // cases match the reference's strictness (pandas raises
         // AmbiguousTimeError / NonExistentTimeError instead of guessing):
-        //  - a wall time in a fall-back overlap denotes TWO instants —
-        //    detected by `instant + shift` mapping back to the same wall;
-        //  - a wall time in a spring-forward gap denotes NO instant —
-        //    detected by the round trip not returning the input.
-        // Both raise; silent coercion would quietly put the repeated hour's
-        // rows in the wrong windows. (Shift sizes 1h and 30m cover every
-        // IANA DST rule.)
-        val w = col(idxCol)
-        val instant = convert_timezone(lit(zone), lit("UTC"), w)
-        def back(ntzUtc: org.apache.spark.sql.Column) =
-          convert_timezone(lit("UTC"), lit(zone), ntzUtc)
-        val nonexistent = back(instant) =!= w
-        val ambiguous =
-          back(timestamp_add("MINUTE", lit(60), instant)) === w ||
-            back(timestamp_add("MINUTE", lit(30), instant)) === w
-        when(nonexistent, raise_error(concat(
-          lit(s"series $name: nonexistent wall time (DST gap in $zone): "),
-          w.cast(StringType))))
-          .when(ambiguous, raise_error(concat(
-            lit(s"series $name: ambiguous wall time (DST fall-back in $zone): "),
-            w.cast(StringType))))
-          .otherwise(timestamp_diff("MICROSECOND", epochNtz, instant)
-            .cast(DoubleType))
+        // a spring-forward gap wall time (no valid offset) and a fall-back
+        // overlap wall time (two valid offsets) both raise; silent coercion
+        // would quietly put the repeated hour's rows in the wrong windows.
+        graft.expr.WallInstantMicros(col(idxCol), zone, name).cast(DoubleType)
       case (Domain.Time, _, _) =>
         unix_micros(col(idxCol).cast(TimestampType)).cast(DoubleType)
       case _ => col(idxCol).cast(DoubleType)
