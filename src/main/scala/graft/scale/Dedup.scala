@@ -54,26 +54,61 @@ object Dedup {
         sort_array(collect_list(col(idCol))).as("members"))
       .where(col("n") >= 2)
 
-  /** Exact n-gram Jaccard near-dup pairs via the inverted index:
-    * explode shingles → self-join on shingle → per-pair intersection count →
-    * `|A∩B| / (|A| + |B| - |A∩B|) >= threshold`.
+  /** Per-doc shingle-set frame `(id, __arr, __n = |set|)`, materialized once
+    * (lazy localCheckpoint) — the compact upstream shared by candidate
+    * generation (explode to the inverted index) and pair verification
+    * (`array_intersect` on the stored sets). Cheaper to pin than the
+    * exploded index: one row per doc, each shingle stored once.
+    */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame =
+    df.select(col(idCol), shingleArr(col(textCol), k).as("__arr"))
+      .withColumn("__n", size(col("__arr")))
+      .localCheckpoint(false)
+
+  /** Exact Jaccard verification of a (small) candidate pair set against the
+    * stored shingle sets: two broadcast-candidate joins pull each side's
+    * array (map-only over `sets` scans — the index is never re-shuffled),
+    * then ONE `array_intersect` per pair replaces the per-shingle join +
+    * count aggregation. The only shuffled data is candidate-bounded.
+    */
+  private def verifyJaccard(sets: DataFrame, idCol: String, candidates: DataFrame,
+                            threshold: Double): DataFrame = {
+    // The two broadcasts below build on DIFFERENT keys (id_a vs id_b), so
+    // their exchanges don't canonicalize to one — without pinning, the whole
+    // candidate-generation pipeline would run twice.
+    val cand = candidates.localCheckpoint(false)
+    val a = sets.select(col(idCol).as("id_a"), col("__arr").as("__aa"),
+        col("__n").as("__na"))
+      .join(broadcast(cand), Seq("id_a"))
+    val b = sets.select(col(idCol).as("id_b"), col("__arr").as("__ab"),
+        col("__n").as("__nb"))
+      .join(broadcast(cand), Seq("id_b"))
+      .select("id_a", "id_b", "__ab", "__nb")
+    a.join(b, Seq("id_a", "id_b"))
+      .withColumn("__i", size(array_intersect(col("__aa"), col("__ab"))))
+      .withColumn("jaccard",
+        col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs:
+    * prefix-filtered inverted-index self-join for candidates, then exact
+    * `|A∩B| / (|A| + |B| - |A∩B|) >= threshold` verification on the stored
+    * shingle sets (`verifyJaccard` — no second pass over the index).
     *
-    * Scale levers: `maxDocFreq` drops ultra-common shingles (stop-shingles
-    * cause quadratic blowup on skewed keys — the classic fix is exactly this
-    * frequency cut), and the join shuffles on the shingle hash, so it
-    * partitions evenly at any data size.
+    * Scale levers: `maxDocFreq` drops ultra-common shingles from CANDIDATE
+    * GENERATION (stop-shingles cause quadratic blowup on skewed keys — the
+    * classic fix is exactly this frequency cut; verification still computes
+    * the full exact Jaccard), and the candidate join shuffles on the shingle
+    * hash, so it partitions evenly at any data size.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
                    threshold: Double, maxDocFreq: Option[Long] = None): DataFrame = {
-    var sh = shinglesWithSize(df, idCol, textCol, k)
-    maxDocFreq.foreach { lim =>
-      val freq = sh.groupBy("__shingle").agg(count(lit(1)).as("__df"))
-        .where(col("__df") <= lim)
-      sh = sh.join(freq.select("__shingle"), Seq("__shingle"))
-    }
-    // The index feeds candidate generation AND both verification sides —
-    // materialize once (lazy localCheckpoint, dropped on GC).
-    sh = sh.localCheckpoint(false)
+    val sets = shingleSets(df, idCol, textCol, k)
+    val sh = sets.select(col(idCol), col("__n"),
+      explode(col("__arr")).as("__shingle"))
 
     // PREFIX FILTERING (AllPairs/PPJoin): order shingles globally by
     // (document frequency, shingle) — rarest first — and keep only each
@@ -81,35 +116,39 @@ object Dedup {
     // must share a prefix shingle, so the candidate join touches only the
     // rare end of the index: the quadratic blowup on stop-shingles that
     // kills a naive self-join at scale never happens, and the result stays
-    // EXACT (verification below computes true Jaccard).
-    val freq = sh.groupBy("__shingle").agg(count(lit(1)).as("__df"))
-    val ranked = sh.join(freq, Seq("__shingle"))
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(idCol).orderBy(col("__df"), col("__shingle"))))
+    // EXACT (verifyJaccard computes true Jaccard). Document frequency comes
+    // from a count window over the shingle key — one shuffle, no agg+join.
+    val withDf = sh.withColumn("__df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("__shingle")))
+    val filtered = maxDocFreq.fold(withDf)(lim => withDf.where(col("__df") <= lim))
+    val ranked = filtered.withColumn("__rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(idCol).orderBy(col("__df"), col("__shingle"))))
     val prefix = ranked
       .where(col("__rk") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
-      .select(col(idCol), col("__shingle"))
+      .select(col(idCol), col("__shingle"), col("__n"), col("__rk"))
       .repartition(col("__shingle"))
+    // PPJoin length + positional filters — NECESSARY conditions for
+    // Jaccard >= t evaluated inside the candidate join (with a 1e-9 slack so
+    // float wobble can only keep a pair, never drop one):
+    //   length:    min(|A|,|B|) / max(|A|,|B|) >= t  (since I<=min, U>=max)
+    //   position:  overlap <= 1 + min(|A|-rkA, |B|-rkB) at a shared prefix
+    //              shingle, and J >= t requires I >= t/(1+t) * (|A|+|B|).
+    // On template-heavy corpora rare prefixes still collide, so without
+    // these the candidate set explodes (300k pairs for 256 true ones here).
+    val (nx, ny) = (col("x.__n"), col("y.__n"))
+    val lengthOk =
+      least(nx, ny).cast("double") >= lit(threshold) * greatest(nx, ny) - lit(1e-9)
+    val overlapBound = lit(1) + least(nx - col("x.__rk"), ny - col("y.__rk"))
+    val positionOk = overlapBound.cast("double") >=
+      lit(threshold / (1 + threshold)) * (nx + ny) - lit(1e-9)
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.__shingle") === col("y.__shingle") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
+          col(s"x.$idCol") < col(s"y.$idCol") && lengthOk && positionOk)
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
 
-    // exact verification of the (small) candidate set
-    val inter = sh.select(col(idCol).as("id_a"), col("__n").as("__na"),
-        col("__shingle"))
-      .join(broadcast(cand), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("__n").as("__nb"),
-        col("__shingle")), Seq("id_b", "__shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__i"),
-        first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
-    inter
-      .withColumn("jaccard",
-        col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verifyJaccard(sets, idCol, cand, threshold)
   }
 
   /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.
@@ -128,23 +167,27 @@ object Dedup {
     */
   /** One md5 yields FOUR independent 32-bit min-hash functions (8-hex
     * slices; lexicographic min on fixed-width lowercase hex == numeric min),
-    * so `numHashes` signatures cost `numHashes/4` md5 calls per shingle row
-    * — the md5s were the dominant signature cost.
+    * so `numHashes` signatures cost `numHashes/4` md5 calls per shingle —
+    * the md5s are the dominant signature cost.
     */
-  private def sliceHash(shingle: Column, i: Int): Column =
-    substring(md5(concat(shingle, lit(s"#${i / 4}"))), (i % 4) * 8 + 1, 8)
-
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, k: Int,
                  numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    // The inverted index feeds three plan branches (signatures + both sides
-    // of candidate verification); materialize it once (lazy localCheckpoint,
-    // spills to disk, dropped on GC) instead of re-shingling per branch.
-    val sh = shinglesWithSize(df, idCol, textCol, k).localCheckpoint(false)
-    val sigAggs = (0 until numHashes).map(i =>
-      min(sliceHash(col("__shingle"), i)).as(s"__m$i"))
-    val sig = sh.groupBy(idCol).agg(sigAggs.head, sigAggs.tail: _*)
+    val sets = shingleSets(df, idCol, textCol, k)
+    // Signatures straight off the per-doc shingle ARRAY — `array_min` over a
+    // hashed copy of the array is the same min-wise statistic the exploded
+    // groupBy computed, with ZERO shuffle: the whole signature stage is
+    // map-side. Two projections on purpose: the hashed arrays (`__hg`) live
+    // in their own Project so CollapseProject won't inline one md5-transform
+    // into its four slice consumers (the same CSE-aware pattern TextStats
+    // uses — measured 2.5-5x there).
+    val hashed = sets.select(col(idCol) +: (0 until numHashes / 4).map(g =>
+      transform(col("__arr"),
+        x => md5(concat(x, lit(s"#$g")))).as(s"__h$g")): _*)
+    val sig = hashed.select(col(idCol) +: (0 until numHashes).map(i =>
+      array_min(transform(col(s"__h${i / 4}"),
+        h => substring(h, (i % 4) * 8 + 1, 8))).as(s"__m$i")): _*)
     val bandCols = (0 until bands).map { bi =>
       struct(lit(bi).as("__band"),
         md5(concat_ws("|", (0 until r).map(j => col(s"__m${bi * r + j}")): _*)).as("__key"))
@@ -160,21 +203,8 @@ object Dedup {
         col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
-    // Verify ONLY the candidates: the (tiny) pair table is broadcast against
-    // the inverted index, so verification never shuffles the index by pair —
-    // sizes ride along on the index rows (shinglesWithSize).
-    val inter = sh.select(col(idCol).as("id_a"), col("__n").as("__na"),
-        col("__shingle"))
-      .join(broadcast(cand), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("__n").as("__nb"),
-        col("__shingle")), Seq("id_b", "__shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__i"),
-        first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
-    inter
-      .withColumn("jaccard",
-        col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // Verify ONLY the candidates, against the stored shingle sets.
+    verifyJaccard(sets, idCol, cand, threshold)
   }
 
   /** 32-bit SimHash over word unigrams. Bit j's per-token contribution is
