@@ -574,6 +574,24 @@ object SparkEntry {
         .orderBy("user_id", "ts_anchor")
     }),
 
+    // ---- keyed n-ary: per-user rolling correlation of two series ---------
+    "q58_keyed_nary" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("ts"), col("value"),
+        length(col("props")).cast("double").as("plen"))
+      val out = KeyedFeatures.calculateWide(ev, "user_id", "ts",
+        Win.time("1D"), Seq(Win.time("1D")),
+        unary = Seq("value" -> len),
+        nary = Seq(Seq("value", "plen") -> NaryFuncs.corr2))
+      // Spark yields NaN for zero-variance/singleton windows where DuckDB
+      // yields NULL — normalize NaN to NULL before rounding
+      val c = qc("value|plen__corr__w=1D")
+      out.select(col("user_id").cast("long").as("user_id"),
+          unix_micros(col("ts")).as("ts_anchor"),
+          col("value__len__w=1D"),
+          round(when(!isnan(c), c), 6).as("corr_vp"))
+        .orderBy("user_id", "ts_anchor")
+    }),
+
     // ---- W1 sequence domain: rolling agg over a numeric index ------------
     "q43_seq_rolling" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -1170,6 +1188,19 @@ object SparkEntry {
          |SELECT CAST(seg.user_id AS BIGINT) AS user_id, we AS ts_anchor,
          | count(ev.value) AS "value__len__w=1D",
          | round(avg(ev.value),6) AS "value__mean__w=1D"
+         |FROM seg LEFT JOIN events ev ON ev.user_id = seg.user_id
+         |  AND epoch_us(ev.ts) >= ws AND epoch_us(ev.ts) < we
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q58_keyed_nary" ->
+      s"""WITH b AS (SELECT user_id, epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+         |  FROM events GROUP BY user_id),
+         |bn AS (SELECT user_id, s, CAST(GREATEST((e - s - $DAY) // $DAY + 1, 0) AS BIGINT) AS nb FROM b),
+         |seg AS (SELECT user_id, s + k*$DAY AS ws, s + k*$DAY + $DAY AS we
+         |        FROM bn, unnest(generate_series(0, nb - 1)) AS t(k))
+         |SELECT CAST(seg.user_id AS BIGINT) AS user_id, we AS ts_anchor,
+         | count(ev.value) AS "value__len__w=1D",
+         | round(corr(ev.value, length(ev.props)), 6) AS corr_vp
          |FROM seg LEFT JOIN events ev ON ev.user_id = seg.user_id
          |  AND epoch_us(ev.ts) >= ws AND epoch_us(ev.ts) < we
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -23,19 +23,57 @@ import graft.core._
   */
 object KeyedFeatures {
 
-  /** @param funcs   features to fuse into the single per-segment aggregate
+  /** Single-series sugar over [[calculateWide]].
+    *
+    * @param funcs   features to fuse into the single per-segment aggregate
     * @param windowIdx "begin" | "middle" | "end" output anchor (W6)
     */
   def calculate(df: DataFrame, keyCol: String, idxCol: String, valueCol: String,
                 window: Win, strides: Seq[Win], funcs: Seq[FeatureFunc],
                 seriesName: String, windowIdx: String = "end",
-                includeFinalWindow: Boolean = false): DataFrame = {
-    val series = Series(seriesName, df, idxCol, valueCol)
-    val internal = df.select(col(keyCol).as("__key"),
+                includeFinalWindow: Boolean = false): DataFrame =
+    calculateWide(
+      df.select(col(keyCol), col(idxCol), col(valueCol).as(seriesName)),
+      keyCol, idxCol, window, strides,
+      funcs.map(f => seriesName -> f), Nil, windowIdx, includeFinalWindow)
+
+  /** Keyed feature extraction over a WIDE frame: one row per (key, idx) with
+    * one column per series. Because the tuple series share index rows in
+    * this shape, n-ary features need NO per-series pairing join (unlike the
+    * long-format main path, which equi-joins per-window views on
+    * (segment, idx)) — every value column rides the single assignment
+    * explode, and unary and n-ary functions all fuse into ONE per-segment
+    * aggregate.
+    *
+    * Null semantics for n-ary inputs: a row where any consumed series is
+    * null contributes null products, which the underlying sum/corr
+    * aggregates skip — exactly the index-intersection semantics of the
+    * long-format path for the built-in NaryFuncs.
+    *
+    * @param unary (seriesColumn, func) features; output `col__f__w=...`
+    * @param nary  (seriesColumns, func) tuple features; output
+    *              `a|b|c__f__w=...` (W10 naming, same as the main path)
+    */
+  def calculateWide(df: DataFrame, keyCol: String, idxCol: String,
+                    window: Win, strides: Seq[Win],
+                    unary: Seq[(String, FeatureFunc)],
+                    nary: Seq[(Seq[String], NaryFunc)] = Nil,
+                    windowIdx: String = "end",
+                    includeFinalWindow: Boolean = false): DataFrame = {
+    require(unary.nonEmpty || nary.nonEmpty, "no features given")
+    nary.foreach { case (cols, f) =>
+      require(cols.lengthCompare(f.arity) == 0,
+        s"${f.name} consumes ${f.arity} series, got ${cols.length}: " +
+          cols.mkString("|"))
+    }
+    val valueCols = (unary.map(_._1) ++ nary.flatMap(_._1)).distinct
+    val firstVal = valueCols.head
+    val series = Series(firstVal, df, idxCol, firstVal)
+    val internal = df.select(col(keyCol).as("__key") +:
       (series.domain match {
         case Domain.Time     => unix_micros(col(idxCol).cast("timestamp")).cast("double")
         case Domain.Sequence => col(idxCol).cast("double")
-      }).as("__idx"), col(valueCol).as("__v"))
+      }).as("__idx") +: valueCols.map(col): _*)
       .where(col("__idx").isNotNull)
 
     val w = window.amount
@@ -79,20 +117,33 @@ object KeyedFeatures {
               else array_distinct(concat(arrays: _*))
     // starts past the key's own segment range (tail rows) must not invent
     // segments — semi-constrain via the join with the segment table below
-    val assigned = withStart.select(col("__key"), col("__idx"), col("__v"),
-      explode(all).as("__seg_start"))
+    val assigned = withStart.select(
+      col("__key") +: col("__idx") +: valueCols.map(col) :+
+        explode(all).as("__seg_start"): _*)
       .join(segments, Seq("__key", "__seg_start"))
 
     // 4. one fused aggregate; empty windows restored by the left join
-    val names = funcs.map(f => Win.outputName(Seq(seriesName), f.name, window.render))
-    val aggs = funcs.zip(names).map { case (f, n) =>
-      f.agg(col("__idx"), col("__v")).as(n)
-    }
+    val winR = window.render
+    case class Feat(name: String, empty: Option[Column],
+                    outputNames: Option[Seq[String]], seriesNames: Seq[String],
+                    agg: Column)
+    val feats =
+      unary.map { case (c, f) =>
+        Feat(Win.outputName(Seq(c), f.name, winR), f.emptyValue, f.outputNames,
+          Seq(c), f.agg(col("__idx"), col(c)))
+      } ++ nary.map { case (cs, f) =>
+        Feat(Win.outputName(cs, f.name, winR), f.emptyValue, f.outputNames,
+          cs, f.agg(col("__idx"), cs.map(col)))
+      }
+    require(feats.map(_.name).distinct.length == feats.length,
+      "duplicate output names: " +
+        feats.map(_.name).diff(feats.map(_.name).distinct).mkString(", "))
+    val aggs = feats.map(f => f.agg.as(f.name))
     val agged = assigned.groupBy("__key", "__seg_start").agg(aggs.head, aggs.tail: _*)
     var joined = segments.join(agged, Seq("__key", "__seg_start"), "left")
-    funcs.zip(names).foreach { case (f, n) =>
-      f.emptyValue.foreach { ev =>
-        joined = joined.withColumn(n, coalesce(col(s"`$n`"), ev))
+    feats.foreach { f =>
+      f.empty.foreach { ev =>
+        joined = joined.withColumn(f.name, coalesce(col(s"`${f.name}`"), ev))
       }
     }
     val anchorRaw = windowIdx match {
@@ -101,8 +152,15 @@ object KeyedFeatures {
       case "begin"  => col("__seg_start")
       case x => throw new IllegalArgumentException(s"bad windowIdx $x")
     }
+    // multi-output functions return a struct — expand each declared output
+    // into its own W10-named column (same rule as the main path)
+    def expand(f: Feat): Seq[Column] = f.outputNames match {
+      case Some(os) => os.map(o => col(s"`${f.name}`").getField(o)
+        .as(Win.outputName(f.seriesNames, o, winR)))
+      case None => Seq(col(s"`${f.name}`"))
+    }
     joined.select(col("__key").as(keyCol) +:
       series.restoreIdx(anchorRaw).as(idxCol) +:
-      names.map(n => col(s"`$n`")): _*)
+      feats.flatMap(expand): _*)
   }
 }

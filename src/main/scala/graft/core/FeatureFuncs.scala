@@ -217,15 +217,45 @@ final case class NaryFunc(
 
 /** Built-in tuple-series aggregates (all single-pass algebraic natives). */
 object NaryFuncs {
-  /** Pearson correlation of two co-windowed series. */
-  val corr2: NaryFunc = NaryFunc("corr", 2, (_, vs) => corr(vs(0), vs(1)))
+  /** Pairwise-masked moment sums for the ratio statistics below. Under ANSI
+    * mode (Spark 4 default) `corr`/`regr_slope` THROW DIVIDE_BY_ZERO on
+    * zero-variance or singleton windows; guarding the built-in with
+    * `var_samp > 0` doesn't help because var_samp itself divides by n-1.
+    * The moment-sum guard `n·Σx² − (Σx)² > 0` is division-free, so
+    * degenerate windows yield NULL (matching DuckDB) instead of erroring.
+    */
+  private def moments(a0: Column, b0: Column) = {
+    val both = a0.isNotNull && b0.isNotNull
+    val a = when(both, a0)
+    val b = when(both, b0)
+    val n = count(a).cast("double")
+    (n, sum(a), sum(b), sum(a * b), sum(a * a), sum(b * b))
+  }
+
+  /** Pearson correlation of two co-windowed series (sample or population —
+    * the 1/n factors cancel in the ratio; algebraically identical to
+    * Spark's `corr`, but NULL instead of an ANSI error on degenerate
+    * windows).
+    */
+  val corr2: NaryFunc = NaryFunc("corr", 2, (_, vs) => {
+    val (n, sa, sb, sab, saa, sbb) = moments(vs(0), vs(1))
+    val va = n * saa - sa * sa
+    val vb = n * sbb - sb * sb
+    when(va > 0 && vb > 0, (n * sab - sa * sb) / sqrt(va * vb))
+  })
   /** Population covariance of two co-windowed series. */
   val covar: NaryFunc = NaryFunc("covar", 2, (_, vs) => covar_pop(vs(0), vs(1)))
   /** Windowed dot product. */
   val dot: NaryFunc = NaryFunc("dot", 2,
     (_, vs) => org.apache.spark.sql.functions.sum(vs(0) * vs(1)))
-  /** Least-squares slope of b against a (regressor, response). */
-  val regrSlope: NaryFunc = NaryFunc("regr_slope", 2, (_, vs) => regr_slope(vs(1), vs(0)))
+  /** Least-squares slope of b against a (regressor, response); NULL when the
+    * regressor has zero variance (see [[moments]]).
+    */
+  val regrSlope: NaryFunc = NaryFunc("regr_slope", 2, (_, vs) => {
+    val (n, sa, sb, sab, saa, _) = moments(vs(0), vs(1))
+    val va = n * saa - sa * sa
+    when(va > 0, (n * sab - sa * sb) / va)
+  })
 
   /** Weighted Pearson correlation of (a, b) under weight series w — a true
     * 3-ary feature, computed from six weighted sums in ONE aggregate pass

@@ -29,4 +29,43 @@ class KeyedFeaturesSpec extends SparkSpec {
     val meanCol = out.columns.indexOf("v__mean__w=3")
     assert(out.collect()(1).isNullAt(meanCol)) // empty window → null mean
   }
+
+  test("wide frame: unary + n-ary fuse into one aggregate, W10 tuple names") {
+    import spark.implicits._
+    // y = 2x per key → corr 1 wherever a window has >= 2 distinct points
+    val df = (Seq(0.0, 1.0, 2.0).map(("a", _)) ++ Seq(5.0, 6.0).map(("b", _)))
+      .toDF("k", "idx")
+      .withColumn("x", col("idx") * 10)
+      .withColumn("y", col("idx") * 20)
+    val out = KeyedFeatures.calculateWide(df, "k", "idx",
+      Win.seq(2L), Seq(Win.seq(2L)),
+      unary = Seq("x" -> len),
+      nary = Seq(Seq("x", "y") -> NaryFuncs.corr2))
+      .orderBy("k", "idx")
+    assert(out.columns.toSeq ==
+      Seq("k", "idx", "x__len__w=2", "x|y__corr__w=2"))
+    val rows = out.collect()
+    // a: bounds [0,2] → one window [0,2) with points (0,1) → corr 1
+    // b: bounds [5,6] → no full window (6-5 < 2) → zero rows for b
+    assert(rows.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("a", 2.0)))
+    assert(rows(0).getLong(2) == 2L)
+    assert(math.abs(rows(0).getDouble(3) - 1.0) < 1e-12)
+  }
+
+  test("wide frame: multi-output struct funcs expand per output name") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    val minmax = FeatureFunc("minmax",
+      (_, v) => struct(F.min(v).as("lo"), F.max(v).as("hi")),
+      outputNames = Some(Seq("lo", "hi")))
+    // bounds [0,2] → one window [0,2) holding x = {1, 5}
+    val df = Seq(("a", 0.0, 1.0), ("a", 1.0, 5.0), ("a", 2.0, 9.0))
+      .toDF("k", "idx", "x")
+    val out = KeyedFeatures.calculateWide(df, "k", "idx",
+      Win.seq(2L), Seq(Win.seq(2L)), unary = Seq("x" -> minmax))
+    assert(out.columns.toSeq == Seq("k", "idx", "x__lo__w=2", "x__hi__w=2"))
+    val r = out.collect()(0)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 5.0)
+  }
 }
