@@ -574,6 +574,12 @@ object SparkEntry {
         .orderBy("user_id", "ts_anchor")
     }),
 
+    // ---- text: Gopher-style repetition statistics -------------------------
+    "q59_repetition" -> ((s, dir) => {
+      TextStats.repetition(docs(s, dir), "doc_id", "text", topN = 2, dupN = 5)
+        .orderBy("doc_id")
+    }),
+
     // ---- keyed n-ary: per-user rolling correlation of two series ---------
     "q58_keyed_nary" -> ((s, dir) => {
       val ev = events(s, dir).select(col("user_id"), col("ts"), col("value"),
@@ -1191,6 +1197,32 @@ object SparkEntry {
          |FROM seg LEFT JOIN events ev ON ev.user_id = seg.user_id
          |  AND epoch_us(ev.ts) >= ws AND epoch_us(ev.ts) < we
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q59_repetition" ->
+      """WITH w AS (SELECT doc_id, length(text) AS len,
+        |  string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+        |       FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        |       WHERE len(ws) >= 2),
+        |c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+        |top AS (SELECT doc_id, g AS top_gram, cnt AS top_cnt FROM (
+        |  SELECT doc_id, g, cnt, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY cnt DESC, g) AS rk FROM c2)
+        |  WHERE rk = 1),
+        |g5 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+        |         || ws[i+3] || ' ' || ws[i+4] AS g
+        |       FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(i)
+        |       WHERE len(ws) >= 5),
+        |c5 AS (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+        |d5 AS (SELECT doc_id, count(*) AS dup_ngrams FROM c5
+        |       WHERE cnt >= 2 GROUP BY 1)
+        |SELECT w.doc_id, top.top_gram,
+        |  COALESCE(top.top_cnt, 0) AS top_cnt,
+        |  round(COALESCE(top.top_cnt * length(top.top_gram)
+        |    / CAST(w.len AS DOUBLE), 0.0), 6) AS top_char_frac,
+        |  COALESCE(d5.dup_ngrams, 0) AS dup_ngrams
+        |FROM w LEFT JOIN top USING (doc_id) LEFT JOIN d5 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q58_keyed_nary" ->
       s"""WITH b AS (SELECT user_id, epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e

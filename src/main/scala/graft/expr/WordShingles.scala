@@ -47,6 +47,31 @@ object ShingleUtil {
     }
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
+
+  /** ALL word k-grams with multiplicity, occurrence order — the repetition
+    * statistics need frequencies, so no dedup. Standard n-gram semantics:
+    * a doc with fewer than k words has NO k-grams (unlike `shingles`, whose
+    * dedup semantics collapse short docs to one all-words shingle).
+    */
+  def ngrams(text: UTF8String, k: Int): ArrayData = {
+    val words = ws.split(text.trim.toString, -1)
+    if (words.length < k) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](words.length - k + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + k <= words.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Native distinct word k-gram shingles of a string column — one fused pass
@@ -80,4 +105,35 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
 object WordShingles {
   def apply(text: Column, k: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), k))
+}
+
+/** Native word k-grams WITH multiplicity (occurrence order, no dedup) — the
+  * frequency-preserving sibling of [[WordShingles]], for repetition
+  * statistics (Gopher-style duplicate/top n-gram fractions).
+  */
+case class WordNgrams(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "n-gram size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams requires a string argument, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(t: Any): Any =
+    ShingleUtil.ngrams(t.asInstanceOf[UTF8String], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.ShingleUtil.ngrams($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+  def apply(text: Column, k: Int): Column =
+    ColumnBridge.column(WordNgrams(ColumnBridge.expression(text), k))
 }

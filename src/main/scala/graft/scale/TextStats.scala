@@ -156,4 +156,41 @@ object TextStats {
       .where(col("rk") <= topK)
       .select(col(idCol), col("token"), col("tfidf"), col("rk"))
   }
+
+  /** Gopher/MassiveText-style repetition statistics per document:
+    *   - the most frequent word `topN`-gram (ties broken by gram asc, both
+    *     engines), its occurrence count, and the fraction of the doc's
+    *     characters it covers (`count * length(gram) / length(text)`);
+    *   - the number of distinct `dupN`-grams occurring more than once.
+    * High values on either flag template/boilerplate docs for removal —
+    * the standard repetition filters of large-scale text pipelines.
+    *
+    * Scale shape: two explode → partial-aggregated groupBy(id, gram)
+    * pipelines; the per-doc argmax is `min(struct(-cnt, gram))` — a plain
+    * aggregate, no rank window. Docs shorter than the gram size survive via
+    * the left joins (zero counts, null top gram).
+    */
+  def repetition(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, topN: Int = 2, dupN: Int = 5): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol), length(col(textCol)).as("__len"),
+      col(textCol).as("__text"))
+    def counts(n: Int) = base
+      .select(col(idCol), explode(graft.expr.WordNgrams(col("__text"), n)).as("__g"))
+      .groupBy(idCol, "__g").agg(count(lit(1)).as("__cnt"))
+    val top = counts(topN)
+      .groupBy(idCol)
+      .agg(min(struct((-col("__cnt")).as("nc"), col("__g").as("g"))).as("__top"))
+      .select(col(idCol), col("__top.g").as("top_gram"),
+        (-col("__top.nc")).as("top_cnt"))
+    val dups = counts(dupN).where(col("__cnt") >= 2)
+      .groupBy(idCol).agg(count(lit(1)).as("dup_ngrams"))
+    base.select(col(idCol), col("__len"))
+      .join(top, Seq(idCol), "left")
+      .join(dups, Seq(idCol), "left")
+      .select(col(idCol), col("top_gram"),
+        coalesce(col("top_cnt"), lit(0L)).as("top_cnt"),
+        round(coalesce(col("top_cnt") * length(col("top_gram"))
+          / col("__len"), lit(0.0)), 6).as("top_char_frac"),
+        coalesce(col("dup_ngrams"), lit(0L)).as("dup_ngrams"))
+  }
 }

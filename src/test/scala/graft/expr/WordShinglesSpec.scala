@@ -72,4 +72,17 @@ class WordShinglesSpec extends SparkSpec {
       .groupBy("doc_id").count().orderBy("doc_id").collect()
     assert(got.nonEmpty && got.forall(_.getLong(1) > 0))
   }
+
+  test("WordNgrams keeps multiplicity; short docs have no n-grams") {
+    import spark.implicits._
+    val d = Seq((1, "a b a b a"), (2, "one"), (3, ""), (4, null))
+      .toDF("i", "t")
+    val rows = d.select(col("i"), WordNgrams(col("t"), 2).as("g"))
+      .orderBy("i").collect()
+    // duplicates preserved in occurrence order (dedup'd by WordShingles)
+    assert(rows(0).getSeq[String](1) == Seq("a b", "b a", "a b", "b a"))
+    assert(rows(1).getSeq[String](1).isEmpty) // < k words -> NO grams
+    assert(rows(2).getSeq[String](1).isEmpty)
+    assert(rows(3).isNullAt(1))
+  }
 }
