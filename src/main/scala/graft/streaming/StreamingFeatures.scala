@@ -35,7 +35,8 @@ object StreamingFeatures {
   def rolling(df: DataFrame, tsCol: String, valueCol: String,
               seriesName: String, win: TimeWin, slide: TimeWin,
               funcs: Seq[FeatureFunc], watermark: Option[String] = None,
-              offset: Option[String] = None): DataFrame = {
+              offset: Option[String] = None,
+              keyCols: Seq[String] = Nil): DataFrame = {
     val base = watermark.map(w => df.withWatermark(tsCol, w)).getOrElse(df)
     val idx = unix_micros(col(tsCol)).cast("double")
     val names = funcs.map(f => Win.outputName(Seq(seriesName), f.name, win.render))
@@ -48,10 +49,24 @@ object StreamingFeatures {
       case None => window(col(tsCol), s"${win.micros} microseconds",
         s"${slide.micros} microseconds")
     }
-    base.groupBy(winCol)
+    // keyCols = per-entity streams (the KeyedFeatures analog): state and
+    // shuffle partition on the key, so adding entities scales out
+    base.groupBy(winCol +: keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-      .select(col("window.end").as(tsCol) +: names.map(n => col(s"`$n`")): _*)
+      .select(keyCols.map(col) ++ (col("window.end").as(tsCol) +:
+        names.map(n => col(s"`$n`"))): _*)
   }
+
+  /** Wall-clock (TimestampNTZ) stream → instant (TimestampType) stream in
+    * `zone`, via the same strict-DST native expression as the batch engine
+    * (`graft.expr.WallInstantMicros` — gap/overlap wall times RAISE rather
+    * than silently landing in the wrong window). A pure per-row projection,
+    * so it composes with any streaming source before `rolling` /
+    * `chunkSessions`.
+    */
+  def fromWallClock(df: DataFrame, tsCol: String, zone: String): DataFrame =
+    df.withColumn(tsCol, timestamp_micros(
+      graft.expr.WallInstantMicros(col(tsCol), zone, tsCol)))
 
   /** Streaming gap chunking: rows separated by more than `gap` start a new
     * session — the streaming analog of Chunker C1 (the batch engine's

@@ -93,4 +93,43 @@ class StreamingFeaturesSpec extends SparkSpec {
       ("a", 0L, 120000000L, 3L), ("a", 3720000000L, 3780000000L, 2L),
       ("b", 1000000000L, 1060000000L, 2L)))
   }
+
+  test("keyed rolling partitions state per entity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(String, Long, Double)]
+    // key a: minutes 0..4 value 1; key b: minutes 0..4 value 3
+    ms.addData((0 until 5).flatMap(i =>
+      Seq(("a", i * 60000000L, 1.0), ("b", i * 60000000L, 3.0))))
+    val sdf = ms.toDF().select(col("_1").as("k"),
+      timestamp_micros(col("_2")).as("ts"), col("_3").as("v"))
+    val out = StreamingFeatures.rolling(sdf, "ts", "v", "v",
+      Win.time("5m").asInstanceOf[TimeWin], Win.time("5m").asInstanceOf[TimeWin],
+      Seq(mean), keyCols = Seq("k"))
+    val q = out.writeStream.format("memory").queryName("keyedroll")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("keyedroll")
+      .select(col("k"), unix_micros(col("ts")), col("`v__mean__w=5m`"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows == Seq(("a", 300000000L, 1.0), ("b", 300000000L, 3.0)))
+  }
+
+  test("fromWallClock converts an NTZ stream to instants (strict DST)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    // Brussels wall 12:00 = 11:00 UTC (CET, winter)
+    ms.addData("2024-01-15 12:00:00")
+    val sdf = ms.toDF().select(col("value")
+      .cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"))
+    val out = StreamingFeatures.fromWallClock(sdf, "ts", "Europe/Brussels")
+    val q = out.writeStream.format("memory").queryName("wallstream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("wallstream")
+      .select(unix_micros(col("ts"))).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1705316400000000L)) // 2024-01-15T11:00:00Z
+  }
 }
