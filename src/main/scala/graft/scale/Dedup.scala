@@ -66,24 +66,26 @@ object Dedup {
       .withColumn("__n", size(col("__arr")))
       .localCheckpoint(false)
 
-  /** Exact Jaccard verification of a (small) candidate pair set against the
-    * stored shingle sets: two broadcast-candidate joins pull each side's
-    * array (map-only over `sets` scans — the index is never re-shuffled),
-    * then ONE `array_intersect` per pair replaces the per-shingle join +
-    * count aggregation. The only shuffled data is candidate-bounded.
+  /** Exact Jaccard verification of a candidate pair set against the stored
+    * shingle sets: two candidate joins pull each side's array (no index
+    * re-shuffle, no per-shingle count aggregation — ONE `array_intersect`
+    * per pair). The candidate table is checkpointed, so AQE sees its true
+    * size and broadcasts it when small; a candidate set too big to
+    * broadcast degrades to a shuffled join on the id — never a recompute,
+    * never a plan that stops scaling.
     */
   private def verifyJaccard(sets: DataFrame, idCol: String, candidates: DataFrame,
                             threshold: Double): DataFrame = {
-    // The two broadcasts below build on DIFFERENT keys (id_a vs id_b), so
-    // their exchanges don't canonicalize to one — without pinning, the whole
+    // The two joins below build on DIFFERENT keys (id_a vs id_b), so their
+    // exchanges don't canonicalize to one — without pinning, the whole
     // candidate-generation pipeline would run twice.
     val cand = candidates.localCheckpoint(false)
     val a = sets.select(col(idCol).as("id_a"), col("__arr").as("__aa"),
         col("__n").as("__na"))
-      .join(broadcast(cand), Seq("id_a"))
+      .join(cand, Seq("id_a"))
     val b = sets.select(col(idCol).as("id_b"), col("__arr").as("__ab"),
         col("__n").as("__nb"))
-      .join(broadcast(cand), Seq("id_b"))
+      .join(cand, Seq("id_b"))
       .select("id_a", "id_b", "__ab", "__nb")
     a.join(b, Seq("id_a", "id_b"))
       .withColumn("__i", size(array_intersect(col("__aa"), col("__ab"))))
