@@ -383,15 +383,13 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
   def calculateGroupByConsecutive(data: Seq[Series], group: Series): DataFrame = {
     requireSameTz(data :+ group)
     val byName = data.map(s => s.name -> s).toMap
-    // change-flag + run numbering as DISTRIBUTED prefix scans (Scan) — the
-    // reference's `(v != v.shift()).cumsum()` without a single-partition
-    // global window.
-    val lagged = Scan.withLagged(group.internal.where(col("__v").isNotNull),
-      "__idx", Seq("__v"))
-    val flagged = lagged.withColumn("__chg",
-      when(col("__lag___v").isNull || col("__lag___v") =!= col("__v"), 1L)
-        .otherwise(0L))
-    val runsBase = Scan.runningSum(flagged, "__idx", "__chg", "__run")
+    // change-flag + run numbering as ONE fused distributed prefix scan
+    // (Scan.lagFlagScan) — the reference's `(v != v.shift()).cumsum()`
+    // without a single-partition global window, and without the second
+    // window pass a chained withLagged + runningSum would cost.
+    val runsBase = Scan.lagFlagScan(
+      group.internal.where(col("__v").isNotNull), "__idx", "__v",
+      (prev, cur) => prev.isNull || prev =!= cur, "__run")
     // The run table feeds several plan branches (start markers per series
     // frame, the next-run self-join, the final output join); a lazy
     // localCheckpoint materializes the two-scan pipeline above ONCE and lets

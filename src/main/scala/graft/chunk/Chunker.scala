@@ -41,23 +41,31 @@ object Chunker {
       case Domain.Time     => 1e6
       case Domain.Sequence => 1.0
     }
-    val withDiff = Scan.withLagged(s.internal, "__idx", Seq("__idx"))
-      .withColumn("__diff", col("__idx") - col("__lag___idx"))
-    val withThr = fs match {
-      case Some(hz) => withDiff.withColumn("__thr", lit(gapFactor / hz * unitPerSec))
+    fs match {
+      case Some(hz) =>
+        // declared sample rate → literal threshold → the whole gap-detect +
+        // chunk-numbering pipeline is ONE fused scan
+        val thr = lit(gapFactor / hz * unitPerSec)
+        Scan.lagFlagScan(s.internal, "__idx", "__idx",
+          (prev, cur) => prev.isNull || cur - prev > thr, "__chunk0")
+          .withColumn("__chunk", col("__chunk0") - 1)
+          .drop("__chunk0")
       case None =>
-        // summary-sized second pass sharing the main pipeline's range
-        // exchange (Scan.maxGap) — NOT a second full lag pipeline
+        // inferred rate: the threshold is a data-derived scalar column, so
+        // the flag needs the two-scan shape — maxGap is summary-sized and
+        // shares the main pipeline's range exchange (ReusedExchange)
+        val withDiff = Scan.withLagged(s.internal, "__idx", Seq("__idx"))
+          .withColumn("__diff", col("__idx") - col("__lag___idx"))
         val mx = Scan.maxGap(s.internal, "__idx")
-        withDiff.crossJoin(broadcast(mx))
+        val flagged = withDiff.crossJoin(broadcast(mx))
           .withColumn("__thr", lit(gapFactor) * col("__maxgap"))
+          .withColumn("__new", when(col("__diff").isNull ||
+            col("__diff") > col("__thr"), 1L).otherwise(0L))
+        Scan.runningSum(flagged, "__idx", "__new", "__chunk0")
+          .withColumn("__chunk", col("__chunk0") - 1)
+          .drop("__diff", "__thr", "__new", "__maxgap", "__lag___idx",
+            "__chunk0", "__pid")
     }
-    val flagged = withThr
-      .withColumn("__new", when(col("__diff").isNull ||
-        col("__diff") > col("__thr"), 1L).otherwise(0L))
-    Scan.runningSum(flagged, "__idx", "__new", "__chunk0")
-      .withColumn("__chunk", col("__chunk0") - 1)
-      .drop("__diff", "__thr", "__new", "__maxgap", "__lag___idx", "__chunk0", "__pid")
   }
 
   /** Chunk spans: `(__chunk, __sub, __start, __end, __n)` after the C2

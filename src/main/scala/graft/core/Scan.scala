@@ -105,6 +105,51 @@ object Scan {
       .drop("__loc", "__off", "__pid")
   }
 
+  /** Fused lag → change-flag → inclusive running count in ONE ranged scan:
+    * `outCol` counts the rows at-or-before each row (in `orderCol` order)
+    * where `startFlag(prev, cur)` holds, with `prev` = the previous row's
+    * `valCol` (null for the global first row). Equivalent to
+    * `withLagged` + a flag projection + `runningSum`, but with a single
+    * range shuffle, ONE window pass and ONE per-partition summary — the
+    * boundary fix-up (each partition's first row was flagged against a null
+    * prev; the true prev is the previous partition's last value) is a
+    * per-partition CORRECTION computed on the numPartitions-row summary.
+    *
+    * Contract: `startFlag(null, cur)` must be TRUE (a first row always
+    * starts a run), and `valCol` values must be non-null (filter first).
+    */
+  def lagFlagScan(df: DataFrame, orderCol: String, valCol: String,
+                  startFlag: (Column, Column) => Column,
+                  outCol: String): DataFrame = {
+    val p = ranged(df, Seq(orderCol))
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+    val flag = when(startFlag(lag(col(valCol), 1).over(w), col(valCol)), 1L)
+      .otherwise(0L)
+    val local = p.withColumn("__flag", flag)
+      .withColumn("__loc", sum(col("__flag")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val perPid = local.groupBy("__pid").agg(
+      sum(col("__flag")).as("__tot"),
+      min_by(col(valCol), col(orderCol)).as("__first"),
+      max_by(col(valCol), col(orderCol)).as("__last"))
+    // nearest preceding NON-EMPTY partition's last value (empty range
+    // partitions have no summary row)
+    val prevLast = overPrev(perPid, Seq(
+      max_by(col("b___last"), col("b___pid")).as("__prevLast")))
+    // correction c_p = 1 when the partition's first row is NOT a true start
+    // — its tentative flag (1, null prev) over-counted
+    val corr = perPid.join(prevLast, Seq("__pid"))
+      .withColumn("__c", when(col("__prevLast").isNotNull &&
+        !startFlag(col("__prevLast"), col("__first")), 1L).otherwise(0L))
+      .withColumn("__adj", col("__tot") - col("__c"))
+    val offs = overPrev(corr, Seq(
+        coalesce(sum(col("b___adj")), lit(0L)).as("__off")))
+      .join(corr.select(col("__pid"), col("__c")), Seq("__pid"))
+    local.join(broadcast(offs), Seq("__pid"))
+      .withColumn(outCol, col("__loc") + col("__off") - col("__c"))
+      .drop("__flag", "__loc", "__off", "__c", "__pid")
+  }
+
   /** Largest gap between CONSECUTIVE values of `orderCol` as a one-row
     * frame (column `__maxgap`) — max over the partition-local lag diffs and
     * the cross-boundary diffs derived from the per-partition summary. Uses

@@ -81,6 +81,45 @@ class ScanSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("lagFlagScan equals global lag->flag->cumsum (value runs)") {
+    import spark.implicits._
+    // few distinct values → long runs that CROSS partition boundaries
+    val rnd = new scala.util.Random(11)
+    var t = 0L
+    val d = (1 to 2000).map { _ =>
+      t += 1 + rnd.nextInt(10)
+      (t, s"g${rnd.nextInt(2)}")
+    }.toDF("idx", "g").repartition(16)
+    val got = Scan.lagFlagScan(d, "idx", "g",
+        (p, c) => p.isNull || p =!= c, "run")
+      .select("idx", "run").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val w = Window.orderBy("idx")
+    val exp = d
+      .withColumn("f", when(lag(col("g"), 1).over(w).isNull ||
+        lag(col("g"), 1).over(w) =!= col("g"), 1L).otherwise(0L))
+      .select(col("idx"), sum(col("f")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == exp)
+  }
+
+  test("lagFlagScan equals global scan for gap thresholds") {
+    val d = data
+    val got = Scan.lagFlagScan(d, "idx", "idx",
+        (p, c) => p.isNull || c - p > lit(25L), "chunk")
+      .select("idx", "chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val w = Window.orderBy("idx")
+    val exp = d
+      .withColumn("f", when(lag(col("idx"), 1).over(w).isNull ||
+        col("idx") - lag(col("idx"), 1).over(w) > 25L, 1L).otherwise(0L))
+      .select(col("idx"), sum(col("f")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == exp)
+  }
+
   test("fillForward equals global last-non-null carry") {
     val d = data
     val got = Scan.fillForward(d, Seq("idx"), "g", "gf")
