@@ -138,10 +138,13 @@ object Chunker {
     * via an interval tolerance self-join.
     */
   def matchRanges(spans: Seq[(String, DataFrame)], margin: Double): DataFrame = {
+    // span tables are chunk-sized (tiny); pin the union so the tolerance
+    // self-join's two sides read ONE materialization instead of re-running
+    // every upstream chunkSpans scan pipeline twice
     val tagged = spans.map { case (n, df) =>
       df.select(lit(n).as("__series"), col("__chunk"),
         col("__start"), col("__end"))
-    }.reduce(_.unionAll(_))
+    }.reduce(_.unionAll(_)).localCheckpoint(false)
     val a = tagged.as("a")
     val b = tagged.as("b")
     a.join(b,
