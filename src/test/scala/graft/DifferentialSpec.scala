@@ -36,6 +36,32 @@ class DifferentialSpec extends SparkSpec {
     assert(keyed == single)
   }
 
+  test("keyed wide n-ary on a single key equals the main-path tuple features") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    var t = 0L
+    val rows = (1 to 500).map { _ =>
+      t += 1 + rnd.nextInt(20)
+      (t.toDouble, rnd.nextDouble() * 100, rnd.nextDouble() * 10)
+    }
+    val df = rows.toDF("idx", "x", "y")
+    val main = {
+      val fc = FeatureCollection(NaryFeatureDescriptor(NaryFuncs.corr2,
+        Seq("x", "y"), Some(Win.seq(100L)), Some(Seq(Win.seq(40L)))))
+      fc.calculate(Seq(Series("x", df, "idx", "x"), Series("y", df, "idx", "y")))
+        .select(col("idx"), col("`x|y__corr__w=100`"))
+        .collect().map(r => (r.getDouble(0), Option(r.get(1))))
+        .sortBy(_._1).toSeq
+    }
+    val keyed = KeyedFeatures.calculateWide(df.withColumn("k", lit("only")),
+      "k", "idx", Win.seq(100L), Seq(Win.seq(40L)),
+      unary = Nil, nary = Seq(Seq("x", "y") -> NaryFuncs.corr2))
+      .select(col("idx"), col("`x|y__corr__w=100`"))
+      .collect().map(r => (r.getDouble(0), Option(r.get(1))))
+      .sortBy(_._1).toSeq
+    assert(keyed == main)
+  }
+
   test("a JSON-reloaded collection computes identical features") {
     import spark.implicits._
     val df = (0 until 200).map(i => (i.toDouble, math.sin(i / 7.0) * 50))
