@@ -220,10 +220,19 @@ object Dedup {
 
   /** 32-bit SimHash over word unigrams. Bit j's per-token contribution is
     * the parity of hex digit j of md5(token) (±1); fingerprint bit j is the
-    * sign of the sum. One md5 per token yields all 32 bits — cheap and
-    * engine-independent. Returns (id, simhash BIGINT).
+    * sign of the sum. Computed by the native one-pass `SimHash32` expression
+    * (graft.expr) — a map-side projection, no explode/groupBy shuffle.
+    * Returns (id, simhash BIGINT).
     */
-  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), graft.expr.SimHash32(col(textCol)).as("simhash"))
+
+  /** The Column formulation `simhash32` replaces (explode → md5 per token →
+    * 32 parity sums → sign bits) — kept as the differential-test reference
+    * (SimHashSpec) and the documentation of the algorithm the DuckDB oracle
+    * twin mirrors.
+    */
+  def simhash32Columns(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol),
       explode(words(col(textCol))).as("__t"))
       .withColumn("__h", md5(col("__t")))
