@@ -186,19 +186,16 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val sets = shingleSets(df, idCol, textCol, k)
-    // Signatures straight off the per-doc shingle ARRAY — `array_min` over a
-    // hashed copy of the array is the same min-wise statistic the exploded
-    // groupBy computed, with ZERO shuffle: the whole signature stage is
-    // map-side. Two projections on purpose: the hashed arrays (`__hg`) live
-    // in their own Project so CollapseProject won't inline one md5-transform
-    // into its four slice consumers (the same CSE-aware pattern TextStats
-    // uses — measured 2.5-5x there).
-    val hashed = sets.select(col(idCol) +: (0 until numHashes / 4).map(g =>
-      transform(col("__arr"),
-        x => md5(concat(x, lit(s"#$g")))).as(s"__h$g")): _*)
-    val sig = hashed.select(col(idCol) +: (0 until numHashes).map(i =>
-      array_min(transform(col(s"__h${i / 4}"),
-        h => substring(h, (i % 4) * 8 + 1, 8))).as(s"__m$i")): _*)
+    // Signatures straight off the per-doc shingle ARRAY via the native
+    // one-pass `MinHashSlices` expression — the same min-wise statistic the
+    // exploded groupBy computed, with ZERO shuffle and no interpreted
+    // higher-order-function lambdas; `element_at` fans the slice array out
+    // into the signature columns.
+    val sig = sets
+      .select(col(idCol),
+        graft.expr.MinHashSlices(col("__arr"), numHashes).as("__mh"))
+      .select(col(idCol) +: (0 until numHashes).map(i =>
+        element_at(col("__mh"), i + 1).as(s"__m$i")): _*)
     val bandCols = (0 until bands).map { bi =>
       struct(lit(bi).as("__band"),
         md5(concat_ws("|", (0 until r).map(j => col(s"__m${bi * r + j}")): _*)).as("__key"))
