@@ -84,25 +84,60 @@ case class ArrayDot(left: Expression, right: Expression)
 
 /** Column builders + registration for graft's native expressions. */
 object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.unsafe.types.UTF8String
+
   /** `array_dot(a, b)` as a Column (no registry needed). */
   def arrayDot(a: Column, b: Column): Column =
     ColumnBridge.column(
       ArrayDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  /** Register `array_dot` for SQL usage in an existing session. */
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case x => throw new IllegalArgumentException(
+      s"$fn expects a literal INT argument, got $x")
+  }
+  private def strLit(e: Expression, fn: String): String = e match {
+    case Literal(v: UTF8String, _) => v.toString
+    case x => throw new IllegalArgumentException(
+      s"$fn expects a literal STRING argument, got $x")
+  }
+
+  /** (name, builder) for every native expression — shared by the session
+    * registry and the cluster-wide extensions hook. Parameter positions
+    * with config semantics (k, numHashes, zone) must be literals.
+    */
+  private[expr] val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("array_dot", classOf[ArrayDot].getName,
+      es => ArrayDot(es(0), es(1))),
+    ("word_shingles", classOf[WordShingles].getName,
+      es => WordShingles(es(0), intLit(es(1), "word_shingles"))),
+    ("word_ngrams", classOf[WordNgrams].getName,
+      es => WordNgrams(es(0), intLit(es(1), "word_ngrams"))),
+    ("simhash32", classOf[SimHash32].getName,
+      es => SimHash32(es(0))),
+    ("minhash_slices", classOf[MinHashSlices].getName,
+      es => MinHashSlices(es(0), intLit(es(1), "minhash_slices"))),
+    ("wall_instant_micros", classOf[WallInstantMicros].getName,
+      es => WallInstantMicros(es(0), strLit(es(1), "wall_instant_micros"),
+        if (es.lengthCompare(3) >= 0) strLit(es(2), "wall_instant_micros")
+        else "sql")))
+
+  /** Register every native expression for SQL usage in an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_dot", exprs => ArrayDot(exprs(0), exprs(1)), "built-in")
+    all.foreach { case (n, _, b) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        n, b, "built-in")
+    }
 }
 
 /** `SparkSessionExtensions` hook: enable with
-  * `spark.sql.extensions=graft.expr.GraftExtensions` so `array_dot` is
-  * available in SQL on every session of the cluster.
+  * `spark.sql.extensions=graft.expr.GraftExtensions` so every graft native
+  * expression is available in SQL on all sessions of the cluster.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    e.injectFunction((
-      FunctionIdentifier("array_dot"),
-      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-      (exprs: Seq[Expression]) => ArrayDot(exprs(0), exprs(1))))
+    GraftFunctions.all.foreach { case (n, cls, b) =>
+      e.injectFunction((FunctionIdentifier(n), new ExpressionInfo(cls, n), b))
+    }
 }

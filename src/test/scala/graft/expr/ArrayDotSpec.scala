@@ -79,4 +79,20 @@ class ArrayDotSpec extends SparkSpec {
     d.createOrReplaceTempView("__ad")
     assert(spark.sql("select array_dot(a, b) from __ad").head.getDouble(0) == 11.0)
   }
+
+  test("SQL registration: every native expression resolves in SQL") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(("a b c d", 1L)).toDF("t", "one").createOrReplaceTempView("__gf")
+    val r = spark.sql(
+      """select word_shingles(t, 2), word_ngrams(t, 2), simhash32(t),
+        |  minhash_slices(word_shingles(t, 2), 4),
+        |  wall_instant_micros(timestamp_ntz'2024-01-15 12:00:00',
+        |                      'Europe/Brussels')
+        |from __gf""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("a b", "b c", "c d"))
+    assert(r.getSeq[String](1) == Seq("a b", "b c", "c d"))
+    assert(r.getSeq[String](3).length == 4)
+    assert(r.getLong(4) == 1705316400000000L) // 11:00 UTC
+  }
 }
