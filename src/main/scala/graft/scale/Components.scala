@@ -45,14 +45,23 @@ object Components {
     * exact edge-set comparison. Throws after `maxRounds` non-converged
     * rounds rather than returning a partial closure.
     */
+  /** @param driverEdgeLimit deduped edge lists at or under this row count
+    *   are solved driver-side with union-find (same precedent as the
+    *   k-means codebook: model-sized data on the driver, data-sized work on
+    *   the cluster) — the iterative star rounds each cost several shuffle
+    *   jobs, so for a broadcast-sized edge list the round overhead
+    *   dominates. Pass 0 to force the distributed fixpoint.
+    */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxRounds: Int = 25): DataFrame = {
+                          maxRounds: Int = 25,
+                          driverEdgeLimit: Long = 1000000L): DataFrame = {
     var edges = pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct()
       .localCheckpoint(false)
+    if (edges.count() <= driverEdgeLimit) return driverComponents(edges)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -70,6 +79,34 @@ object Components {
     edges.select(col("v").as("id"), col("u").as("rep"))
       .unionByName(edges.select(col("u").as("id"), col("u").as("rep")))
       .distinct()
+  }
+
+  /** Path-halving union-find over a collected edge list; reps are component
+    * minima (same contract as the distributed fixpoint). The result returns
+    * to the cluster as a plain DataFrame, so downstream joins are unchanged.
+    */
+  private def driverComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    es.foreach { case (u, v) =>
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { // union by MIN id so the rep is the component minimum
+        if (ru < rv) parent(rv) = ru else parent(ru) = rv
+      }
+    }
+    import spark.implicits._
+    parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "rep")
   }
 
   /** Duplicate clusters straight from a near-dup pair frame (id_a, id_b):

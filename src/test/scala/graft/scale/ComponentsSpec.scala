@@ -26,9 +26,17 @@ class ComponentsSpec extends SparkSpec {
 
   private def check(edges: Seq[(Long, Long)]): Unit = {
     import spark.implicits._
-    val got = Components.connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+    val exp = unionFind(edges)
+    // driver union-find path (small edge lists)
+    val viaDriver = Components.connectedComponents(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == unionFind(edges))
+    assert(viaDriver == exp)
+    // distributed star-fixpoint path (forced with limit 0)
+    val viaStars = Components.connectedComponents(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b", driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStars == exp)
   }
 
   test("long chain (diameter = n, the label-propagation killer)") {
