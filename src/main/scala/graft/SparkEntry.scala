@@ -574,6 +574,16 @@ object SparkEntry {
         .orderBy("user_id", "ts_anchor")
     }),
 
+    // ---- dedup: train/test decontamination (n-gram collision) -------------
+    "q60_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contamination(
+        d.where(col("source") =!= "src0"), "doc_id", "text",
+        d.where(col("source") === "src0"), "doc_id", "text",
+        n = 5, minHits = 1)
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // ---- text: Gopher-style repetition statistics -------------------------
     "q59_repetition" -> ((s, dir) => {
       TextStats.repetition(docs(s, dir), "doc_id", "text", topN = 2, dupN = 5)
@@ -1197,6 +1207,20 @@ object SparkEntry {
          |FROM seg LEFT JOIN events ev ON ev.user_id = seg.user_id
          |  AND epoch_us(ev.ts) >= ws AND epoch_us(ev.ts) < we
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q60_contamination" ->
+      """WITH w AS (SELECT doc_id, source,
+        |  string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, source,
+        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+        |      || ' ' || ws[i+4] AS gram
+        |  FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(i)
+        |  WHERE len(ws) >= 5)
+        |SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS hits
+        |FROM g c JOIN g b ON c.gram = b.gram
+        |WHERE c.source <> 'src0' AND b.source = 'src0'
+        |GROUP BY 1, 2 HAVING count(*) >= 1
+        |ORDER BY c.doc_id, b.doc_id""".stripMargin,
 
     "q59_repetition" ->
       """WITH w AS (SELECT doc_id, length(text) AS len,

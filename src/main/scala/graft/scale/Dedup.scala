@@ -296,6 +296,29 @@ object Dedup {
       .where(col("cosine") >= threshold)
   }
 
+  /** Train/test decontamination: corpus docs sharing at least `minHits`
+    * distinct word n-grams with a benchmark doc — the standard n-gram
+    * collision check run before training to drop eval-set leakage. Returns
+    * (corpusId, bench_id, hits) per contaminated (corpus, benchmark) pair.
+    *
+    * Scale shape: both sides explode to (id, distinct n-gram) inverted
+    * indexes and hash-join on the gram — the benchmark side is typically
+    * tiny (an eval set) and broadcasts; the corpus side streams. Nothing
+    * is quadratic and nothing collects.
+    */
+  def contamination(corpus: DataFrame, corpusId: String, corpusText: String,
+                    benchmark: DataFrame, benchId: String, benchText: String,
+                    n: Int = 8, minHits: Long = 1): DataFrame = {
+    def grams(df: DataFrame, id: Column, text: Column, as: String) =
+      df.select(id.as(as), explode(array_distinct(
+        graft.expr.WordNgrams(text, n))).as("__g"))
+    val cg = grams(corpus, col(corpusId), col(corpusText), corpusId)
+    val bg = grams(benchmark, col(benchId), col(benchText), "bench_id")
+    cg.join(bg, Seq("__g"))
+      .groupBy(corpusId, "bench_id").agg(count(lit(1)).as("hits"))
+      .where(col("hits") >= minHits)
+  }
+
   /** SimHash-equal near-dup pairs (Hamming distance 0 buckets). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val s = simhash32(df, idCol, textCol)
