@@ -245,9 +245,12 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
         if (isSample) {
           require(series.domain == Domain.Time,
             "sample-count windows require a TIME-indexed series")
-          // distributed positional index (no single-partition row_number)
+          // distributed positional index (no single-partition row_number);
+          // pinned once — the count below, the assignment branch AND the
+          // anchor-stitch idxMap join all read it (three scans otherwise)
           val pos = Scan.position(series.internal, "__idx", "__posl")
             .withColumn("__pos", col("__posl").cast("double")).drop("__posl")
+            .localCheckpoint(false)
           val n = pos.count()
           (pos.select(col("__pos").as("__idx"), col("__v"), col("__pos"),
             col("__idx").as("__orig_idx")),
