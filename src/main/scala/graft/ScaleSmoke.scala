@@ -82,6 +82,30 @@ object ScaleSmoke {
     time(s"embeddings x$copies LSH buckets") {
       Ann.lshBuckets(embs, "vec_id", "embedding", 8, 64).count()
     }
+    time(s"docs x$copies jaccard PPJoin") {
+      Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6).count()
+    }
+    // Exact duplicates make ANY similarity join quadratic within each dup
+    // group (every copy pairs with every other — that's real output, not a
+    // plan flaw). The production pipeline runs exact dedup first and
+    // near-dups the representatives; this measures that composition.
+    time(s"docs x$copies jaccard after exact-dedup") {
+      val reps = docs.groupBy(md5(col("text")).as("__k"))
+        .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+      Dedup.jaccardPairs(reps, "doc_id", "text", 3, 0.6).count()
+    }
+    time(s"docs x$copies repetition") {
+      graft.scale.TextStats.repetition(docs, "doc_id", "text").count()
+    }
+    time(s"docs x$copies contamination") {
+      // fixed eval-set size vs growing corpus — the production shape
+      val bench = d0.select(col("doc_id"), col("text")).limit(500)
+      Dedup.contamination(docs, "doc_id", "text",
+        bench, "doc_id", "text", n = 5).count()
+    }
+    time(s"docs x$copies simhash") {
+      Dedup.simhash32(docs, "doc_id", "text").queryExecution.toRdd.count()
+    }
     spark.stop()
   }
 }
