@@ -91,6 +91,32 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- S5: JSON serde round-trip drives the SAME oracle as q01 ---------
+    "q61_serde_roundtrip" -> ((s, dir) => {
+      val fc0 = FeatureCollection(FeatureDescriptor(mean, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h")))))
+      val path = java.nio.file.Files.createTempFile("graft_fc", ".json")
+      FeatureCollectionSerde.save(fc0, path.toString)
+      val fc = FeatureCollectionSerde.load(path.toString)
+      java.nio.file.Files.deleteIfExists(path)
+      fc.calculate(Seq(valueSeries(s, dir)))
+        .select(unix_micros(col("ts")).as("ts_anchor"), r6("value__mean__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
+    // ---- C4: sequence-domain gap chunking (event-id gaps) ----------------
+    "q62_seq_chunks" -> ((s, dir) => {
+      val purch = events(s, dir).where(col("event_type") === "purchase")
+      // purchase event_ids are a sparse subsequence; declared "rate" =
+      // 1 id/unit, gapFactor 20 -> a new chunk after an id jump > 20
+      Chunker.chunkSpans(Series("value", purch, "event_id", "value"),
+        fs = Some(1.0), gapFactor = 20.0)
+        .select(col("__chunk").as("chunk_id"),
+          col("__start").cast("long").as("kstart"),
+          col("__end").cast("long").as("kend"), col("__n").as("n"))
+        .orderBy("chunk_id")
+    }),
+
     // ---- A6: fused multi-aggregate bucket (one groupBy for 7 features) ---
     "q02_roll_multi" -> ((s, dir) => {
       val fns = Seq(min, max, sum, len, std, variance, median)
@@ -735,6 +761,24 @@ object SparkEntry {
          |SELECT we AS ts_anchor, round(avg(value),6) AS "value__mean__w=1D"
          |FROM seg LEFT JOIN events ON epoch_us(ts) >= ws AND epoch_us(ts) < we
          |GROUP BY we ORDER BY ts_anchor""".stripMargin,
+
+    // serde round-trip must reproduce q01's results exactly — same oracle
+    "q61_serde_roundtrip" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)}
+         |SELECT we AS ts_anchor, round(avg(value),6) AS "value__mean__w=1D"
+         |FROM seg LEFT JOIN events ON epoch_us(ts) >= ws AND epoch_us(ts) < we
+         |GROUP BY we ORDER BY ts_anchor""".stripMargin,
+
+    "q62_seq_chunks" ->
+      """WITH f AS (SELECT event_id AS k, value,
+        |  CASE WHEN k - lag(k) OVER (ORDER BY k) IS NULL
+        |       OR k - lag(k) OVER (ORDER BY k) > 20 THEN 1 ELSE 0 END AS nw
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT k, value,
+        |  sum(nw) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) - 1 AS chunk FROM f)
+        |SELECT chunk AS chunk_id, min(k) AS kstart, max(k) AS kend,
+        |  count(value) AS n
+        |FROM c GROUP BY 1 ORDER BY chunk_id""".stripMargin,
 
     "q02_roll_multi" ->
       s"""WITH ${segCte(DAY, 6 * HOUR)}
