@@ -57,6 +57,24 @@ object StreamingFeatures {
         names.map(n => col(s"`$n`"))): _*)
   }
 
+  /** Streaming exact dedup: drops rows whose normalized content key was
+    * already seen within the watermark horizon — the streaming analog of
+    * `Dedup.exactNormalized` (state is the key set, bounded by the
+    * watermark; `dropDuplicatesWithinWatermark` evicts keys once they age
+    * out). `keyExpr` defaults to the md5 of the normalized word bag, the
+    * same key the batch operator groups on.
+    */
+  def dedupExact(df: DataFrame, tsCol: String, textCol: String,
+                 watermark: String, keyExpr: Option[Column] = None): DataFrame = {
+    val key = keyExpr.getOrElse(
+      md5(concat_ws(" ", array_sort(array_distinct(
+        split(trim(col(textCol)), "\\s+"))))))
+    df.withColumn("__key", key)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__key")
+      .drop("__key")
+  }
+
   /** Wall-clock (TimestampNTZ) stream → instant (TimestampType) stream in
     * `zone`, via the same strict-DST native expression as the batch engine
     * (`graft.expr.WallInstantMicros` — gap/overlap wall times RAISE rather

@@ -116,6 +116,27 @@ class StreamingFeaturesSpec extends SparkSpec {
     assert(rows == Seq(("a", 300000000L, 1.0), ("b", 300000000L, 3.0)))
   }
 
+  test("streaming exact dedup drops re-seen content within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, String)]
+    // "b a" normalizes to the same word bag as "a b" -> dropped as a dup
+    ms.addData(Seq(
+      (0L, "a b"), (60000000L, "b a"), (120000000L, "c d"), (180000000L, "a b")))
+    val sdf = ms.toDF().select(timestamp_micros(col("_1")).as("ts"),
+      col("_2").as("text"))
+    val out = StreamingFeatures.dedupExact(sdf, "ts", "text", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedupstream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // which of the equivalent duplicates survives is batch-order-dependent;
+    // the CONTRACT is one row per normalized word bag
+    val got = spark.table("dedupstream").select("text")
+      .collect().map(_.getString(0).split("\\s+").sorted.mkString(" "))
+      .sorted.toSeq
+    assert(got == Seq("a b", "c d"))
+  }
+
   test("fromWallClock converts an NTZ stream to instants (strict DST)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
