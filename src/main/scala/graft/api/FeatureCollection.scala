@@ -325,13 +325,26 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
         case None => Seq(qc(nameOf(d)))
       }
       // anchor column carries the input zone as metadata (tz retention for
-      // instant-typed indexes; NTZ indexes round-trip via restoreIdx)
-      joined.select(anchorCol.as(series.idxCol, series.idxMetadata) +:
-        ds.flatMap(expand): _*)
+      // instant-typed indexes; NTZ indexes round-trip via restoreIdx).
+      // Manual plans keep __seg_id: user-supplied segment arrays may contain
+      // DUPLICATE anchors (reference preserves them, one output row per
+      // input entry), so the cross-bucket merge must pair rows by segment
+      // POSITION — joining duplicated anchors would cross-multiply.
+      val keyCols =
+        if (manualSegs) Seq(col("__seg_id"))
+        else Nil
+      joined.select(keyCols ++ (anchorCol.as(series.idxCol, series.idxMetadata) +:
+        ds.flatMap(expand)): _*)
     }
 
     val idxName = used.head.idxCol
-    val merged = bucketFrames.reduce((a, c) => a.join(c, Seq(idxName), "full_outer"))
+    val merged =
+      if (manualSegs)
+        bucketFrames.reduceLeft((a, c) =>
+          a.join(c.drop(idxName), Seq("__seg_id"), "full_outer"))
+          .drop("__seg_id")
+      else
+        bucketFrames.reduce((a, c) => a.join(c, Seq(idxName), "full_outer"))
     val featCols = merged.columns.filterNot(_ == idxName).sorted
     // ordering is the caller's concern (every sink re-sorts anyway) — not
     // baked into the plan, saving a global sort stage per calculate()

@@ -55,6 +55,33 @@ class FeatureCollectionSpec extends SparkSpec {
     assert(byAnchor(3L).getDouble(out.columns.indexOf("dummy__mean__w=manual")) == 1.0)
   }
 
+  test("W4: unsorted + duplicate manual segments keep input order semantics") {
+    // reference: test_sequence_segment_start_and_end_idxs (starts [0,5,3,3],
+    // ends [5,10,8,5]) — one output row PER input entry, duplicates kept,
+    // even across multiple descriptor buckets (min has a window, len none)
+    val fc = FeatureCollection(
+      FeatureDescriptor(min, "dummy", Some(Win.seq(100L)), None),
+      FeatureDescriptor(len, "dummy", None, None))
+    val out = fc.calculate(Seq(tinySeries),
+      segmentStartIdxs = Some(Seq(0.0, 5.0, 3.0, 3.0)),
+      segmentEndIdxs = Some(Seq(5.0, 10.0, 8.0, 5.0)),
+      windowIdx = "begin")
+    val rows = out.collect()
+    assert(rows.length == 4) // NOT 6 — duplicate anchor 3 must not cross-join
+    val anchors = rows.map(_.getLong(0)).sorted.toSeq
+    assert(anchors == Seq(0L, 3L, 3L, 5L))
+  }
+
+  test("W4: empty manual segment arrays produce an empty, well-typed frame") {
+    val fc = FeatureCollection(
+      FeatureDescriptor(min, "dummy", Some(Win.seq(100L)), None),
+      FeatureDescriptor(len, "dummy", None, None))
+    val out = fc.calculate(Seq(tinySeries),
+      segmentStartIdxs = Some(Nil), segmentEndIdxs = Some(Nil))
+    assert(out.columns.length == 3)
+    assert(out.count() == 0)
+  }
+
   test("index dtype retention: long index stays long, anchors in index space") {
     val fc = FeatureCollection(FeatureDescriptor(max, "dummy",
       Some(Win.seq(2L)), Some(Seq(Win.seq(2L)))))
