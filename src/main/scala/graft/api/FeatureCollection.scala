@@ -237,6 +237,12 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
       val isSample = win.exists(_.isInstanceOf[SampleWin])
       require(!isSample || seriesSeq.lengthCompare(1) == 0,
         "sample-count windows support single-series features only")
+      // manual segment arrays are in INDEX units; a sample-count window
+      // segments in positional space — mixing them would silently assign
+      // the wrong rows (reference raises NotImplementedError,
+      // strided_rolling.py sample-based + segment idxs)
+      require(!(isSample && manualSegs),
+        "segment start/end idxs are not supported for sample-count windows")
 
       // W9: sample-count windows over a TIME index — segment in positional
       // space, stitch the time index back on via the position (reference:

@@ -72,6 +72,16 @@ class FeatureCollectionSpec extends SparkSpec {
     assert(anchors == Seq(0L, 3L, 3L, 5L))
   }
 
+  test("W9 x W4: sample-count windows reject manual segment idxs") {
+    // reference: NotImplementedError — manual idxs are in index units,
+    // sample windows segment positionally; mixing would mis-assign rows
+    val fc = FeatureCollection(
+      FeatureDescriptor(min, "dummy", Some(SampleWin(3)), None))
+    val e = intercept[IllegalArgumentException](fc.calculate(Seq(tinySeries),
+      segmentStartIdxs = Some(Seq(0.0))))
+    assert(e.getMessage.contains("sample-count"))
+  }
+
   test("W4: empty manual segment arrays produce an empty, well-typed frame") {
     val fc = FeatureCollection(
       FeatureDescriptor(min, "dummy", Some(Win.seq(100L)), None),
