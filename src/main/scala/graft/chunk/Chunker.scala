@@ -133,6 +133,29 @@ object Chunker {
         count(col(valueCol)).as("__n"))
   }
 
+  /** The reference's `chunk_data` entry point (C1+C2+C3 composed): chunk
+    * every series with its own sampling rate (`fs(name)`, else inferred),
+    * apply the duration rules, and — when `margin` is given — group chunks
+    * of different series whose spans agree within it (`matchRanges`).
+    * Without a margin, returns the union of per-series spans tagged by
+    * `__series` (reference: chunking.py:213-349 chunk_data).
+    */
+  def chunkData(series: Seq[Series], fs: Map[String, Double] = Map.empty,
+                gapFactor: Double = 1.5, minDur: Option[Double] = None,
+                maxDur: Option[Double] = None, subChunkOverlap: Double = 0.0,
+                margin: Option[Double] = None): DataFrame = {
+    require(series.nonEmpty, "chunkData needs at least one series")
+    val spans = series.map(sr => sr.name ->
+      chunkSpans(sr, fs.get(sr.name), gapFactor, minDur, maxDur, subChunkOverlap))
+    margin match {
+      case Some(m) => matchRanges(spans, m)
+      case None => spans.map { case (n, df) =>
+        df.select(lit(n).as("__series"), col("__chunk"), col("__sub"),
+          col("__start"), col("__end"), col("__n"))
+      }.reduce(_.unionAll(_))
+    }
+  }
+
   /** C3: group chunk spans of multiple series whose [start, end] agree
     * within `margin`. Returns matched pairs `(name_a, name_b, …spans…)`
     * via an interval tolerance self-join.

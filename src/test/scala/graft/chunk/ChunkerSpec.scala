@@ -84,6 +84,21 @@ class ChunkerSpec extends SparkSpec {
       ("b", 0L, 100.0, 101.0, 2L)))
   }
 
+  test("chunkData composes per-series fs chunking with range grouping") {
+    import spark.implicits._
+    // a: gap at 5 (fs 1 -> threshold 1.5) => two chunks; b: one chunk
+    val a = Seq(0.0, 1.0, 2.0, 5.0, 6.0).toDF("idx").withColumn("v", col("idx"))
+    val b = Seq(0.2, 1.2, 2.1).toDF("idx").withColumn("v", col("idx"))
+    val series = Seq(Series("a", a, "idx", "v"), Series("b", b, "idx", "v"))
+    val union = Chunker.chunkData(series, fs = Map("a" -> 1.0, "b" -> 1.0))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(union == Seq(("a", 0L), ("a", 1L), ("b", 0L)))
+    val matched = Chunker.chunkData(series,
+      fs = Map("a" -> 1.0, "b" -> 1.0), margin = Some(0.5))
+    // only a's first chunk [0,2] agrees with b's [0.2,2.1] within 0.5
+    assert(matched.count() == 1)
+  }
+
   test("C3: tolerance range matching pairs series with agreeing spans") {
     import spark.implicits._
     val a = Seq((0.0, 1.0), (10.0, 1.0)).toDF("idx", "v")
