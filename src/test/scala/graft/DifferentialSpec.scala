@@ -36,6 +36,32 @@ class DifferentialSpec extends SparkSpec {
     assert(keyed == single)
   }
 
+  test("keyed multi-stride on a single key equals the single-series engine") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    var t = 0L
+    val rows = (1 to 400).map { _ =>
+      t += 1 + rnd.nextInt(15); (t.toDouble, rnd.nextDouble() * 50)
+    }
+    val df = rows.toDF("idx", "v")
+    val strides = Seq(Win.seq(30L), Win.seq(70L)) // union + dedup (W2)
+    // partition-summation order differs between the two engines, so means
+    // disagree in the last ULP — compare at 9 decimals (same spirit as the
+    // DuckDB oracle's rounding)
+    def collect9(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("idx"), round(col("`v__mean__w=100`"), 9))
+      .collect().map(r => (r.getDouble(0), Option(r.get(1))))
+      .sortBy(_._1).toSeq
+    val single = collect9 {
+      val fc = FeatureCollection(
+        FeatureDescriptor(mean, "v", Some(Win.seq(100L)), Some(strides)))
+      fc.calculate(Seq(Series("v", df, "idx", "v")))
+    }
+    val keyed = collect9(KeyedFeatures.calculate(df.withColumn("k", lit("only")),
+      "k", "idx", "v", Win.seq(100L), strides, Seq(mean), "v"))
+    assert(keyed == single)
+  }
+
   test("keyed wide n-ary on a single key equals the main-path tuple features") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
