@@ -775,7 +775,8 @@ object SparkEntry {
         |       OR k - lag(k) OVER (ORDER BY k) > 20 THEN 1 ELSE 0 END AS nw
         |  FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT k, value,
-        |  sum(nw) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) - 1 AS chunk FROM f)
+        |  CAST(sum(nw) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1
+        |    AS chunk FROM f)
         |SELECT chunk AS chunk_id, min(k) AS kstart, max(k) AS kend,
         |  count(value) AS n
         |FROM c GROUP BY 1 ORDER BY chunk_id""".stripMargin,
@@ -1327,15 +1328,17 @@ object SparkEntry {
         |f AS (SELECT user_id, u, value,
         |  CASE WHEN diff IS NULL OR diff > 3600000000 THEN 1 ELSE 0 END AS nw FROM d),
         |c AS (SELECT user_id, u, value,
-        |  sum(nw) OVER (PARTITION BY user_id ORDER BY u
-        |                ROWS UNBOUNDED PRECEDING) - 1 AS chunk FROM f)
+        |  CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY u
+        |                ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS chunk FROM f)
         |SELECT user_id, chunk, min(u) AS cstart, max(u) AS cend,
         |       count(value) AS n
         |FROM c GROUP BY 1, 2 ORDER BY user_id, chunk""".stripMargin,
 
     "q57_stratified_split" ->
-      """WITH t AS (SELECT source, ntile(100) OVER (
-        |    PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))) AS tile
+      """WITH t AS (SELECT source, ceil(
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR)))
+        |    * 100.0 / count(*) OVER (PARTITION BY source)) AS tile
         |  FROM documents)
         |SELECT source,
         |  CASE WHEN tile <= 80 THEN 'train'

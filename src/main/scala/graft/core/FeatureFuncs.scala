@@ -262,7 +262,11 @@ object NaryFuncs {
     * (fully codegen'd, no second scan).
     */
   val wcorr: NaryFunc = NaryFunc("wcorr", 3, (_, vs) => {
-    val Seq(a, b, w) = vs
+    // Joint null-mask across all three inputs (index-intersection semantics,
+    // mirroring moments()): a row with any of a/b/w null contributes to NO
+    // sum — otherwise sum(w) would count rows the cross-moments skip.
+    val all = vs(0).isNotNull && vs(1).isNotNull && vs(2).isNotNull
+    val Seq(a, b, w) = vs.map(v => when(all, v))
     val sw = org.apache.spark.sql.functions.sum(w)
     val swa = org.apache.spark.sql.functions.sum(w * a)
     val swb = org.apache.spark.sql.functions.sum(w * b)

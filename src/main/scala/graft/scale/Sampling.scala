@@ -35,18 +35,20 @@ object Sampling {
     df.where(hashBucket(col(idCol)) < pct)
 
   /** Stratified split with EXACT per-stratum proportions: rows rank within
-    * their stratum by md5(id) (deterministic, engine-independent) and
-    * `ntile(100)` carves the percentage bands, so every stratum lands within
-    * one row of its target fraction — `deterministicSplit`'s hash gate only
-    * hits fractions in expectation, which skews small or imbalanced strata.
-    * One shuffle on the stratum key; the rank window partitions by stratum.
+    * their stratum by md5(id) (deterministic, engine-independent) and band on
+    * the rank's percentage position `ceil(rank*100/n)`, so every stratum
+    * lands within one row of its target fraction — `deterministicSplit`'s
+    * hash gate only hits fractions in expectation, which skews small or
+    * imbalanced strata. (NOT `ntile(100)`: a stratum smaller than 100 rows
+    * fills tiles 1..n one row each, dumping the whole stratum in the first
+    * band.) One shuffle on the stratum key; both windows share it.
     */
   def stratifiedSplit(df: DataFrame, idCol: String, strataCol: String,
                       splits: Seq[(String, Int)]): DataFrame = {
     require(splits.map(_._2).sum == 100, "split percentages must sum to 100")
-    val tile = ntile(100).over(
-      org.apache.spark.sql.expressions.Window
-        .partitionBy(strataCol).orderBy(md5(col(idCol).cast("string"))))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(strataCol)
+    val tile = ceil(row_number().over(w.orderBy(md5(col(idCol).cast("string"))))
+      * lit(100.0) / count(lit(1)).over(w))
     val cum = splits.scanLeft(0)(_ + _._2).tail
     val expr = splits.zip(cum).foldRight(lit(splits.last._1): Column) {
       case (((name, _), hi), acc) => when(tile <= hi, lit(name)).otherwise(acc)

@@ -189,8 +189,9 @@ object TextStats {
       .join(dups, Seq(idCol), "left")
       .select(col(idCol), col("top_gram"),
         coalesce(col("top_cnt"), lit(0L)).as("top_cnt"),
-        round(coalesce(col("top_cnt") * length(col("top_gram"))
-          / col("__len"), lit(0.0)), 6).as("top_char_frac"),
+        round(coalesce(when(col("__len") > 0,
+          col("top_cnt") * length(col("top_gram")) / col("__len")),
+          lit(0.0)), 6).as("top_char_frac"),
         coalesce(col("dup_ngrams"), lit(0L)).as("dup_ngrams"))
   }
 }

@@ -61,6 +61,40 @@ class NaryFeaturesSpec extends SparkSpec {
     assert(out.head.getAs[Double]("a|b__dot__w=4") == 2.0 + 3.0 + 4.0)
   }
 
+  test("wcorr jointly null-masks (a, b, w): partial-null rows enter NO sum") {
+    // w is missing indices 2 and 3 — wcorr over [0,8) must equal wcorr over
+    // only the jointly-present rows. Before the joint mask, sum(w) skipped
+    // those rows (w null) while nothing masked a/b, but with a or b null the
+    // reverse held: sum(w) counted rows the cross-moments dropped.
+    val a = seqSeries("a", Seq(1.0, 4.0, 2.0, 8.0, 3.0, 6.0, 5.0, 7.0))
+    val bdf = spark.createDataFrame(
+      Seq((0L, 2.0), (1L, 3.0), (2L, 7.0), (3L, 5.0), (4L, 9.0), (6L, 4.0), (7L, 8.0)))
+      .toDF("i", "b") // b missing index 5
+    val b = Series("b", bdf, "i", "b")
+    val wdf = spark.createDataFrame(
+      Seq((0L, 1.0), (1L, 2.0), (4L, 3.0), (5L, 1.0), (6L, 2.0), (7L, 3.0)))
+      .toDF("i", "w") // w missing indices 2, 3
+    val w = Series("w", wdf, "i", "w")
+    val win7 = Some(Win.seq(7L))
+    val st7 = Some(Seq(Win.seq(7L)))
+    val out = FeatureCollection(
+      NaryFeatureDescriptor(NaryFuncs.wcorr, Seq("a", "b", "w"), win7, st7))
+      .calculate(Seq(a, b, w)).collect()
+    // window [0,7): joint rows are 0, 1, 4, 6
+    val rows = Seq((1.0, 2.0, 1.0), (4.0, 3.0, 2.0), (3.0, 9.0, 3.0),
+      (5.0, 4.0, 2.0))
+    val sw = rows.map(_._3).sum
+    val swa = rows.map(r => r._3 * r._1).sum
+    val swb = rows.map(r => r._3 * r._2).sum
+    val swab = rows.map(r => r._3 * r._1 * r._2).sum
+    val swaa = rows.map(r => r._3 * r._1 * r._1).sum
+    val swbb = rows.map(r => r._3 * r._2 * r._2).sum
+    val expected = (sw * swab - swa * swb) /
+      math.sqrt((sw * swaa - swa * swa) * (sw * swbb - swb * swb))
+    assert(out.length == 1)
+    assert(math.abs(out.head.getAs[Double]("a|b|w__wcorr__w=7") - expected) < 1e-12)
+  }
+
   test("serde round-trips n-ary descriptors") {
     val fc = FeatureCollection(
       FeatureDescriptor(FeatureFuncs.mean, "a", win, st),

@@ -1,0 +1,61 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Deterministic splits (reference has no sampling layer; these are the
+  * scale additions). Regression focus: strata SMALLER than 100 rows must
+  * still split proportionally — ntile(100) hands tiles 1..n one row each,
+  * which dumped whole small strata into 'train'.
+  */
+class SamplingSpec extends SparkSpec {
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("id", "stratum")
+  }
+
+  test("stratifiedSplit: 50-row stratum under 80/10/10 gives 40/5/5") {
+    val df = docs((0L until 50L).map(i => (i, "only")))
+    val out = Sampling.stratifiedSplit(df, "id", "stratum",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("train" -> 40L, "val" -> 5L, "test" -> 5L))
+  }
+
+  test("stratifiedSplit: every stratum within one row of target fraction") {
+    val sizes = Seq("a" -> 7, "b" -> 50, "c" -> 100, "d" -> 123, "e" -> 1000)
+    val df = docs(sizes.flatMap { case (s, n) =>
+      (0 until n).map(i => (s.hashCode.toLong * 10000 + i, s)) })
+    val counts = Sampling.stratifiedSplit(df, "id", "stratum",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .groupBy("stratum", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for ((s, n) <- sizes; (split, pct) <- Seq("train" -> 80, "val" -> 10, "test" -> 10)) {
+      val got = counts.getOrElse((s, split), 0L).toDouble
+      assert(math.abs(got - n * pct / 100.0) <= 1.0,
+        s"stratum $s split $split: got $got of $n (target ${pct}%)")
+    }
+  }
+
+  test("stratifiedSplit is deterministic and a pure function of the id") {
+    val df = docs((0L until 200L).map(i => (i, if (i % 3 == 0) "x" else "y")))
+    val splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val once = Sampling.stratifiedSplit(df, "id", "stratum", splits)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val again = Sampling.stratifiedSplit(df.repartition(7), "id", "stratum", splits)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(once == again)
+  }
+
+  test("deterministicSplit covers all rows with the declared labels") {
+    val df = docs((0L until 500L).map(i => (i, "s")))
+    val out = Sampling.deterministicSplit(df, "id",
+      Seq("train" -> 90, "test" -> 10))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("train", "test"))
+    assert(out.values.sum == 500L)
+  }
+}

@@ -34,6 +34,14 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}"); fail += 1; continue
     if len(g) != len(e):
         print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); fail += 1; continue
+    # The driver's hash compare canonicalizes integer WIDTH (int32 == int64)
+    # but not KIND: DuckDB HUGEINT surfaces as object/float and hash-
+    # mismatches Spark BIGINT even when values agree. Flag kind-level drift.
+    dt = [(c, str(g[c].dtype), str(e[c].dtype)) for c in g.columns
+          if g[c].dtype.kind != e[c].dtype.kind
+          and not ({g[c].dtype.kind, e[c].dtype.kind} <= {'i', 'u'})]
+    if dt:
+        print(f"FAIL {name}: dtype drift {dt}"); fail += 1; continue
     bad = None
     for c in g.columns:
         gv, ev = g[c], e[c]
