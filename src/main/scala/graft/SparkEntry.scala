@@ -715,8 +715,8 @@ object SparkEntry {
     }),
 
     // ---- similarity search: IVF with a distributed k-means codebook -------
-    // (iterative fit — no DuckDB oracle twin; deterministic seeds/ties make
-    // the rows-only check stable)
+    // (deterministic seeds/ties make even the iterative fit oracle-checkable:
+    // the oracle unrolls the 3 Lloyd iterations as CTEs)
     "q53_ivf_kmeans" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       val base = e.where(col("vec_id") =!= 0)
@@ -1397,7 +1397,44 @@ object SparkEntry {
         |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0)
         |SELECT e.vec_id AS vec_id, round(list_cosine_similarity(emb, qe), 6) AS cosine
         |FROM e JOIN assign USING (vec_id) JOIN probe USING (cell), q
-        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin)
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    // The iterative k-means fit, UNROLLED: cb0 = the k smallest-md5 seeds,
+    // then per iteration one nearest-cell assignment (row_number window with
+    // the same sim-desc-then-cell tie-break as Spark's max_by struct) and one
+    // per-dimension mean update (left join keeps empty cells' previous
+    // centroid). Matches kmeansCells(k = 8, iters = 3) + ivfTopK(nProbe = 3)
+    // bit-for-bit at 6 dp.
+    "q53_ivf_kmeans" -> {
+      def assignCte(name: String, cb: String) =
+        s"""$name AS (SELECT id, cell FROM (SELECT v.id, c.cell,
+           |    row_number() OVER (PARTITION BY v.id
+           |      ORDER BY list_cosine_similarity(v.emb, c.cv) DESC, c.cell) AS rk
+           |  FROM v, $cb c) WHERE rk = 1)""".stripMargin
+      def updateCte(name: String, prev: String, asg: String) =
+        s"""$name AS (SELECT s.cell, coalesce(u.cv, s.cv) AS cv FROM $prev s LEFT JOIN
+           |  (SELECT cell, list(c ORDER BY d) AS cv FROM
+           |    (SELECT a.cell, t.d, avg(v.emb[CAST(t.d AS INT)+1]) AS c
+           |     FROM $asg a JOIN v USING (id), range(64) t(d) GROUP BY a.cell, t.d)
+           |   GROUP BY cell) u USING (cell))""".stripMargin
+      val iters = (1 to 3).map(i =>
+        assignCte(s"a$i", s"cb${i - 1}") + ",\n" + updateCte(s"cb$i", s"cb${i - 1}", s"a$i"))
+        .mkString(",\n")
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings WHERE vec_id != 0),
+         |cb0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS cell,
+         |    emb AS cv
+         |  FROM (SELECT id, emb FROM v ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 8)),
+         |$iters,
+         |${assignCte("assign", "cb3")},
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         |probe AS (SELECT cell FROM (SELECT c.cell,
+         |    row_number() OVER (ORDER BY list_cosine_similarity(q.qe, c.cv) DESC, c.cell) AS rk
+         |  FROM q, cb3 c) WHERE rk <= 3)
+         |SELECT v.id AS vec_id, round(list_cosine_similarity(v.emb, qe), 6) AS cosine
+         |FROM v JOIN assign USING (id) JOIN probe USING (cell), q
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+    })
 
   /** ASCII punctuation class shared with TextStats (identical meaning in
     * Java regex and RE2/DuckDB, unlike `\p{Punct}`).
