@@ -105,6 +105,38 @@ object Scan {
       .drop("__loc", "__off", "__pid")
   }
 
+  /** 1-based rank of each row WITHIN its `keyCol` group in `orderCol` order,
+    * plus the group's total row count, without ever putting a whole group
+    * through one task. `row_number() over (partition by key)` serializes each
+    * key into a single window task — strata in a training-data pipeline are
+    * few and HUGE (source, language), so at scale one task sorts billions of
+    * rows. Here the data is range-partitioned on (key, order) — a big group
+    * SPANS many partitions — ranked partition-locally, and stitched with a
+    * per-(partition, key) offset join computed on the tiny summary table
+    * (≤ numPartitions + numKeys − 1 rows: each partition holds a contiguous
+    * (key, order) range, so keys split across partitions only at boundaries).
+    * Group totals fall out of the same summary for free.
+    */
+  def keyedRank(df: DataFrame, keyCol: String, orderCol: String,
+                rankCol: String, countCol: String): DataFrame = {
+    val p = df.repartitionByRange(col(keyCol), col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy("__pid", keyCol).orderBy(orderCol)
+    val local = p.withColumn("__loc", row_number().over(w).cast("long"))
+    val perPid = p.groupBy(col("__pid"), col(keyCol)).agg(count(lit(1)).as("__tot"))
+    val b = perPid.select(col("__pid").as("b___pid"),
+      col(keyCol).as("b___key"), col("__tot").as("b___tot"))
+    val offsets = perPid
+      .join(b, col("b___key") === col(keyCol) && col("b___pid") < col("__pid"), "left")
+      .groupBy(col("__pid"), col(keyCol))
+      .agg(coalesce(sum(col("b___tot")), lit(0L)).as("__off"))
+    val totals = perPid.groupBy(col(keyCol)).agg(sum(col("__tot")).as(countCol))
+    local.join(broadcast(offsets), Seq("__pid", keyCol))
+      .join(broadcast(totals), Seq(keyCol))
+      .withColumn(rankCol, col("__loc") + col("__off"))
+      .drop("__loc", "__off", "__pid")
+  }
+
   /** Fused lag → change-flag → inclusive running count in ONE ranged scan:
     * `outCol` counts the rows at-or-before each row (in `orderCol` order)
     * where `startFlag(prev, cur)` holds, with `prev` = the previous row's

@@ -41,18 +41,26 @@ object Sampling {
     * hash gate only hits fractions in expectation, which skews small or
     * imbalanced strata. (NOT `ntile(100)`: a stratum smaller than 100 rows
     * fills tiles 1..n one row each, dumping the whole stratum in the first
-    * band.) One shuffle on the stratum key; both windows share it.
+    * band.)
+    *
+    * Scale shape: `row_number() over (partition by stratum)` would put each
+    * ENTIRE stratum through one window task — strata are few and huge
+    * (source, language), so that's a single task sorting billions of rows at
+    * 100 TB. `Scan.keyedRank` instead range-partitions on (stratum, hash) so
+    * a big stratum spans many parallel tasks, and stitches ranks with a
+    * summary-sized offset join. No per-key single-task stage anywhere.
     */
   def stratifiedSplit(df: DataFrame, idCol: String, strataCol: String,
                       splits: Seq[(String, Int)]): DataFrame = {
     require(splits.map(_._2).sum == 100, "split percentages must sum to 100")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(strataCol)
-    val tile = ceil(row_number().over(w.orderBy(md5(col(idCol).cast("string"))))
-      * lit(100.0) / count(lit(1)).over(w))
+    val ranked = graft.core.Scan.keyedRank(
+      df.withColumn("__h", md5(col(idCol).cast("string"))),
+      strataCol, "__h", "__rk", "__n")
+    val tile = ceil(col("__rk") * lit(100.0) / col("__n"))
     val cum = splits.scanLeft(0)(_ + _._2).tail
     val expr = splits.zip(cum).foldRight(lit(splits.last._1): Column) {
       case (((name, _), hi), acc) => when(tile <= hi, lit(name)).otherwise(acc)
     }
-    df.withColumn("split", expr)
+    ranked.withColumn("split", expr).drop("__h", "__rk", "__n")
   }
 }

@@ -49,6 +49,22 @@ class SamplingSpec extends SparkSpec {
     assert(once == again)
   }
 
+  test("stratifiedSplit plan: every window is partitioned by __pid (no per-stratum single task)") {
+    val df = docs((0L until 300L).map(i => (i, if (i % 2 == 0) "x" else "y")))
+    val out = Sampling.stratifiedSplit(df, "id", "stratum",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the rank window in the plan")
+    windows.foreach { w =>
+      val parts = w.partitionSpec.map(_.sql).mkString(",")
+      assert(w.partitionSpec.nonEmpty, "unpartitioned window = one global task")
+      assert(parts.contains("__pid"),
+        s"window partitioned only by [$parts]: a whole stratum in one task")
+    }
+  }
+
   test("deterministicSplit covers all rows with the declared labels") {
     val df = docs((0L until 500L).map(i => (i, "s")))
     val out = Sampling.deterministicSplit(df, "id",
