@@ -518,6 +518,34 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- T1 multi-output dispatch: ONE processor emits demeaned + zscored
+    // series in one step (reference list-of-Series return path,
+    // series_processor.py:363-367), consumed by a rolling feature ----------
+    "q63_multi_proc" -> ((s, dir) => {
+      val demeanZ = SeriesProcessor.flatMapSeries("demean_z", Seq("value")) { sr =>
+        // fit-broadcast-transform: one stats pass feeds both outputs
+        val stats = sr.df.agg(avg(col(sr.valueCol)).as("__m"),
+          stddev_pop(col(sr.valueCol)).as("__sd"))
+        val base = sr.df.crossJoin(broadcast(stats))
+        Seq(
+          Series("vdemean", base.withColumn("vdemean",
+            col(sr.valueCol) - col("__m")).drop("__m", "__sd"), sr.idxCol, "vdemean"),
+          Series("vz", base.withColumn("vz",
+            (col(sr.valueCol) - col("__m")) / col("__sd")).drop("__m", "__sd"),
+            sr.idxCol, "vz"))
+      }
+      val series = new SeriesPipeline(Seq(demeanZ))
+        .process(Seq(valueSeries(s, dir)), returnAll = false)
+      val win = Some(Win.time("1D")); val st = Some(Seq(Win.time("6h")))
+      val fc = FeatureCollection(
+        FeatureDescriptor(mean, "vdemean", win, st),
+        FeatureDescriptor(mean, "vz", win, st))
+      fc.calculate(series.filter(x => Set("vdemean", "vz")(x.name)))
+        .select(unix_micros(col("ts")).as("ts_anchor"),
+          r6z("vdemean__mean__w=1D"), r6z("vz__mean__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
     // ---- T1-family: as-of grid resampling ---------------------------------
     "q47_resample" -> ((s, dir) => {
       graft.proc.Resample.asofGrid(valueSeries(s, dir), 3600e6)
@@ -598,6 +626,20 @@ object SparkEntry {
           unix_micros(col("ts")).as("ts_anchor"),
           col("value__len__w=1D"), r6("value__mean__w=1D"))
         .orderBy("user_id", "ts_anchor")
+    }),
+
+    // ---- G3 per key: consecutive event_type runs WITHIN each user --------
+    "q64_keyed_consecutive" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+      KeyedFeatures.calculateGroupByConsecutive(ev, "user_id", "ts",
+        "event_type", Seq("value" -> len, "value" -> mean))
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_type").as("etype"), col("value__len__w=manual"),
+          r6("value__mean__w=manual"),
+          unix_micros(col("__start")).as("__start"),
+          unix_micros(col("__end")).as("__end"))
+        .orderBy("user_id", "__start")
     }),
 
     // ---- dedup: train/test decontamination (n-gram collision) -------------
@@ -1166,6 +1208,28 @@ object SparkEntry {
         |SELECT epoch_us(ts) AS ts_anchor,
         | round(CASE WHEN sd <> 0 THEN (value - m) / sd ELSE 0.0 END, 6) + 0.0 AS value
         |FROM events, st ORDER BY ts_anchor""".stripMargin,
+
+    "q64_keyed_consecutive" ->
+      """WITH g AS (SELECT user_id, ts, value, event_type,
+        |  CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+        |       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events),
+        |r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS UNBOUNDED PRECEDING) AS run FROM g)
+        |SELECT CAST(user_id AS BIGINT) AS user_id, any_value(event_type) AS etype,
+        | count(value) AS "value__len__w=manual",
+        | round(avg(value),6) AS "value__mean__w=manual",
+        | epoch_us(min(ts)) AS __start, epoch_us(max(ts)) AS __end
+        |FROM r GROUP BY user_id, run ORDER BY user_id, __start""".stripMargin,
+
+    "q63_multi_proc" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)},
+         |st AS (SELECT avg(value) AS m, stddev_pop(value) AS sd FROM events)
+         |SELECT we AS ts_anchor,
+         | round(avg(value - m), 6) + 0.0 AS "vdemean__mean__w=1D",
+         | round(avg((value - m) / sd), 6) + 0.0 AS "vz__mean__w=1D"
+         |FROM seg LEFT JOIN events ON epoch_us(ts) >= ws AND epoch_us(ts) < we, st
+         |GROUP BY we ORDER BY ts_anchor""".stripMargin,
 
     "q52_robust_udf" ->
       s"""WITH ${segCte(2 * HOUR, 2 * HOUR)}

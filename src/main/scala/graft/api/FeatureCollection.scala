@@ -482,6 +482,109 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
         group.restoreIdx(col("__start")).as("__start") :+
         group.restoreIdx(col("__end")).as("__end"): _*)
   }
+
+  /** Validation report — the reference's warning surface, as data. The
+    * reference WARNS AND PROCEEDS on several degenerate-but-legal inputs;
+    * this engine's behavior is semantically identical (rows survive the
+    * left join, NaN group rows are filtered) but a Spark job has no warning
+    * channel that reaches the caller, so the findings are returned as a
+    * DataFrame instead: one row per would-be warning,
+    * `(check, subject, detail)` — empty report = nothing to warn about.
+    *
+    * Checks (each cites the reference warning it mirrors):
+    *  - `mixed_window_stride_dtypes` — descriptors whose window/stride
+    *    datatypes disagree across the collection
+    *    (feature_collection.py:161-196 `_check_feature_descriptors`)
+    *  - `segments_outside_data_bounds` — manual segment indexes outside the
+    *    data's bound range (strided_rolling.py:548-551,604-614
+    *    OUTSIDE_DATA_BOUNDS_WARNING)
+    *  - `nan_group_rows` — null/NaN values in the grouping series, whose
+    *    rows grouped calculations ignore (feature_collection.py:509-519)
+    *  - `sparsity` — series whose per-segment sample counts vary (nonzero
+    *    peak-to-peak), i.e. the data is sparse w.r.t. the segmentation
+    *    (strided_rolling.py:230-239; suppress with approveSparsity, the
+    *    reference's `approve_sparsity` analog)
+    */
+  def validate(data: Seq[Series],
+               group: Option[Series] = None,
+               segmentStartIdxs: Option[Seq[Double]] = None,
+               segmentEndIdxs: Option[Seq[Double]] = None,
+               includeFinalWindow: Boolean = false,
+               boundMethod: String = "inner",
+               approveSparsity: Boolean = false): DataFrame = {
+    val spark = data.headOption.map(_.df.sparkSession).getOrElse(
+      throw new IllegalArgumentException("validate needs at least one series"))
+    import spark.implicits._
+    val empty = Seq.empty[(String, String, String)].toDF("check", "subject", "detail")
+    def rows(rs: Seq[(String, String, String)]): Option[DataFrame] =
+      if (rs.isEmpty) None else Some(rs.toDF("check", "subject", "detail"))
+    val byName = data.map(s => s.name -> s).toMap
+    val used = requiredSeries.flatMap(byName.get)
+
+    // mixed window/stride dtypes — driver-side descriptor metadata
+    def dtypeName(w: Win): String = w match {
+      case _: TimeWin   => "time"
+      case _: SeqWin    => "sequence"
+      case _: SampleWin => "samples"
+    }
+    val dtypes = descriptors.flatMap(d =>
+      (d.window.toSeq ++ d.strides.getOrElse(Nil)).map(dtypeName)).distinct.sorted
+    val mixed = rows(
+      if (dtypes.lengthCompare(1) > 0)
+        Seq(("mixed_window_stride_dtypes",
+          descriptors.map(_.outputName).mkString(","),
+          s"multiple window/stride datatypes present: ${dtypes.mkString(", ")}"))
+      else Nil)
+
+    // manual segments vs data bounds — the arrays are driver-side already
+    val manualOob = rows(
+      if ((segmentStartIdxs.isDefined || segmentEndIdxs.isDefined) && used.nonEmpty) {
+        val b = Segmenter.bounds(used, boundMethod)
+        val oob = (segmentStartIdxs.getOrElse(Nil) ++ segmentEndIdxs.getOrElse(Nil))
+          .filter(x => x < b.start || x > b.end)
+        if (oob.nonEmpty)
+          Seq(("segments_outside_data_bounds", used.map(_.name).mkString(","),
+            s"${oob.length} segment idx(s) outside [${b.start}, ${b.end}], " +
+              s"e.g. ${oob.head} — their windows will hold no/partial data"))
+        else Nil
+      } else Nil)
+
+    // null/NaN group rows — distributed count, lazily folded into the report
+    val nanGroup = group.map { g =>
+      val isFloating = g.df.schema(g.valueCol).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType => true
+        case _ => false
+      }
+      val badGroup = col(g.valueCol).isNull ||
+        (if (isFloating) isnan(col(g.valueCol)) else lit(false))
+      g.df.where(badGroup).agg(count(lit(1)).as("__n")).where(col("__n") > 0)
+        .select(lit("nan_group_rows").as("check"), lit(g.name).as("subject"),
+          format_string("%d rows with null/NaN values in grouping series " +
+            "'%s' will be ignored", col("__n"), lit(g.name)).as("detail"))
+    }
+
+    // sparsity per (window, strides) bucket — distributed ptp counts
+    val sparsityReports =
+      if (approveSparsity || used.isEmpty) Nil
+      else descriptors
+        .filter(d => d.window.exists(!_.isInstanceOf[SampleWin]) && d.strides.isDefined)
+        .groupBy(d => (d.window.get, d.strides.get)).keys.toSeq
+        .map { case (win, strides) =>
+          val series = used.filter(_.domain == win.domain)
+          if (series.isEmpty) empty
+          else Segmenter.sparsity(series, Segmenter.bounds(series, boundMethod),
+            win.amount, strides.map(_.amount), includeFinalWindow)
+            .where(col("ptp") > 0)
+            .select(lit("sparsity").as("check"), col("series").as("subject"),
+              format_string("per-segment sample counts vary for w=%s: " +
+                "min=%d max=%d (sparse w.r.t. this segmentation)",
+                lit(win.render), col("min_n"), col("max_n")).as("detail"))
+        }
+
+    (Seq(empty) ++ mixed ++ manualOob ++ nanGroup ++ sparsityReports)
+      .reduce(_.unionByName(_))
+  }
 }
 
 object FeatureCollection {

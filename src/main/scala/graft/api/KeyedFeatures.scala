@@ -163,4 +163,80 @@ object KeyedFeatures {
       series.restoreIdx(anchorRaw).as(idxCol) +:
       feats.flatMap(expand): _*)
   }
+
+  /** G3 per key — `group_by_consecutive` (reference:
+    * feature_collection.py:568-724) applied WITHIN each entity: maximal runs
+    * of equal `groupCol` values in index order, per key, one feature row per
+    * run with `__start`/`__end` boundaries. The reference covers this shape
+    * only by looping the single-series engine over entities; here every
+    * window is `partitionBy(key)` — per-key state never crosses executors
+    * and no stage sees a global ordering, so keys scale out.
+    *
+    * Wide-frame input: one row per (key, idx) carrying the grouping column
+    * and every value series. Null/NaN group rows are NOT run boundaries
+    * (P5): they inherit the enclosing run — run segments span
+    * `[start, next_start)`, closed at `last_end + 1 day/unit`, exactly the
+    * single-series G3 semantics (feature_collection.py:682-688) — while run
+    * boundaries and the group value come from the non-null rows only. Rows
+    * before the first run start are dropped.
+    */
+  def calculateGroupByConsecutive(df: DataFrame, keyCol: String, idxCol: String,
+      groupCol: String, unary: Seq[(String, FeatureFunc)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    require(unary.nonEmpty, "no features given")
+    val valueCols = unary.map(_._1).distinct
+    val series = Series(valueCols.head, df, idxCol, valueCols.head)
+    val gOk = df.schema(groupCol).dataType match {
+      case DoubleType | FloatType =>
+        col(groupCol).isNotNull && !isnan(col(groupCol))
+      case _ => col(groupCol).isNotNull
+    }
+    val internal = df.select(
+      col(keyCol).as("__key") +:
+        (series.domain match {
+          case Domain.Time     => unix_micros(col(idxCol).cast("timestamp")).cast("double")
+          case Domain.Sequence => col(idxCol).cast("double")
+        }).as("__idx") +:
+        when(gOk, col(groupCol)).as("__grp") +: valueCols.map(col): _*)
+      .where(col("__idx").isNotNull)
+    // change-flag against the last NON-NULL group value, so null-group rows
+    // neither start runs nor break them; inclusive running sum = run id
+    val wOrd = Window.partitionBy("__key").orderBy("__idx")
+    val prevNN = last(col("__grp"), ignoreNulls = true)
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val rows = internal
+      .withColumn("__flag", when(col("__grp").isNotNull &&
+        (prevNN.isNull || prevNN =!= col("__grp")), 1L).otherwise(0L))
+      .withColumn("__run", sum(col("__flag"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .where(col("__run") > 0)
+    val ext = series.domain match {
+      case Domain.Time     => 86400e6 // reference: :682-688 (+1 day)
+      case Domain.Sequence => 1.0
+    }
+    // boundaries + group value from the GROUP rows only
+    val runs = rows.where(col("__grp").isNotNull)
+      .groupBy("__key", "__run").agg(
+        min(col("__idx")).as("__start"), max(col("__idx")).as("__end"),
+        first(col("__grp")).as("__g"))
+    // the last run's segment closes at end + ext: trailing null-group rows
+    // beyond that are outside every segment (single-series G3 terminator)
+    val keyEnd = runs.groupBy("__key").agg(max(col("__end")).as("__kend"))
+    val names = unary.map { case (c, f) => Win.outputName(Seq(c), f.name, "manual") }
+    require(names.distinct.length == names.length,
+      "duplicate output names: " + names.diff(names.distinct).mkString(", "))
+    val aggs = unary.zip(names).map { case ((c, f), n) =>
+      f.agg(col("__idx"), col(c)).as(n) }
+    // plain equi-join on the key (NOT broadcast: one row per key is still
+    // millions of rows at scale; AQE may still choose broadcast when small)
+    val feats = rows.join(keyEnd, Seq("__key"))
+      .where(col("__idx") < col("__kend") + lit(ext))
+      .groupBy("__key", "__run").agg(aggs.head, aggs.tail: _*)
+    runs.join(feats, Seq("__key", "__run"), "left")
+      .select(col("__key").as(keyCol) +: col("__g").as(groupCol) +:
+        names.sorted.map(n => col(s"`$n`")) :+
+        series.restoreIdx(col("__start")).as("__start") :+
+        series.restoreIdx(col("__end")).as("__end"): _*)
+  }
 }

@@ -31,12 +31,27 @@ object FeatureCollectionSerde {
     case t         => throw new IllegalArgumentException(s"unknown window type $t")
   }
 
-  def toJson(fc: FeatureCollection): String = {
+  /** Serialize. Fails FAST on a function that is not resolvable by name in
+    * `registry`/`naryRegistry` — emitting the spec anyway would produce a
+    * file that can never reload (the reference serializes arbitrary lambdas
+    * via dill, feature_collection.py:1264-1280; the Spark answer is a
+    * registry, so the error channel must be at SAVE time, not load time).
+    */
+  def toJson(fc: FeatureCollection,
+             registry: Map[String, FeatureFunc] = FeatureFuncs.byName,
+             naryRegistry: Map[String, NaryFunc] = NaryFuncs.byName): String = {
     val root = mapper.createObjectNode()
     root.put("format", "graft-feature-collection")
     root.put("version", 1)
     val arr = root.putArray("descriptors")
     fc.descriptors.foreach { d =>
+      val known = d match {
+        case _: NaryFeatureDescriptor => naryRegistry.contains(d.funcName)
+        case _                        => registry.contains(d.funcName)
+      }
+      require(known, s"function '${d.funcName}' is not in the serialization " +
+        "registry — the spec could not reload; register it by name (pass a " +
+        "registry to toJson/save and the same one to fromJson/load)")
       val n = arr.addObject()
       n.put("function", d.funcName)
       d match {
@@ -88,8 +103,11 @@ object FeatureCollectionSerde {
     new FeatureCollection(ds)
   }
 
-  def save(fc: FeatureCollection, path: String): Unit =
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), toJson(fc))
+  def save(fc: FeatureCollection, path: String,
+           registry: Map[String, FeatureFunc] = FeatureFuncs.byName,
+           naryRegistry: Map[String, NaryFunc] = NaryFuncs.byName): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      toJson(fc, registry, naryRegistry))
 
   def load(path: String,
            registry: Map[String, FeatureFunc] = FeatureFuncs.byName): FeatureCollection =

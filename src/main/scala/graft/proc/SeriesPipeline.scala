@@ -35,6 +35,34 @@ object SeriesProcessor {
       Series(out, s.df.withColumn(out, f(col(s.valueCol))), s.idxCol, out)
     })
 
+  /** Multi-output dispatch — one processor call on each input series emits
+    * SEVERAL series, all upserted into the working set (the reference's
+    * list-of-Series return path,
+    * tsflex/processing/series_processor.py:363-367; the DataFrame return
+    * path, :320-331, is `dataframeFunc`). `f` receives the full input Series
+    * so it can run its own aggregation passes (fit-broadcast-transform);
+    * output names must be unique across the whole step — the reference's
+    * duplicate-output-key assert (:215-218) is enforced by
+    * `SeriesPipeline.process`.
+    */
+  def flatMapSeries(procName: String, names: Seq[String])(
+      f: Series => Seq[Series]): SeriesProcessor =
+    SeriesProcessor(procName, names, dict => names.flatMap(n => f(dict(n))))
+
+  /** Convenience multi-output over value-wise Column functions: each input
+    * series `n` emits one NEW series per `(rename, f)` pair, named
+    * `rename(n)` — e.g. low-pass + high-pass of every channel in one step.
+    */
+  def mapSeriesMulti(procName: String, names: Seq[String],
+      outs: Seq[(String => String, Column => Column)]): SeriesProcessor =
+    SeriesProcessor(procName, names, dict => names.flatMap { n =>
+      val s = dict(n)
+      outs.map { case (rename, f) =>
+        val out = rename(n)
+        Series(out, s.df.withColumn(out, f(col(s.valueCol))), s.idxCol, out)
+      }
+    })
+
   /** Standardize each series to zero mean / unit variance (population):
     * the per-series stats are one partial-aggregated pass, broadcast into a
     * map-only transform — the classic "fit then transform" processing step
@@ -97,7 +125,13 @@ final class SeriesPipeline(val steps: Seq[SeriesProcessor]) {
       val missing = st.requiredSeries.filterNot(dict.contains)
       require(missing.isEmpty,
         s"processor ${st.name}: missing input series ${missing.mkString(", ")}")
-      st.apply(dict).foreach { out =>
+      val outs = st.apply(dict)
+      // the reference asserts one step never emits the same output key twice
+      // (series_processor.py:215-218) — silent last-wins would drop data
+      val dups = outs.groupBy(_.name).collect { case (n, vs) if vs.size > 1 => n }
+      require(dups.isEmpty,
+        s"processor ${st.name}: duplicate output series ${dups.mkString(", ")}")
+      outs.foreach { out =>
         dict = dict.updated(out.name, out)
         produced += out.name
       }

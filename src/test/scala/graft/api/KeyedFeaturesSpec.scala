@@ -53,6 +53,37 @@ class KeyedFeaturesSpec extends SparkSpec {
     assert(math.abs(rows(0).getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("keyed group_by_consecutive matches the single-series engine per key") {
+    import spark.implicits._
+    // null-group rows: inherit the enclosing run (idx 1), dropped when past
+    // the last run's +1-unit tail (idx 4 >= 3+1)
+    val rows = Seq(
+      ("a", 0.0, Some("x"), 10.0), ("a", 1.0, None, 20.0), ("a", 2.0, Some("x"), 30.0),
+      ("a", 3.0, Some("y"), 40.0), ("a", 4.5, None, 50.0),
+      ("b", 0.0, Some("z"), 1.0), ("b", 1.0, Some("z"), 2.0), ("b", 2.0, Some("w"), 3.0))
+    val df = rows.toDF("k", "idx", "g", "v")
+    val keyed = KeyedFeatures.calculateGroupByConsecutive(df, "k", "idx", "g",
+      Seq("v" -> len, "v" -> mean)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+      .groupBy(_._1).map { case (k, rs) =>
+        k -> rs.map(t => (t._2, t._3, t._4, t._5, t._6)).sortBy(_._4).toSeq }
+    assert(keyed("a") == Seq(("x", 3L, 20.0, 0.0, 2.0), ("y", 1L, 40.0, 3.0, 3.0)))
+    for (key <- Seq("a", "b")) {
+      val sub = df.where(col("k") === key)
+      val single = FeatureCollection(
+        FeatureDescriptor(len, "v", None, None),
+        FeatureDescriptor(mean, "v", None, None))
+        .calculateGroupByConsecutive(
+          Seq(Series("v", sub, "idx", "v")), Series("g", sub, "idx", "g"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4)))
+        .sortBy(_._4).toSeq
+      assert(keyed(key) == single, s"key $key: keyed vs single-series engine")
+    }
+  }
+
   test("wide frame: multi-output struct funcs expand per output name") {
     import spark.implicits._
     import org.apache.spark.sql.{functions => F}

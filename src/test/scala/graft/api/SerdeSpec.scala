@@ -23,15 +23,20 @@ class SerdeSpec extends AnyFunSuite {
     assert(back.descriptors.head.funcName == "mean")
   }
 
-  test("unknown function name fails with a registry hint") {
+  test("unregistered function fails at SAVE time with the function name") {
     val custom = FeatureFunc("mystery", (_, v) => org.apache.spark.sql.functions.max(v))
     val fc = FeatureCollection(FeatureDescriptor(custom, "x", Some(Win.seq(2L)),
       Some(Seq(Win.seq(1L)))))
-    val json = FeatureCollectionSerde.toJson(fc)
-    intercept[IllegalArgumentException](FeatureCollectionSerde.fromJson(json))
-    // resolvable once registered
-    val back = FeatureCollectionSerde.fromJson(json,
-      FeatureFuncs.byName + ("mystery" -> custom))
+    // emitting a spec that can never reload is the silent-failure mode the
+    // hard error closes — toJson with the default registry must throw
+    val e = intercept[IllegalArgumentException](FeatureCollectionSerde.toJson(fc))
+    assert(e.getMessage.contains("mystery"))
+    // round-trips once the SAME registry is passed to both sides
+    val reg = FeatureFuncs.byName + ("mystery" -> custom)
+    val json = FeatureCollectionSerde.toJson(fc, reg)
+    assert(intercept[IllegalArgumentException](
+      FeatureCollectionSerde.fromJson(json)).getMessage.contains("mystery"))
+    val back = FeatureCollectionSerde.fromJson(json, reg)
     assert(back.descriptors.head.funcName == "mystery")
   }
 

@@ -44,4 +44,37 @@ class SeriesPipelineSpec extends SparkSpec {
       pipe.process(Seq(Series("a", data, "idx", "a"))))
     assert(e.getMessage.contains("clip"))
   }
+
+  test("T1 multi-output: one step emits several named series, all upserted") {
+    val pipe = new SeriesPipeline(Seq(
+      SeriesProcessor.mapSeriesMulti("lohi", Seq("a"), Seq(
+        ((n: String) => s"${n}lo", (v: org.apache.spark.sql.Column) => v - 1),
+        ((n: String) => s"${n}hi", (v: org.apache.spark.sql.Column) => v + 1)))))
+    val out = pipe.process(Seq(Series("a", data, "idx", "a")))
+    assert(out.map(_.name) == Seq("a", "alo", "ahi"))
+    val lo = out.find(_.name == "alo").get
+    assert(lo.df.select(sum(col("alo"))).head.getDouble(0) == 0.0 + 1.0 + 2.0)
+  }
+
+  test("T1 flatMapSeries can replace AND add in the same call (upsert mix)") {
+    val proc = SeriesProcessor.flatMapSeries("demean", Seq("a")) { sr =>
+      Seq(sr.copy(df = sr.df.withColumn(sr.valueCol, col(sr.valueCol) * 10)),
+        Series("amean", sr.df.withColumn("amean", lit(2.0)), sr.idxCol, "amean"))
+    }
+    val out = new SeriesPipeline(Seq(proc)).process(Seq(Series("a", data, "idx", "a")))
+    assert(out.map(_.name) == Seq("a", "amean"))
+    assert(out.head.df.select(sum(col("a"))).head.getDouble(0) == 60.0)
+  }
+
+  test("duplicate output names within one step fail with the processor name") {
+    // the reference's duplicate-output-key assert
+    // (series_processor.py:215-218): two outputs named 'dup' in ONE step
+    val proc = SeriesProcessor.flatMapSeries("collide", Seq("a")) { sr =>
+      Seq(Series("dup", sr.df.withColumn("dup", col(sr.valueCol)), sr.idxCol, "dup"),
+        Series("dup", sr.df.withColumn("dup", -col(sr.valueCol)), sr.idxCol, "dup"))
+    }
+    val e = intercept[IllegalArgumentException](
+      new SeriesPipeline(Seq(proc)).process(Seq(Series("a", data, "idx", "a"))))
+    assert(e.getMessage.contains("collide") && e.getMessage.contains("dup"))
+  }
 }
