@@ -40,11 +40,37 @@ object ScaleSmoke {
       d0.select((col("doc_id") + lit(k * 1000000)).as("doc_id"), col("text")))
       .reduce(_.unionAll(_))
 
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"SCALESMOKE $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
-    }
+    // Evidence for "zero single-task stages": record every stage that ran
+    // with ONE task yet processed non-trivial data (>1M records or >64 MB
+    // read/shuffled). Legitimate 1-task stages (tiny summaries, broadcast
+    // builds, final coalesce of small results) fall under the thresholds;
+    // a skew-collapsed window or un-partitioned sort would not.
+    val heavySingles = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val info = s.stageInfo
+        val m = info.taskMetrics
+        if (info.numTasks == 1 && m != null) {
+          val recs = m.inputMetrics.recordsRead + m.shuffleReadMetrics.recordsRead
+          val bytes = m.inputMetrics.bytesRead + m.shuffleReadMetrics.totalBytesRead
+          if (recs > 1000000L || bytes > 64L * 1024 * 1024)
+            heavySingles.add(s"stage=${info.stageId} name=${info.name} " +
+              s"records=$recs bytes=$bytes")
+        }
+      }
+    })
+
+    // SPARK_GRAFT_FAMILIES=jaccard,keyed limits the run to families whose
+    // name contains one of the substrings (for targeted 100x runs).
+    val famFilter = sys.env.get("SPARK_GRAFT_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def time(name: String)(f: => Long): Unit =
+      if (famFilter.forall(_.exists(name.contains))) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"SCALESMOKE $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+      }
 
     time(s"events x$copies count")(events.count())
     time("rolling 1D/6h fused x7") {
@@ -87,12 +113,13 @@ object ScaleSmoke {
     }
     // Exact duplicates make ANY similarity join quadratic within each dup
     // group (every copy pairs with every other — that's real output, not a
-    // plan flaw). The production pipeline runs exact dedup first and
-    // near-dups the representatives; this measures that composition.
-    time(s"docs x$copies jaccard after exact-dedup") {
-      val reps = docs.groupBy(md5(col("text")).as("__k"))
-        .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
-      Dedup.jaccardPairs(reps, "doc_id", "text", 3, 0.6).count()
+    // plan flaw). jaccardPairs/minhashLsh pre-collapse identical shingle
+    // sets internally (withExactCollapse), so the replicated corpus costs
+    // candidate work proportional to the UNIQUE docs; the uncollapsed
+    // variant below measures what that collapse saves.
+    time(s"docs x$copies jaccard no-collapse") {
+      Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6,
+        collapseExact = false).count()
     }
     time(s"docs x$copies repetition") {
       graft.scale.TextStats.repetition(docs, "doc_id", "text").count()
@@ -106,6 +133,17 @@ object ScaleSmoke {
     time(s"docs x$copies simhash") {
       Dedup.simhash32(docs, "doc_id", "text").queryExecution.toRdd.count()
     }
+    time(s"docs x$copies stratified split") {
+      graft.scale.Sampling.stratifiedSplit(
+        docs.withColumn("__s", pmod(col("doc_id"), lit(3))),
+        "doc_id", "__s", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy("split").count().count()
+    }
+    Thread.sleep(3000) // let the async listener bus drain stage-end events
+    import scala.jdk.CollectionConverters._
+    val singles = heavySingles.asScala.toList
+    println(s"SCALESMOKE heavy-single-task-stages=${singles.size}")
+    singles.foreach(s => println(s"SCALESMOKE SINGLE $s"))
     spark.stop()
   }
 }

@@ -1448,12 +1448,16 @@ object SparkEntry {
 
     "q39_ivf_ann" ->
       """WITH x AS (SELECT label, d, CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) AS v
-        |  FROM embeddings, range(64) t(d) WHERE vec_id != 0),
+        |  FROM embeddings, range(64) t(d) WHERE vec_id != 0
+        |  AND list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[])) <> 0),
         |cents AS (SELECT label, list(c ORDER BY d) AS cv FROM
         |  (SELECT label, d, avg(v) AS c FROM x GROUP BY label, d) GROUP BY label),
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |  WHERE vec_id = 0 OR list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[])) <> 0),
         |sims AS (SELECT e.vec_id, cents.label AS cell,
-        |  list_cosine_similarity(e.emb, cents.cv) AS s FROM e, cents),
+        |  round(list_cosine_similarity(e.emb, cents.cv), 12) AS s FROM e, cents),
         |assign AS (SELECT vec_id, arg_max(cell, s) AS cell FROM sims
         |  WHERE vec_id != 0 GROUP BY vec_id),
         |probe AS (SELECT cell FROM (SELECT cell, row_number() OVER (ORDER BY s DESC, cell) AS rk
@@ -1473,7 +1477,7 @@ object SparkEntry {
       def assignCte(name: String, cb: String) =
         s"""$name AS (SELECT id, cell FROM (SELECT v.id, c.cell,
            |    row_number() OVER (PARTITION BY v.id
-           |      ORDER BY list_cosine_similarity(v.emb, c.cv) DESC, c.cell) AS rk
+           |      ORDER BY round(list_cosine_similarity(v.emb, c.cv), 12) DESC, c.cell) AS rk
            |  FROM v, $cb c) WHERE rk = 1)""".stripMargin
       def updateCte(name: String, prev: String, asg: String) =
         s"""$name AS (SELECT s.cell, coalesce(u.cv, s.cv) AS cv FROM $prev s LEFT JOIN
@@ -1485,7 +1489,9 @@ object SparkEntry {
         assignCte(s"a$i", s"cb${i - 1}") + ",\n" + updateCte(s"cb$i", s"cb${i - 1}", s"a$i"))
         .mkString(",\n")
       s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS emb
-         |  FROM embeddings WHERE vec_id != 0),
+         |  FROM embeddings WHERE vec_id != 0
+         |  AND list_dot_product(CAST(embedding AS DOUBLE[]),
+         |    CAST(embedding AS DOUBLE[])) <> 0),
          |cb0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS cell,
          |    emb AS cv
          |  FROM (SELECT id, emb FROM v ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 8)),
@@ -1493,7 +1499,7 @@ object SparkEntry {
          |${assignCte("assign", "cb3")},
          |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
          |probe AS (SELECT cell FROM (SELECT c.cell,
-         |    row_number() OVER (ORDER BY list_cosine_similarity(q.qe, c.cv) DESC, c.cell) AS rk
+         |    row_number() OVER (ORDER BY round(list_cosine_similarity(q.qe, c.cv), 12) DESC, c.cell) AS rk
          |  FROM q, cb3 c) WHERE rk <= 3)
          |SELECT v.id AS vec_id, round(list_cosine_similarity(v.emb, qe), 6) AS cosine
          |FROM v JOIN assign USING (id) JOIN probe USING (cell), q

@@ -144,16 +144,27 @@ object Ann {
               codebook: Option[DataFrame] = None): DataFrame = {
     // codebook: any (__cell, __cell_vec) table — e.g. kmeansCells; defaults
     // to per-label centroids
-    val cellsB = broadcast(codebook.getOrElse(cells(df, labelCol, embCol)
+    // Zero-norm vectors have undefined cosine (cosine() yields null) — the
+    // engine excludes them from cells/assignment/candidates outright rather
+    // than leaving their fate to null-ordering rules that differ per engine.
+    val dfNz = df.where(
+      graft.expr.GraftFunctions.arrayDot(asDouble(col(embCol)),
+        asDouble(col(embCol))) =!= 0.0)
+    val cellsB = broadcast(codebook.getOrElse(cells(dfNz, labelCol, embCol)
       .select(col(labelCol).as("__cell"), col("__cell_vec"))))
+    // Assignment/probe sims are rounded to 12 dp BEFORE the argmax/rank
+    // tie-break: engine and oracle compute cosine with different kernels, so
+    // a last-ulp near-tie between two cells could otherwise flip an
+    // assignment; at a shared 12-dp grid both sides land on the same value
+    // and the deterministic lower-cell tie-break takes over.
     def cellSims(vecs: DataFrame): DataFrame =
       vecs.crossJoin(cellsB)
         .select(col(idCol), col("__cell"),
-          cosine(asDouble(col(embCol)), col("__cell_vec")).as("__sim"))
+          round(cosine(asDouble(col(embCol)), col("__cell_vec")), 12).as("__sim"))
     // assignment is a map-side partial aggregate (max_by) — the shuffle
     // carries one row per vector, not one per (vector, cell); ties break to
     // the lower cell id so the probed candidate set is run-deterministic
-    val assigned = cellSims(df).groupBy(idCol)
+    val assigned = cellSims(dfNz).groupBy(idCol)
       .agg(max_by(col("__cell"), struct(col("__sim"), -col("__cell"))).as("__cell"))
     val probed = cellSims(queryDf)
       .withColumn("__rk", row_number().over(
@@ -196,7 +207,10 @@ object Ann {
     // the vectors feed the seed pass plus one assignment pass per iteration
     // — materialize the scan+cast once (lazy localCheckpoint, dropped on GC)
     // instead of re-reading the source every round
+    // zero-norm vectors (undefined cosine) are excluded from the fit — same
+    // rule as ivfTopK, mirrored in the oracle's base CTE
     val vecs = df.select(col(idCol), asDouble(col(embCol)).as("__e"))
+      .where(graft.expr.GraftFunctions.arrayDot(col("__e"), col("__e")) =!= 0.0)
       .localCheckpoint(eager = false)
     var model: Array[(Long, Seq[Double])] = vecs
       .withColumn("__h", md5(col(idCol).cast("string")))
@@ -210,9 +224,10 @@ object Ann {
 
     for (_ <- 1 to iters) {
       val cellsB = broadcast(cellsOf(model))
+      // 12-dp rounding before the argmax — see ivfTopK.cellSims
       val assigned = vecs.crossJoin(cellsB)
         .select(col(idCol), col("__cell"), col("__e"),
-          cosine(col("__e"), col("__cell_vec")).as("__sim"))
+          round(cosine(col("__e"), col("__cell_vec")), 12).as("__sim"))
         .groupBy(idCol)
         .agg(max_by(struct(col("__cell"), col("__e")),
           struct(col("__sim"), -col("__cell"))).as("__a"))

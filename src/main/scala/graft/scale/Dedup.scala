@@ -116,8 +116,61 @@ object Dedup {
     * hash, so it partitions evenly at any data size.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
-                   threshold: Double, maxDocFreq: Option[Long] = None): DataFrame = {
+                   threshold: Double, maxDocFreq: Option[Long] = None,
+                   collapseExact: Boolean = true): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, k)
+    if (!collapseExact) pairsOnSets(sets, idCol, threshold, maxDocFreq)
+    else withExactCollapse(sets, idCol)(rs =>
+      pairsOnSets(rs, idCol, threshold, maxDocFreq))
+  }
+
+  /** EXACT-DUP PRE-COLLAPSE around a pairwise `(id_a, id_b, jaccard)`
+    * pipeline: docs with IDENTICAL shingle sets have identical Jaccard
+    * against every other doc (and exactly 1.0 among themselves) AND
+    * identical minhash signatures, so only one representative per set needs
+    * to enter the quadratic-ish candidate pipeline — for either the PPJoin
+    * or the LSH-banding path, a member's pairing outcome provably equals its
+    * rep's. Crawled corpora are template-heavy: a clique of c identical docs
+    * costs one candidate row instead of c(c-1)/2. The collapse key is the
+    * sorted shingle set itself (NOT a word-bag normalization, which would
+    * merge docs with different shingles and break exactness). Group stats
+    * come from a partial-aggregable groupBy — no per-key window, so a group
+    * of 10^8 identical docs never serializes into one task.
+    * Empty shingle sets are excluded: 0/0 Jaccard is undefined and the
+    * uncollapsed pipelines never pair them (they produce no index rows).
+    */
+  private def withExactCollapse(sets: DataFrame, idCol: String)
+                               (pipeline: DataFrame => DataFrame): DataFrame = {
+    val keyed = sets.where(col("__n") > 0)
+      .select(col(idCol),
+        md5(concat_ws("\u0001", array_sort(col("__arr")))).as("__key"))
+    val groups = keyed.groupBy("__key").agg(min(col(idCol)).as("__rep"))
+    val repMap = keyed.join(groups, Seq("__key")).localCheckpoint(false)
+    val repSets = sets.join(
+      repMap.where(col(idCol) === col("__rep")).select(col(idCol)), Seq(idCol))
+    val repPairs = pipeline(repSets)
+    // Fan rep-level results back out to member-level pairs: each side of a
+    // rep pair expands to its group's members (ids from different groups
+    // are distinct, so least/greatest re-canonicalizes the order), and
+    // every within-group pair is an exact dup at Jaccard 1.0.
+    val cross = repPairs
+      .join(repMap.select(col("__rep").as("id_a"), col(idCol).as("__ma")), Seq("id_a"))
+      .join(repMap.select(col("__rep").as("id_b"), col(idCol).as("__mb")), Seq("id_b"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
+    val intra = repMap.as("x").join(repMap.as("y"),
+        col("x.__key") === col("y.__key") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
+  }
+
+  /** The prefix-filtered candidate + exact-verify pipeline over a prepared
+    * `(id, __arr, __n)` shingle-set frame (see `jaccardPairs`).
+    */
+  private def pairsOnSets(sets: DataFrame, idCol: String,
+                          threshold: Double, maxDocFreq: Option[Long]): DataFrame = {
     val sh = sets.select(col(idCol), col("__n"),
       explode(col("__arr")).as("__shingle"))
 
@@ -182,10 +235,25 @@ object Dedup {
     * the md5s are the dominant signature cost.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, k: Int,
-                 numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+                 numHashes: Int, bands: Int, threshold: Double,
+                 collapseExact: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val r = numHashes / bands
     val sets = shingleSets(df, idCol, textCol, k)
+    // Identical shingle sets ⇒ identical signatures ⇒ identical banding
+    // outcome, so the exact-dup pre-collapse is output-invariant here too
+    // (a member pairs iff its rep pairs) — see withExactCollapse.
+    if (!collapseExact) bandPairsOnSets(sets, idCol, numHashes, bands, threshold)
+    else withExactCollapse(sets, idCol)(rs =>
+      bandPairsOnSets(rs, idCol, numHashes, bands, threshold))
+  }
+
+  /** The LSH-banding candidate + exact-verify pipeline over a prepared
+    * `(id, __arr, __n)` shingle-set frame (see `minhashLsh`).
+    */
+  private def bandPairsOnSets(sets: DataFrame, idCol: String,
+                              numHashes: Int, bands: Int,
+                              threshold: Double): DataFrame = {
+    val r = numHashes / bands
     // Signatures straight off the per-doc shingle ARRAY via the native
     // one-pass `MinHashSlices` expression — the same min-wise statistic the
     // exploded groupBy computed, with ZERO shuffle and no interpreted
