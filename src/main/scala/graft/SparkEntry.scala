@@ -360,6 +360,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- post-dedup: apply the clustering — keep one doc per cluster ------
+    "q65_dedup_keep_one" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.6)
+      Dedup.keepRepresentatives(d, "doc_id", pairs)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // ---- dedup: MinHash + LSH banding, exact-verified ---------------------
     "q22_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLsh(docs(s, dir), "doc_id", "text", 3, 16, 8, 0.6)
@@ -989,6 +997,19 @@ object SparkEntry {
          |cl AS (SELECT u AS doc_id, min(r) AS rep FROM reach GROUP BY u)
          |SELECT doc_id, rep, count(*) OVER (PARTITION BY rep) AS n
          |FROM cl ORDER BY doc_id""".stripMargin,
+
+    "q65_dedup_keep_one" ->
+      s"""WITH RECURSIVE $jaccardCte,
+         |p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6),
+         |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+         |reach(u, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         |  UNION
+         |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
+         |cl AS (SELECT u AS doc_id, min(r) AS rep FROM reach GROUP BY u)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id != rep)
+         |ORDER BY doc_id""".stripMargin,
 
     "q22_minhash_lsh" -> {
       // 4 independent 32-bit hash slices per md5 — mirrors Dedup.sliceHash

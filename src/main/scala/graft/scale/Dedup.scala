@@ -387,6 +387,23 @@ object Dedup {
       .where(col("hits") >= minHits)
   }
 
+  /** Apply near-dup clustering to the corpus — the "keep one doc per
+    * duplicate cluster" materializer. Clusters come from the transitive
+    * closure of `pairs` (Components.connectedComponents); every clustered
+    * doc except its cluster's min-id representative is dropped via a
+    * left-anti join, singletons pass through untouched.
+    *
+    * Scale shape: the cluster table is bounded by the PAIR count (not the
+    * corpus), and the corpus side is one anti-join shuffling on the id —
+    * no corpus-sized state anywhere.
+    */
+  def keepRepresentatives(df: DataFrame, idCol: String,
+                          pairs: DataFrame): DataFrame = {
+    val cc = Components.connectedComponents(pairs, "id_a", "id_b")
+    val drop = cc.where(col("id") =!= col("rep")).select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** SimHash-equal near-dup pairs (Hamming distance 0 buckets). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val s = simhash32(df, idCol, textCol)
