@@ -83,6 +83,18 @@ class JaccardCollapseSpec extends SparkSpec {
     assert(got == pairsOf(c, collapse = false))
   }
 
+  test("keepRepresentatives drops exactly the non-rep cluster members") {
+    val template = "the quick brown fox jumps over the lazy dog again and again"
+    val c = corpus(
+      (1L to 5L).map(i => (i, template)) ++           // one 5-clique, rep = 1
+      Seq((10L, "completely unrelated text about spark catalyst expressions"),
+          (11L, "another singleton that matches nothing at all whatsoever")))
+    val pairs = Dedup.jaccardPairs(c, "doc_id", "text", 3, 0.6)
+    val kept = Dedup.keepRepresentatives(c, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 11L))
+  }
+
   test("no duplicates at all: collapse is a pass-through") {
     val c = corpus(Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
