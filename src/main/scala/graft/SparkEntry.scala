@@ -617,6 +617,14 @@ object SparkEntry {
         .orderBy("source", "split")
     }),
 
+    // ---- sequence packing: fixed-token-budget training shards -------------
+    "q66_pack_shards" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("__tok"))
+      graft.scale.Sampling.packShards(d, "doc_id", "__tok", 20000L)
+        .select(col("doc_id"), col("shard")).orderBy("doc_id")
+    }),
+
     // ---- deterministic hash-based train/val/test split --------------------
     "q45_split" -> ((s, dir) => {
       graft.scale.Sampling.deterministicSplit(docs(s, dir), "doc_id",
@@ -1430,6 +1438,16 @@ object SparkEntry {
         |       WHEN tile <= 90 THEN 'val' ELSE 'test' END AS split,
         |  count(*) AS n
         |FROM t GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+
+    "q66_pack_shards" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS tok,
+        |  md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |c AS (SELECT doc_id, tok, sum(tok) OVER (ORDER BY h
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT doc_id, CAST(floor((cum - tok) / 20000.0) AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q55_tfidf" ->
       """WITH t AS (SELECT doc_id,

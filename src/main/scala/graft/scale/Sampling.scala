@@ -50,6 +50,28 @@ object Sampling {
     * a big stratum spans many parallel tasks, and stitches ranks with a
     * summary-sized offset join. No per-key single-task stage anywhere.
     */
+  /** Sequence packing: assign rows (documents) to fixed-token-budget shards
+    * — the standard layout step before serializing training data. Docs are
+    * laid out in a deterministic, engine-independent order (md5 of the id,
+    * which also decorrelates shard content from crawl order), the running
+    * token total is a distributed prefix scan (`Scan.runningSum` —
+    * range-partitioned, never a global single-partition window), and a doc
+    * lands in the shard where its token span STARTS:
+    * `shard = floor(exclusive_prefix_tokens / budget)`. Shards are
+    * contiguous spans of the hash order; a doc may overhang its shard's
+    * budget (greedy packing does not split documents).
+    * Returns the input columns plus `shard` (0-based BIGINT).
+    */
+  def packShards(df: DataFrame, idCol: String, tokenCol: String,
+                 budget: Long): DataFrame = {
+    require(budget > 0, "shard token budget must be positive")
+    val h = df.withColumn("__h", md5(col(idCol).cast("string")))
+    graft.core.Scan.runningSum(h, "__h", tokenCol, "__cum")
+      .withColumn("shard",
+        floor((col("__cum") - col(tokenCol)) / lit(budget.toDouble)).cast("long"))
+      .drop("__h", "__cum", "__pid")
+  }
+
   def stratifiedSplit(df: DataFrame, idCol: String, strataCol: String,
                       splits: Seq[(String, Int)]): DataFrame = {
     require(splits.map(_._2).sum == 100, "split percentages must sum to 100")

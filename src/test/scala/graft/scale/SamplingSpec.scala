@@ -65,6 +65,32 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("packShards matches a driver-computed greedy prefix pack and is partition-invariant") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (0L until 400L).map(i => (i, 10L + rng.nextInt(500)))
+    val df = rows.toDF("id", "tok")
+    val budget = 5000L
+    // driver oracle: md5 order, exclusive prefix sum, floor(cum/budget)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    var cum = 0L
+    val expect = rows.sortBy(r => h(r._1)).map { case (id, t) =>
+      val shard = cum / budget; cum += t; id -> shard
+    }.toMap
+    def got(d: org.apache.spark.sql.DataFrame) =
+      Sampling.packShards(d, "id", "tok", budget)
+        .select("id", "shard").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(df) == expect)
+    // shard assignment is a pure function of the data, not its layout
+    assert(got(df.repartition(13)) == expect)
+    // shards are dense 0..max
+    val shards = expect.values.toSet
+    assert(shards == (0L to shards.max).toSet)
+  }
+
   test("deterministicSplit covers all rows with the declared labels") {
     val df = docs((0L until 500L).map(i => (i, "s")))
     val out = Sampling.deterministicSplit(df, "id",
