@@ -617,6 +617,12 @@ object SparkEntry {
         .orderBy("source", "split")
     }),
 
+    // ---- exact dedup, applied: keep one doc per normalized bag ------------
+    "q67_exact_keep_one" -> ((s, dir) => {
+      Dedup.keepExactNormalized(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // ---- sequence packing: fixed-token-budget training shards -------------
     "q66_pack_shards" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"),
@@ -1438,6 +1444,14 @@ object SparkEntry {
         |       WHEN tile <= 90 THEN 'val' ELSE 'test' END AS split,
         |  count(*) AS n
         |FROM t GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+
+    "q67_exact_keep_one" ->
+      """WITH k AS (SELECT doc_id, md5(array_to_string(
+        |    list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS key
+        |  FROM documents)
+        |SELECT doc_id FROM k
+        |WHERE doc_id IN (SELECT min(doc_id) FROM k GROUP BY key)
+        |ORDER BY doc_id""".stripMargin,
 
     "q66_pack_shards" ->
       """WITH t AS (SELECT doc_id,

@@ -50,9 +50,26 @@ object Dedup {
     df.select(col(idCol),
       md5(concat_ws(" ", array_sort(array_distinct(words(col(textCol)))))).as("key"))
       .groupBy("key")
+      // the members list is an AGG-BUFFER-sized payload: fine for reporting
+      // at sane clique sizes, but a 10^8-clone group would blow the buffer —
+      // use keepExactNormalized (no list anywhere) to APPLY the dedup
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n"),
         sort_array(collect_list(col(idCol))).as("members"))
       .where(col("n") >= 2)
+
+  /** Apply exact (normalized-bag) dedup: keep the min-id doc per duplicate
+    * group, pass uniques through. Unlike `exactNormalized` this never
+    * materializes a member list — one partial-aggregable groupBy for the
+    * rep set, one semi-join back — so a group of 10^8 identical docs is
+    * just a big min() aggregation, safe at any clique size.
+    */
+  def keepExactNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val key = md5(concat_ws(" ", array_sort(array_distinct(words(col(textCol))))))
+    val reps = df.select(col(idCol), key.as("__key"))
+      .groupBy("__key").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(reps, Seq(idCol), "left_semi")
+  }
 
   /** Per-doc shingle-set frame `(id, __arr, __n = |set|)`, materialized once
     * (lazy localCheckpoint) — the compact upstream shared by candidate

@@ -95,6 +95,16 @@ class JaccardCollapseSpec extends SparkSpec {
     assert(kept == Set(1L, 10L, 11L))
   }
 
+  test("keepExactNormalized keeps min-id per bag, uniques pass through") {
+    // word-order permutation = SAME normalized bag (unlike the shingle key)
+    val c = corpus(Seq(
+      (5L, "b a c"), (2L, "a b c"), (9L, "c b a"),
+      (10L, "totally different words here")))
+    val kept = Dedup.keepExactNormalized(c, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 10L))
+  }
+
   test("no duplicates at all: collapse is a pass-through") {
     val c = corpus(Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
