@@ -617,6 +617,15 @@ object SparkEntry {
         .orderBy("source", "split")
     }),
 
+    // ---- PII redaction (synthetic PII appended so the substitution is
+    // actually exercised — the corpus itself is PII-free) -------------------
+    "q68_redact_pii" -> ((s, dir) => {
+      val synth = concat(col("text"), lit(
+        " contact: john.doe+spam@example.co from 192.168.1.10 card 4111111111111111"))
+      docs(s, dir).select(col("doc_id"),
+        TextStats.redactPii(synth).as("redacted")).orderBy("doc_id")
+    }),
+
     // ---- exact dedup, applied: keep one doc per normalized bag ------------
     "q67_exact_keep_one" -> ((s, dir) => {
       Dedup.keepExactNormalized(docs(s, dir), "doc_id", "text")
@@ -1444,6 +1453,14 @@ object SparkEntry {
         |       WHEN tile <= 90 THEN 'val' ELSE 'test' END AS split,
         |  count(*) AS n
         |FROM t GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+
+    "q68_redact_pii" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  text || ' contact: john.doe+spam@example.co from 192.168.1.10 card 4111111111111111',
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |  '\b\d{1,3}(\.\d{1,3}){3}\b', '[IP]', 'g'),
+        |  '\b\d{13,19}\b', '[NUM]', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q67_exact_keep_one" ->
       """WITH k AS (SELECT doc_id, md5(array_to_string(

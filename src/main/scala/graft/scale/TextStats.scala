@@ -19,6 +19,27 @@ object TextStats {
     */
   val punctClass: String = """[!-/:-@\[-`{-~]"""
 
+  /** PII redaction patterns — written to mean the SAME thing in Java regex
+    * (Spark codegen) and RE2 (DuckDB oracle): ASCII classes, bounded
+    * repetition, `\b` (ASCII word boundary in both). Replacement order
+    * matters: emails first (their local parts can contain digit runs),
+    * then IPv4 dotted quads, then 13–19-digit runs (card/account-like).
+    */
+  val emailPat: String = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val ipv4Pat: String = """\b\d{1,3}(\.\d{1,3}){3}\b"""
+  val longNumPat: String = """\b\d{13,19}\b"""
+
+  /** Redact common PII (emails, IPv4 addresses, long digit runs) with typed
+    * placeholders — the standard scrub before training-corpus release.
+    * Three chained codegen'd regexp_replace passes, map-only at any scale.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPat, "[EMAIL]"),
+        ipv4Pat, "[IP]"),
+      longNumPat, "[NUM]")
+
   /** BPE-ish token estimate: word tokens + standalone punctuation runs —
     * a cheap proxy for subword tokenizers (≈ tokens for ASCII prose).
     */
