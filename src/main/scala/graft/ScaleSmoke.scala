@@ -133,6 +133,16 @@ object ScaleSmoke {
     time(s"docs x$copies simhash") {
       Dedup.simhash32(docs, "doc_id", "text").queryExecution.toRdd.count()
     }
+    time(s"docs x$copies pack shards") {
+      val d = docs.select(col("doc_id"),
+        graft.scale.TextStats.tokenCount(col("text")).cast("long").as("__tok"))
+      graft.scale.Sampling.packShards(d, "doc_id", "__tok", 100000L)
+        .groupBy("shard").count().count()
+    }
+    time(s"docs x$copies redact pii") {
+      docs.select(graft.scale.TextStats.redactPii(col("text")))
+        .queryExecution.toRdd.count()
+    }
     time(s"docs x$copies stratified split") {
       graft.scale.Sampling.stratifiedSplit(
         docs.withColumn("__s", pmod(col("doc_id"), lit(3))),

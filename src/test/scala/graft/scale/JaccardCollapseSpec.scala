@@ -83,6 +83,24 @@ class JaccardCollapseSpec extends SparkSpec {
     assert(got == pairsOf(c, collapse = false))
   }
 
+  test("fuzz: collapse differential on random small-vocab corpora") {
+    // tiny vocabulary + short docs → exact dups and near-dups arise
+    // naturally; every seed compares collapsed vs uncollapsed output
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (seed <- 1 to 8) {
+      val rng = new scala.util.Random(seed)
+      val rows: Seq[(Long, String)] = (1L to 24L).map { i =>
+        val n = rng.nextInt(8) // 0..7 words (incl. empty + sub-k docs)
+        (i, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      val c = corpus(rows)
+      assert(pairsOf(c, collapse = true) == pairsOf(c, collapse = false),
+        s"jaccard mismatch at seed $seed")
+      assert(lshPairsOf(c, collapse = true) == lshPairsOf(c, collapse = false),
+        s"minhash mismatch at seed $seed")
+    }
+  }
+
   test("keepRepresentatives drops exactly the non-rep cluster members") {
     val template = "the quick brown fox jumps over the lazy dog again and again"
     val c = corpus(
