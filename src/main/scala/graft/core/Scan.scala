@@ -24,8 +24,23 @@ import org.apache.spark.sql.functions._
 object Scan {
 
   private def ranged(df: DataFrame, orderCols: Seq[String]): DataFrame =
-    df.repartitionByRange(orderCols.map(col): _*)
-      .withColumn("__pid", spark_partition_id())
+    pinPartitions(df.repartitionByRange(orderCols.map(col): _*))
+
+  /** `spark_partition_id()` over a range exchange is NOT stable across the
+    * several subtrees that consume it: range boundaries come from a
+    * SAMPLING job that reruns per materialization (order-sensitive — a
+    * localCheckpoint upstream can serve rows in varying order), and AQE may
+    * coalesce different reads of the same exchange differently. Either way
+    * the window pass and the boundary-summary pass can silently disagree on
+    * `__pid` — observed at sf0.1 as rows carrying a stale run id in
+    * group_by_consecutive (half the fills wrong under AQE, a handful at
+    * partition edges without it). Pinning the stamped frame with a lazy
+    * localCheckpoint makes every consumer read the SAME materialized
+    * partitioning; the cost is one extra write of the (narrow) scan frame,
+    * the same order as the range shuffle it sits behind.
+    */
+  private def pinPartitions(df: DataFrame): DataFrame =
+    df.withColumn("__pid", spark_partition_id()).localCheckpoint(eager = false)
 
   /** For each `__pid` of `summary` (a tiny per-partition table), aggregate
     * over all STRICTLY PRECEDING pids — the prefix-combine step, as a
@@ -119,8 +134,7 @@ object Scan {
     */
   def keyedRank(df: DataFrame, keyCol: String, orderCol: String,
                 rankCol: String, countCol: String): DataFrame = {
-    val p = df.repartitionByRange(col(keyCol), col(orderCol))
-      .withColumn("__pid", spark_partition_id())
+    val p = pinPartitions(df.repartitionByRange(col(keyCol), col(orderCol)))
     val w = Window.partitionBy("__pid", keyCol).orderBy(orderCol)
     val local = p.withColumn("__loc", row_number().over(w).cast("long"))
     val perPid = p.groupBy(col("__pid"), col(keyCol)).agg(count(lit(1)).as("__tot"))

@@ -130,4 +130,33 @@ class ScanSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1).toSeq
     assert(got == exp)
   }
+
+  test("fillForward: stable partition ids under a checkpoint-fed union (regression)") {
+    // `spark_partition_id()` over a sampled range exchange was NOT stable
+    // across the window subtree and the boundary-summary subtree: AQE could
+    // coalesce the two reads differently, and the sampling job reran per
+    // materialization with order-sensitive input (a localCheckpoint serves
+    // rows in varying order). Half the fills came back stale at sf0.1 in
+    // group_by_consecutive. Scan.ranged now pins the stamped frame; this
+    // reconstructs the triggering shape — marker/row pairs where the marker
+    // branch passes through a localCheckpoint — and asserts every row sees
+    // its own marker across repeated evaluations.
+    import spark.implicits._
+    val n = 30000
+    val markers = spark.range(n)
+      .select((col("id") * 2).cast("double").as("__idx"), lit(0).as("__tag"),
+        col("id").as("__mark"))
+      .localCheckpoint(false)
+    val rows = spark.range(n)
+      .select((col("id") * 2).cast("double").as("__idx"), lit(1).as("__tag"),
+        lit(null).cast("long").as("__mark"))
+    val filled = Scan.fillForward(markers.unionByName(rows),
+      Seq("__idx", "__tag"), "__mark", "__seg")
+    (1 to 3).foreach { i =>
+      val wrong = filled.where(col("__tag") === 1 &&
+        (col("__seg").isNull || col("__seg") =!= (col("__idx") / 2).cast("long")))
+        .count()
+      assert(wrong == 0L, s"evaluation $i: $wrong rows filled with a stale marker")
+    }
+  }
 }
