@@ -159,4 +159,27 @@ class ScanSpec extends SparkSpec {
       assert(wrong == 0L, s"evaluation $i: $wrong rows filled with a stale marker")
     }
   }
+
+  test("keyedRank: checkpoint-fed input, stable across evaluations (regression)") {
+    // same hazard class as the fillForward regression above: the local-rank
+    // window and the per-(partition, key) offset summary must agree on
+    // partition ids. Oracle = a driver-computed within-key rank.
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 40000).map { i =>
+      (s"k${rng.nextInt(3)}", f"${rng.nextLong().abs}%020d", i.toLong)
+    }
+    val df = rows.toDF("key", "ord", "payload").localCheckpoint(false)
+    val expect = rows.groupBy(_._1).flatMap { case (_, g) =>
+      g.sortBy(_._2).zipWithIndex.map { case ((k, o, _), r) =>
+        (k, o) -> ((r + 1).toLong, g.size.toLong) }
+    }.toMap
+    val ranked = Scan.keyedRank(df, "key", "ord", "rk", "n")
+    (1 to 2).foreach { i =>
+      val got = ranked.select("key", "ord", "rk", "n").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got == expect, s"evaluation $i: keyedRank diverged from the oracle")
+    }
+  }
 }
