@@ -626,6 +626,26 @@ object SparkEntry {
         TextStats.redactPii(synth).as("redacted")).orderBy("doc_id")
     }),
 
+    // ---- capstone: the full corpus-prep pipeline composed -----------------
+    // scrub -> quality gate -> exact dedup applied -> deterministic split ->
+    // train split packed into fixed-token shards. One declarative plan;
+    // every stage is one of the engine's scale operators.
+    "q69_corpus_prep" -> ((s, dir) => {
+      val scrubbed = docs(s, dir).select(col("doc_id"),
+        TextStats.redactPii(col("text")).as("text"))
+      val quality = scrubbed.where(TextStats.tokenCount(col("text")) >= 50)
+      val deduped = Dedup.keepExactNormalized(quality, "doc_id", "text")
+      val split = graft.scale.Sampling.deterministicSplit(deduped, "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      val train = split.where(col("split") === "train")
+        .withColumn("__tok", TextStats.tokenCount(col("text")).cast("long"))
+      val packed = graft.scale.Sampling.packShards(train, "doc_id", "__tok", 20000L)
+        .select(col("doc_id"), col("shard"))
+      split.join(packed, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("split"), col("shard"))
+        .orderBy("doc_id")
+    }),
+
     // ---- exact dedup, applied: keep one doc per normalized bag ------------
     "q67_exact_keep_one" -> ((s, dir) => {
       Dedup.keepExactNormalized(docs(s, dir), "doc_id", "text")
@@ -1453,6 +1473,31 @@ object SparkEntry {
         |       WHEN tile <= 90 THEN 'val' ELSE 'test' END AS split,
         |  count(*) AS n
         |FROM t GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+
+    "q69_corpus_prep" ->
+      """WITH r AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |  '\b\d{1,3}(\.\d{1,3}){3}\b', '[IP]', 'g'),
+        |  '\b\d{13,19}\b', '[NUM]', 'g') AS text FROM documents),
+        |q AS (SELECT * FROM r WHERE CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE len(string_split_regex(trim(text), '\s+')) END >= 50),
+        |k AS (SELECT doc_id, text, md5(array_to_string(
+        |    list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS key
+        |  FROM q),
+        |keep AS (SELECT doc_id, text FROM k
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM k GROUP BY key)),
+        |sp AS (SELECT doc_id, text,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 < 80 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split FROM keep),
+        |tr AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS tok,
+        |  md5(CAST(doc_id AS VARCHAR)) AS h FROM sp WHERE split = 'train'),
+        |c AS (SELECT doc_id, tok, sum(tok) OVER (ORDER BY h
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM tr),
+        |pk AS (SELECT doc_id, CAST(floor((cum - tok) / 20000.0) AS BIGINT) AS shard FROM c)
+        |SELECT sp.doc_id, sp.split, pk.shard
+        |FROM sp LEFT JOIN pk USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q68_redact_pii" ->
       """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
