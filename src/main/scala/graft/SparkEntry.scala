@@ -621,7 +621,7 @@ object SparkEntry {
     // actually exercised — the corpus itself is PII-free) -------------------
     "q68_redact_pii" -> ((s, dir) => {
       val synth = concat(col("text"), lit(
-        " contact: john.doe+spam@example.co from 192.168.1.10 card 4111111111111111"))
+        " contact: user.name+tag@example.com from 192.168.1.10 card 4111111111111111"))
       docs(s, dir).select(col("doc_id"),
         TextStats.redactPii(synth).as("redacted")).orderBy("doc_id")
     }),
@@ -1501,7 +1501,7 @@ object SparkEntry {
 
     "q68_redact_pii" ->
       """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
-        |  text || ' contact: john.doe+spam@example.co from 192.168.1.10 card 4111111111111111',
+        |  text || ' contact: user.name+tag@example.com from 192.168.1.10 card 4111111111111111',
         |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |  '\b\d{1,3}(\.\d{1,3}){3}\b', '[IP]', 'g'),
         |  '\b\d{13,19}\b', '[NUM]', 'g') AS redacted

@@ -28,13 +28,13 @@ class TextStatsEdgeSpec extends SparkSpec {
   test("redactPii: emails, IPv4s, long digit runs — and what must survive") {
     import spark.implicits._
     val cases = Seq(
-      ("mail a.b+tag@sub.example.co now", "mail [EMAIL] now"),
+      ("mail a.b+tag@sub.example.com now", "mail [EMAIL] now"),
       ("at 10.0.0.1, see 192.168.001.255.", "at [IP], see [IP]."),
       ("card 4111111111111111 leaked", "card [NUM] leaked"),
       ("order 123456789012 is fine", "order 123456789012 is fine"), // 12 digits: keep
       ("v1.2.3.4a is a version", "v1.2.3.4a is a version"),        // \b guard: keep
       ("no pii here at all", "no pii here at all"),
-      ("e@x.io 1.2.3.4 1234567890123", "[EMAIL] [IP] [NUM]"))      // all three
+      ("e@a.example 1.2.3.4 1234567890123", "[EMAIL] [IP] [NUM]"))      // all three
     val out = cases.map(_._1).toDF("text")
       .select(TextStats.redactPii(col("text"))).collect().map(_.getString(0))
     out.zip(cases.map(_._2)).foreach { case (got, want) =>
