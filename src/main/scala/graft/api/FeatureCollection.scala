@@ -254,9 +254,9 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
           // distributed positional index (no single-partition row_number);
           // pinned once — the count below, the assignment branch AND the
           // anchor-stitch idxMap join all read it (three scans otherwise)
-          val pos = Scan.position(series.internal, "__idx", "__posl")
-            .withColumn("__pos", col("__posl").cast("double")).drop("__posl")
-            .localCheckpoint(false)
+          val pos = Pinned.checkpoint(
+            Scan.position(series.internal, "__idx", "__posl")
+              .withColumn("__pos", col("__posl").cast("double")).drop("__posl"))
           val n = pos.count()
           (pos.select(col("__pos").as("__idx"), col("__v"), col("__pos"),
             col("__idx").as("__orig_idx")),
@@ -417,11 +417,10 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
     // localCheckpoint materializes the two-scan pipeline above ONCE and lets
     // every branch read the cached result. It is bounded by the number of
     // RUNS (not rows), and blocks are dropped when the frame is GC'd.
-    val runs = runsBase.groupBy("__run").agg(
+    val runs = Pinned.checkpoint(runsBase.groupBy("__run").agg(
       min(col("__idx")).as("__start"),
       max(col("__idx")).as("__end"),
-      first(col("__v")).as("__grp"))
-      .localCheckpoint(eager = false)
+      first(col("__v")).as("__grp")))
     val lastExt = group.domain match {
       case Domain.Time     => 86400e6 // +1 day (reference: :682-688)
       case Domain.Sequence => 1.0

@@ -52,11 +52,13 @@ object Chunker {
           .drop("__chunk0")
       case None =>
         // inferred rate: the threshold is a data-derived scalar column, so
-        // the flag needs the two-scan shape — maxGap is summary-sized and
-        // shares the main pipeline's range exchange (ReusedExchange)
-        val withDiff = Scan.withLagged(s.internal, "__idx", Seq("__idx"))
+        // the flag needs the two-scan shape — pre-pin the series ONCE so
+        // the lag pipeline, maxGap, and the running sum all read the same
+        // materialized range exchange (Scan.pinned __pid-reuse convention)
+        val pinned = Scan.pinned(s.internal, Seq("__idx"))
+        val withDiff = Scan.withLagged(pinned, "__idx", Seq("__idx"))
           .withColumn("__diff", col("__idx") - col("__lag___idx"))
-        val mx = Scan.maxGap(s.internal, "__idx")
+        val mx = Scan.maxGap(pinned, "__idx")
         val flagged = withDiff.crossJoin(broadcast(mx))
           .withColumn("__thr", lit(gapFactor) * col("__maxgap"))
           .withColumn("__new", when(col("__diff").isNull ||
@@ -167,9 +169,10 @@ object Chunker {
     val tagged = spans.map { case (n, df) =>
       df.select(lit(n).as("__series"), col("__chunk"),
         col("__start"), col("__end"))
-    }.reduce(_.unionAll(_)).localCheckpoint(false)
-    val a = tagged.as("a")
-    val b = tagged.as("b")
+    }.reduce(_.unionAll(_))
+    val pinned = graft.core.Pinned.checkpoint(tagged)
+    val a = pinned.as("a")
+    val b = pinned.as("b")
     a.join(b,
       abs(col("a.__start") - col("b.__start")) <= lit(margin) &&
         abs(col("a.__end") - col("b.__end")) <= lit(margin) &&

@@ -23,8 +23,25 @@ import org.apache.spark.sql.functions._
   */
 object Scan {
 
+  /** Range-partition + pin, REUSING an existing pinned frame: if `df`
+    * already carries `__pid` (it came out of [[pinned]] / another Scan op
+    * over the SAME ordering), no second exchange or checkpoint is created —
+    * composed scans (e.g. `withLagged` + `runningSum`, or a caller-pinned
+    * frame feeding `withLagged` AND `maxGap`) share ONE materialization.
+    * Contract: a pre-existing `__pid` MUST come from a range exchange on
+    * `orderCols` — callers composing unrelated scans must drop it first.
+    */
   private def ranged(df: DataFrame, orderCols: Seq[String]): DataFrame =
-    pinPartitions(df.repartitionByRange(orderCols.map(col): _*))
+    if (df.columns.contains("__pid")) df
+    else pinPartitions(df.repartitionByRange(orderCols.map(col): _*))
+
+  /** Pre-pin a frame for several Scan ops over the same ordering: returns
+    * `df` range-partitioned on `orderCols`, stamped with `__pid` and pinned
+    * (one lazy localCheckpoint). Feed the result to any Scan op with the
+    * same ordering and it is reused as-is. Drop `__pid` when done.
+    */
+  def pinned(df: DataFrame, orderCols: Seq[String]): DataFrame =
+    ranged(df.drop("__pid"), orderCols)
 
   /** `spark_partition_id()` over a range exchange is NOT stable across the
     * several subtrees that consume it: range boundaries come from a
@@ -37,10 +54,11 @@ object Scan {
     * partition edges without it). Pinning the stamped frame with a lazy
     * localCheckpoint makes every consumer read the SAME materialized
     * partitioning; the cost is one extra write of the (narrow) scan frame,
-    * the same order as the range shuffle it sits behind.
+    * the same order as the range shuffle it sits behind. Registered with
+    * [[Pinned]] so pipeline boundaries can free the blocks explicitly.
     */
   private def pinPartitions(df: DataFrame): DataFrame =
-    df.withColumn("__pid", spark_partition_id()).localCheckpoint(eager = false)
+    Pinned.checkpoint(df.withColumn("__pid", spark_partition_id()))
 
   /** For each `__pid` of `summary` (a tiny per-partition table), aggregate
     * over all STRICTLY PRECEDING pids — the prefix-combine step, as a
@@ -88,11 +106,12 @@ object Scan {
 
   /** Running (inclusive) sum of `flagCol` in `orderCol` order → `outCol`.
     * If the frame already carries `__pid` from a prior scan over the same
-    * ordering, that partitioning is reused (no second range shuffle).
+    * ordering, that partitioning is reused (no second range shuffle) — see
+    * the `ranged` contract.
     */
   def runningSum(df: DataFrame, orderCol: String, flagCol: String,
                  outCol: String): DataFrame = {
-    val p = if (df.columns.contains("__pid")) df else ranged(df, Seq(orderCol))
+    val p = ranged(df, Seq(orderCol))
     val w = Window.partitionBy("__pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = p.withColumn("__loc", sum(col(flagCol)).over(w))
@@ -131,13 +150,24 @@ object Scan {
     * (≤ numPartitions + numKeys − 1 rows: each partition holds a contiguous
     * (key, order) range, so keys split across partitions only at boundaries).
     * Group totals fall out of the same summary for free.
+    *
+    * The summary/totals tables broadcast to the stitch joins only while they
+    * are COUNTED at or under `broadcastLimit` rows — the summary size is
+    * driven by the KEY CARDINALITY, so a high-cardinality key (per-entity
+    * ids; use `KeyedFeatures` for those) degrades to shuffled stitch joins
+    * instead of a driver/executor OOM. The count is free: the summary is
+    * checkpointed anyway so its three consumers don't recompute it.
     */
   def keyedRank(df: DataFrame, keyCol: String, orderCol: String,
-                rankCol: String, countCol: String): DataFrame = {
+                rankCol: String, countCol: String,
+                broadcastLimit: Long = 4000000L): DataFrame = {
     val p = pinPartitions(df.repartitionByRange(col(keyCol), col(orderCol)))
     val w = Window.partitionBy("__pid", keyCol).orderBy(orderCol)
     val local = p.withColumn("__loc", row_number().over(w).cast("long"))
-    val perPid = p.groupBy(col("__pid"), col(keyCol)).agg(count(lit(1)).as("__tot"))
+    val perPid = Pinned.checkpoint(
+      p.groupBy(col("__pid"), col(keyCol)).agg(count(lit(1)).as("__tot")))
+    val hint: DataFrame => DataFrame =
+      if (perPid.count() <= broadcastLimit) broadcast(_) else identity
     val b = perPid.select(col("__pid").as("b___pid"),
       col(keyCol).as("b___key"), col("__tot").as("b___tot"))
     val offsets = perPid
@@ -145,8 +175,8 @@ object Scan {
       .groupBy(col("__pid"), col(keyCol))
       .agg(coalesce(sum(col("b___tot")), lit(0L)).as("__off"))
     val totals = perPid.groupBy(col(keyCol)).agg(sum(col("__tot")).as(countCol))
-    local.join(broadcast(offsets), Seq("__pid", keyCol))
-      .join(broadcast(totals), Seq(keyCol))
+    local.join(hint(offsets), Seq("__pid", keyCol))
+      .join(hint(totals), Seq(keyCol))
       .withColumn(rankCol, col("__loc") + col("__off"))
       .drop("__loc", "__off", "__pid")
   }
@@ -198,11 +228,12 @@ object Scan {
 
   /** Largest gap between CONSECUTIVE values of `orderCol` as a one-row
     * frame (column `__maxgap`) — max over the partition-local lag diffs and
-    * the cross-boundary diffs derived from the per-partition summary. Uses
-    * the same `ranged` partitioning as `withLagged` over the same input, so
-    * when both appear in one plan the range exchange is REUSED, not
-    * recomputed (vs. a naive `withLagged(...).agg(max(diff))` second
-    * pipeline).
+    * the cross-boundary diffs derived from the per-partition summary.
+    * To share one range exchange + checkpoint with another Scan op over the
+    * same input (e.g. `withLagged`), pre-pin the input with [[pinned]] and
+    * pass the SAME pinned frame to both — each op's own `ranged` call
+    * otherwise pins its own copy (per-op checkpoints don't canonicalize to
+    * one exchange).
     */
   def maxGap(df: DataFrame, orderCol: String): DataFrame = {
     val p = ranged(df, Seq(orderCol))

@@ -209,9 +209,9 @@ object Ann {
     // instead of re-reading the source every round
     // zero-norm vectors (undefined cosine) are excluded from the fit — same
     // rule as ivfTopK, mirrored in the oracle's base CTE
-    val vecs = df.select(col(idCol), asDouble(col(embCol)).as("__e"))
-      .where(graft.expr.GraftFunctions.arrayDot(col("__e"), col("__e")) =!= 0.0)
-      .localCheckpoint(eager = false)
+    val vecs = graft.core.Pinned.checkpoint(
+      df.select(col(idCol), asDouble(col(embCol)).as("__e"))
+        .where(graft.expr.GraftFunctions.arrayDot(col("__e"), col("__e")) =!= 0.0))
     var model: Array[(Long, Seq[Double])] = vecs
       .withColumn("__h", md5(col(idCol).cast("string")))
       .orderBy("__h").limit(k)

@@ -55,22 +55,25 @@ object Components {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxRounds: Int = 25,
                           driverEdgeLimit: Long = 1000000L): DataFrame = {
-    var edges = pairs
+    var edges = graft.core.Pinned.checkpoint(pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      .distinct()
-      .localCheckpoint(false)
+      .distinct())
     if (edges.count() <= driverEdgeLimit) return driverComponents(edges)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = star(star(edges, large = true), large = false)
-        .localCheckpoint(false)
+      val next = graft.core.Pinned.checkpoint(
+        star(star(edges, large = true), large = false))
       // canonical + distinct on both sides, so set equality is two counts
       val (nOld, nNew) = (edges.count(), next.count())
       converged = nOld == nNew &&
         edges.unionByName(next).distinct().count() == nNew
+      // the previous round's edge blocks are dead once the convergence
+      // check has read them — free them NOW so an O(log^2 n)-round job runs
+      // at constant checkpoint storage instead of accumulating every round
+      graft.core.Pinned.unpersist(edges)
       edges = next
       round += 1
     }

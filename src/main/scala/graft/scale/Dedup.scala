@@ -79,9 +79,9 @@ object Dedup {
     */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String,
                           k: Int): DataFrame =
-    df.select(col(idCol), shingleArr(col(textCol), k).as("__arr"))
-      .withColumn("__n", size(col("__arr")))
-      .localCheckpoint(false)
+    graft.core.Pinned.checkpoint(
+      df.select(col(idCol), shingleArr(col(textCol), k).as("__arr"))
+        .withColumn("__n", size(col("__arr"))))
 
   /** Candidate pair sets below this row count are broadcast to the
     * verification joins (~64 MB of (long, long) rows — well under executor
@@ -103,7 +103,7 @@ object Dedup {
     // The two joins below build on DIFFERENT keys (id_a vs id_b), so their
     // exchanges don't canonicalize to one — without pinning, the whole
     // candidate-generation pipeline would run twice.
-    val candCp = candidates.localCheckpoint(false)
+    val candCp = graft.core.Pinned.checkpoint(candidates)
     val cand = if (candCp.count() <= BroadcastCandLimit) broadcast(candCp)
                else candCp
     val a = sets.select(col(idCol).as("id_a"), col("__arr").as("__aa"),
@@ -155,16 +155,24 @@ object Dedup {
     * of 10^8 identical docs never serializes into one task.
     * Empty shingle sets are excluded: 0/0 Jaccard is undefined and the
     * uncollapsed pipelines never pair them (they produce no index rows).
+    *
+    * Each rep carries its group size as `__w` so frequency statistics
+    * downstream (pairsOnSets' document-frequency cut) count MEMBERS, not
+    * reps: a shingle appearing in a million identical clones still has
+    * df = 10^6 under collapse, keeping `maxDocFreq` output-identical to the
+    * uncollapsed path (JaccardCollapseSpec covers the differential).
     */
   private def withExactCollapse(sets: DataFrame, idCol: String)
                                (pipeline: DataFrame => DataFrame): DataFrame = {
     val keyed = sets.where(col("__n") > 0)
       .select(col(idCol),
         md5(concat_ws("\u0001", array_sort(col("__arr")))).as("__key"))
-    val groups = keyed.groupBy("__key").agg(min(col(idCol)).as("__rep"))
-    val repMap = keyed.join(groups, Seq("__key")).localCheckpoint(false)
+    val groups = keyed.groupBy("__key")
+      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__w"))
+    val repMap = graft.core.Pinned.checkpoint(keyed.join(groups, Seq("__key")))
     val repSets = sets.join(
-      repMap.where(col(idCol) === col("__rep")).select(col(idCol)), Seq(idCol))
+      repMap.where(col(idCol) === col("__rep"))
+        .select(col(idCol), col("__w")), Seq(idCol))
     val repPairs = pipeline(repSets)
     // Fan rep-level results back out to member-level pairs: each side of a
     // rep pair expands to its group's members (ids from different groups
@@ -188,7 +196,13 @@ object Dedup {
     */
   private def pairsOnSets(sets: DataFrame, idCol: String,
                           threshold: Double, maxDocFreq: Option[Long]): DataFrame = {
-    val sh = sets.select(col(idCol), col("__n"),
+    // under the exact-dup pre-collapse each rep row carries its group size
+    // as __w; document frequency is the WEIGHTED sum so the maxDocFreq cut
+    // (and the rarest-first prefix order) see member-level frequencies —
+    // identical to the uncollapsed path
+    val weight: Column =
+      if (sets.columns.contains("__w")) col("__w") else lit(1L)
+    val sh = sets.select(col(idCol), col("__n"), weight.as("__w"),
       explode(col("__arr")).as("__shingle"))
 
     // PREFIX FILTERING (AllPairs/PPJoin): order shingles globally by
@@ -198,8 +212,8 @@ object Dedup {
     // rare end of the index: the quadratic blowup on stop-shingles that
     // kills a naive self-join at scale never happens, and the result stays
     // EXACT (verifyJaccard computes true Jaccard). Document frequency comes
-    // from a count window over the shingle key — one shuffle, no agg+join.
-    val withDf = sh.withColumn("__df", count(lit(1)).over(
+    // from a sum window over the shingle key — one shuffle, no agg+join.
+    val withDf = sh.withColumn("__df", sum(col("__w")).over(
       org.apache.spark.sql.expressions.Window.partitionBy("__shingle")))
     val filtered = maxDocFreq.fold(withDf)(lim => withDf.where(col("__df") <= lim))
     val ranked = filtered.withColumn("__rk", row_number().over(
