@@ -18,6 +18,9 @@ object ProbeAB {
     def t(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
       println(f"PROBEAB $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s rows=$n")
+      // pipeline boundary: free the query's checkpoint blocks (the A/B this
+      // probe exists for — run-to-run stability without cross-query debt)
+      graft.core.Pinned.release()
     }
     (1 to 2).foreach { round =>
       t(s"r$round jaccard collapse=off")(graft.scale.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6, collapseExact = false).count())

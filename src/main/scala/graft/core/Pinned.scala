@@ -15,20 +15,40 @@ import org.apache.spark.sql.DataFrame
   * ContextCleaner's weak references fire — on a large driver heap that can be
   * minutes of accumulated executor storage, and the eviction stall lands on
   * whichever query materializes next (observed: a 3.6 s CC query reading
-  * 19.8 s under the debt of prior queries). Long-running pipelines should
-  * call [[release]] between logical jobs, or tune
-  * `spark.cleaner.periodicGC.interval` (default 30min) down so the cleaner
-  * runs before storage debt builds.
+  * 19.8 s under the debt of prior queries). Long-running pipelines call
+  * [[release]] between logical jobs — `Bench` and `Verify` do, after each
+  * query's result is materialized.
   *
-  * Handles are WEAK: an un-released frame still degrades to today's GC-driven
-  * cleanup, never a leak. [[release]] invalidates the released frames —
-  * a localCheckpoint truncates lineage on materialization, so a released
-  * frame cannot be recomputed; release only at pipeline boundaries.
+  * [[release]] is deliberately conservative on the two hazards of a naive
+  * global sweep:
+  *
+  *   - '''Never-materialized pins are skipped.''' A lazy localCheckpoint
+  *     that no job has computed yet still owns its range-exchange sampling;
+  *     unpersisting the marker would let a later materialization re-sample
+  *     boundaries, resurrecting the unstable-`__pid` wrong-results bug
+  *     pinning exists to prevent. Skipped pins stay tracked and are swept by
+  *     a later release once materialized (or by GC, as before).
+  *   - '''Only the calling thread's pins are swept.''' Entries are tagged
+  *     with the thread that built the plan, so a release at one pipeline's
+  *     boundary cannot truncate the lineage of a frame another thread is
+  *     still computing. Single-threaded harnesses see the full sweep.
+  *
+  * Handles are WEAK: an un-released frame still degrades to today's
+  * GC-driven cleanup, never a leak. A released MATERIALIZED frame cannot be
+  * recomputed (its lineage is truncated) — release only at pipeline
+  * boundaries, after the frames' consumers have run.
   */
 object Pinned {
 
-  private val tracked =
-    scala.collection.mutable.ArrayBuffer.empty[WeakReference[RDD[_]]]
+  private final case class Entry(ref: WeakReference[RDD[_]], owner: Long)
+
+  private val tracked = scala.collection.mutable.ArrayBuffer.empty[Entry]
+
+  /** Above this size, [[checkpoint]] drops cleared weak references before
+    * appending — bounds the registry in long-lived sessions that never call
+    * [[release]] (each entry is tiny, but "forever" isn't a bound).
+    */
+  private val PruneAt = 256
 
   /** The checkpointed RDDs embedded in a frame's analyzed plan. A LAZY
     * localCheckpoint still creates the RDD object up front (only
@@ -43,7 +63,11 @@ object Pinned {
   def checkpoint(df: DataFrame): DataFrame = {
     val out = df.localCheckpoint(eager = false)
     val rdds = rddsOf(out)
-    synchronized { rdds.foreach(r => tracked += new WeakReference(r)) }
+    val tid = Thread.currentThread().getId
+    synchronized {
+      if (tracked.size >= PruneAt) tracked.filterInPlace(_.ref.get() != null)
+      rdds.foreach(r => tracked += Entry(new WeakReference(r), tid))
+    }
     out
   }
 
@@ -55,18 +79,34 @@ object Pinned {
   def unpersist(df: DataFrame): Unit =
     rddsOf(df).foreach(_.unpersist(blocking = false))
 
-  /** Unpersist every tracked checkpoint that is still alive and clear the
-    * registry. Frames checkpointed before the call must not be reused after
-    * it (their lineage is truncated).
+  /** A locally-checkpointed RDD is materialized once its first job has run
+    * (`doCheckpoint` flips `isCheckpointed`); before that, the persist
+    * marker is load-bearing — see the scaladoc hazards.
     */
-  def release(): Unit = synchronized {
-    tracked.foreach { ref =>
-      val r = ref.get()
-      if (r != null) r.unpersist(blocking = false)
+  private def materialized(r: RDD[_]): Boolean = r.isCheckpointed
+
+  /** Unpersist every MATERIALIZED checkpoint pinned by the CURRENT thread
+    * and drop it from the registry. Frames checkpointed before the call must
+    * not be reused after it (their lineage is truncated). Never-materialized
+    * pins and other threads' pins are left intact (still tracked).
+    */
+  def release(): Unit = sweep(Thread.currentThread().getId)
+
+  /** [[release]] across ALL owner threads — harness/session teardown only,
+    * when no pipeline can still be in flight anywhere.
+    */
+  def releaseAll(): Unit = sweep(-1L)
+
+  private def sweep(owner: Long): Unit = synchronized {
+    tracked.filterInPlace { e =>
+      val r = e.ref.get()
+      if (r == null) false
+      else if ((owner == -1L || e.owner == owner) && materialized(r)) {
+        r.unpersist(blocking = false); false
+      } else true
     }
-    tracked.clear()
   }
 
   /** Number of live tracked handles (test/diagnostic hook). */
-  def liveCount: Int = synchronized { tracked.count(_.get() != null) }
+  def liveCount: Int = synchronized { tracked.count(_.ref.get() != null) }
 }

@@ -160,6 +160,32 @@ class ScanSpec extends SparkSpec {
     }
   }
 
+  test("ranged: a __pid pinned on a DIFFERENT ordering is re-ranged, not reused") {
+    // withLagged retains its tagged __pid by design; feeding that frame to a
+    // scan over ANOTHER ordering must trigger a fresh range exchange (the
+    // old name-keyed reuse silently kept the idx partitioning and produced
+    // wrong prefix sums over h-order)
+    val d = data.withColumn("h", md5(col("idx").cast("string")))
+      .withColumn("f", lit(1L))
+    val carried = Scan.withLagged(d, "idx", Seq("v")) // __pid tagged ["idx"]
+    assert(carried.columns.contains("__pid"))
+    def sums(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      Scan.runningSum(df, "h", "f", "cum")
+        .select("idx", "cum").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(sums(carried.drop("__lag_v")) == sums(d))
+  }
+
+  test("ranged: an untagged __pid column is a reserved-name collision (throws)") {
+    val d = data.withColumn("__pid", lit(3))
+    intercept[IllegalArgumentException] {
+      Scan.runningSum(d.withColumn("f", lit(1L)), "idx", "f", "cum")
+    }
+    intercept[IllegalArgumentException] {
+      Scan.keyedRank(d, "g", "idx", "rk", "n")
+    }
+  }
+
   test("keyedRank: checkpoint-fed input, stable across evaluations (regression)") {
     // same hazard class as the fillForward regression above: the local-rank
     // window and the per-(partition, key) offset summary must agree on
@@ -181,5 +207,26 @@ class ScanSpec extends SparkSpec {
         .toMap
       assert(got == expect, s"evaluation $i: keyedRank diverged from the oracle")
     }
+  }
+
+  test("keyedRank above the broadcast limit degrades to shuffled stitch joins, same result") {
+    // broadcastLimit = 1 forces the summary/totals joins off the explicit
+    // broadcast hint (the OOM guard for high-cardinality keys); the ranks
+    // must be bit-identical to the broadcast path
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val rows = (0 until 5000).map { i =>
+      (s"k${rng.nextInt(4)}", f"${rng.nextLong().abs}%020d", i.toLong)
+    }
+    val df = rows.toDF("key", "ord", "payload")
+    val expect = rows.groupBy(_._1).flatMap { case (_, g) =>
+      g.sortBy(_._2).zipWithIndex.map { case ((k, o, _), r) =>
+        (k, o) -> ((r + 1).toLong, g.size.toLong) }
+    }.toMap
+    val got = Scan.keyedRank(df, "key", "ord", "rk", "n", broadcastLimit = 1L)
+      .select("key", "ord", "rk", "n").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expect)
   }
 }

@@ -101,6 +101,43 @@ class JaccardCollapseSpec extends SparkSpec {
     }
   }
 
+  private def pairsWithCut(df: DataFrame, collapse: Boolean,
+                           maxDf: Option[Long]): Set[(Long, Long, Double)] =
+    Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.6,
+        maxDocFreq = maxDf, collapseExact = collapse)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSet
+
+  test("maxDocFreq sees MEMBER-level document frequency under collapse (weighted df)") {
+    // A 3-clique amplifies its template's shingles: shingles shared with the
+    // B-docs have member-level df = 3 + 4 = 7. An UNWEIGHTED collapse would
+    // count the rep once (df = 1 + 4 = 5), so a limit of 5 or 6 keeps the
+    // amplified shingles under collapse while the uncollapsed path cuts
+    // them — candidate generation diverges and cross/B-B pairs appear only
+    // on the collapsed side. The weighted df makes the cut identical.
+    // (Limits below the clique's own df of 3 are out of contract: collapse
+    // finds exact dups via the collapse key, not the index, so it keeps
+    // intra-clique pairs the uncollapsed path loses to the cut.)
+    val template = "the quick brown fox jumps over the lazy dog again and again"
+    val rows: Seq[(Long, String)] =
+      (1L to 3L).map(i => (i, template)) ++
+        Seq("once", "maybe", "twice", "thrice").zipWithIndex.map { case (w, i) =>
+          (10L + i, template.split(' ').dropRight(1).mkString(" ") + " " + w)
+        }
+    val c = corpus(rows)
+    for (lim <- Seq(3L, 5L, 6L, 7L)) {
+      assert(pairsWithCut(c, collapse = true, Some(lim)) ==
+        pairsWithCut(c, collapse = false, Some(lim)), s"maxDocFreq=$lim")
+    }
+    // the cut must BIND at 6 (else this differential is vacuous): without it
+    // the corpus yields clique + cross + B-B pairs, with it only the clique
+    val cut = pairsWithCut(c, collapse = false, Some(6L))
+    val full = pairsWithCut(c, collapse = false, None)
+    assert(cut != full && full.size == 3 + 12 + 6 && cut.size == 3)
+  }
+
   test("keepRepresentatives drops exactly the non-rep cluster members") {
     val template = "the quick brown fox jumps over the lazy dog again and again"
     val c = corpus(

@@ -91,6 +91,22 @@ class SamplingSpec extends SparkSpec {
     assert(shards == (0L to shards.max).toSet)
   }
 
+  test("packShards: input carrying a stale scan __pid is re-ranged (footgun regression)") {
+    // Scan.withLagged output retains a __pid pinned on ITS ordering; feeding
+    // that frame to packShards (which scans in fresh md5 order) used to
+    // silently reuse the stale partitioning and mis-assign shards
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    val df = (0L until 400L).map(i => (i, 10L + rng.nextInt(500))).toDF("id", "tok")
+    val carried = graft.core.Scan.withLagged(df, "tok", Seq("tok")).drop("__lag_tok")
+    assert(carried.columns.contains("__pid"))
+    def shards(d: org.apache.spark.sql.DataFrame) =
+      Sampling.packShards(d, "id", "tok", 5000L)
+        .select("id", "shard").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shards(carried) == shards(df))
+  }
+
   test("deterministicSplit covers all rows with the declared labels") {
     val df = docs((0L until 500L).map(i => (i, "s")))
     val out = Sampling.deterministicSplit(df, "id",
