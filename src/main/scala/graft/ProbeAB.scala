@@ -22,7 +22,7 @@ object ProbeAB {
       // probe exists for — run-to-run stability without cross-query debt)
       graft.core.Pinned.release()
     }
-    (1 to 2).foreach { round =>
+    (1 to 4).foreach { round =>
       t(s"r$round jaccard collapse=off")(graft.scale.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6, collapseExact = false).count())
       t(s"r$round jaccard collapse=on ")(graft.scale.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6).count())
       t(s"r$round clusters collapse=off")(graft.scale.Components.dupClusters(graft.scale.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6, collapseExact = false)).count())

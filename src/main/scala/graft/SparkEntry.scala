@@ -646,6 +646,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal: REAL image decode (javax.imageio PNG roundtrip) ------
+    // dimensions + fill constants derive from (doc_id, octet_length(text)),
+    // so DuckDB can oracle the decoded values without decoding anything
+    "q70_image_decode" -> ((s, dir) => {
+      Multimodal.decodeImage(
+        Multimodal.imagesFromDocs(docs(s, dir), "doc_id", "text")).toDF()
+        .select(col("asset_id"), col("width"), col("height"),
+          col("channels").cast("long").as("channels"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+        .orderBy("asset_id")
+    }),
+
+    // ---- feature stock: the integrations analog (tsfresh/seglearn/tsfel) --
+    "q71_integrations" -> ((s, dir) => {
+      val fns = Seq(absEnergy, iqr, crossings(40.0).as("nc"),
+        meanCrossings, autocorr(1), binnedEntropy(5))
+      val fc = FeatureCollection.of(fns.map(f => FeatureDescriptor(f, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
+      fc.calculate(Seq(valueSeries(s, dir)))
+        .select(unix_micros(col("ts")).as("ts_anchor"),
+          r6("value__abs_energy__w=1D"), r6("value__iqr__w=1D"),
+          qc("value__nc__w=1D").as("n_cross_40"),
+          qc("value__mean_crossings__w=1D").as("mean_cross"),
+          (round(qc("value__autocorr_1__w=1D"), 6) + lit(0.0)).as("autocorr1"),
+          r6("value__binned_entropy_5__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
     // ---- exact dedup, applied: keep one doc per normalized bag ------------
     "q67_exact_keep_one" -> ((s, dir) => {
       Dedup.keepExactNormalized(docs(s, dir), "doc_id", "text")
@@ -844,6 +874,55 @@ object SparkEntry {
        |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // real image decode: the synthetic-PNG generator derives dims + fill
+    // from (doc_id, octet_length(text)); PNG is lossless, so the decoded
+    // values equal the source-derived constants
+    "q70_image_decode" ->
+      """SELECT doc_id AS asset_id,
+        | 1 + strlen(text) % 40 AS width,
+        | 1 + doc_id % 30 AS height,
+        | CAST(3 AS BIGINT) AS channels,
+        | round(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_r,
+        | round(CAST(doc_id * 7 % 256 AS DOUBLE), 6) AS mean_g,
+        | round(CAST(strlen(text) % 256 AS DOUBLE), 6) AS mean_b
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "q71_integrations" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)},
+         |j AS (SELECT we, ts, value FROM seg LEFT JOIN events
+         |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |m AS (SELECT we, avg(value) AS mu,
+         |  avg(value*value) - avg(value)*avg(value) AS varp,
+         |  count(value) AS n, min(value) AS mn, max(value) AS mx,
+         |  coalesce(sum(value*value), 0.0) AS energy,
+         |  quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+         |  FROM j GROUP BY we),
+         |d AS (SELECT we, value,
+         |  lag(value) OVER (PARTITION BY we ORDER BY ts) AS pv FROM j),
+         |c AS (SELECT d.we,
+         |  CAST(coalesce(sum(CASE WHEN (value > 40.0) != (pv > 40.0)
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cross_40,
+         |  CAST(coalesce(sum(CASE WHEN (value > mu) != (pv > mu)
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS mean_cross,
+         |  sum((pv - mu)*(value - mu)) AS acnum, count(pv) AS npairs
+         |  FROM d JOIN m USING (we) GROUP BY d.we),
+         |h AS (SELECT d.we,
+         |  CASE WHEN mx > mn THEN LEAST(CAST(floor((value - mn)/(mx - mn)*5) AS INT), 4)
+         |       ELSE 0 END AS bin, count(*) AS cnt
+         |  FROM d JOIN m USING (we) WHERE value IS NOT NULL GROUP BY 1, 2),
+         |e AS (SELECT h.we,
+         |  -sum((cnt / CAST(n AS DOUBLE)) * ln(cnt / CAST(n AS DOUBLE))) AS ent
+         |  FROM h JOIN m USING (we) GROUP BY h.we)
+         |SELECT m.we AS ts_anchor,
+         | round(m.energy, 6) AS "value__abs_energy__w=1D",
+         | round(m.iqr, 6) AS "value__iqr__w=1D",
+         | c.n_cross_40 AS n_cross_40,
+         | c.mean_cross AS mean_cross,
+         | round(c.acnum / (c.npairs * m.varp), 6) + 0.0 AS autocorr1,
+         | round(e.ent, 6) AS "value__binned_entropy_5__w=1D"
+         |FROM m JOIN c ON c.we = m.we LEFT JOIN e ON e.we = m.we
+         |ORDER BY ts_anchor""".stripMargin,
+
     "q00_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),6) AS sum_qty,
         | round(sum(l_extendedprice*(1-l_discount)),6) AS revenue, count(*) AS n

@@ -180,12 +180,115 @@ object FeatureFuncs {
   val nUnique: FeatureFunc =
     FeatureFunc("nunique", (_, v) => count_distinct(v), emptyValue = Some(lit(0L)))
 
+  // ---- public feature-function stock (the integrations analog ------------
+  // reference: tsflex/features/integrations.py:15-337 wraps seglearn /
+  // tsfresh / tsfel feature sets; these are the most-used members of that
+  // stock, re-expressed as native aggregate Columns — the order-dependent
+  // ones fold over the index-sorted window array (the absDiffSum pattern),
+  // so everything below stays a single fused per-segment aggregate).
+
+  /** The window's values, index-sorted, nulls dropped (shared plumbing for
+    * the order-dependent stock functions).
+    */
+  private def sortedVals(idx: Column, v: Column): Column =
+    transform(
+      array_sort(collect_list(when(v.isNotNull, struct(idx.as("i"), v.as("v"))))),
+      p => p.getField("v"))
+
+  /** tsfresh `abs_energy`: Σ v² (the dot product of the window with itself). */
+  val absEnergy: FeatureFunc = FeatureFunc("abs_energy",
+    (_, v) => org.apache.spark.sql.functions.sum(v * v),
+    emptyValue = Some(lit(0.0)))
+
+  /** Interquartile range (tsfel/seglearn stock): q75 − q25, linear
+    * interpolation (np.quantile / DuckDB quantile_cont semantics).
+    */
+  val iqr: FeatureFunc =
+    f("iqr")(v => percentile(v, lit(0.75)) - percentile(v, lit(0.25)))
+
+  /** tsfresh `number_crossing_m`: count of index-consecutive pairs strictly
+    * straddling `m` (np.diff(x > m) != 0 — touching `m` is not a crossing).
+    */
+  def crossings(m: Double): FeatureFunc = FeatureFunc(s"crossings_$m", (idx, v) => {
+    val vals = sortedVals(idx, v)
+    val above = transform(vals, x => (x > lit(m)).cast("int"))
+    when(size(vals) <= 1, lit(0L)).otherwise(
+      aggregate(
+        zip_with(slice(above, lit(1), size(above) - 1),
+                 slice(above, lit(2), size(above) - 1),
+                 (a, b) => when(a =!= b, 1L).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x))
+  }, emptyValue = Some(lit(0L)))
+
+  /** seglearn `zero_crossings` equivalent: crossings of 0. */
+  val zeroCrossings: FeatureFunc = crossings(0.0).as("zero_crossings")
+
+  /** seglearn `mean_crossings`: crossings of the window's own mean. */
+  val meanCrossings: FeatureFunc = FeatureFunc("mean_crossings", (idx, v) => {
+    val vals = sortedVals(idx, v)
+    val mu = aggregate(vals, lit(0.0), (acc, x) => acc + x) / size(vals)
+    val above = transform(vals, x => (x > mu).cast("int"))
+    when(size(vals) <= 1, lit(0L)).otherwise(
+      aggregate(
+        zip_with(slice(above, lit(1), size(above) - 1),
+                 slice(above, lit(2), size(above) - 1),
+                 (a, b) => when(a =!= b, 1L).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x))
+  }, emptyValue = Some(lit(0L)))
+
+  /** tsfresh `autocorrelation` at `lag`:
+    * Σ_{t≤n−lag} (x_t − μ)(x_{t+lag} − μ) / ((n − lag) · σ²_pop), index-ordered;
+    * NULL when the window is shorter than `lag + 1` or has zero variance.
+    */
+  def autocorr(lag: Int): FeatureFunc = {
+    require(lag >= 1, "autocorrelation lag must be >= 1")
+    FeatureFunc(s"autocorr_$lag", (idx, v) => {
+      val vals = sortedVals(idx, v)
+      val n = size(vals)
+      val nd = n.cast("double")
+      val mu = aggregate(vals, lit(0.0), (acc, x) => acc + x) / nd
+      val varp = aggregate(vals, lit(0.0),
+        (acc, x) => acc + (x - mu) * (x - mu)) / nd
+      val m = n - lit(lag)
+      val cov = aggregate(
+        zip_with(slice(vals, lit(1), m), slice(vals, lit(1 + lag), m),
+          (a, b) => (a - mu) * (b - mu)),
+        lit(0.0), (acc, x) => acc + x) / m.cast("double")
+      when(n > lit(lag) && varp > 0, cov / varp)
+    })
+  }
+
+  /** tsfresh `binned_entropy`: Shannon entropy (nats) of the histogram of
+    * the window over `bins` equal-width bins spanning [min, max]; a
+    * constant window (min == max) has one occupied bin → entropy 0.
+    */
+  def binnedEntropy(bins: Int): FeatureFunc = {
+    require(bins >= 1, "binned_entropy needs >= 1 bin")
+    FeatureFunc(s"binned_entropy_$bins", (idx, v) => {
+      val vals = sortedVals(idx, v)
+      val n = size(vals).cast("double")
+      val mn = array_min(vals)
+      val mx = array_max(vals)
+      val binOf: Column => Column = x =>
+        when(mx > mn,
+          least(floor((x - mn) / (mx - mn) * lit(bins)), lit(bins - 1)).cast("int"))
+          .otherwise(lit(0))
+      val counts = transform(sequence(lit(0), lit(bins - 1)),
+        b => size(filter(vals, x => binOf(x) === b)).cast("double"))
+      when(size(vals) > 0,
+        aggregate(counts, lit(0.0), (acc, c) =>
+          acc + when(c > 0, -(c / n) * log(c / n)).otherwise(lit(0.0))))
+    })
+  }
+
   val byName: scala.collection.immutable.Map[String, FeatureFunc] =
     scala.collection.immutable.Map(
       "min" -> min, "max" -> max, "mean" -> mean, "median" -> median,
       "std" -> std, "var" -> variance, "sum" -> sum, "len" -> len,
       "skew" -> skew, "kurtosis" -> kurt, "slope" -> slope, "rms" -> rms,
-      "first" -> firstByIdx, "last" -> lastByIdx, "abs_diff_sum" -> absDiffSum)
+      "first" -> firstByIdx, "last" -> lastByIdx, "abs_diff_sum" -> absDiffSum,
+      "abs_energy" -> absEnergy, "iqr" -> iqr,
+      "zero_crossings" -> zeroCrossings, "mean_crossings" -> meanCrossings)
 }
 
 /** A named aggregation over a TUPLE of series — the analog of a reference

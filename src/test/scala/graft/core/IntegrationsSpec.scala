@@ -1,0 +1,82 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The public feature-function stock (the integrations analog — reference:
+  * tsflex/features/integrations.py:15-337 wraps seglearn/tsfresh/tsfel
+  * members; exercised by tests/test_features_integration.py:28-471).
+  * Hand-computed oracles on a fixed window; the order-dependent functions
+  * are checked against a SHUFFLED input frame so the index-sort inside the
+  * aggregate is load-bearing.
+  */
+class IntegrationsSpec extends SparkSpec {
+  import FeatureFuncs._
+
+  // idx 0..4 → values (1, 2, 1, 3, 0); handed to Spark in scrambled order
+  private def df = {
+    import spark.implicits._
+    Seq((3L, 3.0), (0L, 1.0), (4L, 0.0), (1L, 2.0), (2L, 1.0))
+      .toDF("idx", "v").repartition(3)
+  }
+
+  private def eval(fn: FeatureFunc): Option[Double] = {
+    val r = df.agg(fn.agg(col("idx"), col("v")).cast("double")).head
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
+  test("abs_energy = sum of squares") {
+    assert(eval(absEnergy).contains(15.0)) // 1+4+1+9+0
+  }
+
+  test("iqr matches np.quantile linear interpolation") {
+    // sorted (0,1,1,2,3): q75 = 2, q25 = 1
+    assert(eval(iqr).contains(1.0))
+  }
+
+  test("crossings(m) counts index-consecutive strict straddles of m") {
+    // (1,2,1,3,0) vs 1.5 → above = (0,1,0,1,0) → 4 changes
+    assert(eval(crossings(1.5)).contains(4.0))
+    // touching m exactly is NOT a crossing (np.diff(x > m) semantics):
+    // vs 1.0 → above = (0,1,0,1,0) → still 4
+    assert(eval(crossings(1.0)).contains(4.0))
+    // zero_crossings: (1,2,1,3,0) > 0 → (1,1,1,1,0) → one change (the final
+    // 0 is not > 0; touching zero flips the strict > side)
+    assert(eval(zeroCrossings).contains(1.0))
+  }
+
+  test("mean_crossings uses the window's own mean") {
+    // mean = 1.4 → above = (0,1,0,1,0) → 4
+    assert(eval(meanCrossings).contains(4.0))
+  }
+
+  test("autocorrelation at lag 1 matches the tsfresh formula") {
+    // mu=1.4, varp=1.04, pairs (1,2),(2,1),(1,3),(3,0):
+    // sum = -3.36, /4 /1.04 = -0.80769230...
+    val got = eval(autocorr(1)).get
+    assert(math.abs(got - (-3.36 / 4 / 1.04)) < 1e-12)
+  }
+
+  test("autocorrelation guards: short window and zero variance give null") {
+    import spark.implicits._
+    val short = Seq((0L, 5.0)).toDF("idx", "v")
+    assert(short.agg(autocorr(1).agg(col("idx"), col("v"))).head.isNullAt(0))
+    val const = Seq((0L, 5.0), (1L, 5.0), (2L, 5.0)).toDF("idx", "v")
+    assert(const.agg(autocorr(1).agg(col("idx"), col("v"))).head.isNullAt(0))
+  }
+
+  test("binned_entropy: histogram Shannon entropy in nats, constant window = 0") {
+    // bins=2 over [0,3]: (1,2,1,3,0) → bins (0,1,0,1,0) → counts (3,2)
+    val expect = -(3.0 / 5 * math.log(3.0 / 5) + 2.0 / 5 * math.log(2.0 / 5))
+    assert(math.abs(eval(binnedEntropy(2)).get - expect) < 1e-12)
+    import spark.implicits._
+    val const = Seq((0L, 5.0), (1L, 5.0)).toDF("idx", "v")
+    assert(const.agg(binnedEntropy(4).agg(col("idx"), col("v")))
+      .head.getDouble(0) == 0.0)
+  }
+
+  test("the stock registers in byName (serde-reachable)") {
+    assert(Seq("abs_energy", "iqr", "zero_crossings", "mean_crossings")
+      .forall(byName.contains))
+  }
+}

@@ -28,6 +28,60 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(_.payload.length == 64 * 64 / 64))
   }
 
+  test("decodeImage recovers exact dimensions and channel constants from a PNG roundtrip") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Multimodal.syntheticPng(17, 9, 200, 30, 77)),
+      (2L, Multimodal.syntheticPng(3, 3, 0, 255, 128)),
+      (3L, "not an image at all".getBytes("UTF-8")),
+      (4L, Array.emptyByteArray)).toDF("asset_id", "payload")
+    val out = Multimodal.decodeImage(df).collect().sortBy(_.asset_id)
+    assert(out(0).ok && out(0).width == 17L && out(0).height == 9L &&
+      out(0).channels == 3 && out(0).mean_r == 200.0 &&
+      out(0).mean_g == 30.0 && out(0).mean_b == 77.0)
+    assert(out(1).ok && out(1).width == 3L && out(1).mean_g == 255.0)
+    // corrupt / empty payloads degrade to ok=false, never fail the stage
+    assert(!out(2).ok && !out(3).ok)
+  }
+
+  test("resizeImage hits target dims and a constant fill survives the resample") {
+    import spark.implicits._
+    val df = Seq((1L, Multimodal.syntheticPng(40, 20, 10, 20, 30)))
+      .toDF("asset_id", "payload")
+    val rz = Multimodal.resizeImage(df, 8, 6).collect().head
+    assert(rz.width == 8 && rz.height == 6 && rz.payload.nonEmpty)
+    val back = Multimodal.decodeImage(
+      Seq((1L, rz.payload)).toDF("asset_id", "payload")).collect().head
+    assert(back.ok && back.width == 8L && back.height == 6L &&
+      back.mean_r == 10.0 && back.mean_g == 20.0 && back.mean_b == 30.0)
+  }
+
+  test("imageHistogram embeds real pixels: constant image → one-hot bin, unit norm") {
+    import spark.implicits._
+    // gray of (60,60,60) = 60 → bin 60*8/256 = 1
+    val df = Seq(
+      (1L, Multimodal.syntheticPng(5, 4, 60, 60, 60)),
+      (2L, Multimodal.syntheticPng(9, 2, 60, 60, 60)),
+      (3L, Multimodal.syntheticPng(5, 4, 250, 250, 250))).toDF("asset_id", "payload")
+    val out = Multimodal.imageHistogram(df, 8).collect().sortBy(_.asset_id)
+    assert(out(0).embedding.toSeq == out(1).embedding.toSeq) // size-invariant
+    assert(out(0).embedding(1) == 1.0f && out(0).embedding.map(v => v * v).sum == 1.0f)
+    assert(out(2).embedding(7) == 1.0f)
+  }
+
+  test("decodeWav recovers rate/channels/duration from a WAVE roundtrip") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Multimodal.syntheticWav(16000, 8000)),
+      (2L, Multimodal.syntheticWav(44100, 44100)),
+      (3L, "definitely not audio".getBytes("UTF-8"))).toDF("asset_id", "payload")
+    val out = Multimodal.decodeWav(df).collect().sortBy(_.asset_id)
+    assert(out(0).ok && out(0).sample_rate == 16000 && out(0).channels == 1 &&
+      out(0).frames == 8000L && out(0).duration_ms == 500L)
+    assert(out(1).ok && out(1).duration_ms == 1000L)
+    assert(!out(2).ok)
+  }
+
   test("extracted fake embeddings are L2-normalized and feed Ann.cosineTopK") {
     val emb = Multimodal.extractFeaturesStub(assets, 8).toDF()
     val norms = emb.select(col("asset_id"),
