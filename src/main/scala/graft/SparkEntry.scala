@@ -709,6 +709,23 @@ object SparkEntry {
         .orderBy("user_id", "ts_anchor")
     }),
 
+    // ---- keyed MULTI-window rolling: {6h, 1D} per user in one pass -------
+    "q72_keyed_multiwin" -> ((s, dir) => {
+      KeyedFeatures.calculateWideMulti(
+        events(s, dir).select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts",
+        Seq((Win.time("6h"): Win) -> Seq(Win.time("6h"): Win),
+            (Win.time("1D"): Win) -> Seq(Win.time("6h"): Win)),
+        unary = Seq("value" -> len, "value" -> mean))
+        .select(col("user_id").cast("long").as("user_id"),
+          unix_micros(col("ts")).as("ts_anchor"),
+          col("value__len__w=6h").as("len_6h"),
+          round(col("value__mean__w=6h"), 6).as("mean_6h"),
+          col("value__len__w=1D").as("len_1d"),
+          round(col("value__mean__w=1D"), 6).as("mean_1d"))
+        .orderBy("user_id", "ts_anchor")
+    }),
+
     // ---- G3 per key: consecutive event_type runs WITHIN each user --------
     "q64_keyed_consecutive" -> ((s, dir) => {
       val ev = events(s, dir).select(col("user_id"), col("ts"),
@@ -922,6 +939,35 @@ object SparkEntry {
          | round(e.ent, 6) AS "value__binned_entropy_5__w=1D"
          |FROM m JOIN c ON c.we = m.we LEFT JOIN e ON e.we = m.we
          |ORDER BY ts_anchor""".stripMargin,
+
+    // two per-user window sizes merged on the shared anchor grid: a window
+    // with no segment at an anchor is NULL there, an empty segment is len=0
+    "q72_keyed_multiwin" ->
+      s"""WITH b AS (SELECT user_id, epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+         |  FROM events GROUP BY user_id),
+         |s6 AS (SELECT user_id, s + k*${6 * HOUR} AS ws, s + k*${6 * HOUR} + ${6 * HOUR} AS we
+         |  FROM (SELECT user_id, s,
+         |    CAST(GREATEST((e - s - ${6 * HOUR}) // ${6 * HOUR} + 1, 0) AS BIGINT) AS nb FROM b),
+         |  unnest(generate_series(0, nb - 1)) AS t(k)),
+         |sd AS (SELECT user_id, s + k*${6 * HOUR} AS ws, s + k*${6 * HOUR} + $DAY AS we
+         |  FROM (SELECT user_id, s,
+         |    CAST(GREATEST((e - s - $DAY) // ${6 * HOUR} + 1, 0) AS BIGINT) AS nb FROM b),
+         |  unnest(generate_series(0, nb - 1)) AS t(k)),
+         |f6 AS (SELECT s6.user_id, we AS anchor,
+         |    count(ev.value) AS len_6h, avg(ev.value) AS mean_6h
+         |  FROM s6 LEFT JOIN events ev ON ev.user_id = s6.user_id
+         |    AND epoch_us(ev.ts) >= ws AND epoch_us(ev.ts) < we GROUP BY 1, 2),
+         |fd AS (SELECT sd.user_id, we AS anchor,
+         |    count(ev.value) AS len_1d, avg(ev.value) AS mean_1d
+         |  FROM sd LEFT JOIN events ev ON ev.user_id = sd.user_id
+         |    AND epoch_us(ev.ts) >= ws AND epoch_us(ev.ts) < we GROUP BY 1, 2)
+         |SELECT CAST(coalesce(f6.user_id, fd.user_id) AS BIGINT) AS user_id,
+         | coalesce(f6.anchor, fd.anchor) AS ts_anchor,
+         | f6.len_6h AS len_6h, round(f6.mean_6h, 6) AS mean_6h,
+         | fd.len_1d AS len_1d, round(fd.mean_1d, 6) AS mean_1d
+         |FROM f6 FULL OUTER JOIN fd
+         |  ON f6.user_id = fd.user_id AND f6.anchor = fd.anchor
+         |ORDER BY user_id, ts_anchor""".stripMargin,
 
     "q00_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),6) AS sum_qty,

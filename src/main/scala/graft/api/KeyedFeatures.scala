@@ -164,6 +164,166 @@ object KeyedFeatures {
       feats.flatMap(expand): _*)
   }
 
+  /** MULTI-WINDOW keyed extraction: several (window, strides) buckets over
+    * the same wide frame in ONE pass — the keyed analog of the single-series
+    * path's M1 bucketing ({1h, 6h, 1d} per entity is the standard
+    * per-entity feature shape; looping [[calculateWide]] would re-shuffle
+    * and re-scan the input once per window).
+    *
+    * Plan shape: the per-key bounds pass is shared; each (window, stride)
+    * contributes its segment rows TAGGED with the window length, every value
+    * column rides a single assignment explode producing (window, seg_start)
+    * pairs, and ONE `groupBy(key, window, seg_start)` computes every
+    * feature for every window. Windows then pivot into per-window feature
+    * columns grouped on (key, anchor) — the keyed analog of S4's full-outer
+    * anchor merge: anchors shared by several windows land on one row, W7
+    * empty-window rows survive per window, and a window with no segment at
+    * an anchor is null there. Two shuffles total (aggregate + pivot),
+    * independent of the window count.
+    *
+    * Output naming: `series__func__w=<window.render>` per window (W10).
+    */
+  def calculateWideMulti(df: DataFrame, keyCol: String, idxCol: String,
+                         windows: Seq[(Win, Seq[Win])],
+                         unary: Seq[(String, FeatureFunc)],
+                         nary: Seq[(Seq[String], NaryFunc)] = Nil,
+                         windowIdx: String = "end",
+                         includeFinalWindow: Boolean = false): DataFrame = {
+    require(windows.nonEmpty, "no windows given")
+    require(windows.map(_._1.amount).distinct.length == windows.length,
+      "duplicate windows")
+    if (windows.lengthCompare(1) == 0)
+      return calculateWide(df, keyCol, idxCol, windows.head._1,
+        windows.head._2, unary, nary, windowIdx, includeFinalWindow)
+    require(unary.nonEmpty || nary.nonEmpty, "no features given")
+    nary.foreach { case (cols, f) =>
+      require(cols.lengthCompare(f.arity) == 0,
+        s"${f.name} consumes ${f.arity} series, got ${cols.length}: " +
+          cols.mkString("|"))
+    }
+    val valueCols = (unary.map(_._1) ++ nary.flatMap(_._1)).distinct
+    val series = Series(valueCols.head, df, idxCol, valueCols.head)
+    val internal = df.select(col(keyCol).as("__key") +:
+      (series.domain match {
+        case Domain.Time     => unix_micros(col(idxCol).cast("timestamp")).cast("double")
+        case Domain.Sequence => col(idxCol).cast("double")
+      }).as("__idx") +: valueCols.map(col): _*)
+      .where(col("__idx").isNotNull)
+    val specs = windows.map { case (win, sts) =>
+      (win, sts.map(_.amount).distinct.sorted)
+    }
+
+    // 1. per-key bounds — ONE pass shared by every window
+    val bounds = internal.groupBy("__key")
+      .agg(min(col("__idx")).as("__s0"), max(col("__idx")).as("__e0"))
+
+    // 2. per-(window, stride) segment tables, tagged with the window length
+    val segsPer = specs.flatMap { case (win, sts) =>
+      val w = win.amount
+      sts.map { st =>
+        val nb0 = greatest(floor((col("__e0") - col("__s0") - lit(w)) / lit(st))
+          .cast("long") + 1, lit(0L))
+        val nb = if (includeFinalWindow)
+          nb0 + when(col("__s0") + lit(st) * nb0 <= col("__e0"), 1L).otherwise(0L)
+        else nb0
+        bounds.select(col("__key"), col("__s0"),
+          explode(when(nb > 0, sequence(lit(0L), nb - 1))
+            .otherwise(array().cast("array<bigint>"))).as("__k"))
+          .select(col("__key"), lit(w).as("__w"), col("__s0"),
+            (col("__k").cast("double") * lit(st)).as("__koff"),
+            (col("__s0") + col("__k").cast("double") * lit(st)).as("__seg_start"))
+      }
+    }
+    val segments = segsPer.reduce(_.unionAll(_)).distinct()
+
+    // 3. one assignment explode over (window, seg_start) pairs
+    val withStart = internal.join(bounds.select(col("__key"), col("__s0")), Seq("__key"))
+    val t = col("__idx")
+    val arrays: Seq[Column] = specs.flatMap { case (win, sts) =>
+      val w = win.amount
+      sts.map { st =>
+        val kmin = greatest(lit(0L),
+          (floor((t - col("__s0") - lit(w)) / lit(st)) + 1).cast("long"))
+        val kmax = floor((t - col("__s0")) / lit(st)).cast("long")
+        when(kmax >= kmin,
+          transform(sequence(kmin, kmax),
+            k => struct(lit(w).as("w"),
+              (col("__s0") + k.cast("double") * lit(st)).as("s"))))
+          .otherwise(array().cast("array<struct<w:double,s:double>>"))
+      }
+    }
+    val all = if (arrays.lengthCompare(1) == 0) arrays.head
+              else array_distinct(concat(arrays: _*))
+    val assigned = withStart.select(
+      col("__key") +: col("__idx") +: valueCols.map(col) :+
+        explode(all).as("__ws"): _*)
+      .select(col("__key") +: col("__ws").getField("w").as("__w") +:
+        col("__ws").getField("s").as("__seg_start") +:
+        col("__idx") +: valueCols.map(col): _*)
+      .join(segments, Seq("__key", "__w", "__seg_start"))
+
+    // 4. ONE fused aggregate across all windows, empties restored per window
+    case class Feat(base: String, fname: String, empty: Option[Column],
+                    outputNames: Option[Seq[String]], seriesNames: Seq[String],
+                    agg: Column)
+    val feats =
+      unary.zipWithIndex.map { case ((c, f), i) =>
+        Feat(s"__f$i", f.name, f.emptyValue, f.outputNames, Seq(c),
+          f.agg(col("__idx"), col(c)))
+      } ++ nary.zipWithIndex.map { case ((cs, f), i) =>
+        Feat(s"__n$i", f.name, f.emptyValue, f.outputNames, cs,
+          f.agg(col("__idx"), cs.map(col)))
+      }
+    val aggs = feats.map(f => f.agg.as(f.base))
+    var agged = segments.join(
+      assigned.groupBy("__key", "__w", "__seg_start")
+        .agg(aggs.head, aggs.tail: _*),
+      Seq("__key", "__w", "__seg_start"), "left")
+    feats.foreach { f =>
+      f.empty.foreach { ev =>
+        agged = agged.withColumn(f.base, coalesce(col(f.base), ev))
+      }
+    }
+    // anchors from DIFFERENT windows must land on one row when they are
+    // mathematically equal, so the pivot groups on the key-relative offset
+    // k·st (+ w) — exact integer-valued double arithmetic, no float-summed
+    // `s0 + …` whose 1-ulp wobble would split the row. `s0` is added back
+    // once, after the merge.
+    val anchorOff = windowIdx match {
+      case "end"    => col("__koff") + col("__w")
+      case "middle" => col("__koff") + col("__w") / 2
+      case "begin"  => col("__koff")
+      case x => throw new IllegalArgumentException(s"bad windowIdx $x")
+    }
+
+    // 5. pivot windows into columns on the shared (key, anchor) row —
+    // exactly one aggregated row per (key, window, anchor), so max() just
+    // selects it
+    def funcNames(f: Feat, winR: String): Seq[(Column, String)] = f.outputNames match {
+      case Some(os) => os.map(o => (col(f.base).getField(o),
+        Win.outputName(f.seriesNames, o, winR)))
+      case None => Seq((col(f.base), Win.outputName(f.seriesNames, f.fname, winR)))
+    }
+    val pivotAggs = for {
+      (win, _) <- specs
+      f <- feats
+      (src, outName) <- funcNames(f, win.render)
+    } yield max(when(col("__w") === lit(win.amount), src)).as(outName)
+    val outNames = for {
+      (win, _) <- specs; f <- feats; (_, n) <- funcNames(f, win.render)
+    } yield n
+    require(outNames.distinct.length == outNames.length,
+      "duplicate output names: " +
+        outNames.diff(outNames.distinct).mkString(", "))
+    agged.withColumn("__aoff", anchorOff)
+      .groupBy("__key", "__aoff")
+      .agg((min(col("__s0")).as("__s0") +: pivotAggs).head,
+        ((min(col("__s0")).as("__s0") +: pivotAggs).tail): _*)
+      .select(col("__key").as(keyCol) +:
+        series.restoreIdx(col("__s0") + col("__aoff")).as(idxCol) +:
+        outNames.map(n => col(s"`$n`")): _*)
+  }
+
   /** G3 per key — `group_by_consecutive` (reference:
     * feature_collection.py:568-724) applied WITHIN each entity: maximal runs
     * of equal `groupCol` values in index order, per key, one feature row per

@@ -84,6 +84,44 @@ class KeyedFeaturesSpec extends SparkSpec {
     }
   }
 
+  test("multi-window: one pass equals per-window calculateWide merged on (key, anchor)") {
+    import spark.implicits._
+    // irregular per-key data; windows {2, 4} share the stride-2 anchor grid
+    // so most anchors carry BOTH windows' features on one row (S4 merge)
+    val rng = new scala.util.Random(23)
+    val df = (for {
+      k <- Seq("a", "b", "c"); i <- 0 until 40
+    } yield (k, i.toDouble + rng.nextDouble() * 0.5, rng.nextDouble() * 100))
+      .toDF("k", "idx", "x")
+    val windows = Seq(
+      (Win.seq(2L): Win) -> Seq(Win.seq(2L): Win),
+      (Win.seq(4L): Win) -> Seq(Win.seq(2L): Win))
+    val multi = KeyedFeatures.calculateWideMulti(df, "k", "idx", windows,
+      unary = Seq("x" -> len, "x" -> mean))
+    assert(multi.columns.toSeq == Seq("k", "idx",
+      "x__len__w=2", "x__mean__w=2", "x__len__w=4", "x__mean__w=4"))
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0),
+      BigDecimal(r.getDouble(1)).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+    def cell(r: org.apache.spark.sql.Row, i: Int): Option[BigDecimal] =
+      if (r.isNullAt(i)) None
+      else Some(BigDecimal(r.get(i).toString).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+    val got = multi.collect().map(r =>
+      key(r) -> (cell(r, 2), cell(r, 3), cell(r, 4), cell(r, 5))).toMap
+    // oracle: the proven single-window path, run per window, merged by anchor
+    val per = windows.map { case (w, sts) =>
+      KeyedFeatures.calculateWide(df, "k", "idx", w, sts,
+        unary = Seq("x" -> len, "x" -> mean)).collect()
+        .map(r => key(r) -> ((cell(r, 2), cell(r, 3)))).toMap
+    }
+    val allKeys = per.flatMap(_.keySet).toSet
+    assert(got.keySet == allKeys, "anchor row set differs from the S4 merge")
+    allKeys.foreach { k =>
+      val (l2, m2) = per(0).getOrElse(k, (None, None))
+      val (l4, m4) = per(1).getOrElse(k, (None, None))
+      assert(got(k) == ((l2, m2, l4, m4)), s"at $k")
+    }
+  }
+
   test("wide frame: multi-output struct funcs expand per output name") {
     import spark.implicits._
     import org.apache.spark.sql.{functions => F}
