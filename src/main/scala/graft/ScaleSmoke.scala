@@ -70,6 +70,9 @@ object ScaleSmoke {
         val t0 = System.nanoTime()
         val n = f
         println(f"SCALESMOKE $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+        // family boundary: free this family's checkpoint blocks so the next
+        // family's time measures its plan, not its predecessors' eviction
+        Pinned.release()
       }
 
     time(s"events x$copies count")(events.count())
@@ -149,11 +152,13 @@ object ScaleSmoke {
         "doc_id", "__s", Seq("train" -> 80, "val" -> 10, "test" -> 10))
         .groupBy("split").count().count()
     }
-    Thread.sleep(3000) // let the async listener bus drain stage-end events
+    // stop() drains and shuts down the async listener bus, so every queued
+    // stage-end event has been delivered before the counter is read — the
+    // previous fixed sleep raced stragglers
+    spark.stop()
     import scala.jdk.CollectionConverters._
     val singles = heavySingles.asScala.toList
     println(s"SCALESMOKE heavy-single-task-stages=${singles.size}")
     singles.foreach(s => println(s"SCALESMOKE SINGLE $s"))
-    spark.stop()
   }
 }

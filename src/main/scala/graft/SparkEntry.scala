@@ -676,6 +676,27 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- capstone variant: corpus prep with a FUZZY dedup stage ------------
+    // scrub -> quality gate -> exact dedup -> NEAR-dup dedup (PPJoin pairs +
+    // connected components, keep one rep per cluster) -> split -> pack.
+    "q73_corpus_prep_fuzzy" -> ((s, dir) => {
+      val scrubbed = docs(s, dir).select(col("doc_id"),
+        TextStats.redactPii(col("text")).as("text"))
+      val quality = scrubbed.where(TextStats.tokenCount(col("text")) >= 50)
+      val exact = Dedup.keepExactNormalized(quality, "doc_id", "text")
+      val pairs = Dedup.jaccardPairs(exact, "doc_id", "text", 3, 0.6)
+      val fuzzy = Dedup.keepRepresentatives(exact, "doc_id", pairs)
+      val split = graft.scale.Sampling.deterministicSplit(fuzzy, "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      val train = split.where(col("split") === "train")
+        .withColumn("__tok", TextStats.tokenCount(col("text")).cast("long"))
+      val packed = graft.scale.Sampling.packShards(train, "doc_id", "__tok", 20000L)
+        .select(col("doc_id"), col("shard"))
+      split.join(packed, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("split"), col("shard"))
+        .orderBy("doc_id")
+    }),
+
     // ---- exact dedup, applied: keep one doc per normalized bag ------------
     "q67_exact_keep_one" -> ((s, dir) => {
       Dedup.keepExactNormalized(docs(s, dir), "doc_id", "text")
@@ -1615,6 +1636,52 @@ object SparkEntry {
         |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 < 80 THEN 'train'
         |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split FROM keep),
+        |tr AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS tok,
+        |  md5(CAST(doc_id AS VARCHAR)) AS h FROM sp WHERE split = 'train'),
+        |c AS (SELECT doc_id, tok, sum(tok) OVER (ORDER BY h
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM tr),
+        |pk AS (SELECT doc_id, CAST(floor((cum - tok) / 20000.0) AS BIGINT) AS shard FROM c)
+        |SELECT sp.doc_id, sp.split, pk.shard
+        |FROM sp LEFT JOIN pk USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the q69 chain with the near-dup stage spliced in: jaccard pairs over
+    // the exact-deduped set, connected components (recursive CTE), keep the
+    // min-id representative per cluster, then split + pack the survivors
+    "q73_corpus_prep_fuzzy" ->
+      """WITH RECURSIVE r AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |  '\b\d{1,3}(\.\d{1,3}){3}\b', '[IP]', 'g'),
+        |  '\b\d{13,19}\b', '[NUM]', 'g') AS text FROM documents),
+        |q AS (SELECT * FROM r WHERE CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE len(string_split_regex(trim(text), '\s+')) END >= 50),
+        |k AS (SELECT doc_id, text, md5(array_to_string(
+        |    list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS key
+        |  FROM q),
+        |keep AS (SELECT doc_id, text FROM k
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM k GROUP BY key)),
+        |kd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM keep),
+        |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
+        |  THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in generate_series(1, len(ws)-2)]
+        |  ELSE [array_to_string(ws, ' ')] END)) AS s FROM kd),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jac AS (SELECT id_a, id_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+        |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b),
+        |p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(u, root) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        |  UNION
+        |  SELECT e.u, reach.root FROM e JOIN reach ON e.v = reach.u),
+        |cl AS (SELECT u AS doc_id, min(root) AS rep FROM reach GROUP BY u),
+        |fz AS (SELECT doc_id, text FROM keep
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id != rep)),
+        |sp AS (SELECT doc_id, text,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 < 80 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split FROM fz),
         |tr AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
         |    ELSE len(string_split_regex(trim(text), '\s+')) END AS tok,
         |  md5(CAST(doc_id AS VARCHAR)) AS h FROM sp WHERE split = 'train'),

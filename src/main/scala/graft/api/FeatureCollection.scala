@@ -563,6 +563,26 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
             "'%s' will be ignored", col("__n"), lit(g.name)).as("detail"))
     }
 
+    // input-layout monotonicity — the reference auto-sorts a non-monotonic
+    // series index and warns (feature_collection.py:455-466). The relational
+    // scans here sort internally, so results are unaffected; the finding is
+    // informational: rows out of index order WITHIN a storage partition mean
+    // the files aren't index-sorted (per-partition order is the only
+    // deterministic order a distributed frame has).
+    val nonMono = used.map { s =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__p")).orderBy(col("__m"))
+      s.internal.select(col("__idx"),
+          spark_partition_id().as("__p"), monotonically_increasing_id().as("__m"))
+        .withColumn("__prev", lag(col("__idx"), 1).over(w))
+        .where(col("__prev") > col("__idx"))
+        .agg(count(lit(1)).as("__n")).where(col("__n") > 0)
+        .select(lit("non_monotonic_input").as("check"), lit(s.name).as("subject"),
+          format_string("%d rows out of index order in the input layout; " +
+            "scans sort internally (the reference auto-sorts and warns)",
+            col("__n")).as("detail"))
+    }
+
     // sparsity per (window, strides) bucket — distributed ptp counts
     val sparsityReports =
       if (approveSparsity || used.isEmpty) Nil
@@ -581,7 +601,7 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
                 lit(win.render), col("min_n"), col("max_n")).as("detail"))
         }
 
-    (Seq(empty) ++ mixed ++ manualOob ++ nanGroup ++ sparsityReports)
+    (Seq(empty) ++ mixed ++ manualOob ++ nanGroup ++ nonMono ++ sparsityReports)
       .reduce(_.unionByName(_))
   }
 }

@@ -64,6 +64,22 @@ class ValidationSpec extends SparkSpec {
     assert(rep("nan_group_rows").contains("2 rows"))
   }
 
+  test("non-monotonic input layout is reported; sorted layout is not " +
+    "(feature_collection.py:455-466)") {
+    import spark.implicits._
+    val fc = FeatureCollection(
+      FeatureDescriptor(mean, "v", Some(Win.seq(2L)), Some(Seq(Win.seq(2L)))))
+    // scrambled physical order within one partition → out-of-order rows
+    val scrambled = Seq(3.0, 0.0, 4.0, 1.0, 2.0).map(x => (x, x))
+      .toDF("idx", "v").coalesce(1)
+    val rep = checks(fc.validate(Seq(Series("v", scrambled, "idx", "v"))))
+    assert(rep.contains("non_monotonic_input"))
+    assert(rep("non_monotonic_input").contains("out of index order"))
+    // index-sorted layout: no finding (clean-input test also covers this)
+    assert(fc.validate(
+      Seq(Series("v", seqData(10).coalesce(1), "idx", "v"))).count() == 0)
+  }
+
   test("sparse series report nonzero ptp; approveSparsity suppresses " +
     "(strided_rolling.py:230-239)") {
     import spark.implicits._
