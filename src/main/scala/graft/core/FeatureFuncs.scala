@@ -223,10 +223,18 @@ object FeatureFuncs {
   /** seglearn `zero_crossings` equivalent: crossings of 0. */
   val zeroCrossings: FeatureFunc = crossings(0.0).as("zero_crossings")
 
-  /** seglearn `mean_crossings`: crossings of the window's own mean. */
+  /** seglearn `mean_crossings`: crossings of the window's own mean.
+    *
+    * The mean is the NATIVE `avg` aggregate, not an array fold: an
+    * aggregate sub-expression is evaluated once per window and referenced
+    * O(1) inside the lambda, whereas a fold expression EMBEDDED in a lambda
+    * is re-evaluated per element — O(n²) per window, observed as a stalled
+    * single core on 3k-row windows at sf0.1 (same rule applied to
+    * [[autocorr]] and [[binnedEntropy]] below).
+    */
   val meanCrossings: FeatureFunc = FeatureFunc("mean_crossings", (idx, v) => {
     val vals = sortedVals(idx, v)
-    val mu = aggregate(vals, lit(0.0), (acc, x) => acc + x) / size(vals)
+    val mu = avg(v)
     val above = transform(vals, x => (x > mu).cast("int"))
     when(size(vals) <= 1, lit(0L)).otherwise(
       aggregate(
@@ -245,10 +253,10 @@ object FeatureFuncs {
     FeatureFunc(s"autocorr_$lag", (idx, v) => {
       val vals = sortedVals(idx, v)
       val n = size(vals)
-      val nd = n.cast("double")
-      val mu = aggregate(vals, lit(0.0), (acc, x) => acc + x) / nd
-      val varp = aggregate(vals, lit(0.0),
-        (acc, x) => acc + (x - mu) * (x - mu)) / nd
+      // native aggregates: referenced O(1) inside the zip_with lambda (an
+      // array fold embedded there would re-run per element — O(n²))
+      val mu = avg(v)
+      val varp = var_pop(v)
       val m = n - lit(lag)
       val cov = aggregate(
         zip_with(slice(vals, lit(1), m), slice(vals, lit(1 + lag), m),
@@ -267,8 +275,10 @@ object FeatureFuncs {
     FeatureFunc(s"binned_entropy_$bins", (idx, v) => {
       val vals = sortedVals(idx, v)
       val n = size(vals).cast("double")
-      val mn = array_min(vals)
-      val mx = array_max(vals)
+      // native min/max: O(1) references inside the filter lambda (see
+      // meanCrossings scaladoc for the embedded-fold O(n²) trap)
+      val mn = org.apache.spark.sql.functions.min(v)
+      val mx = org.apache.spark.sql.functions.max(v)
       val binOf: Column => Column = x =>
         when(mx > mn,
           least(floor((x - mn) / (mx - mn) * lit(bins)), lit(bins - 1)).cast("int"))
