@@ -650,8 +650,13 @@ object SparkEntry {
     // dimensions + fill constants derive from (doc_id, octet_length(text)),
     // so DuckDB can oracle the decoded values without decoding anything
     "q70_image_decode" -> ((s, dir) => {
+      // codec work is per-row CPU: spread the single-file documents scan
+      // across the session's cores before the encode/decode stages (a real
+      // corpus arrives in many files; one parquet file here = one task)
+      val par = s.sparkContext.defaultParallelism
       Multimodal.decodeImage(
-        Multimodal.imagesFromDocs(docs(s, dir), "doc_id", "text")).toDF()
+        Multimodal.imagesFromDocs(docs(s, dir).repartition(par),
+          "doc_id", "text")).toDF()
         .select(col("asset_id"), col("width"), col("height"),
           col("channels").cast("long").as("channels"),
           round(col("mean_r"), 6).as("mean_r"),

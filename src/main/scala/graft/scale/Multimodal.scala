@@ -106,10 +106,19 @@ object Multimodal {
       asset_id: Long, ok: Boolean, width: Long, height: Long, channels: Int,
       mean_r: Double, mean_g: Double, mean_b: Double, n_bytes: Long)
 
-  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+  /** ImageIO's default stream cache writes a TEMP FILE per read/write —
+    * per-image disk I/O an executor decoding millions of in-memory payloads
+    * must not pay. Flip the JVM-wide flag once per executor, lazily.
+    */
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    imageIoNoDiskCache
     if (bytes == null || bytes.isEmpty) null
     else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     catch { case _: Exception => null } // corrupt payloads decode to ok=false
+  }
 
   /** REAL image decode: dimensions, component count and per-channel pixel
     * means via `javax.imageio` (PNG/JPEG/GIF/BMP). Undecodable payloads
@@ -213,6 +222,7 @@ object Multimodal {
     * recovers the exact dimensions and channel constants.
     */
   def syntheticPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    imageIoNoDiskCache
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val gfx = img.createGraphics()
