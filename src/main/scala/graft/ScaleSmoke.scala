@@ -146,6 +146,24 @@ object ScaleSmoke {
       docs.select(graft.scale.TextStats.redactPii(col("text")))
         .queryExecution.toRdd.count()
     }
+    // Replicated docs make every 8-gram corpus-frequent, so span COUNT is
+    // bounded by docs (one maximal span per clone) — the gram index and the
+    // per-doc island windows are what's being scale-tested here.
+    time(s"docs x$copies dup spans") {
+      Dedup.duplicatedSpans(docs, "doc_id", "text").count()
+    }
+    time(s"docs x$copies simhash pairs") {
+      // replication clones collapse to Hamming-0 buckets; count pairs only
+      // above distance 0 so output stays sub-quadratic while the banded
+      // index still processes the full corpus
+      Dedup.simhashPairs(docs, "doc_id", "text", 3, 4)
+        .where(col("hamming") > 0).count()
+    }
+    time(s"docs x$copies source cap") {
+      graft.scale.Sampling.capPerKey(
+        docs.withColumn("__src", pmod(col("doc_id"), lit(20))),
+        "doc_id", "__src", 1000L).count()
+    }
     time(s"docs x$copies stratified split") {
       graft.scale.Sampling.stratifiedSplit(
         docs.withColumn("__s", pmod(col("doc_id"), lit(3))),

@@ -665,6 +665,28 @@ object SparkEntry {
         .orderBy("asset_id")
     }),
 
+    // ---- multimodal: REAL multi-frame decode (animated GIF, stride 2) -----
+    "q78_gif_frames" -> ((s, dir) => {
+      val par = s.sparkContext.defaultParallelism
+      Multimodal.decodeFrames(
+        Multimodal.gifsFromDocs(docs(s, dir).repartition(par),
+          "doc_id", "text"), 2).toDF()
+        .select(col("asset_id"), col("frame_index"), col("width"),
+          col("height"), round(col("mean_lum"), 6).as("mean_lum"))
+        .orderBy("asset_id", "frame_index")
+    }),
+
+    // ---- multimodal: REAL WAV decode (javax.sound.sampled roundtrip) ------
+    "q79_wav_decode" -> ((s, dir) => {
+      val par = s.sparkContext.defaultParallelism
+      Multimodal.decodeWav(
+        Multimodal.wavsFromDocs(docs(s, dir).repartition(par),
+          "doc_id", "text")).toDF()
+        .select(col("asset_id"), col("sample_rate"), col("channels"),
+          col("frames"), col("duration_ms"))
+        .orderBy("asset_id")
+    }),
+
     // ---- feature stock: the integrations analog (tsfresh/seglearn/tsfel) --
     "q71_integrations" -> ((s, dir) => {
       val fns = Seq(absEnergy, iqr, crossings(40.0).as("nc"),
@@ -700,6 +722,31 @@ object SparkEntry {
       split.join(packed, Seq("doc_id"), "left")
         .select(col("doc_id"), col("split"), col("shard"))
         .orderBy("doc_id")
+    }),
+
+    // ---- exact-substring dedup: cross-doc duplicated 8-gram spans ---------
+    "q74_dup_spans" -> ((s, dir) => {
+      Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", 8, 2)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // ---- exact-substring dedup, applied: strip duplicated spans -----------
+    "q75_strip_spans" -> ((s, dir) => {
+      Dedup.stripDuplicatedSpans(docs(s, dir), "doc_id", "text", 8, 2)
+        .select(col("doc_id"), col("text"), col("removed_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- simhash near-dup pairs: banded Hamming<=3, exact via pigeonhole --
+    "q76_simhash_near" -> ((s, dir) => {
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", 3, 4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- per-source quota cap: at most 10 docs per source, hash-ordered ---
+    "q77_source_cap" -> ((s, dir) => {
+      graft.scale.Sampling.capPerKey(docs(s, dir), "doc_id", "source", 10L)
+        .select(col("doc_id"), col("source")).orderBy("doc_id")
     }),
 
     // ---- exact dedup, applied: keep one doc per normalized bag ------------
@@ -917,6 +964,90 @@ object SparkEntry {
        |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // exact-substring dedup: the oracle works on raw gram STRINGS (DuckDB
+    // has no xxhash64) — results agree unless the Spark side's 64-bit gram
+    // hash collides, which the operator doc accepts as its standard trade
+    "q74_dup_spans" ->
+      """WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |grams AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+7], ' ') AS g
+        |  FROM docs, UNNEST(range(1, len(w) - 8 + 2)) AS t(i) WHERE len(w) >= 8),
+        |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        |hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+        |isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM (SELECT doc_id, pos, CASE WHEN pos > coalesce(max(pos + 8)
+        |      OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    THEN 1 ELSE 0 END AS brk FROM hits))
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+        |  max(pos) + 8 - min(pos) AS span_tokens
+        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    "q75_strip_spans" ->
+      """WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |toks AS (SELECT doc_id, i AS pos, w[i] AS word
+        |  FROM docs, UNNEST(range(1, len(w) + 1)) AS t(i)),
+        |grams AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+7], ' ') AS g
+        |  FROM docs, UNNEST(range(1, len(w) - 8 + 2)) AS t(i) WHERE len(w) >= 8),
+        |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        |hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+        |isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM (SELECT doc_id, pos, CASE WHEN pos > coalesce(max(pos + 8)
+        |      OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    THEN 1 ELSE 0 END AS brk FROM hits)),
+        |spans AS (SELECT doc_id, min(pos) AS ss, max(pos) + 8 AS se
+        |  FROM isl GROUP BY doc_id, island),
+        |kept AS (SELECT t.doc_id, t.pos, t.word FROM toks t
+        |  LEFT JOIN spans s ON s.doc_id = t.doc_id AND t.pos >= s.ss AND t.pos < s.se
+        |  WHERE s.doc_id IS NULL),
+        |agg AS (SELECT doc_id, array_to_string(list(word ORDER BY pos), ' ') AS ctext,
+        |    count(*) AS nk FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.ctext, '') AS text,
+        |  CAST(len(d.w) - coalesce(a.nk, 0) AS BIGINT) AS removed_tokens
+        |FROM docs d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // banded Hamming pairs vs the brute-force all-pairs scan — the oracle
+    // IS the quadratic plan the pigeonhole layout exists to avoid
+    "q76_simhash_near" -> {
+      val odd = "('1','3','5','7','9','b','d','f')"
+      val sums = (0 until 32).map(j =>
+        s"sum(CASE WHEN substr(h, ${j + 1}, 1) IN $odd THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+      val fp = (0 until 32).map(j =>
+        s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, md5(unnest(string_split_regex(trim(text), '\\s+'))) AS h FROM documents),
+         |sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q77_source_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    // multi-frame GIF: frame count/dims/gray levels derive from (doc_id,
+    // strlen); constant-gray GIF frames roundtrip exactly (palette holds
+    // the one color), so the oracle is pure arithmetic
+    "q78_gif_frames" ->
+      """SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_index,
+        |  CAST(4 + strlen(text) % 16 AS INT) AS width,
+        |  CAST(3 + doc_id % 12 AS INT) AS height,
+        |  round(CAST((doc_id * 31 + i * 40) % 256 AS DOUBLE), 6) AS mean_lum
+        |FROM documents, UNNEST(range(0, 2 + doc_id % 5, 2)) AS t(i)
+        |ORDER BY asset_id, frame_index""".stripMargin,
+
+    "q79_wav_decode" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(100 + strlen(text) % 400 AS BIGINT) AS frames,
+        |  CAST((100 + strlen(text) % 400) * 1000
+        |    // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
     // real image decode: the synthetic-PNG generator derives dims + fill
     // from (doc_id, octet_length(text)); PNG is lossless, so the decoded
     // values equal the source-derived constants

@@ -1,6 +1,7 @@
 package graft.scale
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale document deduplication operators for training-data pipelines.
@@ -435,12 +436,131 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
-  /** SimHash-equal near-dup pairs (Hamming distance 0 buckets). */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** SimHash near-dup pairs within Hamming distance `maxHamming`, found
+    * EXACTLY (no recall loss) via pigeonhole banding: the 32-bit signature
+    * splits into `bands` equal slices; two signatures within Hamming
+    * distance t < bands must agree on at least one whole slice, so an
+    * equi-join per (band index, slice bits) bucket surfaces every qualifying
+    * pair and the cheap `bit_count(xor)` verify discards the false bucket
+    * collisions. This is the classic Manku/Jain/Sarma web-dedup layout
+    * (WWW'07) — the all-pairs O(n^2) Hamming scan never materializes.
+    *
+    * Scale shape: one map-side signature projection, one explode to `bands`
+    * rows per doc, one shuffle on the (band, bits) key. Bucket fan-out is
+    * 2^(32/bands) per band (256 at the default 4), so comparisons within a
+    * bucket grow quadratically once the corpus far exceeds bands * 2^(32/
+    * bands) docs — fine through ~10^6-10^7 docs; at billion-doc scale pair
+    * this same plan with a wider signature (64/128-bit simhash) so buckets
+    * stay sub-quadratic. Raise `bands` for a larger Hamming radius; AQE
+    * splits any skewed bucket. `maxHamming = 0` short-circuits to a single
+    * equi-join on the full signature. Returns (id_a, id_b, hamming),
+    * id_a < id_b.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands >= 1 && 32 % bands == 0, "bands must divide 32")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"pigeonhole exactness needs maxHamming < bands (got $maxHamming >= $bands)")
     val s = simhash32(df, idCol, textCol)
-    s.as("a").join(s.as("b"),
-      col("a.simhash") === col("b.simhash") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col("a.simhash").as("simhash"))
+    if (maxHamming == 0) {
+      s.as("a").join(s.as("b"),
+        col("a.simhash") === col("b.simhash") && col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+          lit(0).as("hamming"))
+    } else {
+      val width = 32 / bands
+      val mask = (1L << width) - 1
+      val slices = (0 until bands).map(i =>
+        shiftright(col("simhash"), i * width).bitwiseAND(lit(mask)))
+      val banded = s.select(col(idCol), col("simhash"),
+        posexplode(array(slices: _*)).as(Seq("__band", "__bits")))
+      // Both join children project from the SAME banded plan, so Catalyst
+      // canonicalizes them identically and reuses one shuffle exchange.
+      val left = banded.select(col(idCol).as("id_a"),
+        col("simhash").as("__sa"), col("__band"), col("__bits"))
+      val right = banded.select(col(idCol).as("id_b"),
+        col("simhash").as("__sb"), col("__band"), col("__bits"))
+      left.join(right, Seq("__band", "__bits"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
+        .where(col("hamming") <= maxHamming)
+        .distinct() // a pair may agree on several bands
+    }
+  }
+
+  /** Cross-document duplicated n-gram SPANS — the exact-substring dedup
+    * signal of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (ACL'22): every word position whose n-gram occurs at
+    * least `minCount` times ANYWHERE in the corpus (other documents or a
+    * repeat within the same one) is duplicated; overlapping/adjacent
+    * duplicated grams merge into maximal spans. Returns one row per maximal
+    * span: (id, span_start, span_end, span_tokens) with 1-based token
+    * positions, `span_end` exclusive.
+    *
+    * Scale shape (vs the paper's monolithic suffix array): grams explode
+    * map-side (native `WordNgrams` + xxhash64 so only 8-byte keys shuffle),
+    * frequency is one hash groupBy on the gram hash, hits come back via a
+    * left-semi join already partitioned on that key, and span merging is a
+    * per-DOCUMENT gaps-and-islands window — partitioned by id, so no global
+    * sort and no single-task stage; a document's hits trivially fit one
+    * task. Gram-hash collisions (xxhash64, ~2^-64 per pair) can only ADD a
+    * spurious span, never drop one — the standard trade every hash-based
+    * dedup path here makes.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 8, minCount: Long = 2): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    require(minCount >= 2, "a span repeated fewer than 2 times is not a duplicate")
+    val grams = df
+      .select(col(idCol),
+        posexplode(graft.expr.WordNgrams(col(textCol), n)).as(Seq("__p0", "__g")))
+      .select(col(idCol), (col("__p0") + 1).as("__pos"),
+        xxhash64(col("__g")).as("__h"))
+    val dup = grams.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minCount).select("__h")
+    val hits = grams.join(dup, Seq("__h"), "left_semi")
+    val w = Window.partitionBy(idCol).orderBy("__pos")
+    val prevEnd = max(col("__pos") + n)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val isl = hits
+      .withColumn("__brk",
+        when(prevEnd.isNull || col("__pos") > prevEnd, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(w))
+    isl.groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__pos")).as("span_start"),
+        (max(col("__pos")) + n).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** Apply `duplicatedSpans`: rebuild each document with every duplicated
+    * span's tokens removed (ALL occurrences — deterministic and
+    * join-structure-free, unlike keep-one-occurrence which would need a
+    * global occurrence order). Output is whitespace-normalized (tokens
+    * rejoined with single spaces) for every row, spanned or not, so the
+    * transform is uniform. Adds `removed_tokens`; other columns pass
+    * through, `textCol` is replaced in place.
+    *
+    * Scale shape: the span table (bounded by hit count, not corpus size)
+    * aggregates per doc and joins back on the id; the rebuild is a map-side
+    * `filter` lambda over the token array — O(tokens x spans-per-doc).
+    */
+  def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 8, minCount: Long = 2): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, n, minCount)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn("__spans", coalesce(col("__spans"),
+        array().cast("array<struct<span_start:int,span_end:int>>")))
+      .withColumn("__w", words(col(textCol)))
+      .withColumn("__kept", filter(col("__w"), (_, i) =>
+        !exists(col("__spans"), s =>
+          i + 1 >= s("span_start") && i + 1 < s("span_end"))))
+      .withColumn(textCol, concat_ws(" ", col("__kept")))
+      .withColumn("removed_tokens",
+        (size(col("__w")) - size(col("__kept"))).cast("long"))
+      .drop("__spans", "__w", "__kept")
   }
 }

@@ -72,6 +72,28 @@ object Sampling {
       .drop("__h", "__cum", "__pid")
   }
 
+  /** Deterministic per-key quota cap — "at most `cap` documents per source
+    * / domain", the standard anti-over-representation rule in web-corpus
+    * curation (domain caps in Gopher/FineWeb-style pipelines). Which rows
+    * survive is a pure function of the data: rows rank within their key by
+    * md5(id) (an engine-independent uniform order, so the kept subset is an
+    * unbiased sample of the key, not its first `cap` rows in crawl order)
+    * and rows ranked past the cap drop.
+    *
+    * Scale shape: same as `stratifiedSplit` — `Scan.keyedRank`
+    * range-partitions on (key, hash) so one giant key (a crawl dominated by
+    * a single domain) spans many parallel tasks instead of one window task;
+    * the rank stitch is a summary-sized offset join. Map-only after that.
+    */
+  def capPerKey(df: DataFrame, idCol: String, keyCol: String,
+                cap: Long): DataFrame = {
+    require(cap > 0, "per-key cap must be positive")
+    val ranked = graft.core.Scan.keyedRank(
+      df.withColumn("__h", md5(col(idCol).cast("string"))),
+      keyCol, "__h", "__rk", "__n")
+    ranked.where(col("__rk") <= cap).select(df.columns.map(col): _*)
+  }
+
   def stratifiedSplit(df: DataFrame, idCol: String, strataCol: String,
                       splits: Seq[(String, Int)]): DataFrame = {
     require(splits.map(_._2).sum == 100, "split percentages must sum to 100")

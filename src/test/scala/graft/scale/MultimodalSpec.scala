@@ -69,6 +69,26 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).embedding(7) == 1.0f)
   }
 
+  test("decodeFrames: animated GIF stride sampling recovers exact frame grays") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Multimodal.syntheticGif(5, 4, Seq(10, 60, 110, 160, 210))),
+      (2L, Multimodal.syntheticGif(7, 2, Seq(0, 255))),
+      (3L, "definitely not a gif".getBytes("UTF-8"))).toDF("asset_id", "payload")
+    val out = Multimodal.decodeFrames(df, 2).collect()
+      .sortBy(r => (r.asset_id, r.frame_index))
+    val a1 = out.filter(_.asset_id == 1L)
+    // stride 2 over 5 frames -> indices 0, 2, 4
+    assert(a1.map(_.frame_index).toSeq == Seq(0, 2, 4))
+    assert(a1.forall(f => f.ok && f.width == 5 && f.height == 4))
+    assert(a1.map(_.mean_lum).toSeq == Seq(10.0, 110.0, 210.0))
+    val a2 = out.filter(_.asset_id == 2L)
+    assert(a2.map(f => (f.frame_index, f.mean_lum)).toSeq == Seq((0, 0.0)))
+    // corrupt payload degrades to one ok=false row, never fails the stage
+    val a3 = out.filter(_.asset_id == 3L)
+    assert(a3.map(f => (f.frame_index, f.ok)).toSeq == Seq((-1, false)))
+  }
+
   test("decodeWav recovers rate/channels/duration from a WAVE roundtrip") {
     import spark.implicits._
     val df = Seq(

@@ -107,6 +107,26 @@ class SamplingSpec extends SparkSpec {
     assert(shards(carried) == shards(df))
   }
 
+  test("capPerKey: caps each key, keeps small keys whole, is layout-invariant") {
+    import spark.implicits._
+    val df = ((0L until 100L).map(i => (i, "big")) ++
+      (100L until 105L).map(i => (i, "small"))).toDF("id", "key")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.capPerKey(d, "id", "key", 10L).select("id", "key")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val out = run(df)
+    assert(out.count(_._2 == "big") == 10)
+    assert(out.count(_._2 == "small") == 5)
+    // survivor set is a pure function of the data
+    assert(run(df.repartition(9)) == out)
+    // and matches the md5-rank oracle computed on the driver
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expectBig = (0L until 100L).sortBy(h).take(10).toSet
+    assert(out.filter(_._2 == "big").map(_._1) == expectBig)
+  }
+
   test("deterministicSplit covers all rows with the declared labels") {
     val df = docs((0L until 500L).map(i => (i, "s")))
     val out = Sampling.deterministicSplit(df, "id",

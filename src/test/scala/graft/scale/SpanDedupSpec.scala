@@ -1,0 +1,102 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Exact-substring (duplicated n-gram span) dedup — the Lee et al. ACL'22
+  * signal as a distributed plan. Positions are 1-based, span_end exclusive.
+  */
+class SpanDedupSpec extends SparkSpec {
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("duplicatedSpans: shared 3-gram across two docs marks both") {
+    val df = docs(Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y c d e z")))
+    val spans = Dedup.duplicatedSpans(df, "doc_id", "text", n = 3, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    // "c d e" starts at word 3 in both docs -> span [3, 6) in each
+    assert(spans.toSeq == Seq((1L, 3, 6, 3), (2L, 3, 6, 3)))
+  }
+
+  test("duplicatedSpans: overlapping duplicated grams merge to one maximal span") {
+    // "a b c d" repeated verbatim: 2-grams (a b)(b c)(c d) all duplicated,
+    // overlapping positions 1..3 -> ONE span [1, 5) per doc, not three
+    val df = docs(Seq((1L, "a b c d p q"), (2L, "a b c d r s")))
+    val spans = Dedup.duplicatedSpans(df, "doc_id", "text", n = 2, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(spans.sortBy(_._1).toSeq == Seq((1L, 1, 5), (2L, 1, 5)))
+  }
+
+  test("duplicatedSpans: gap-separated repeats stay separate spans") {
+    val df = docs(Seq(
+      (1L, "a b g1 g2 c d"),
+      (2L, "a b h1 h2 c d")))
+    val spans = Dedup.duplicatedSpans(df, "doc_id", "text", n = 2, minCount = 2)
+      .where(col("doc_id") === 1L)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).sortBy(_._1)
+    // "a b" -> [1,3), "c d" -> [5,7); the unshared middle keeps them apart
+    assert(spans.toSeq == Seq((1, 3), (5, 7)))
+  }
+
+  test("duplicatedSpans: ADJACENT (gap-free) spans merge") {
+    val df = docs(Seq(
+      (1L, "a b q q q q q c d"),
+      (2L, "a b z z z z z c d")))
+    val spans = Dedup.duplicatedSpans(df, "doc_id", "text", n = 2, minCount = 2)
+      .where(col("doc_id") === 1L)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).sortBy(_._1)
+    // doc1 hits: "a b"@1, within-doc "q q"@3..6, "c d"@8 -> [1,3) touches
+    // [3,8) touches [8,10): one maximal span [1,10)
+    assert(spans.toSeq == Seq((1, 10)))
+  }
+
+  test("duplicatedSpans: within-doc repetition counts toward minCount") {
+    val df = docs(Seq((1L, "u v w x u v w y")))
+    val spans = Dedup.duplicatedSpans(df, "doc_id", "text", n = 3, minCount = 2)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).sortBy(_._1)
+    // "u v w" occurs at 1 and 5 in the SAME doc -> spans [1,4) and [5,8)
+    assert(spans.toSeq == Seq((1, 4), (5, 8)))
+  }
+
+  test("duplicatedSpans: docs shorter than n produce nothing") {
+    val df = docs(Seq((1L, "a b"), (2L, "a b")))
+    assert(Dedup.duplicatedSpans(df, "doc_id", "text", n = 3).count() == 0L)
+  }
+
+  test("stripDuplicatedSpans: removes all occurrences, keeps the rest") {
+    val df = docs(Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y c d e z")))
+    val out = Dedup.stripDuplicatedSpans(df, "doc_id", "text", n = 3, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a b f", 3L), (2L, "x y z", 3L)))
+  }
+
+  test("stripDuplicatedSpans: untouched docs pass through whitespace-normalized") {
+    val df = docs(Seq((1L, "  lone   doc  here  ")))
+    val out = Dedup.stripDuplicatedSpans(df, "doc_id", "text", n = 2)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("lone doc here", 0L)))
+  }
+
+  test("stripDuplicatedSpans: fully-duplicated doc empties") {
+    val df = docs(Seq((1L, "p q r"), (2L, "p q r")))
+    val out = Dedup.stripDuplicatedSpans(df, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "", 3L), (2L, "", 3L)))
+  }
+
+  test("stripDuplicatedSpans: extra columns ride through") {
+    val df = docs(Seq((1L, "a b c d e f"), (2L, "x y c d e z")))
+      .withColumn("lang", lit("en"))
+    val out = Dedup.stripDuplicatedSpans(df, "doc_id", "text", n = 3)
+    assert(out.columns.toSeq == Seq("doc_id", "text", "lang", "removed_tokens"))
+    assert(out.where(col("lang") === "en").count() == 2L)
+  }
+}
