@@ -703,6 +703,21 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- feature stock, tranche 2: peak/run/complexity statistics ---------
+    "q80_integrations2" -> ((s, dir) => {
+      val fns = Seq(cidCe, numberPeaks1, longestStrikeAboveMean,
+        ratioBeyondRSigma(1))
+      val fc = FeatureCollection.of(fns.map(f => FeatureDescriptor(f, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
+      fc.calculate(Seq(valueSeries(s, dir)))
+        .select(unix_micros(col("ts")).as("ts_anchor"),
+          r6("value__cid_ce__w=1D"),
+          qc("value__number_peaks_1__w=1D").as("n_peaks"),
+          qc("value__longest_strike_above_mean__w=1D").as("strike"),
+          r6("value__beyond_1sigma__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
     // ---- capstone variant: corpus prep with a FUZZY dedup stage ------------
     // scrub -> quality gate -> exact dedup -> NEAR-dup dedup (PPJoin pairs +
     // connected components, keep one rep per cluster) -> split -> pack.
@@ -1095,6 +1110,42 @@ object SparkEntry {
          | round(c.acnum / (c.npairs * m.varp), 6) + 0.0 AS autocorr1,
          | round(e.ent, 6) AS "value__binned_entropy_5__w=1D"
          |FROM m JOIN c ON c.we = m.we LEFT JOIN e ON e.we = m.we
+         |ORDER BY ts_anchor""".stripMargin,
+
+    "q80_integrations2" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)},
+         |j AS (SELECT we, ts, value FROM seg LEFT JOIN events
+         |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |m AS (SELECT we, avg(value) AS mu, stddev_pop(value) AS sig,
+         |  count(value) AS n FROM j GROUP BY we),
+         |d AS (SELECT we, ts, value,
+         |  lag(value) OVER (PARTITION BY we ORDER BY ts) AS pv,
+         |  lead(value) OVER (PARTITION BY we ORDER BY ts) AS nx FROM j),
+         |cidp AS (SELECT we, sqrt(sum((value - pv)*(value - pv))) AS cid,
+         |  CAST(coalesce(sum(CASE WHEN value > pv AND value > nx
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_peaks
+         |  FROM d GROUP BY we),
+         |ab AS (SELECT d.we, ts,
+         |  CASE WHEN value > mu THEN 1 ELSE 0 END AS ab,
+         |  row_number() OVER (PARTITION BY d.we ORDER BY ts) AS rn
+         |  FROM d JOIN m USING (we)),
+         |runs AS (SELECT we, g, count(*) AS cnt FROM (
+         |    SELECT we, ab, rn - row_number()
+         |      OVER (PARTITION BY we, ab ORDER BY rn) AS g
+         |    FROM ab WHERE ab = 1) GROUP BY we, g),
+         |strk AS (SELECT we, max(cnt) AS strike FROM runs GROUP BY we),
+         |sig1 AS (SELECT d.we,
+         |  CASE WHEN n > 0 THEN sum(CASE WHEN abs(value - mu) > sig
+         |    THEN 1 ELSE 0 END) / CAST(n AS DOUBLE) END AS beyond
+         |  FROM d JOIN m USING (we) GROUP BY d.we, n)
+         |SELECT m.we AS ts_anchor,
+         | round(cidp.cid, 6) AS "value__cid_ce__w=1D",
+         | cidp.n_peaks AS n_peaks,
+         | CAST(coalesce(strk.strike, 0) AS BIGINT) AS strike,
+         | round(sig1.beyond, 6) AS "value__beyond_1sigma__w=1D"
+         |FROM m JOIN cidp ON cidp.we = m.we
+         |LEFT JOIN strk ON strk.we = m.we
+         |LEFT JOIN sig1 ON sig1.we = m.we
          |ORDER BY ts_anchor""".stripMargin,
 
     // two per-user window sizes merged on the shared anchor grid: a window

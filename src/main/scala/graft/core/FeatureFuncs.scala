@@ -291,6 +291,74 @@ object FeatureFuncs {
     })
   }
 
+  /** tsfresh `cid_ce` (complexity-invariant distance, unnormalized):
+    * sqrt(Σ (x_{t+1} − x_t)²) over the index-sorted window; NULL for
+    * windows shorter than 2.
+    */
+  val cidCe: FeatureFunc = FeatureFunc("cid_ce", (idx, v) => {
+    val vals = sortedVals(idx, v)
+    val n = size(vals)
+    when(n >= 2, sqrt(aggregate(
+      zip_with(slice(vals, lit(1), n - 1), slice(vals, lit(2), n - 1),
+        (a, b) => (b - a) * (b - a)),
+      lit(0.0), (acc, x) => acc + x)))
+  })
+
+  /** tsfresh `number_peaks` with support 1: strict local maxima (greater
+    * than BOTH immediate neighbors, boundaries excluded). Every reference
+    * to the window array sits OUTSIDE the lambdas — an `element_at(vals, i)`
+    * inside a per-element lambda re-evaluates the whole collect+sort per
+    * element (no CSE across lambda bodies; see [[meanCrossings]]), which
+    * turned this aggregate O(n² log n) and stalled q80 for ~2 min at sf0.1.
+    */
+  val numberPeaks1: FeatureFunc = FeatureFunc("number_peaks_1", (idx, v) => {
+    val vals = sortedVals(idx, v)
+    val n = size(vals)
+    val mid = slice(vals, lit(2), n - 2)
+    val gtPrev = zip_with(mid, slice(vals, lit(1), n - 2),
+      (m, p) => (m > p).cast("int"))
+    val gtNext = zip_with(mid, slice(vals, lit(3), n - 2),
+      (m, x) => (m > x).cast("int"))
+    when(n >= 3, aggregate(
+      zip_with(gtPrev, gtNext,
+        (a, b) => when(a === 1 && b === 1, 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)).otherwise(lit(0L))
+  }, emptyValue = Some(lit(0L)))
+
+  /** tsfresh `longest_strike_above_mean`: length of the longest run of
+    * consecutive (index-ordered) values strictly above the window mean.
+    * One linear fold carrying (best, current-run); the mean is the native
+    * aggregate referenced O(1) inside the lambda (see [[meanCrossings]]).
+    */
+  val longestStrikeAboveMean: FeatureFunc =
+    FeatureFunc("longest_strike_above_mean", (idx, v) => {
+      val vals = sortedVals(idx, v)
+      val mu = avg(v)
+      aggregate(vals,
+        struct(lit(0L).as("best"), lit(0L).as("cur")),
+        (acc, x) => {
+          val cur2 = when(x > mu, acc.getField("cur") + 1L).otherwise(lit(0L))
+          struct(greatest(acc.getField("best"), cur2).as("best"),
+            cur2.as("cur"))
+        },
+        acc => acc.getField("best"))
+    }, emptyValue = Some(lit(0L)))
+
+  /** tsfresh `ratio_beyond_r_sigma`: fraction of window values with
+    * |x − μ| > r·σ_pop; NULL on empty windows.
+    */
+  def ratioBeyondRSigma(r: Int): FeatureFunc = {
+    require(r >= 1, "sigma multiple must be >= 1")
+    FeatureFunc(s"beyond_${r}sigma", (idx, v) => {
+      val vals = sortedVals(idx, v)
+      val mu = avg(v)
+      val sd = stddev_pop(v)
+      when(size(vals) > 0,
+        size(filter(vals, x => abs(x - mu) > lit(r.toDouble) * sd))
+          .cast("double") / size(vals).cast("double"))
+    })
+  }
+
   val byName: scala.collection.immutable.Map[String, FeatureFunc] =
     scala.collection.immutable.Map(
       "min" -> min, "max" -> max, "mean" -> mean, "median" -> median,
@@ -298,7 +366,9 @@ object FeatureFuncs {
       "skew" -> skew, "kurtosis" -> kurt, "slope" -> slope, "rms" -> rms,
       "first" -> firstByIdx, "last" -> lastByIdx, "abs_diff_sum" -> absDiffSum,
       "abs_energy" -> absEnergy, "iqr" -> iqr,
-      "zero_crossings" -> zeroCrossings, "mean_crossings" -> meanCrossings)
+      "zero_crossings" -> zeroCrossings, "mean_crossings" -> meanCrossings,
+      "cid_ce" -> cidCe, "number_peaks_1" -> numberPeaks1,
+      "longest_strike_above_mean" -> longestStrikeAboveMean)
 }
 
 /** A named aggregation over a TUPLE of series — the analog of a reference

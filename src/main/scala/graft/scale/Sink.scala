@@ -1,0 +1,45 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus write layout — the sink side of the training-data pipeline.
+  *
+  * A 100 TB corpus is consumed by a trainer that reads shard directories in
+  * parallel; the writer's job is (a) hive-partitioned layout so the trainer
+  * (and any later Spark/DuckDB reader) prunes partitions from the path
+  * alone, (b) a BOUNDED file count per partition (the default write after a
+  * wide shuffle sprays one file per task per partition — millions of tiny
+  * files at scale, the classic small-files failure), and (c) deterministic
+  * row order within files so byte-identical re-runs are possible.
+  */
+object Sink {
+
+  /** Write `df` as parquet hive-partitioned by `partitionCols`, at most
+    * `filesPerPartition` files per leaf directory, rows sorted by
+    * `sortCols` within each file.
+    *
+    * Scale shape: ONE shuffle — `repartition(partitionCols :+ bucket)`
+    * co-locates each output file's rows on one task (the bucket column
+    * splits big partitions across `filesPerPartition` tasks so a giant
+    * split/shard pair is not one task's file), then a task-local sort
+    * orders rows; no global sort, no driver collect. The bucket column is
+    * derived from a hash of `sortCols`, so the file assignment is a pure
+    * function of the data (re-runs produce identical files).
+    */
+  def writeShards(df: DataFrame, path: String, partitionCols: Seq[String],
+                  sortCols: Seq[String], filesPerPartition: Int = 1): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    require(sortCols.nonEmpty,
+      "need sort columns (they also derive the in-partition file split)")
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    val bucket = pmod(xxhash64(sortCols.map(col): _*), lit(filesPerPartition))
+    df.withColumn("__file", bucket)
+      .repartition((partitionCols :+ "__file").map(col): _*)
+      .drop("__file")
+      // sort by the DATA columns only: a task holding several buckets of
+      // one leaf dir still writes a single fully-sorted file for it
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
+  }
+}

@@ -75,8 +75,45 @@ class IntegrationsSpec extends SparkSpec {
       .head.getDouble(0) == 0.0)
   }
 
+  test("cid_ce = sqrt of squared consecutive diffs, index-ordered") {
+    // diffs (1, -1, 2, -3) → squares 1+1+4+9 = 15
+    assert(math.abs(eval(cidCe).get - math.sqrt(15.0)) < 1e-12)
+    import spark.implicits._
+    val short = Seq((0L, 5.0)).toDF("idx", "v")
+    assert(short.agg(cidCe.agg(col("idx"), col("v"))).head.isNullAt(0))
+  }
+
+  test("number_peaks_1 counts strict interior local maxima") {
+    // (1,2,1,3,0): peaks at idx1 (2>1,2>1) and idx3 (3>1,3>0) → 2
+    assert(eval(numberPeaks1).contains(2.0))
+    import spark.implicits._
+    // plateau is not a strict peak
+    val flat = Seq((0L, 1.0), (1L, 2.0), (2L, 2.0), (3L, 1.0)).toDF("idx", "v")
+    assert(flat.agg(numberPeaks1.agg(col("idx"), col("v"))).head.getLong(0) == 0L)
+    val short = Seq((0L, 1.0), (1L, 9.0)).toDF("idx", "v")
+    assert(short.agg(numberPeaks1.agg(col("idx"), col("v"))).head.getLong(0) == 0L)
+  }
+
+  test("longest_strike_above_mean measures the longest consecutive run") {
+    // mean 1.4 → above = (F,T,F,T,F) → longest run 1
+    assert(eval(longestStrikeAboveMean).contains(1.0))
+    import spark.implicits._
+    // (0,5,6,7,0): mean 3.6 → above run (5,6,7) → 3
+    val runs = Seq((0L, 0.0), (1L, 5.0), (2L, 6.0), (3L, 7.0), (4L, 0.0))
+      .toDF("idx", "v")
+    assert(runs.agg(longestStrikeAboveMean.agg(col("idx"), col("v")))
+      .head.getLong(0) == 3L)
+  }
+
+  test("ratio_beyond_r_sigma: fraction outside mu +- r*sigma_pop") {
+    // mu=1.4, sigma_pop=sqrt(1.04)≈1.0198: |x-mu| = (.4,.6,.4,1.6,1.4)
+    // beyond 1 sigma: 3.0 (1.6) and 0.0 (1.4) → 2/5
+    assert(eval(ratioBeyondRSigma(1)).contains(0.4))
+  }
+
   test("the stock registers in byName (serde-reachable)") {
-    assert(Seq("abs_energy", "iqr", "zero_crossings", "mean_crossings")
+    assert(Seq("abs_energy", "iqr", "zero_crossings", "mean_crossings",
+      "cid_ce", "number_peaks_1", "longest_strike_above_mean")
       .forall(byName.contains))
   }
 }
