@@ -718,6 +718,14 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- quality: CCNet-style unigram perplexity (self-scored corpus) -----
+    "q81_perplexity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextStats.unigramPerplexity(d, d, "doc_id", "text")
+        .select(col("doc_id"), round(col("ppl"), 6).as("ppl"))
+        .orderBy("doc_id")
+    }),
+
     // ---- capstone variant: corpus prep with a FUZZY dedup stage ------------
     // scrub -> quality gate -> exact dedup -> NEAR-dup dedup (PPJoin pairs +
     // connected components, keep one rep per cluster) -> split -> pack.
@@ -1036,6 +1044,16 @@ object SparkEntry {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    "q81_perplexity" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+        |c AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+        |tot AS (SELECT sum(c) AS n, count(*) AS v FROM c),
+        |s AS (SELECT doc_id,
+        |    avg(ln((c.c + 1) / CAST(tot.n + tot.v AS DOUBLE))) AS ll
+        |  FROM toks JOIN c USING (t) CROSS JOIN tot GROUP BY doc_id)
+        |SELECT doc_id, round(exp(-ll), 6) AS ppl FROM s ORDER BY doc_id""".stripMargin,
 
     "q77_source_cap" ->
       """SELECT doc_id, source FROM (

@@ -178,6 +178,38 @@ object TextStats {
       .select(col(idCol), col("token"), col("tfidf"), col("rk"))
   }
 
+  /** CCNet-style perplexity scoring: a unigram language model with
+    * add-one smoothing is fit on `train` and every `target` document gets
+    * the perplexity of its token stream under that model,
+    * `exp(-avg ln p(t))` with `p(t) = (count(t) + 1) / (N + V)` (`N` total
+    * training tokens, `V` vocabulary size; an unseen token scores
+    * `1 / (N + V)`). Low perplexity ≈ looks like the training corpus — the
+    * standard quality gate of CCNet/CC-pipeline curation, here with a
+    * relational LM instead of KenLM. Returns (idCol, ppl).
+    *
+    * Scale shape: the LM IS a DataFrame (token → count) built by one
+    * hash groupBy over the training corpus; scoring is an equi-join of the
+    * target's exploded tokens against it (shuffles on the token — vocab
+    * tables at web scale exceed broadcast, so no broadcast is forced) plus
+    * a one-row scalar cross-join for (N, V). Nothing collects.
+    */
+  def unigramPerplexity(train: org.apache.spark.sql.DataFrame,
+                        target: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val lm = train
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__c"))
+    val scalars = lm.agg(sum("__c").as("__n"), count(lit(1)).as("__v"))
+    val toks = target.select(col(idCol),
+      explode(split(trim(col(textCol)), "\\s+")).as("__t"))
+    toks.join(lm, Seq("__t"), "left")
+      .crossJoin(broadcast(scalars))
+      .withColumn("__lp",
+        log((coalesce(col("__c"), lit(0L)) + lit(1)) /
+          (col("__n") + col("__v")).cast("double")))
+      .groupBy(idCol).agg(exp(-avg(col("__lp"))).as("ppl"))
+  }
+
   /** Gopher/MassiveText-style repetition statistics per document:
     *   - the most frequent word `topN`-gram (ties broken by gram asc, both
     *     engines), its occurrence count, and the fraction of the doc's

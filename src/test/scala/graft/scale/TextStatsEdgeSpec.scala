@@ -25,6 +25,22 @@ class TextStatsEdgeSpec extends SparkSpec {
     assert(frac > 0.0 && frac <= 1.0, s"got $frac")
   }
 
+  test("unigramPerplexity: add-one smoothing, OOV handling, train != target") {
+    import spark.implicits._
+    // LM corpus "a a b": counts a=2, b=1; N=3, V=2
+    // p(a) = 3/5, p(b) = 2/5, p(unseen) = 1/5
+    val train = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val target = Seq((10L, "a c"), (11L, "b b")).toDF("doc_id", "text")
+    val out = TextStats.unigramPerplexity(train, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 10: exp(-(ln(3/5) + ln(1/5))/2) = sqrt(25/3)
+    assert(math.abs(out(10L) - math.sqrt(25.0 / 3.0)) < 1e-9)
+    // doc 11: exp(-ln(2/5)) = 5/2
+    assert(math.abs(out(11L) - 2.5) < 1e-9)
+    // a doc drawn from the LM scores lower (more likely) than an OOV doc
+    assert(out(11L) < out(10L))
+  }
+
   test("redactPii: emails, IPv4s, long digit runs — and what must survive") {
     import spark.implicits._
     val cases = Seq(
