@@ -718,6 +718,22 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- keyed as-of join: each click's last same-user purchase -----------
+    "q82_asof_join" -> ((s, dir) => {
+      val clicks = events(s, dir).where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      val purchases = events(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.proc.AsofJoin.asofJoin(clicks, purchases,
+          Seq("user_id"), "ts", "ts")
+        .select(col("user_id").cast("long").as("user_id"),
+          unix_micros(col("ts")).as("ts_anchor"),
+          round(col("value"), 6).as("value"),
+          unix_micros(col("ts_r")).as("purchase_ts"),
+          round(col("value_r"), 6).as("purchase_value"))
+        .orderBy("user_id", "ts_anchor")
+    }),
+
     // ---- quality: CCNet-style unigram perplexity (self-scored corpus) -----
     "q81_perplexity" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -1044,6 +1060,16 @@ object SparkEntry {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    "q82_asof_join" ->
+      """WITH c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id AS user_id, epoch_us(c.ts) AS ts_anchor,
+        |  round(c.value, 6) AS value,
+        |  epoch_us(p.ts) AS purchase_ts,
+        |  round(p.value, 6) AS purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY 1, 2""".stripMargin,
 
     "q81_perplexity" ->
       """WITH toks AS (SELECT doc_id,

@@ -1,0 +1,99 @@
+package graft.proc
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Keyed as-of join: merge_asof semantics on a distributed carry. */
+class AsofJoinSpec extends SparkSpec {
+
+  private def l(rows: (String, Double)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("k", "t")
+  }
+  private def r(rows: (String, Double, Double)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("k", "rt", "v")
+  }
+
+  private def run(left: org.apache.spark.sql.DataFrame,
+                  right: org.apache.spark.sql.DataFrame,
+                  direction: String = "backward",
+                  tolerance: Option[Double] = None) =
+    AsofJoin.asofJoin(left, right, Seq("k"), "t", "rt",
+        direction, tolerance)
+      .select(col("k"), col("t"), col("v"))
+      .collect().map(x => (x.getString(0), x.getDouble(1),
+        if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toSet
+
+  test("backward: last at-or-before per key; unmatched stays null") {
+    val out = run(
+      l(("a", 1.0), ("a", 5.0), ("a", 9.0), ("b", 4.0)),
+      r(("a", 2.0, 20.0), ("a", 5.0, 50.0), ("b", 9.0, 90.0)))
+    assert(out == Set(
+      ("a", 1.0, None),         // nothing at-or-before 1
+      ("a", 5.0, Some(50.0)),   // exact instant matches
+      ("a", 9.0, Some(50.0)),
+      ("b", 4.0, None)))        // b's only right row is later
+  }
+
+  test("forward: first at-or-after per key") {
+    val out = run(
+      l(("a", 1.0), ("a", 5.0), ("a", 9.0)),
+      r(("a", 2.0, 20.0), ("a", 5.0, 50.0)),
+      direction = "forward")
+    assert(out == Set(
+      ("a", 1.0, Some(20.0)),
+      ("a", 5.0, Some(50.0)),   // exact instant matches forward too
+      ("a", 9.0, None)))
+  }
+
+  test("tolerance drops stale matches") {
+    val out = run(
+      l(("a", 10.0), ("a", 11.0)),
+      r(("a", 2.0, 20.0)),
+      tolerance = Some(8.0))
+    assert(out == Set(("a", 10.0, Some(20.0)), ("a", 11.0, None)))
+  }
+
+  test("a carry never leaks across key boundaries") {
+    // key "a" has right rows, key "b" (sorted after) has none: with a
+    // naive global fill, b's left rows would inherit a's last value
+    val out = run(
+      l(("b", 100.0), ("b", 200.0)),
+      r(("a", 1.0, 10.0), ("a", 150.0, 15.0)))
+    assert(out == Set(("b", 100.0, None), ("b", 200.0, None)))
+  }
+
+  test("hot key: one key spanning many partitions matches a driver oracle") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val lefts = (0 until 4000).map(_ => ("hot", rng.nextDouble() * 1000))
+    val rights = (0 until 1000).map(_ =>
+      ("hot", rng.nextDouble() * 1000, rng.nextDouble()))
+    val got = run(lefts.toDF("k", "t").repartition(13),
+      rights.toDF("k", "rt", "v").repartition(7))
+    val sorted = rights.sortBy(_._2)
+    val expect = lefts.map { case (k, t) =>
+      val m = sorted.takeWhile(_._2 <= t).lastOption.map(_._3)
+      (k, t, m)
+    }.toSet
+    assert(got == expect)
+  }
+
+  test("plan: the carry window is partitioned (no single-task as-of)") {
+    val big = {
+      import spark.implicits._
+      (0 until 1000).map(i => ("k", i.toDouble)).toDF("k", "t")
+    }
+    val out = AsofJoin.asofJoin(big, r(("k", 1.0, 1.0)), Seq("k"), "t", "rt")
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val parts = w.partitionSpec.map(_.sql).mkString(",")
+      assert(parts.contains("__pid"),
+        s"as-of window partitioned only by [$parts]")
+    }
+  }
+}
