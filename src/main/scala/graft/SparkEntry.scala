@@ -633,7 +633,11 @@ object SparkEntry {
     "q69_corpus_prep" -> ((s, dir) => {
       val scrubbed = docs(s, dir).select(col("doc_id"),
         TextStats.redactPii(col("text")).as("text"))
-      val quality = scrubbed.where(TextStats.tokenCount(col("text")) >= 50)
+      // the scrub is three regex passes and feeds FOUR downstream consumers
+      // (dedup groupBy, dedup semi-join, the split, the pack) — pin it so
+      // the corpus is scrubbed once, not once per consumer
+      val quality = graft.core.Pinned.checkpoint(
+        scrubbed.where(TextStats.tokenCount(col("text")) >= 50))
       val deduped = Dedup.keepExactNormalized(quality, "doc_id", "text")
       val split = graft.scale.Sampling.deterministicSplit(deduped, "doc_id",
         Seq("train" -> 80, "val" -> 10, "test" -> 10))
@@ -748,7 +752,10 @@ object SparkEntry {
     "q73_corpus_prep_fuzzy" -> ((s, dir) => {
       val scrubbed = docs(s, dir).select(col("doc_id"),
         TextStats.redactPii(col("text")).as("text"))
-      val quality = scrubbed.where(TextStats.tokenCount(col("text")) >= 50)
+      // same single-scrub pin as q69 (here the fuzzy stage adds even more
+      // consumers: shingling, verification, keep-rep anti-join)
+      val quality = graft.core.Pinned.checkpoint(
+        scrubbed.where(TextStats.tokenCount(col("text")) >= 50))
       val exact = Dedup.keepExactNormalized(quality, "doc_id", "text")
       val pairs = Dedup.jaccardPairs(exact, "doc_id", "text", 3, 0.6)
       val fuzzy = Dedup.keepRepresentatives(exact, "doc_id", pairs)
