@@ -164,6 +164,18 @@ object ScaleSmoke {
         docs.withColumn("__src", pmod(col("doc_id"), lit(20))),
         "doc_id", "__src", 1000L).count()
     }
+    time(s"events x$copies asof join") {
+      val clicks = events.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      val purchases = events.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.proc.AsofJoin.asofJoin(clicks, purchases,
+        Seq("user_id"), "ts", "ts").queryExecution.toRdd.count()
+    }
+    time(s"docs x$copies chunk text") {
+      graft.scale.TextStats.chunkText(docs, "doc_id", "text", 40, 10)
+        .queryExecution.toRdd.count()
+    }
     time(s"docs x$copies stratified split") {
       graft.scale.Sampling.stratifiedSplit(
         docs.withColumn("__s", pmod(col("doc_id"), lit(3))),

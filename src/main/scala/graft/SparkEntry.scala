@@ -738,6 +738,12 @@ object SparkEntry {
         .orderBy("user_id", "ts_anchor")
     }),
 
+    // ---- RAG chunking: 40-token windows every 30 (10-token overlap) -------
+    "q83_chunk_text" -> ((s, dir) => {
+      TextStats.chunkText(docs(s, dir), "doc_id", "text", 40, 10)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // ---- quality: CCNet-style unigram perplexity (self-scored corpus) -----
     "q81_perplexity" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -1077,6 +1083,18 @@ object SparkEntry {
         |  round(p.value, 6) AS purchase_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY 1, 2""".stripMargin,
+
+    "q83_chunk_text" ->
+      """WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |n AS (SELECT doc_id, w, len(w) AS l,
+        |  CASE WHEN len(w) <= 40 THEN 1
+        |       ELSE CAST(ceil((len(w) - 40) / 30.0) AS BIGINT) + 1 END AS nb
+        |  FROM docs)
+        |SELECT doc_id, CAST(k AS INT) AS chunk_id,
+        |  array_to_string(w[k*30+1 : k*30+40], ' ') AS chunk_text,
+        |  CAST(least(40, l - k*30) AS BIGINT) AS n_tokens
+        |FROM n, UNNEST(range(0, nb)) AS t(k)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q81_perplexity" ->
       """WITH toks AS (SELECT doc_id,

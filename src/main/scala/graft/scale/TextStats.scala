@@ -178,6 +178,37 @@ object TextStats {
       .select(col(idCol), col("token"), col("tfidf"), col("rk"))
   }
 
+  /** RAG-style document chunking: overlapping token windows of `size`
+    * tokens every `size - overlap` tokens (the last chunk may be shorter;
+    * every token is covered; a doc shorter than `size` is one chunk). The
+    * same half-open window arithmetic as the rolling segmenter, applied at
+    * document granularity. Returns (idCol, chunk_id, chunk_text, n_tokens).
+    *
+    * Scale shape: pure map-side — tokenize once into a column, generate
+    * chunk starts arithmetically (`sequence`), slice per chunk, posexplode.
+    * No shuffle at all; chunking a 100 TB corpus is a single scan.
+    */
+  def chunkText(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, size: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(size >= 1, "chunk size must be >= 1")
+    require(overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    val stride = size - overlap
+    val w = col("__w")
+    val len = size_(w)
+    val nb = when(len <= size, lit(1L))
+      .otherwise(ceil((len - lit(size)).cast("double") / stride) + 1L)
+    df.withColumn("__w", split(trim(col(textCol)), "\\s+"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0L), nb - 1L),
+        k => slice(w, (k * stride + 1L).cast("int"), lit(size))))
+        .as(Seq("chunk_id", "__c")))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", col("__c")).as("chunk_text"),
+        size_(col("__c")).cast("long").as("n_tokens"))
+  }
+  private def size_(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.size(c)
+
   /** CCNet-style perplexity scoring: a unigram language model with
     * add-one smoothing is fit on `train` and every `target` document gets
     * the perplexity of its token stream under that model,
