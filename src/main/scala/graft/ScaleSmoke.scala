@@ -164,6 +164,11 @@ object ScaleSmoke {
         docs.withColumn("__src", pmod(col("doc_id"), lit(20))),
         "doc_id", "__src", 1000L).count()
     }
+    time(s"events x$copies grouped quantiles") {
+      graft.scale.GroupedStats.exactQuantiles(
+        events.select(col("user_id"), col("value")),
+        "user_id", "value", Seq("median" -> 0.5, "p90" -> 0.9)).count()
+    }
     time(s"events x$copies asof join") {
       val clicks = events.where(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("value"))

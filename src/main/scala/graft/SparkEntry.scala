@@ -738,6 +738,17 @@ object SparkEntry {
         .orderBy("user_id", "ts_anchor")
     }),
 
+    // ---- exact grouped quantiles: no per-key sort task, keyedRank-based ---
+    "q84_grouped_quantiles" -> ((s, dir) => {
+      graft.scale.GroupedStats.exactQuantiles(
+        events(s, dir).select(col("user_id"), col("value")),
+        "user_id", "value", Seq("median" -> 0.5, "p90" -> 0.9))
+        .select(col("user_id").cast("long").as("user_id"),
+          round(col("q_median"), 6).as("q_median"),
+          round(col("q_p90"), 6).as("q_p90"))
+        .orderBy("user_id")
+    }),
+
     // ---- RAG chunking: 40-token windows every 30 (10-token overlap) -------
     "q83_chunk_text" -> ((s, dir) => {
       TextStats.chunkText(docs(s, dir), "doc_id", "text", 40, 10)
@@ -1083,6 +1094,11 @@ object SparkEntry {
         |  round(p.value, 6) AS purchase_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY 1, 2""".stripMargin,
+
+    "q84_grouped_quantiles" ->
+      """SELECT user_id, round(median(value), 6) AS q_median,
+        |  round(quantile_cont(value, 0.9), 6) AS q_p90
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q83_chunk_text" ->
       """WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
