@@ -92,6 +92,40 @@ class SpanDedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "", 3L), (2L, "", 3L)))
   }
 
+  test("fuzz: spans match a brute-force driver reference on random corpora") {
+    import spark.implicits._
+    val vocab = Vector("a", "b", "c", "d")
+    for (seed <- Seq(1, 7, 42)) {
+      val rng = new scala.util.Random(seed)
+      val n = 3
+      val corpus = (0L until 40L).map(id =>
+        (id, (0 until (n + rng.nextInt(20))).map(_ =>
+          vocab(rng.nextInt(vocab.size))).mkString(" ")))
+      // brute force: count every n-gram across the corpus, mark hit
+      // positions, merge overlapping/adjacent spans per doc
+      val grams = corpus.flatMap { case (id, text) =>
+        text.split(" ").sliding(n).zipWithIndex.map { case (g, i) =>
+          (id, i + 1, g.mkString(" ")) } }
+      val freq = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      val expect = corpus.flatMap { case (id, _) =>
+        val hits = grams.filter(g => g._1 == id && freq(g._3) >= 2)
+          .map(_._2).sorted
+        val spans = scala.collection.mutable.ListBuffer[(Int, Int)]()
+        hits.foreach { p =>
+          if (spans.nonEmpty && p <= spans.last._2) {
+            val (s0, e0) = spans.remove(spans.length - 1)
+            spans += ((s0, math.max(e0, p + n)))
+          } else spans += ((p, p + n))
+        }
+        spans.map { case (s0, e0) => (id, s0, e0) }
+      }.toSet
+      val got = Dedup.duplicatedSpans(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", n = n, minCount = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(got == expect, s"seed $seed: ${got.size} vs ${expect.size} spans")
+    }
+  }
+
   test("stripDuplicatedSpans: extra columns ride through") {
     val df = docs(Seq((1L, "a b c d e f"), (2L, "x y c d e z")))
       .withColumn("lang", lit("en"))
