@@ -738,6 +738,18 @@ object SparkEntry {
         .orderBy("user_id", "ts_anchor")
     }),
 
+    // ---- per-split shard packing: shard ids restart per split -------------
+    "q85_pack_per_split" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("__tok"))
+      val split = graft.scale.Sampling.deterministicSplit(d, "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      graft.scale.Sampling.packShardsPerKey(split, "doc_id", "split",
+          "__tok", 20000L)
+        .select(col("doc_id"), col("split"), col("shard"))
+        .orderBy("doc_id")
+    }),
+
     // ---- exact grouped quantiles: no per-key sort task, keyedRank-based ---
     "q84_grouped_quantiles" -> ((s, dir) => {
       graft.scale.GroupedStats.exactQuantiles(
@@ -1094,6 +1106,21 @@ object SparkEntry {
         |  round(p.value, 6) AS purchase_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY 1, 2""".stripMargin,
+
+    "q85_pack_per_split" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS tok,
+        |  md5(CAST(doc_id AS VARCHAR)) AS h,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS b
+        |  FROM documents),
+        |sp AS (SELECT doc_id, tok, h, CASE WHEN b < 80 THEN 'train'
+        |  WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM t),
+        |c AS (SELECT doc_id, split, tok, sum(tok) OVER (PARTITION BY split
+        |  ORDER BY h ROWS UNBOUNDED PRECEDING) AS cum FROM sp)
+        |SELECT doc_id, split,
+        |  CAST(floor((cum - tok) / 20000.0) AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q84_grouped_quantiles" ->
       """SELECT user_id, round(median(value), 6) AS q_median,

@@ -213,6 +213,38 @@ object Scan {
       .drop("__loc", "__off", "__pid")
   }
 
+  /** Running (inclusive) sum of `flagCol` WITHIN each `keyCol` group in
+    * `orderCol` order — the keyed sibling of [[runningSum]], with
+    * [[keyedRank]]'s layout: range-partitioned on (key, order) so one
+    * giant key spans many tasks, summed partition-locally, stitched with
+    * the per-(partition, key) offset join over the summary table. Same
+    * counted `broadcastLimit` degrade as `keyedRank`.
+    */
+  def keyedRunningSum(df: DataFrame, keyCol: String, orderCol: String,
+                      flagCol: String, outCol: String,
+                      broadcastLimit: Long = 4000000L): DataFrame = {
+    pinnedOrder(df) // validate: untagged __pid is reserved-name collision
+    val p = pinPartitions(
+      df.drop("__pid").repartitionByRange(col(keyCol), col(orderCol)),
+      Seq(keyCol, orderCol))
+    val w = Window.partitionBy("__pid", keyCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = p.withColumn("__loc", sum(col(flagCol)).over(w))
+    val perPid = Pinned.checkpoint(
+      p.groupBy(col("__pid"), col(keyCol)).agg(sum(col(flagCol)).as("__tot")))
+    val hint: DataFrame => DataFrame =
+      if (perPid.count() <= broadcastLimit) broadcast(_) else identity
+    val b = perPid.select(col("__pid").as("b___pid"),
+      col(keyCol).as("b___key"), col("__tot").as("b___tot"))
+    val offsets = perPid
+      .join(b, col("b___key") === col(keyCol) && col("b___pid") < col("__pid"), "left")
+      .groupBy(col("__pid"), col(keyCol))
+      .agg(coalesce(sum(col("b___tot")), lit(0L)).as("__off"))
+    local.join(hint(offsets), Seq("__pid", keyCol))
+      .withColumn(outCol, col("__loc") + col("__off"))
+      .drop("__loc", "__off", "__pid")
+  }
+
   /** Fused lag → change-flag → inclusive running count in ONE ranged scan:
     * `outCol` counts the rows at-or-before each row (in `orderCol` order)
     * where `startFlag(prev, cur)` holds, with `prev` = the previous row's

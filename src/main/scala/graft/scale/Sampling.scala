@@ -94,6 +94,22 @@ object Sampling {
     ranked.where(col("__rk") <= cap).select(df.columns.map(col): _*)
   }
 
+  /** Per-key sequence packing: `packShards` within each `keyCol` group —
+    * the production layout step when each split/partition of a corpus packs
+    * into its own shard sequence (shard ids restart per key). Same
+    * deterministic md5 layout order; the prefix sum is
+    * `Scan.keyedRunningSum`, so one giant key still spans many tasks.
+    */
+  def packShardsPerKey(df: DataFrame, idCol: String, keyCol: String,
+                       tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "shard token budget must be positive")
+    val h = df.withColumn("__h", md5(col(idCol).cast("string")))
+    graft.core.Scan.keyedRunningSum(h, keyCol, "__h", tokenCol, "__cum")
+      .withColumn("shard",
+        floor((col("__cum") - col(tokenCol)) / lit(budget.toDouble)).cast("long"))
+      .drop("__h", "__cum")
+  }
+
   def stratifiedSplit(df: DataFrame, idCol: String, strataCol: String,
                       splits: Seq[(String, Int)]): DataFrame = {
     require(splits.map(_._2).sum == 100, "split percentages must sum to 100")

@@ -127,6 +127,41 @@ class SamplingSpec extends SparkSpec {
     assert(out.filter(_._2 == "big").map(_._1) == expectBig)
   }
 
+  test("packShardsPerKey: shard ids restart per key and match a driver oracle") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val rows = (0L until 300L).map(i =>
+      (i, if (i % 5 == 0) "val" else "train", 10L + rng.nextInt(300)))
+    val df = rows.toDF("id", "split", "tok")
+    val budget = 2000L
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expect = rows.groupBy(_._2).flatMap { case (_, grp) =>
+      var cum = 0L
+      grp.sortBy(r => h(r._1)).map { case (id, _, t) =>
+        val shard = cum / budget; cum += t; id -> shard }
+    }.toMap
+    def got(d: org.apache.spark.sql.DataFrame) =
+      Sampling.packShardsPerKey(d, "id", "split", "tok", budget)
+        .select("id", "shard").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(df) == expect)
+    assert(got(df.repartition(9)) == expect) // layout-invariant
+    // both keys start at shard 0
+    val bySplit = Sampling.packShardsPerKey(df, "id", "split", "tok", budget)
+      .groupBy("split").agg(org.apache.spark.sql.functions.min("shard"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit == Map("train" -> 0L, "val" -> 0L))
+    // the shuffled (above-broadcast-limit) stitch path agrees
+    val viaShuffle = graft.core.Scan.keyedRunningSum(
+        df.withColumn("__h", md5(col("id").cast("string"))),
+        "split", "__h", "tok", "__cum", broadcastLimit = 1L)
+      .withColumn("shard", floor((col("__cum") - col("tok")) / lit(budget.toDouble)).cast("long"))
+      .select("id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaShuffle == expect)
+  }
+
   test("deterministicSplit covers all rows with the declared labels") {
     val df = docs((0L until 500L).map(i => (i, "s")))
     val out = Sampling.deterministicSplit(df, "id",
