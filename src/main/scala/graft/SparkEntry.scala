@@ -818,6 +818,12 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- simhash64 near-dup pairs: the billion-doc banding configuration --
+    "q86_simhash64_near" -> ((s, dir) => {
+      Dedup.simhashPairs64(docs(s, dir), "doc_id", "text", 3, 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- per-source quota cap: at most 10 docs per source, hash-ordered ---
     "q77_source_cap" -> ((s, dir) => {
       graft.scale.Sampling.capPerKey(docs(s, dir), "doc_id", "source", 10L)
@@ -1148,6 +1154,28 @@ object SparkEntry {
         |    avg(ln((c.c + 1) / CAST(tot.n + tot.v AS DOUBLE))) AS ll
         |  FROM toks JOIN c USING (t) CROSS JOIN tot GROUP BY doc_id)
         |SELECT doc_id, round(exp(-ll), 6) AS ppl FROM s ORDER BY doc_id""".stripMargin,
+
+    // simhash64 bit b draws from bit (b mod 4) of md5 hex digit (b div 4);
+    // 2^63 won't fit a positive BIGINT, so bit 63 adds Long.MinValue
+    "q86_simhash64_near" -> {
+      val sums = (0 until 64).map { b =>
+        val d = b >> 2; val sft = b & 3
+        s"sum(CASE WHEN (CAST(('0x' || substr(h, ${d + 1}, 1)) AS INT) >> $sft) & 1 = 1 " +
+          s"THEN 1 ELSE -1 END) AS s$b"
+      }.mkString(", ")
+      val fp = (0 until 64).map { b =>
+        val bit = if (b == 63) "-9223372036854775808" else (1L << b).toString
+        s"CASE WHEN s$b >= 0 THEN CAST($bit AS BIGINT) ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, md5(unnest(string_split_regex(trim(text), '\\s+'))) AS h FROM documents),
+         |sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q77_source_cap" ->
       """SELECT doc_id, source FROM (

@@ -116,6 +116,8 @@ object GraftFunctions {
       es => WordNgrams(es(0), intLit(es(1), "word_ngrams"))),
     ("simhash32", classOf[SimHash32].getName,
       es => SimHash32(es(0))),
+    ("simhash64", classOf[SimHash64].getName,
+      es => SimHash64(es(0))),
     ("minhash_slices", classOf[MinHashSlices].getName,
       es => MinHashSlices(es(0), intLit(es(1), "minhash_slices"))),
     ("wall_instant_micros", classOf[WallInstantMicros].getName,

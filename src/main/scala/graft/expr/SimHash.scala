@@ -49,6 +49,41 @@ object SimHashUtil {
     }
     fp
   }
+
+  /** SimHash-64: bit b of the fingerprint draws its ±1 from BIT (b mod 4)
+    * of md5 hex digit (b div 4) — four signature bits per hex digit over
+    * the first 16 hex digits, so the DuckDB oracle can extract the same
+    * parity with nibble shifts. The wider signature is what keeps banded
+    * Hamming retrieval sub-quadratic past ~10^7 documents: 4 bands of 16
+    * bits give 65k buckets per band vs SimHash-32's 256.
+    */
+  def simhash64(text: UTF8String): Long = {
+    val words = ws.split(text.trim.toString, -1)
+    val md = tl.get()
+    val counts = new Array[Int](64)
+    var w = 0
+    while (w < words.length) {
+      md.reset()
+      val digest = md.digest(words(w).getBytes("UTF-8"))
+      var b = 0
+      while (b < 64) {
+        val d = b >> 2 // hex digit index 0..15
+        val nibble =
+          if ((d & 1) == 0) (digest(d >> 1) >> 4) & 0xf
+          else digest(d >> 1) & 0xf
+        counts(b) += (if (((nibble >> (b & 3)) & 1) == 1) 1 else -1)
+        b += 1
+      }
+      w += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) >= 0) fp |= 1L << b
+      b += 1
+    }
+    fp
+  }
 }
 
 /** Native one-pass SimHash-32 of a string column — replaces an explode +
@@ -80,4 +115,34 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 object SimHash32 {
   def apply(text: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(text)))
+}
+
+/** Native one-pass SimHash-64 — same kernel shape as [[SimHash32]] with a
+  * bit-level (rather than digit-level) parity source; see
+  * [[SimHashUtil.simhash64]] for the layout the DuckDB oracle mirrors.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires a string argument, got ${t.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(t: Any): Any =
+    SimHashUtil.simhash64(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.SimHashUtil.simhash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def apply(text: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
 }

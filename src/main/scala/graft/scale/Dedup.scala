@@ -449,29 +449,48 @@ object Dedup {
     * rows per doc, one shuffle on the (band, bits) key. Bucket fan-out is
     * 2^(32/bands) per band (256 at the default 4), so comparisons within a
     * bucket grow quadratically once the corpus far exceeds bands * 2^(32/
-    * bands) docs — fine through ~10^6-10^7 docs; at billion-doc scale pair
-    * this same plan with a wider signature (64/128-bit simhash) so buckets
+    * bands) docs — fine through ~10^6-10^7 docs; at billion-doc scale use
+    * [[simhashPairs64]] (16-bit slices, 65k buckets per band) so buckets
     * stay sub-quadratic. Raise `bands` for a larger Hamming radius; AQE
     * splits any skewed bucket. `maxHamming = 0` short-circuits to a single
     * equi-join on the full signature. Returns (id_a, id_b, hamming),
     * id_a < id_b.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
-    require(bands >= 1 && 32 % bands == 0, "bands must divide 32")
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    bandedSimhashPairs(simhash32(df, idCol, textCol), idCol, 32,
+      maxHamming, bands)
+
+  /** 64-bit signature (`graft.expr.SimHash64` — bit-level md5 parities,
+    * same map-side shape). Returns (id, simhash BIGINT). */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), graft.expr.SimHash64(col(textCol)).as("simhash"))
+
+  /** [[simhashPairs]] on the 64-bit signature: 4 bands of 16 bits give 65k
+    * buckets per band (vs 256 at 32 bits) — the billion-document
+    * configuration the 32-bit scaladoc points to. Same exact pigeonhole
+    * guarantee for maxHamming < bands.
+    */
+  def simhashPairs64(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    bandedSimhashPairs(simhash64(df, idCol, textCol), idCol, 64,
+      maxHamming, bands)
+
+  private def bandedSimhashPairs(s: DataFrame, idCol: String, width: Int,
+                                 maxHamming: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && width % bands == 0, s"bands must divide $width")
     require(maxHamming >= 0 && maxHamming < bands,
       s"pigeonhole exactness needs maxHamming < bands (got $maxHamming >= $bands)")
-    val s = simhash32(df, idCol, textCol)
     if (maxHamming == 0) {
       s.as("a").join(s.as("b"),
         col("a.simhash") === col("b.simhash") && col(s"a.$idCol") < col(s"b.$idCol"))
         .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
           lit(0).as("hamming"))
     } else {
-      val width = 32 / bands
-      val mask = (1L << width) - 1
+      val sliceBits = width / bands
+      val mask = if (sliceBits == 64) -1L else (1L << sliceBits) - 1
       val slices = (0 until bands).map(i =>
-        shiftright(col("simhash"), i * width).bitwiseAND(lit(mask)))
+        shiftright(col("simhash"), i * sliceBits).bitwiseAND(lit(mask)))
       val banded = s.select(col(idCol), col("simhash"),
         posexplode(array(slices: _*)).as(Seq("__band", "__bits")))
       // Both join children project from the SAME banded plan, so Catalyst
