@@ -30,6 +30,8 @@ object GroupedStats {
   def exactQuantiles(df: DataFrame, keyCol: String, valCol: String,
                      quantiles: Seq[(String, Double)]): DataFrame = {
     require(quantiles.nonEmpty, "need at least one quantile")
+    require(quantiles.map(_._1).distinct.length == quantiles.length,
+      "quantile labels must be unique (they become output column names)")
     quantiles.foreach { case (_, q) =>
       require(q >= 0.0 && q <= 1.0, s"quantile $q outside [0, 1]") }
     val ranked = graft.core.Scan.keyedRank(
