@@ -904,6 +904,15 @@ object SparkEntry {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // ---- span-level decontamination: exact eval-set collisions ------------
+    "q87_contaminated_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminatedSpans(
+        d.where(col("source") =!= "src0"), "doc_id", "text",
+        d.where(col("source") === "src0"), "text", n = 5)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // ---- text: Gopher-style repetition statistics -------------------------
     "q59_repetition" -> ((s, dir) => {
       TextStats.repetition(docs(s, dir), "doc_id", "text", topN = 2, dupN = 5)
@@ -1853,6 +1862,24 @@ object SparkEntry {
          |FROM seg LEFT JOIN events ev ON ev.user_id = seg.user_id
          |  AND epoch_us(ev.ts) >= ws AND epoch_us(ev.ts) < we
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q87_contaminated_spans" ->
+      """WITH w AS (SELECT doc_id, source,
+        |  string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |cg AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+4], ' ') AS g
+        |  FROM w, UNNEST(range(1, len(ws) - 5 + 2)) AS t(i)
+        |  WHERE source <> 'src0' AND len(ws) >= 5),
+        |bg AS (SELECT DISTINCT array_to_string(ws[i:i+4], ' ') AS g
+        |  FROM w, UNNEST(range(1, len(ws) - 5 + 2)) AS t(i)
+        |  WHERE source = 'src0' AND len(ws) >= 5),
+        |hits AS (SELECT doc_id, pos FROM cg WHERE g IN (SELECT g FROM bg)),
+        |isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM (SELECT doc_id, pos, CASE WHEN pos > coalesce(max(pos + 5)
+        |      OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    THEN 1 ELSE 0 END AS brk FROM hits))
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 5 AS span_end,
+        |  max(pos) + 5 - min(pos) AS span_tokens
+        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
 
     "q60_contamination" ->
       """WITH w AS (SELECT doc_id, source,

@@ -539,6 +539,14 @@ object Dedup {
     val dup = grams.groupBy("__h").agg(count(lit(1)).as("__c"))
       .where(col("__c") >= minCount).select("__h")
     val hits = grams.join(dup, Seq("__h"), "left_semi")
+    mergeSpans(hits, idCol, n)
+  }
+
+  /** Merge 1-based hit positions (`__pos`, each covering `n` tokens) into
+    * maximal spans per document — per-key gaps-and-islands, adjacent spans
+    * merging. Shared by [[duplicatedSpans]] and [[contaminatedSpans]].
+    */
+  private def mergeSpans(hits: DataFrame, idCol: String, n: Int): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy("__pos")
     val prevEnd = max(col("__pos") + n)
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -551,6 +559,34 @@ object Dedup {
         (max(col("__pos")) + n).as("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** Span-level decontamination — the surgical sibling of [[contamination]]:
+    * instead of flagging whole corpus documents that collide with an eval
+    * set, report the exact maximal token spans whose every covering n-gram
+    * appears somewhere in the benchmark. Downstream, feed the spans to the
+    * same rebuild as [[stripDuplicatedSpans]] to excise (rather than drop)
+    * contaminated text. Returns (corpusId, span_start, span_end,
+    * span_tokens), positions 1-based, end exclusive.
+    *
+    * Scale shape: the benchmark side collapses to DISTINCT gram hashes
+    * (eval sets are small — typically broadcast by AQE) and the corpus side
+    * left-semi joins its positional gram index against it; span merging is
+    * the per-document island window. Nothing quadratic, nothing collected.
+    */
+  def contaminatedSpans(corpus: DataFrame, corpusId: String,
+                        corpusText: String, benchmark: DataFrame,
+                        benchText: String, n: Int = 8): DataFrame = {
+    val grams = corpus
+      .select(col(corpusId),
+        posexplode(graft.expr.WordNgrams(col(corpusText), n)).as(Seq("__p0", "__g")))
+      .select(col(corpusId), (col("__p0") + 1).as("__pos"),
+        xxhash64(col("__g")).as("__h"))
+    val benchGrams = benchmark
+      .select(explode(array_distinct(
+        graft.expr.WordNgrams(col(benchText), n))).as("__g"))
+      .select(xxhash64(col("__g")).as("__h")).distinct()
+    mergeSpans(grams.join(benchGrams, Seq("__h"), "left_semi"), corpusId, n)
   }
 
   /** Apply `duplicatedSpans`: rebuild each document with every duplicated

@@ -126,6 +126,28 @@ class SpanDedupSpec extends SparkSpec {
     }
   }
 
+  test("contaminatedSpans: marks exactly the eval-set collisions") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "intro words the secret eval answer trailing text"),
+      (2L, "totally clean document here no leak at all")).toDF("doc_id", "text")
+    val bench = Seq("prefix the secret eval answer suffix").toDF("text")
+    val spans = Dedup.contaminatedSpans(corpus, "doc_id", "text",
+        bench, "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // doc1: 3-grams "the secret eval"@3, "secret eval answer"@4 both occur
+    // in the benchmark -> one merged span [3, 7); doc2 untouched
+    assert(spans.toSeq == Seq((1L, 3, 7)))
+  }
+
+  test("contaminatedSpans: within-corpus duplicates alone do not trigger") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val bench = Seq("x y z w").toDF("text")
+    assert(Dedup.contaminatedSpans(corpus, "doc_id", "text",
+      bench, "text", n = 3).count() == 0L)
+  }
+
   test("stripDuplicatedSpans: extra columns ride through") {
     val df = docs(Seq((1L, "a b c d e f"), (2L, "x y c d e z")))
       .withColumn("lang", lit("en"))
