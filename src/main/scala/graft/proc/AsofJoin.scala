@@ -41,8 +41,14 @@ object AsofJoin {
     val sign = if (direction == "backward") lit(1.0) else lit(-1.0)
 
     val rValCols = right.columns.filterNot(keyCols.contains).toSeq
-    require(!rValCols.exists(c => c == "__k" || c == "__t0"),
-      "__k/__t0 are reserved by the as-of carry")
+    // __k/__t0 are carried-struct field names; __t/__side/__lp/__rp/__fv are
+    // the union stream's top-level helpers — a key (or right value) column
+    // with any of these names would alias an internal column and fail with
+    // a confusing duplicate-attribute error instead of a contract message
+    val reserved = Set("__k", "__t0", "__t", "__side", "__lp", "__rp", "__fv")
+    val clashes = (keyCols ++ rValCols).filter(reserved).distinct
+    require(clashes.isEmpty,
+      s"column name(s) ${clashes.mkString(", ")} are reserved by the as-of carry")
     // the carried struct embeds its own key and signed time so a carry that
     // crossed a key boundary (or exceeds tolerance) can be rejected
     val rCarry = struct(

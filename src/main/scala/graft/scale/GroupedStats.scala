@@ -25,7 +25,10 @@ object GroupedStats {
     * Scale shape: one `keyedRank` pass (range exchange + local windows +
     * summary stitch — no per-key task), then a map-side filter keeping the
     * two bracketing ranks per quantile and one groupBy(key) aggregate over
-    * ≤ 2·|quantiles| rows per key.
+    * ≤ 2·|quantiles| rows per key. Keys whose values are ALL null still
+    * surface (with null quantiles, the SQL GROUP BY convention) via a
+    * left join from the distinct-key set — a map-side-combining hash
+    * aggregate, not a sort.
     */
   def exactQuantiles(df: DataFrame, keyCol: String, valCol: String,
                      quantiles: Seq[(String, Double)]): DataFrame = {
@@ -55,7 +58,11 @@ object GroupedStats {
       val pos = lit(1.0) + (col("__n") - 1.0) * lit(q)
       col("__rk") === floor(pos) || col("__rk") === ceil(pos)
     }.reduce(_ || _)
-    ranked.where(needed).groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    val quantsByKey =
+      ranked.where(needed).groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    // re-attach keys that had only null values (dropped by the isNotNull
+    // gate above) so the result shape matches a SQL GROUP BY
+    df.select(col(keyCol)).distinct().join(quantsByKey, Seq(keyCol), "left")
   }
 
   /** Exact per-key median (linear interpolation on even counts). */

@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** `__h` carries the md5 layout order through the rank/prefix scans; a
+    * caller column of that name would be silently clobbered (mirrors
+    * `Scan`'s `__pid` guard, which throws rather than corrupts).
+    */
+  private def requireNoHashCol(df: DataFrame): Unit =
+    require(!df.columns.contains("__h"),
+      "column name __h is reserved by Sampling's deterministic hash order")
+
   /** Uniform bucket in [0, 100) from the id's md5 (16 bits → mod 100). */
   def hashBucket(id: Column): Column =
     (conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int") % 100)
@@ -65,6 +73,7 @@ object Sampling {
   def packShards(df: DataFrame, idCol: String, tokenCol: String,
                  budget: Long): DataFrame = {
     require(budget > 0, "shard token budget must be positive")
+    requireNoHashCol(df)
     val h = df.withColumn("__h", md5(col(idCol).cast("string")))
     graft.core.Scan.runningSum(h, "__h", tokenCol, "__cum")
       .withColumn("shard",
@@ -88,6 +97,7 @@ object Sampling {
   def capPerKey(df: DataFrame, idCol: String, keyCol: String,
                 cap: Long): DataFrame = {
     require(cap > 0, "per-key cap must be positive")
+    requireNoHashCol(df)
     val ranked = graft.core.Scan.keyedRank(
       df.withColumn("__h", md5(col(idCol).cast("string"))),
       keyCol, "__h", "__rk", "__n")
@@ -103,6 +113,7 @@ object Sampling {
   def packShardsPerKey(df: DataFrame, idCol: String, keyCol: String,
                        tokenCol: String, budget: Long): DataFrame = {
     require(budget > 0, "shard token budget must be positive")
+    requireNoHashCol(df)
     val h = df.withColumn("__h", md5(col(idCol).cast("string")))
     graft.core.Scan.keyedRunningSum(h, keyCol, "__h", tokenCol, "__cum")
       .withColumn("shard",
@@ -113,6 +124,7 @@ object Sampling {
   def stratifiedSplit(df: DataFrame, idCol: String, strataCol: String,
                       splits: Seq[(String, Int)]): DataFrame = {
     require(splits.map(_._2).sum == 100, "split percentages must sum to 100")
+    requireNoHashCol(df)
     val ranked = graft.core.Scan.keyedRank(
       df.withColumn("__h", md5(col(idCol).cast("string"))),
       strataCol, "__h", "__rk", "__n")

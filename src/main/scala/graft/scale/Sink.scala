@@ -34,12 +34,17 @@ object Sink {
       "need sort columns (they also derive the in-partition file split)")
     require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
     val bucket = pmod(xxhash64(sortCols.map(col): _*), lit(filesPerPartition))
+    // xxhash64 over ALL columns breaks sort-key ties deterministically:
+    // without it, rows equal on sortCols would keep their shuffle arrival
+    // order and re-runs could differ byte-for-byte
+    val tiebreak = xxhash64(df.columns.map(col): _*)
     df.withColumn("__file", bucket)
       .repartition((partitionCols :+ "__file").map(col): _*)
       .drop("__file")
       // sort by the DATA columns only: a task holding several buckets of
       // one leaf dir still writes a single fully-sorted file for it
-      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .sortWithinPartitions(
+        (partitionCols ++ sortCols).map(col) :+ tiebreak: _*)
       .write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
   }
 }

@@ -96,4 +96,21 @@ class AsofJoinSpec extends SparkSpec {
         s"as-of window partitioned only by [$parts]")
     }
   }
+
+  test("reserved internal column names are rejected with a clear message") {
+    import spark.implicits._
+    val l = Seq((1L, 1.0)).toDF("k", "t")
+    for (bad <- Seq("__t", "__side", "__lp", "__rp", "__fv", "__k", "__t0")) {
+      val r = Seq((1L, 1.0, "x")).toDF("k", "t", bad)
+      val e = intercept[IllegalArgumentException](
+        AsofJoin.asofJoin(l, r, Seq("k"), "t", "t"))
+      assert(e.getMessage.contains("reserved"), s"$bad: ${e.getMessage}")
+    }
+    // a reserved KEY column is caught too
+    val l2 = Seq((1L, 1.0)).toDF("__side", "t")
+    val r2 = Seq((1L, 1.0, 2.0)).toDF("__side", "t", "v")
+    val e2 = intercept[IllegalArgumentException](
+      AsofJoin.asofJoin(l2, r2, Seq("__side"), "t", "t"))
+    assert(e2.getMessage.contains("reserved"))
+  }
 }

@@ -39,6 +39,18 @@ class GroupedStatsSpec extends SparkSpec {
     assert(out == Map("one" -> 7.0, "even" -> 2.0, "tie" -> 5.0, "null" -> 2.0))
   }
 
+  test("a key whose values are ALL null surfaces with null quantiles") {
+    import spark.implicits._
+    val df = Seq(
+      ("live", Some(1.0)), ("live", Some(3.0)),
+      ("dead", None), ("dead", None)).toDF("k", "v")
+    val rows = GroupedStats.exactMedian(df, "k", "v")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // SQL GROUP BY convention: the all-null key keeps its row, quantile null
+    assert(rows == Map("live" -> Some(2.0), "dead" -> None))
+  }
+
   test("plan: rank windows are partitioned (no per-key sort task)") {
     import spark.implicits._
     val df = (0 until 1000).map(i => ("hot", i.toDouble)).toDF("k", "v")

@@ -171,4 +171,17 @@ class SamplingSpec extends SparkSpec {
     assert(out.keySet == Set("train", "test"))
     assert(out.values.sum == 500L)
   }
+
+  test("a pre-existing __h column is rejected, not clobbered") {
+    import spark.implicits._
+    val df = Seq((1L, "a", "user-data", 10L)).toDF("id", "key", "__h", "tok")
+    for (f <- Seq[org.apache.spark.sql.DataFrame => Any](
+        d => Sampling.capPerKey(d, "id", "key", 5),
+        d => Sampling.packShards(d, "id", "tok", 100),
+        d => Sampling.packShardsPerKey(d, "id", "key", "tok", 100),
+        d => Sampling.stratifiedSplit(d, "id", "key", Seq("train" -> 100)))) {
+      val e = intercept[IllegalArgumentException](f(df))
+      assert(e.getMessage.contains("__h"))
+    }
+  }
 }

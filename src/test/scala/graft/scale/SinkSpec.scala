@@ -88,4 +88,37 @@ class SinkSpec extends SparkSpec {
       rm(new java.io.File(d1)); rm(new java.io.File(d2))
     }
   }
+
+  test("writeShards: deterministic even when sort keys are NOT unique") {
+    // sortCols = shard only → many rows tie on the sort key; without the
+    // all-column tiebreaker, tie order would follow shuffle arrival order
+    // and the two writes below could produce different bytes
+    val d1 = java.nio.file.Files.createTempDirectory("sinkC").toString
+    val d2 = java.nio.file.Files.createTempDirectory("sinkD").toString
+    def checksums(root: String): Map[String, Seq[Long]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root))
+        .filter(_.getName.endsWith(".parquet"))
+        .groupBy(_.getParentFile.getAbsolutePath.stripPrefix(root))
+        .map { case (dir, files) =>
+          dir -> files.map { f =>
+            val crc = new java.util.zip.CRC32()
+            crc.update(java.nio.file.Files.readAllBytes(f.toPath))
+            crc.getValue
+          }.sorted.toSeq
+        }
+    }
+    try {
+      Sink.writeShards(corpus, d1, Seq("split"), Seq("shard"))
+      Sink.writeShards(corpus.repartition(13), d2, Seq("split"), Seq("shard"))
+      val (c1, c2) = (checksums(d1), checksums(d2))
+      assert(c1.nonEmpty && c1 == c2)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(d1)); rm(new java.io.File(d2))
+    }
+  }
 }
