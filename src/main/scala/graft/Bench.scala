@@ -62,7 +62,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2}"""
+    println(json)
+    // the stdout line gets tail-truncated by log captures once the suite
+    // passes ~90 queries, losing the alphabetically-early per-query times;
+    // the file is the complete, committable artifact
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -22,11 +22,41 @@ object ProbeAB {
       // probe exists for — run-to-run stability without cross-query debt)
       graft.core.Pinned.release()
     }
-    (1 to 4).foreach { round =>
-      t(s"r$round jaccard collapse=off")(graft.scale.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6, collapseExact = false).count())
-      t(s"r$round jaccard collapse=on ")(graft.scale.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6).count())
-      t(s"r$round clusters collapse=off")(graft.scale.Components.dupClusters(graft.scale.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6, collapseExact = false)).count())
-      t(s"r$round clusters collapse=on ")(graft.scale.Components.dupClusters(graft.scale.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6)).count())
+    args.headOption.getOrElse("jaccard") match {
+      case "minhash" =>
+        // q22 suite-context diagnostic: recreate suite-like ambient heap
+        // state (the two heaviest dedup neighbors), then four measured
+        // minhash runs with release between — spread > 1.5x would mean
+        // retained state, spread ~1x with elevated absolute cost means
+        // ambient GC pressure
+        t("ambient jaccard")(graft.scale.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6).count())
+        t("ambient clusters")(graft.scale.Components.dupClusters(graft.scale.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6)).count())
+        (1 to 4).foreach { round =>
+          t(s"r$round minhash_lsh")(graft.scale.Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 8, 0.6).count())
+        }
+      case "minhash-suite" =>
+        // stronger suite-context recreation: run a broad slice of the query
+        // suite first so the JVM's bounded codegen class cache (100 entries)
+        // holds OTHER queries' classes, then measure minhash — isolates
+        // "codegen recompile + ambient heap" from "retained state"
+        val names = SparkEntry.queries.keys.toSeq.sorted
+          .filterNot(_ == "q22_minhash_lsh")
+        names.take(40).foreach { n =>
+          try SparkEntry.queries(n)(spark, dir).queryExecution.toRdd.count()
+          catch { case e: Throwable => println(s"PROBEAB warm $n failed: ${e.getMessage}") }
+          graft.core.Pinned.release()
+        }
+        println("PROBEAB suite warm done (40 queries)")
+        (1 to 4).foreach { round =>
+          t(s"r$round minhash_lsh (suite)")(graft.scale.Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 8, 0.6).count())
+        }
+      case _ =>
+        (1 to 4).foreach { round =>
+          t(s"r$round jaccard collapse=off")(graft.scale.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6, collapseExact = false).count())
+          t(s"r$round jaccard collapse=on ")(graft.scale.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6).count())
+          t(s"r$round clusters collapse=off")(graft.scale.Components.dupClusters(graft.scale.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6, collapseExact = false)).count())
+          t(s"r$round clusters collapse=on ")(graft.scale.Components.dupClusters(graft.scale.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6)).count())
+        }
     }
     spark.stop()
   }
