@@ -913,6 +913,13 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // ---- exact-substring dedup, keep-ONE-occurrence (Lee et al. parity) ---
+    "q88_strip_keep_first" -> ((s, dir) => {
+      Dedup.stripDuplicatedSpansKeepFirst(docs(s, dir), "doc_id", "text", 8, 2)
+        .select(col("doc_id"), col("text"), col("removed_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- text: Gopher-style repetition statistics -------------------------
     "q59_repetition" -> ((s, dir) => {
       TextStats.repetition(docs(s, dir), "doc_id", "text", topN = 2, dupN = 5)
@@ -1079,6 +1086,33 @@ object SparkEntry {
         |  FROM docs, UNNEST(range(1, len(w) - 8 + 2)) AS t(i) WHERE len(w) >= 8),
         |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
         |hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+        |isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM (SELECT doc_id, pos, CASE WHEN pos > coalesce(max(pos + 8)
+        |      OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    THEN 1 ELSE 0 END AS brk FROM hits)),
+        |spans AS (SELECT doc_id, min(pos) AS ss, max(pos) + 8 AS se
+        |  FROM isl GROUP BY doc_id, island),
+        |kept AS (SELECT t.doc_id, t.pos, t.word FROM toks t
+        |  LEFT JOIN spans s ON s.doc_id = t.doc_id AND t.pos >= s.ss AND t.pos < s.se
+        |  WHERE s.doc_id IS NULL),
+        |agg AS (SELECT doc_id, array_to_string(list(word ORDER BY pos), ' ') AS ctext,
+        |    count(*) AS nk FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.ctext, '') AS text,
+        |  CAST(len(d.w) - coalesce(a.nk, 0) AS BIGINT) AS removed_tokens
+        |FROM docs d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // keep-first variant: identical plan, but each duplicated gram's FIRST
+    // (doc_id, pos)-ordered occurrence is exempt from the hit set
+    "q88_strip_keep_first" ->
+      """WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |toks AS (SELECT doc_id, i AS pos, w[i] AS word
+        |  FROM docs, UNNEST(range(1, len(w) + 1)) AS t(i)),
+        |grams AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+7], ' ') AS g
+        |  FROM docs, UNNEST(range(1, len(w) - 8 + 2)) AS t(i) WHERE len(w) >= 8),
+        |occ AS (SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS c FROM grams),
+        |hits AS (SELECT doc_id, pos FROM occ WHERE c >= 2 AND rn > 1),
         |isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
         |  FROM (SELECT doc_id, pos, CASE WHEN pos > coalesce(max(pos + 8)
         |      OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)

@@ -531,16 +531,55 @@ object Dedup {
                       n: Int = 8, minCount: Long = 2): DataFrame = {
     require(n >= 1, "n-gram size must be >= 1")
     require(minCount >= 2, "a span repeated fewer than 2 times is not a duplicate")
-    val grams = df
-      .select(col(idCol),
-        posexplode(graft.expr.WordNgrams(col(textCol), n)).as(Seq("__p0", "__g")))
-      .select(col(idCol), (col("__p0") + 1).as("__pos"),
-        xxhash64(col("__g")).as("__h"))
+    val grams = gramIndex(df, idCol, textCol, n)
     val dup = grams.groupBy("__h").agg(count(lit(1)).as("__c"))
       .where(col("__c") >= minCount).select("__h")
     val hits = grams.join(dup, Seq("__h"), "left_semi")
     mergeSpans(hits, idCol, n)
   }
+
+  /** [[duplicatedSpans]] with the paper's keep-ONE-occurrence contract
+    * (Lee et al. ACL'22 strip every duplicated substring EXCEPT one copy):
+    * the first occurrence of each duplicated n-gram — first in the
+    * deterministic, engine-independent (id, position) order — is exempt,
+    * so exactly one copy of duplicated text survives the downstream strip
+    * while [[duplicatedSpans]] removes all of them (corpus-statistics
+    * difference only; dedup recall is identical).
+    *
+    * Scale shape: the occurrence order needs no global sort — "first" is
+    * `min(struct(id, pos))`, folded into the SAME frequency hash-aggregate
+    * that gates on `minCount` (partial-aggregated map-side), and the
+    * exemption is a filter on the gram join that hits-retrieval already
+    * performs. One row per duplicated gram hash flows through the join,
+    * bounded by the duplicated vocabulary, not the corpus.
+    */
+  def duplicatedSpansKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                               n: Int = 8, minCount: Long = 2): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    require(minCount >= 2, "a span repeated fewer than 2 times is not a duplicate")
+    val grams = gramIndex(df, idCol, textCol, n)
+    val firsts = grams.groupBy("__h")
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col(idCol), col("__pos"))).as("__f"))
+      .where(col("__c") >= minCount)
+      .select(col("__h"), col("__f").getField(idCol).as("__fid"),
+        col("__f").getField("__pos").as("__fpos"))
+    val hits = grams.join(firsts, Seq("__h"))
+      .where(col(idCol) =!= col("__fid") || col("__pos") =!= col("__fpos"))
+      .select(col(idCol), col("__pos"))
+    mergeSpans(hits, idCol, n)
+  }
+
+  /** Positional n-gram index: (id, __pos 1-based, __h = xxhash64(gram)).
+    * Map-side only — native `WordNgrams` + an 8-byte hash key, so the
+    * downstream frequency shuffles move no gram text.
+    */
+  private def gramIndex(df: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame =
+    df.select(col(idCol),
+        posexplode(graft.expr.WordNgrams(col(textCol), n)).as(Seq("__p0", "__g")))
+      .select(col(idCol), (col("__p0") + 1).as("__pos"),
+        xxhash64(col("__g")).as("__h"))
 
   /** Merge 1-based hit positions (`__pos`, each covering `n` tokens) into
     * maximal spans per document — per-key gaps-and-islands, adjacent spans
@@ -577,11 +616,7 @@ object Dedup {
   def contaminatedSpans(corpus: DataFrame, corpusId: String,
                         corpusText: String, benchmark: DataFrame,
                         benchText: String, n: Int = 8): DataFrame = {
-    val grams = corpus
-      .select(col(corpusId),
-        posexplode(graft.expr.WordNgrams(col(corpusText), n)).as(Seq("__p0", "__g")))
-      .select(col(corpusId), (col("__p0") + 1).as("__pos"),
-        xxhash64(col("__g")).as("__h"))
+    val grams = gramIndex(corpus, corpusId, corpusText, n)
     val benchGrams = benchmark
       .select(explode(array_distinct(
         graft.expr.WordNgrams(col(benchText), n))).as("__g"))
@@ -589,21 +624,39 @@ object Dedup {
     mergeSpans(grams.join(benchGrams, Seq("__h"), "left_semi"), corpusId, n)
   }
 
-  /** Apply `duplicatedSpans`: rebuild each document with every duplicated
-    * span's tokens removed (ALL occurrences — deterministic and
-    * join-structure-free, unlike keep-one-occurrence which would need a
-    * global occurrence order). Output is whitespace-normalized (tokens
-    * rejoined with single spaces) for every row, spanned or not, so the
-    * transform is uniform. Adds `removed_tokens`; other columns pass
-    * through, `textCol` is replaced in place.
+  /** Apply [[duplicatedSpans]]: rebuild each document with every duplicated
+    * span's tokens removed (ALL occurrences — the aggressive policy; see
+    * [[stripDuplicatedSpansKeepFirst]] for the paper's keep-one contract).
+    */
+  def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 8, minCount: Long = 2): DataFrame =
+    applySpanStrip(df, idCol, textCol,
+      duplicatedSpans(df, idCol, textCol, n, minCount))
+
+  /** Apply [[duplicatedSpansKeepFirst]]: every duplicated span is removed
+    * EXCEPT its first (id, position)-ordered occurrence — the Lee et al.
+    * ACL'22 contract. Same rebuild as [[stripDuplicatedSpans]]; total
+    * removed tokens differ by exactly the surviving copies.
+    */
+  def stripDuplicatedSpansKeepFirst(df: DataFrame, idCol: String,
+                                    textCol: String, n: Int = 8,
+                                    minCount: Long = 2): DataFrame =
+    applySpanStrip(df, idCol, textCol,
+      duplicatedSpansKeepFirst(df, idCol, textCol, n, minCount))
+
+  /** Rebuild each document with the given spans' tokens removed. Output is
+    * whitespace-normalized (tokens rejoined with single spaces) for every
+    * row, spanned or not, so the transform is uniform. Adds
+    * `removed_tokens`; other columns pass through, `textCol` replaced in
+    * place.
     *
     * Scale shape: the span table (bounded by hit count, not corpus size)
     * aggregates per doc and joins back on the id; the rebuild is a map-side
     * `filter` lambda over the token array — O(tokens x spans-per-doc).
     */
-  def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-                           n: Int = 8, minCount: Long = 2): DataFrame = {
-    val spans = duplicatedSpans(df, idCol, textCol, n, minCount)
+  private def applySpanStrip(df: DataFrame, idCol: String, textCol: String,
+                             spanTable: DataFrame): DataFrame = {
+    val spans = spanTable
       .groupBy(idCol)
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
     df.join(spans, Seq(idCol), "left")

@@ -148,6 +148,43 @@ class SpanDedupSpec extends SparkSpec {
       bench, "text", n = 3).count() == 0L)
   }
 
+  test("keepFirst: the first (id, pos) occurrence survives, later ones strip") {
+    val df = docs(Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y c d e z")))
+    // "c d e" duplicated; first occurrence is doc 1 pos 3 -> doc 1 keeps it
+    val spans = Dedup.duplicatedSpansKeepFirst(df, "doc_id", "text", 3, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(spans.toSeq == Seq((2L, 3, 6)))
+    val out = Dedup.stripDuplicatedSpansKeepFirst(df, "doc_id", "text", 3, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a b c d e f", 0L), (2L, "x y z", 3L)))
+  }
+
+  test("keepFirst: within-doc repeats keep only the earliest position") {
+    val df = docs(Seq((1L, "u v w x u v w y")))
+    val spans = Dedup.duplicatedSpansKeepFirst(df, "doc_id", "text", 3, 2)
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    // "u v w" at pos 1 and 5; pos 1 is first -> only [5, 8) strips
+    assert(spans.toSeq == Seq((5, 8)))
+  }
+
+  test("keepFirst differential: clone family conserves exactly one copy") {
+    // three identical docs of T tokens: strip-all removes 3T tokens,
+    // keep-first removes 2T — kept = stripped + one occurrence
+    val text = (1 to 12).map(i => s"w$i").mkString(" ")
+    val df = docs(Seq((1L, text), (2L, text), (3L, text)))
+    def removed(d: org.apache.spark.sql.DataFrame) =
+      d.agg(sum("removed_tokens")).collect()(0).getLong(0)
+    val all = removed(Dedup.stripDuplicatedSpans(df, "doc_id", "text", 8, 2))
+    val k1 = removed(Dedup.stripDuplicatedSpansKeepFirst(df, "doc_id", "text", 8, 2))
+    assert(all == 36L && k1 == 24L, s"all=$all keepFirst=$k1")
+    // the survivor is the (id, pos)-minimal doc, intact
+    val kept = Dedup.stripDuplicatedSpansKeepFirst(df, "doc_id", "text", 8, 2)
+      .where(col("doc_id") === 1L).collect()(0).getString(1)
+    assert(kept == text)
+  }
+
   test("stripDuplicatedSpans: extra columns ride through") {
     val df = docs(Seq((1L, "a b c d e f"), (2L, "x y c d e z")))
       .withColumn("lang", lit("en"))
