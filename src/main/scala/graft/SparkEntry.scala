@@ -722,6 +722,18 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- entropy tranche: permutation entropy + binned sample entropy -----
+    "q90_entropy" -> ((s, dir) => {
+      val fns = Seq(permutationEntropy(3), sampleEntropyApproxAbs(2, 10.0))
+      val fc = FeatureCollection.of(fns.map(f => FeatureDescriptor(f, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
+      fc.calculate(Seq(valueSeries(s, dir)))
+        .select(unix_micros(col("ts")).as("ts_anchor"),
+          r6("value__perm_entropy_3__w=1D"),
+          r6("value__sampen_2_r10.0__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
     // ---- keyed as-of join: each click's last same-user purchase -----------
     "q82_asof_join" -> ((s, dir) => {
       val clicks = events(s, dir).where(col("event_type") === "click")
@@ -759,6 +771,21 @@ object SparkEntry {
           round(col("q_median"), 6).as("q_median"),
           round(col("q_p90"), 6).as("q_p90"))
         .orderBy("user_id")
+    }),
+
+    // ---- multi-metric grouped quantiles: ONE composite-key rank pass ------
+    "q89_multi_quantiles" -> ((s, dir) => {
+      graft.scale.GroupedStats.exactQuantilesMulti(
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_suppkey"), col("l_quantity"), col("l_extendedprice")),
+        "l_suppkey", Seq("l_quantity", "l_extendedprice"),
+        Seq("med" -> 0.5, "p95" -> 0.95))
+        .select(col("l_suppkey").cast("long").as("l_suppkey"),
+          round(col("q_l_quantity_med"), 6).as("q_l_quantity_med"),
+          round(col("q_l_quantity_p95"), 6).as("q_l_quantity_p95"),
+          round(col("q_l_extendedprice_med"), 6).as("q_l_extendedprice_med"),
+          round(col("q_l_extendedprice_p95"), 6).as("q_l_extendedprice_p95"))
+        .orderBy("l_suppkey")
     }),
 
     // ---- RAG chunking: 40-token windows every 30 (10-token overlap) -------
@@ -1175,6 +1202,50 @@ object SparkEntry {
       """SELECT user_id, round(median(value), 6) AS q_median,
         |  round(quantile_cont(value, 0.9), 6) AS q_p90
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q90_entropy" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)},
+         |j AS (SELECT we, ts, value FROM seg LEFT JOIN events
+         |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |d AS (SELECT we, value,
+         |  lead(value, 1) OVER (PARTITION BY we ORDER BY ts) AS v1,
+         |  lead(value, 2) OVER (PARTITION BY we ORDER BY ts) AS v2 FROM j),
+         |pc AS (SELECT we,
+         |  ((CASE WHEN v1 < value THEN 1 ELSE 0 END)
+         |   + (CASE WHEN v2 < value THEN 1 ELSE 0 END)) * 9
+         |  + ((CASE WHEN value <= v1 THEN 1 ELSE 0 END)
+         |   + (CASE WHEN v2 < v1 THEN 1 ELSE 0 END)) * 3
+         |  + ((CASE WHEN value <= v2 THEN 1 ELSE 0 END)
+         |   + (CASE WHEN v1 <= v2 THEN 1 ELSE 0 END)) AS code
+         |  FROM d WHERE v2 IS NOT NULL),
+         |pct AS (SELECT we, code, count(*) AS c FROM pc GROUP BY we, code),
+         |pe AS (SELECT we, log2(sum(c)) - sum(c * log2(c)) / sum(c) AS pe
+         |  FROM pct GROUP BY we),
+         |sb AS (SELECT we, floor(value / 10.0) AS b0, floor(v1 / 10.0) AS b1,
+         |  floor(v2 / 10.0) AS b2 FROM d),
+         |bc AS (SELECT we, sum(c * (c - 1) / 2) AS b FROM (
+         |    SELECT we, b0, b1, count(*) AS c FROM sb
+         |    WHERE b1 IS NOT NULL GROUP BY we, b0, b1) GROUP BY we),
+         |ac AS (SELECT we, sum(c * (c - 1) / 2) AS a FROM (
+         |    SELECT we, b0, b1, b2, count(*) AS c FROM sb
+         |    WHERE b2 IS NOT NULL GROUP BY we, b0, b1, b2) GROUP BY we),
+         |se AS (SELECT bc.we, CASE WHEN a > 0 AND b > 0
+         |    THEN -ln(CAST(a AS DOUBLE) / CAST(b AS DOUBLE)) END AS se
+         |  FROM bc JOIN ac ON bc.we = ac.we)
+         |SELECT seg.we AS ts_anchor,
+         |  round(pe.pe, 6) AS "value__perm_entropy_3__w=1D",
+         |  round(se.se, 6) AS "value__sampen_2_r10.0__w=1D"
+         |FROM seg LEFT JOIN pe ON seg.we = pe.we
+         |  LEFT JOIN se ON seg.we = se.we
+         |ORDER BY 1""".stripMargin,
+
+    "q89_multi_quantiles" ->
+      """SELECT l_suppkey,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS q_l_quantity_med,
+        |  round(quantile_cont(l_quantity, 0.95), 6) AS q_l_quantity_p95,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS q_l_extendedprice_med,
+        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS q_l_extendedprice_p95
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
     "q83_chunk_text" ->
       """WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),

@@ -359,6 +359,140 @@ object FeatureFuncs {
     })
   }
 
+  // ---- entropy tranche (the reference integration surface's antropy /
+  // nolds wrappers: perm_entropy, sample_entropy / sampen — reference:
+  // tsflex/features/integrations.py:15-337, exercised by
+  // tests/test_features_integration.py:360-430) ------------------------------
+
+  /** m-length sliding tuples of `vals` (delay 1) as array elements:
+    * [[v1..vm], [v2..vm+1], ...] — built from m SLICES zipped pairwise, so
+    * the collected window array is never referenced inside a lambda body
+    * (the [[numberPeaks1]] O(n²) re-evaluation trap). Empty when the window
+    * is shorter than m.
+    */
+  private def templates(vals: Column, m: Int): Column = {
+    val len = greatest(size(vals) - lit(m - 1), lit(0))
+    val first = transform(slice(vals, lit(1), len), x => array(x))
+    (2 to m).foldLeft(first)((acc, i) =>
+      zip_with(acc, slice(vals, lit(i), len), (arr, x) => concat(arr, array(x))))
+  }
+
+  /** Σ f(runLength) over the equal-value runs of the SORTED array — the
+    * shared frequency fold for the entropy stock. One linear pass carrying
+    * (prev, run, acc); `f` must satisfy f(0) = 0 (the first element's
+    * dummy flush). `elemType` is the array element's SQL type (the null
+    * init for `prev`).
+    */
+  private def runSum(sorted: Column, elemType: String,
+                     f: Column => Column): Column =
+    aggregate(sorted,
+      struct(lit(null).cast(elemType).as("prev"), lit(0L).as("run"),
+        lit(0.0).as("s")),
+      (acc, c) => {
+        val same = acc.getField("prev").isNotNull && acc.getField("prev") === c
+        struct(c.as("prev"),
+          when(same, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(same, acc.getField("s"))
+            .otherwise(acc.getField("s") + f(acc.getField("run"))).as("s"))
+      },
+      acc => acc.getField("s") + f(acc.getField("run")))
+
+  /** Stable-argsort pattern code of an m-tuple (Bandt–Pompe): rank_i =
+    * #{j : t_j < t_i, or t_j == t_i with j < i} (numpy argsort tie rule),
+    * code = Σ rank_i · m^(m−1−i). Fixed m² comparisons per tuple, all on
+    * the lambda's own element — nothing window-sized inside the lambda.
+    */
+  private def permCode(t: Column, m: Int): Column = {
+    val e = (1 to m).map(j => element_at(t, j))
+    val ranks = (0 until m).map { i =>
+      (0 until m).filter(_ != i).map { j =>
+        val lt = if (j < i) e(j) <= e(i) else e(j) < e(i)
+        when(lt, 1L).otherwise(0L)
+      }.reduce(_ + _)
+    }
+    ranks.zipWithIndex.map { case (r, i) =>
+      r * math.pow(m, m - 1 - i).toLong }.reduce(_ + _)
+  }
+
+  /** Bandt–Pompe permutation entropy, delay 1 (antropy `perm_entropy`,
+    * integrations.py's most-used entropy): each `order`-tuple of the
+    * index-sorted window maps to its stable-argsort pattern; the feature is
+    * the Shannon entropy (bits) of the pattern distribution, optionally
+    * normalized by log2(order!). NULL when the window has fewer than
+    * `order` samples; a monotone (single-pattern) window gives 0.
+    *
+    * The pattern histogram is sort + run fold — H = log2(N) − Σ c·log2(c)/N
+    * — so the fold's lambda touches only its carry and element (no embedded
+    * aggregate or window array; see [[meanCrossings]]): O(n log n) per
+    * window, single fused aggregate pass.
+    */
+  def permutationEntropy(order: Int = 3,
+                         normalize: Boolean = false): FeatureFunc = {
+    require(order >= 2 && order <= 6,
+      "permutation entropy order must be in [2, 6]")
+    val name = s"perm_entropy_$order" + (if (normalize) "_norm" else "")
+    val logFact = math.log((2 to order).map(_.toDouble).product) / math.log(2.0)
+    FeatureFunc(name, (idx, v) => {
+      val vals = sortedVals(idx, v)
+      val codes = transform(templates(vals, order), t => permCode(t, order))
+      val bigN = size(codes).cast("double")
+      val s = runSum(array_sort(codes), "bigint",
+        run => when(run > 1, run.cast("double") * log2(run.cast("double")))
+          .otherwise(lit(0.0)))
+      val h = log2(bigN) - s / bigN
+      when(bigN > 0, if (normalize) h / lit(logFact) else h)
+    })
+  }
+
+  /** Binned sample-entropy APPROXIMATION, −ln(A/B): A/B count template
+    * pairs of length m+1 / m that share every quantization cell
+    * (cell = floor(x / width)). Same-cell templates are within Chebyshev
+    * distance `width` — the classic SampEn match with r = width — but
+    * near matches straddling a cell boundary are missed, so A and B are
+    * LOWER bounds and the ratio is an approximation of Richman–Moorman
+    * SampEn (documented deviation; both template sets run over all their
+    * sliding positions). NULL when width ≤ 0 (constant window under the
+    * std-factor variant) or either count is 0.
+    *
+    * Scale shape: quantize → m-tuples via [[templates]] → sort → [[runSum]]
+    * of C(run, 2), twice (m and m+1) — O(n log n) per window, one fused
+    * aggregate, no pairwise O(n²) loop (the reason the exact Chebyshev
+    * SampEn is NOT offered as a distributed aggregate).
+    */
+  private def sampEnImpl(name: String, m: Int,
+                         width: (Column, Column) => Column): FeatureFunc =
+    FeatureFunc(name, (idx, v) => {
+      val w = width(idx, v)
+      val vals = sortedVals(idx, v)
+      val bins = transform(vals, x => floor(x / w).cast("long"))
+      def pairs(mm: Int): Column =
+        runSum(array_sort(templates(bins, mm)), "array<bigint>",
+          run => (run * (run - lit(1L))).cast("double") / lit(2.0))
+      val b = pairs(m)
+      val a = pairs(m + 1)
+      when(w > 0 && a > 0 && b > 0, -log(a / b))
+    })
+
+  /** [[sampEnImpl]] with antropy's default tolerance r = rFactor · σ_pop
+    * (the window's own population std, a native aggregate referenced O(1)
+    * inside the quantize lambda).
+    */
+  def sampleEntropyApprox(m: Int = 2, rFactor: Double = 0.2): FeatureFunc = {
+    require(m >= 1, "sample entropy template length must be >= 1")
+    require(rFactor > 0, "tolerance factor must be > 0")
+    sampEnImpl(s"sampen_${m}_${rFactor}sigma", m,
+      (_, v) => stddev_pop(v) * lit(rFactor))
+  }
+
+  /** [[sampEnImpl]] with a FIXED absolute tolerance — bit-identical across
+    * engines (no std in the bin boundary), the oracle-twin variant.
+    */
+  def sampleEntropyApproxAbs(m: Int, r: Double): FeatureFunc = {
+    require(m >= 1, "sample entropy template length must be >= 1")
+    require(r > 0, "tolerance must be > 0")
+    sampEnImpl(s"sampen_${m}_r$r", m, (_, _) => lit(r))
+  }
+
   val byName: scala.collection.immutable.Map[String, FeatureFunc] =
     scala.collection.immutable.Map(
       "min" -> min, "max" -> max, "mean" -> mean, "median" -> median,

@@ -202,15 +202,23 @@ object Scan {
       if (perPid.count() <= broadcastLimit) broadcast(_) else identity
     val b = perPid.select(col("__pid").as("b___pid"),
       col(keyCol).as("b___key"), col("__tot").as("b___tot"))
+    // every key equality in the stitch is NULL-SAFE (<=>): a NULL key is a
+    // legal group (SQL GROUP BY convention) and plain EqualTo would silently
+    // drop its rows at the inner stitch joins; <=> is still an equi-join
+    // key for broadcast/sort-merge, so the plan shape is unchanged
     val offsets = perPid
-      .join(b, col("b___key") === col(keyCol) && col("b___pid") < col("__pid"), "left")
+      .join(b, col("b___key") <=> col(keyCol) && col("b___pid") < col("__pid"), "left")
       .groupBy(col("__pid"), col(keyCol))
       .agg(coalesce(sum(col("b___tot")), lit(0L)).as("__off"))
+      .select(col("__pid").as("o___pid"), col(keyCol).as("o___key"),
+        col("__off"))
     val totals = perPid.groupBy(col(keyCol)).agg(sum(col("__tot")).as(countCol))
-    local.join(hint(offsets), Seq("__pid", keyCol))
-      .join(hint(totals), Seq(keyCol))
+      .withColumnRenamed(keyCol, "t___key")
+    local.join(hint(offsets),
+        col("__pid") === col("o___pid") && col(keyCol) <=> col("o___key"))
+      .join(hint(totals), col(keyCol) <=> col("t___key"))
       .withColumn(rankCol, col("__loc") + col("__off"))
-      .drop("__loc", "__off", "__pid")
+      .drop("__loc", "__off", "__pid", "o___pid", "o___key", "t___key")
   }
 
   /** Running (inclusive) sum of `flagCol` WITHIN each `keyCol` group in
@@ -236,13 +244,17 @@ object Scan {
       if (perPid.count() <= broadcastLimit) broadcast(_) else identity
     val b = perPid.select(col("__pid").as("b___pid"),
       col(keyCol).as("b___key"), col("__tot").as("b___tot"))
+    // null-safe key equality throughout the stitch — see keyedRank
     val offsets = perPid
-      .join(b, col("b___key") === col(keyCol) && col("b___pid") < col("__pid"), "left")
+      .join(b, col("b___key") <=> col(keyCol) && col("b___pid") < col("__pid"), "left")
       .groupBy(col("__pid"), col(keyCol))
       .agg(coalesce(sum(col("b___tot")), lit(0L)).as("__off"))
-    local.join(hint(offsets), Seq("__pid", keyCol))
+      .select(col("__pid").as("o___pid"), col(keyCol).as("o___key"),
+        col("__off"))
+    local.join(hint(offsets),
+        col("__pid") === col("o___pid") && col(keyCol) <=> col("o___key"))
       .withColumn(outCol, col("__loc") + col("__off"))
-      .drop("__loc", "__off", "__pid")
+      .drop("__loc", "__off", "__pid", "o___pid", "o___key")
   }
 
   /** Fused lag → change-flag → inclusive running count in ONE ranged scan:

@@ -41,12 +41,15 @@ object AsofJoin {
     val sign = if (direction == "backward") lit(1.0) else lit(-1.0)
 
     val rValCols = right.columns.filterNot(keyCols.contains).toSeq
-    // __k/__t0 are carried-struct field names; __t/__side/__lp/__rp/__fv are
-    // the union stream's top-level helpers — a key (or right value) column
-    // with any of these names would alias an internal column and fail with
-    // a confusing duplicate-attribute error instead of a contract message
-    val reserved = Set("__k", "__t0", "__t", "__side", "__lp", "__rp", "__fv")
-    val clashes = (keyCols ++ rValCols).filter(reserved).distinct
+    // __t/__side/__lp/__rp/__fv are the union stream's top-level helpers,
+    // so KEY columns (which stay top-level) must avoid the whole set; right
+    // VALUE columns only ever live as fields inside the __rp carry struct,
+    // so they clash solely with its __k/__t0 sibling fields — a right value
+    // named e.g. "__t" is legal
+    val reservedTop = Set("__k", "__t0", "__t", "__side", "__lp", "__rp", "__fv")
+    val reservedCarry = Set("__k", "__t0")
+    val clashes = (keyCols.filter(reservedTop) ++
+      rValCols.filter(reservedCarry)).distinct
     require(clashes.isEmpty,
       s"column name(s) ${clashes.mkString(", ")} are reserved by the as-of carry")
     // the carried struct embeds its own key and signed time so a carry that

@@ -538,13 +538,23 @@ object Dedup {
     mergeSpans(hits, idCol, n)
   }
 
-  /** [[duplicatedSpans]] with the paper's keep-ONE-occurrence contract
-    * (Lee et al. ACL'22 strip every duplicated substring EXCEPT one copy):
-    * the first occurrence of each duplicated n-gram — first in the
-    * deterministic, engine-independent (id, position) order — is exempt,
-    * so exactly one copy of duplicated text survives the downstream strip
-    * while [[duplicatedSpans]] removes all of them (corpus-statistics
-    * difference only; dedup recall is identical).
+  /** [[duplicatedSpans]] with a keep-first contract in the spirit of
+    * Lee et al. ACL'22 (strip duplicated substrings except one copy): the
+    * first occurrence of each duplicated n-GRAM — first in the
+    * deterministic, engine-independent (id, position) order — is exempt
+    * from span reporting, while [[duplicatedSpans]] reports all of them
+    * (corpus-statistics difference only; dedup recall is identical).
+    *
+    * The exemption is PER GRAM, not per maximal span: when overlapping
+    * duplicated grams have their first occurrences in different documents,
+    * a gram's exempted occurrence can still be partially covered by
+    * NEIGHBORING grams' spans, so the downstream strip preserves one copy
+    * of every duplicated n-gram's tokens only where the exempted
+    * occurrences don't interleave — it does not guarantee an intact copy
+    * of every maximal duplicated SPAN survives. (A per-span keep-first
+    * would need span identity across documents, i.e. a second
+    * merge-then-match pass; the per-gram rule is what the q88 oracle
+    * verifies and what the token-conservation spec differential covers.)
     *
     * Scale shape: the occurrence order needs no global sort — "first" is
     * `min(struct(id, pos))`, folded into the SAME frequency hash-aggregate

@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Sink {
 
+  import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+
+  /** hash/xxhash64 reject MapType anywhere in the tree (map key order is
+    * undefined), so the tiebreak must skip such columns recursively. */
+  private def containsMap(dt: DataType): Boolean = dt match {
+    case _: MapType     => true
+    case s: StructType  => s.fields.exists(f => containsMap(f.dataType))
+    case a: ArrayType   => containsMap(a.elementType)
+    case _              => false
+  }
+
   /** Write `df` as parquet hive-partitioned by `partitionCols`, at most
     * `filesPerPartition` files per leaf directory, rows sorted by
     * `sortCols` within each file.
@@ -34,10 +45,17 @@ object Sink {
       "need sort columns (they also derive the in-partition file split)")
     require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
     val bucket = pmod(xxhash64(sortCols.map(col): _*), lit(filesPerPartition))
-    // xxhash64 over ALL columns breaks sort-key ties deterministically:
-    // without it, rows equal on sortCols would keep their shuffle arrival
-    // order and re-runs could differ byte-for-byte
-    val tiebreak = xxhash64(df.columns.map(col): _*)
+    // xxhash64 over the hashable columns breaks sort-key ties
+    // deterministically: without it, rows equal on sortCols would keep
+    // their shuffle arrival order and re-runs could differ byte-for-byte.
+    // Map-typed columns are excluded (hash on MapType is disallowed —
+    // map key order is undefined), so rows differing ONLY in a map column
+    // keep nondeterministic relative order; likewise two distinct rows
+    // colliding on the 64-bit hash — both windows are negligible but real.
+    val hashableCols = df.schema.fields
+      .filterNot(f => containsMap(f.dataType)).map(f => col(f.name)).toSeq
+    val tiebreak =
+      if (hashableCols.nonEmpty) xxhash64(hashableCols: _*) else lit(0L)
     df.withColumn("__file", bucket)
       .repartition((partitionCols :+ "__file").map(col): _*)
       .drop("__file")

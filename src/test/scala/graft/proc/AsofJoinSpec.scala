@@ -100,17 +100,33 @@ class AsofJoinSpec extends SparkSpec {
   test("reserved internal column names are rejected with a clear message") {
     import spark.implicits._
     val l = Seq((1L, 1.0)).toDF("k", "t")
-    for (bad <- Seq("__t", "__side", "__lp", "__rp", "__fv", "__k", "__t0")) {
+    // right VALUE columns live only inside the carry struct, so they clash
+    // solely with its __k/__t0 sibling fields
+    for (bad <- Seq("__k", "__t0")) {
       val r = Seq((1L, 1.0, "x")).toDF("k", "t", bad)
       val e = intercept[IllegalArgumentException](
         AsofJoin.asofJoin(l, r, Seq("k"), "t", "t"))
       assert(e.getMessage.contains("reserved"), s"$bad: ${e.getMessage}")
     }
-    // a reserved KEY column is caught too
-    val l2 = Seq((1L, 1.0)).toDF("__side", "t")
-    val r2 = Seq((1L, 1.0, 2.0)).toDF("__side", "t", "v")
-    val e2 = intercept[IllegalArgumentException](
-      AsofJoin.asofJoin(l2, r2, Seq("__side"), "t", "t"))
-    assert(e2.getMessage.contains("reserved"))
+    // a reserved KEY column is caught against the full top-level set
+    for (bad <- Seq("__t", "__side", "__lp", "__rp", "__fv", "__k", "__t0")) {
+      val l2 = l.withColumnRenamed("k", bad)
+      val r2 = Seq((1L, 1.0, 2.0)).toDF(bad, "t", "v")
+      val e2 = intercept[IllegalArgumentException](
+        AsofJoin.asofJoin(l2, r2, Seq(bad), "t", "t"))
+      assert(e2.getMessage.contains("reserved"), s"key $bad: ${e2.getMessage}")
+    }
+  }
+
+  test("a right VALUE column named like a top-level helper is legal") {
+    import spark.implicits._
+    // regression: the r8 guard over-rejected these — they never surface
+    // top-level (only as carry-struct fields), so the join must accept them
+    val l = Seq((1L, 1.0)).toDF("k", "t")
+    for (ok <- Seq("__t", "__side", "__lp", "__rp", "__fv")) {
+      val r = Seq((1L, 0.5, 42.0)).toDF("k", "t", ok)
+      val out = AsofJoin.asofJoin(l, r, Seq("k"), "t", "t")
+      assert(out.collect().map(_.getAs[Double](ok)).toSeq == Seq(42.0), ok)
+    }
   }
 }

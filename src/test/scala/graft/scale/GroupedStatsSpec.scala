@@ -51,6 +51,63 @@ class GroupedStatsSpec extends SparkSpec {
     assert(rows == Map("live" -> Some(2.0), "dead" -> None))
   }
 
+  test("an actual NULL key with non-null values keeps its quantiles") {
+    import spark.implicits._
+    // regression: the all-null-key re-attach join must be null-safe (<=>) —
+    // a plain using-join would drop the NULL key's own aggregated row
+    val df = Seq(
+      (Option("live"), Some(1.0)), (Option("live"), Some(3.0)),
+      (Option.empty[String], Some(10.0)), (Option.empty[String], Some(20.0)),
+      (Option.empty[String], None)).toDF("k", "v")
+    val rows = GroupedStats.exactMedian(df, "k", "v")
+      .collect().map(r => Option(r.getString(0)) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows == Map(Some("live") -> Some(2.0), None -> Some(15.0)))
+  }
+
+  test("multi-column: one row per key, per-metric quantiles, null metrics") {
+    import spark.implicits._
+    val df = Seq(
+      (Option("a"), Some(1.0), Some(10.0)),
+      (Option("a"), Some(3.0), Some(30.0)),
+      (Option("a"), Some(5.0), None),
+      (Option("b"), Some(2.0), Option.empty[Double]), // y all-null for b
+      (Option.empty[String], Some(4.0), Some(8.0)),   // NULL key
+      (Option("dead"), Option.empty[Double], Option.empty[Double]))
+      .toDF("k", "x", "y")
+    val out = GroupedStats.exactQuantilesMulti(df, "k", Seq("x", "y"),
+      Seq("med" -> 0.5, "max" -> 1.0))
+    assert(out.columns.toSeq ==
+      Seq("k", "q_x_med", "q_x_max", "q_y_med", "q_y_max"))
+    val rows = out.collect().map { r =>
+      Option(r.getString(0)) -> (1 to 4).map(i =>
+        if (r.isNullAt(i)) None else Some(r.getDouble(i)))
+    }.toMap
+    assert(rows(Some("a")) == Seq(Some(3.0), Some(5.0), Some(20.0), Some(30.0)))
+    assert(rows(Some("b")) == Seq(Some(2.0), Some(2.0), None, None))
+    assert(rows(None) == Seq(Some(4.0), Some(4.0), Some(8.0), Some(8.0)))
+    assert(rows(Some("dead")) == Seq(None, None, None, None))
+  }
+
+  test("multi-column matches per-column exactQuantiles on random data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val df = (0 until 3000).map(_ => (s"k${rng.nextInt(5)}",
+        rng.nextDouble() * 100, rng.nextGaussian())).toDF("k", "x", "y")
+      .repartition(7)
+    val qs = Seq("p25" -> 0.25, "med" -> 0.5, "p95" -> 0.95)
+    val multi = GroupedStats.exactQuantilesMulti(df, "k", Seq("x", "y"), qs)
+      .collect().map(r => r.getString(0) ->
+        (1 to 6).map(r.getDouble).toVector).toMap
+    val sx = GroupedStats.exactQuantiles(df, "k", "x", qs).collect()
+      .map(r => r.getString(0) -> (1 to 3).map(r.getDouble).toVector).toMap
+    val sy = GroupedStats.exactQuantiles(df, "k", "y", qs).collect()
+      .map(r => r.getString(0) -> (1 to 3).map(r.getDouble).toVector).toMap
+    assert(multi.keySet == sx.keySet)
+    for (k <- multi.keySet; (g, e) <- multi(k).zip(sx(k) ++ sy(k)))
+      assert(math.abs(g - e) < 1e-9, s"key $k: $g vs $e")
+  }
+
   test("plan: rank windows are partitioned (no per-key sort task)") {
     import spark.implicits._
     val df = (0 until 1000).map(i => ("hot", i.toDouble)).toDF("k", "v")

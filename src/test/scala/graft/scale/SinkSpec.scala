@@ -121,4 +121,24 @@ class SinkSpec extends SparkSpec {
       rm(new java.io.File(d1)); rm(new java.io.File(d2))
     }
   }
+
+  test("writeShards accepts map-typed columns (excluded from the tiebreak)") {
+    import spark.implicits._
+    // regression: hashing a MapType throws (map key order is undefined), so
+    // the all-column tiebreak must skip map columns rather than fail
+    val df = Seq(
+      (1L, "train", Map("a" -> 1)),
+      (2L, "train", Map("b" -> 2)),
+      (3L, "val", Map.empty[String, Int])).toDF("doc_id", "split", "meta")
+    val dir = java.nio.file.Files.createTempDirectory("sinkMap").toString
+    try {
+      Sink.writeShards(df, dir, Seq("split"), Seq("doc_id"))
+      assert(spark.read.parquet(dir).count() == 3)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }

@@ -185,6 +185,20 @@ class SpanDedupSpec extends SparkSpec {
     assert(kept == text)
   }
 
+  test("keepFirst contract is per-GRAM: interleaved firsts can split spans") {
+    // overlapping duplicated grams whose FIRST occurrences land in
+    // different docs: firsts are "a b c"->(1,1), "b c d"->(1,2),
+    // "c d e"->(2,2). Doc 2's exempted "c d e" copy is still partially
+    // stripped by its neighboring non-exempt "b c d" hit — keep-first
+    // guarantees one exempted occurrence per duplicated n-gram, NOT an
+    // intact surviving copy of every maximal duplicated span (see the
+    // duplicatedSpansKeepFirst scaladoc)
+    val df = docs(Seq((1L, "a b c d"), (2L, "b c d e"), (3L, "a b c d e")))
+    val out = Dedup.stripDuplicatedSpansKeepFirst(df, "doc_id", "text", 3, 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a b c d", 2L -> "e", 3L -> ""))
+  }
+
   test("stripDuplicatedSpans: extra columns ride through") {
     val df = docs(Seq((1L, "a b c d e f"), (2L, "x y c d e z")))
       .withColumn("lang", lit("en"))
