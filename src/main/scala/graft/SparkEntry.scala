@@ -750,6 +750,23 @@ object SparkEntry {
         .orderBy("user_id", "ts_anchor")
     }),
 
+    // ---- as-of nearest: each click's closest same-user purchase -----------
+    "q91_asof_nearest" -> ((s, dir) => {
+      val clicks = events(s, dir).where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = events(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.proc.AsofJoin.asofJoin(clicks, purchases,
+          Seq("user_id"), "ts", "ts", "nearest")
+        .select(col("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          unix_micros(col("ts")).as("ts_anchor"),
+          round(col("value"), 6).as("value"),
+          unix_micros(col("ts_r")).as("purchase_ts"),
+          round(col("value_r"), 6).as("purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // ---- per-split shard packing: shard ids restart per split -------------
     "q85_pack_per_split" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"),
@@ -1182,6 +1199,32 @@ object SparkEntry {
         |  round(p.value, 6) AS purchase_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY 1, 2""".stripMargin,
+
+    "q91_asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |b AS (SELECT c.event_id, c.user_id, c.ts, c.value,
+        |    p.ts AS bts, p.value AS bval
+        |  FROM c ASOF LEFT JOIN p
+        |    ON c.user_id = p.user_id AND c.ts >= p.ts),
+        |f AS (SELECT c.event_id, p.ts AS fts, p.value AS fval
+        |  FROM c ASOF LEFT JOIN p
+        |    ON c.user_id = p.user_id AND c.ts <= p.ts),
+        |n AS (SELECT b.event_id, b.user_id, b.ts, b.value,
+        |  CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+        |       WHEN bts IS NULL THEN 'f' WHEN fts IS NULL THEN 'b'
+        |       WHEN epoch_us(b.ts) - epoch_us(bts)
+        |         <= epoch_us(fts) - epoch_us(b.ts) THEN 'b' ELSE 'f'
+        |  END AS side, bts, bval, fts, fval
+        |  FROM b JOIN f USING (event_id))
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_anchor,
+        |  round(value, 6) AS value,
+        |  epoch_us(CASE WHEN side = 'b' THEN bts ELSE fts END) AS purchase_ts,
+        |  round(CASE WHEN side = 'b' THEN bval ELSE fval END, 6)
+        |    AS purchase_value
+        |FROM n ORDER BY event_id""".stripMargin,
 
     "q85_pack_per_split" ->
       """WITH t AS (SELECT doc_id,

@@ -80,6 +80,78 @@ class AsofJoinSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("nearest: min |Δt| wins, tie goes backward, one-sided keys work") {
+    val out = run(
+      l(("a", 5.0), ("a", 6.9), ("a", 1.0), ("b", 4.0), ("c", 9.0)),
+      r(("a", 4.0, 40.0), ("a", 8.0, 80.0), ("b", 9.0, 90.0)),
+      direction = "nearest")
+    assert(out == Set(
+      ("a", 5.0, Some(40.0)),  // |5-4|=1 < |8-5|=3
+      ("a", 6.9, Some(80.0)),  // |6.9-8|=1.1 < |6.9-4|=2.9
+      ("a", 1.0, Some(40.0)),  // only forward exists
+      ("b", 4.0, Some(90.0)),  // only forward exists
+      ("c", 9.0, None)))       // no right rows for c
+  }
+
+  test("nearest: exact tie at equal distance picks the backward row") {
+    val out = run(
+      l(("a", 5.0)),
+      r(("a", 3.0, 30.0), ("a", 7.0, 70.0)),
+      direction = "nearest")
+    assert(out == Set(("a", 5.0, Some(30.0))))
+  }
+
+  test("nearest honors tolerance on both sides") {
+    val out = run(
+      l(("a", 10.0)),
+      r(("a", 4.0, 40.0), ("a", 17.0, 70.0)),
+      direction = "nearest", tolerance = Some(5.0))
+    // backward Δ=6 and forward Δ=7 both exceed 5 → no match
+    assert(out == Set(("a", 10.0, None)))
+  }
+
+  test("allowExactMatches=false: backward skips the same-instant row") {
+    import spark.implicits._
+    def runStrict(direction: String) =
+      AsofJoin.asofJoin(
+        l(("a", 5.0), ("a", 7.0)), r(("a", 5.0, 50.0), ("a", 2.0, 20.0)),
+        Seq("k"), "t", "rt", direction, allowExactMatches = false)
+        .select(col("k"), col("t"), col("v"))
+        .collect().map(x => (x.getString(0), x.getDouble(1),
+          if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toSet
+    // backward: t=5 must NOT see rt=5 (strictly before → 20); t=7 sees 50
+    assert(runStrict("backward") ==
+      Set(("a", 5.0, Some(20.0)), ("a", 7.0, Some(50.0))))
+    // forward: t=5 must NOT see rt=5 and nothing is after → None
+    assert(runStrict("forward") ==
+      Set(("a", 5.0, None), ("a", 7.0, None)))
+    // nearest: t=5 → strictly-before 20 (Δ3) vs nothing forward
+    assert(runStrict("nearest") ==
+      Set(("a", 5.0, Some(20.0)), ("a", 7.0, Some(50.0))))
+  }
+
+  test("nearest differential: hot key over many partitions vs driver oracle") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val lefts = (0 until 3000).map(_ => ("hot", rng.nextDouble() * 1000))
+    val rights = (0 until 800).map(_ =>
+      ("hot", rng.nextDouble() * 1000, rng.nextDouble()))
+    val got = run(lefts.toDF("k", "t").repartition(13),
+      rights.toDF("k", "rt", "v").repartition(7), direction = "nearest")
+    val sorted = rights.sortBy(_._2)
+    val expect = lefts.map { case (k, t) =>
+      val back = sorted.takeWhile(_._2 <= t).lastOption
+      val fwd = sorted.find(_._2 >= t)
+      val m = (back, fwd) match {
+        case (Some(b), Some(f)) =>
+          if (t - b._2 <= f._2 - t) Some(b._3) else Some(f._3)
+        case (b, f) => b.orElse(f).map(_._3)
+      }
+      (k, t, m)
+    }.toSet
+    assert(got == expect)
+  }
+
   test("plan: the carry window is partitioned (no single-task as-of)") {
     val big = {
       import spark.implicits._
