@@ -393,12 +393,19 @@ object SparkEntry {
       Ann.lshBuckets(e, "vec_id", "embedding", 8, 64).orderBy("vec_id")
     }),
 
-    // ---- multimodal: binary payload plumbing + stub decode ----------------
+    // ---- multimodal: video frame-stats over pre-extracted frames ----------
+    // (real GIF decode supplies the frames; frameStats is the video rollup:
+    // the frame luminance steps by 40 per frame mod 256, so a "cut" at
+    // threshold 100 is exactly a wraparound step of |40 - 256| = 216)
     "q26_multimodal" -> ((s, dir) => {
-      val assets = Multimodal.fromText(docs(s, dir), "doc_id", "text")
-      Multimodal.decodeStub(assets).toDF()
-        .select(col("asset_id"), col("n_bytes"), col("width"), col("height"),
-          col("duration_ms"))
+      val par = s.sparkContext.defaultParallelism
+      val frames = Multimodal.decodeFrames(
+        Multimodal.gifsFromDocs(docs(s, dir).repartition(par),
+          "doc_id", "text"), 1).toDF().where(col("ok"))
+      Multimodal.frameStats(frames, 100.0)
+        .select(col("asset_id"), col("n_frames"), col("width"), col("height"),
+          round(col("lum_mean"), 6).as("lum_mean"),
+          round(col("lum_std"), 6).as("lum_std"), col("n_cuts"))
         .orderBy("asset_id")
     }),
 
@@ -1730,11 +1737,19 @@ object SparkEntry {
         |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "q26_multimodal" ->
-      """SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes,
-        | 16 + (ascii(substr(text, 1, 1)) % 64) * 16 AS width,
-        | 16 + (ascii(substr(text, 2, 1)) % 64) * 16 AS height,
-        | octet_length(encode(text)) * 7 AS duration_ms
-        |FROM documents ORDER BY asset_id""".stripMargin,
+      """WITH f AS (SELECT doc_id AS asset_id,
+        |    CAST(4 + strlen(text) % 16 AS INT) AS w,
+        |    CAST(3 + doc_id % 12 AS INT) AS h,
+        |    i, CAST((doc_id * 31 + i * 40) % 256 AS DOUBLE) AS lum
+        |  FROM documents, UNNEST(range(0, 2 + doc_id % 5)) AS t(i)),
+        |d AS (SELECT *, lag(lum) OVER (PARTITION BY asset_id ORDER BY i)
+        |    AS pl FROM f)
+        |SELECT asset_id, count(*) AS n_frames, max(w) AS width,
+        |  max(h) AS height, round(avg(lum), 6) AS lum_mean,
+        |  round(stddev_pop(lum), 6) AS lum_std,
+        |  CAST(coalesce(sum(CASE WHEN abs(lum - pl) > 100.0
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cuts
+        |FROM d GROUP BY asset_id ORDER BY asset_id""".stripMargin,
 
     "q27_lang_id" -> {
       val scores = TextStats.langMarkers.map { case (lang, ms) =>

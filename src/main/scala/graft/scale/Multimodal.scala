@@ -13,8 +13,13 @@ import org.apache.spark.sql.types._
   * ([[decodeImage]], [[resizeImage]], [[imageHistogram]]) and WAV audio
   * decode ([[decodeWav]]) are REAL codecs on the JRE's own `javax.imageio` /
   * `javax.sound.sampled` (PNG/JPEG/GIF/BMP + PCM WAVE) — no external libs.
-  * Video remains stubbed (`decodeStub`, no codec in the JRE) with the same
-  * streaming shape.
+  *
+  * Video: the JRE ships no video codec, so frame EXTRACTION is
+  * bring-your-own (an upstream ffmpeg pass, or [[decodeFrames]] for
+  * multi-frame image containers like animated GIF); once frames exist as
+  * rows, [[frameStats]] rolls them up to per-asset video analytics — the
+  * decode-heavy stages stay the same streaming per-partition shape either
+  * way.
   */
 object Multimodal {
 
@@ -27,36 +32,6 @@ object Multimodal {
       StructField("source", StringType, nullable = true),
       StructField("mime", StringType, nullable = true),
       StructField("n_bytes", LongType, nullable = true))), nullable = true)))
-
-  final case class DecodedMeta(
-      asset_id: Long, media_type: String, n_bytes: Long,
-      width: Int, height: Int, duration_ms: Long, checksum: String)
-
-  /** STUB decoder: derives deterministic fake media properties from the
-    * payload bytes (first bytes → "dimensions", length → "duration").
-    * Replace the body with a real codec (javax.imageio / ffmpeg bindings)
-    * in production; the signature and the `mapPartitions` streaming shape
-    * are what a 1000-executor decode job needs.
-    */
-  def decodeStub(df: DataFrame): Dataset[DecodedMeta] = {
-    implicit val enc = Encoders.product[DecodedMeta]
-    df.select(col("asset_id"), col("media_type"), col("payload"))
-      .mapPartitions { it =>
-        it.map { row =>
-          val id = row.getLong(0)
-          val mt = row.getString(1)
-          val bytes = if (row.isNullAt(2)) Array.emptyByteArray else row.getAs[Array[Byte]](2)
-          val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
-          val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
-          val crc = new java.util.zip.CRC32()
-          crc.update(bytes)
-          DecodedMeta(id, mt, bytes.length.toLong,
-            width = 16 + (b0 % 64) * 16, height = 16 + (b1 % 64) * 16,
-            duration_ms = bytes.length.toLong * 7L,
-            checksum = java.lang.Long.toHexString(crc.getValue))
-        }
-      }
-  }
 
   /** Wrap a text table as fake binary assets (UTF-8 payloads) — used by
     * tests and the oracle query so the binary plumbing runs on real rows
@@ -81,23 +56,30 @@ object Multimodal {
   final case class ResizedMeta(asset_id: Long, width: Int, height: Int,
                                payload: Array[Byte])
 
-  /** STUB resize: streams per-partition batches through the "codec" and
-    * re-emits payloads with target dimensions. The real implementation
-    * swaps the body for an image library; the iterator shape (no partition
-    * materialization, executor-parallel) is the production contract.
+  /** Per-asset video analytics over a PRE-EXTRACTED frames table
+    * (asset_id, frame_index, width, height, mean_lum — [[decodeFrames]]'s
+    * shape, or rows from an upstream ffmpeg extraction; filter `ok` frames
+    * first): frame count, dimensions, luminance mean/std, and cut count
+    * (frame-ordered luminance jumps greater than `cutThreshold`, the
+    * classic hard-cut detector).
+    *
+    * Scale shape: one window partitioned BY ASSET (bounded by a single
+    * video's frame count — thousands, never corpus-sized, unlike the
+    * corpus-wide keys `Scan.keyedRank` exists for) for the frame-to-frame
+    * luminance delta, then one hash aggregate per asset. No collects, no
+    * global sort.
     */
-  def resizeStub(df: DataFrame, w: Int, h: Int): Dataset[ResizedMeta] = {
-    implicit val enc = Encoders.product[ResizedMeta]
-    df.select(col("asset_id"), col("payload")).mapPartitions { it =>
-      it.map { row =>
-        val bytes = if (row.isNullAt(1)) Array.emptyByteArray
-                    else row.getAs[Array[Byte]](1)
-        // deterministic fake: truncate/pad payload to w*h/64 bytes
-        val target = math.max(w * h / 64, 1)
-        val out = java.util.Arrays.copyOf(bytes, target)
-        ResizedMeta(row.getLong(0), w, h, out)
-      }
-    }
+  def frameStats(frames: DataFrame, cutThreshold: Double = 32.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("asset_id").orderBy("frame_index")
+    frames
+      .withColumn("__dlum", abs(col("mean_lum") - lag("mean_lum", 1).over(w)))
+      .groupBy("asset_id")
+      .agg(count(lit(1)).as("n_frames"),
+        max("width").as("width"), max("height").as("height"),
+        avg("mean_lum").as("lum_mean"),
+        stddev_pop("mean_lum").as("lum_std"),
+        sum(when(col("__dlum") > cutThreshold, 1L).otherwise(0L)).as("n_cuts"))
   }
 
   // ---- real image codec (javax.imageio — in the JRE, headless-safe) ------

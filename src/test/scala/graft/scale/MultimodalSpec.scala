@@ -15,17 +15,37 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.fromText(docs, "doc_id", "text")
   }
 
-  test("decode stub emits deterministic metadata per asset") {
-    val out = Multimodal.decodeStub(assets).collect().sortBy(_.asset_id)
-    assert(out.map(_.asset_id).toSeq == Seq(1L, 2L, 3L))
-    assert(out(0).n_bytes == 11L && out(0).duration_ms == 77L)
-    assert(out(2).n_bytes == 0L) // empty payload survives
+  test("frameStats rolls pre-extracted frames up to per-asset video stats") {
+    import spark.implicits._
+    // asset 1: lum 10 → 60 → 200 → 190: two jumps over threshold 100?
+    // |60-10|=50, |200-60|=140 (cut), |190-200|=10 → one cut
+    // asset 2: single frame → std 0, no cuts
+    val frames = Seq(
+      (1L, 0, 5, 4, 10.0), (1L, 1, 5, 4, 60.0),
+      (1L, 2, 5, 4, 200.0), (1L, 3, 5, 4, 190.0),
+      (2L, 0, 7, 2, 30.0))
+      .toDF("asset_id", "frame_index", "width", "height", "mean_lum")
+      .repartition(3) // the per-asset window must re-order shuffled frames
+    val out = Multimodal.frameStats(frames, 100.0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
+    val (n1, w1, h1, mu1, sd1, cuts1) = out(1L)
+    assert((n1, w1, h1, mu1, cuts1) == ((4L, 5, 4, 115.0, 1L)))
+    // σ_pop = sqrt((105² + 55² + 85² + 75²) / 4) = sqrt(6725)
+    assert(math.abs(sd1 - math.sqrt(6725.0)) < 1e-9)
+    assert(out(2L) == ((1L, 7, 2, 30.0, 0.0, 0L)))
   }
 
-  test("resize stub keeps the asset id and hits the target byte budget") {
-    val out = Multimodal.resizeStub(assets, 64, 64).collect().sortBy(_.asset_id)
-    assert(out.forall(r => r.width == 64 && r.height == 64))
-    assert(out.forall(_.payload.length == 64 * 64 / 64))
+  test("frameStats composes with real GIF decode end-to-end") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Multimodal.syntheticGif(5, 4, Seq(10, 60, 210))),
+      (2L, "not a gif".getBytes("UTF-8"))).toDF("asset_id", "payload")
+    val frames = Multimodal.decodeFrames(df, 1).toDF().where(col("ok"))
+    val out = Multimodal.frameStats(frames, 100.0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(6))).toMap
+    // |60-10|=50, |210-60|=150 → one cut; the corrupt asset has no ok rows
+    assert(out == Map(1L -> ((3L, 1L))))
   }
 
   test("decodeImage recovers exact dimensions and channel constants from a PNG roundtrip") {
