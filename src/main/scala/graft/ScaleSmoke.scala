@@ -124,6 +124,27 @@ object ScaleSmoke {
       Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6,
         collapseExact = false).count()
     }
+    // the q73 capstone composition: pin fan-out + PPJoin + connected
+    // components + split/pack in ONE job — the only multi-stage pipeline
+    // whose interaction (not just its parts) needs scale evidence
+    time(s"docs x$copies corpus prep fuzzy") {
+      import graft.scale.{Sampling, TextStats}
+      val scrubbed = docs.select(col("doc_id"),
+        TextStats.redactPii(col("text")).as("text"))
+      val quality = Pinned.checkpoint(
+        scrubbed.where(TextStats.tokenCount(col("text")) >= 50))
+      val exact = Dedup.keepExactNormalized(quality, "doc_id", "text")
+      val pairs = Dedup.jaccardPairs(exact, "doc_id", "text", 3, 0.6)
+      val fuzzy = Dedup.keepRepresentatives(exact, "doc_id", pairs)
+      val split = Sampling.deterministicSplit(fuzzy, "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      val train = split.where(col("split") === "train")
+        .withColumn("__tok", TextStats.tokenCount(col("text")).cast("long"))
+      val packed = Sampling.packShards(train, "doc_id", "__tok", 20000L)
+        .select(col("doc_id"), col("shard"))
+      split.join(packed, Seq("doc_id"), "left")
+        .queryExecution.toRdd.count()
+    }
     time(s"docs x$copies repetition") {
       graft.scale.TextStats.repetition(docs, "doc_id", "text").count()
     }
