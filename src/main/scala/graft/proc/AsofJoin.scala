@@ -36,6 +36,10 @@ import graft.core.Scan
   */
 object AsofJoin {
 
+  /** See the object scaladoc for semantics and the scale shape; oracles:
+    * q82_asof_join (backward), q91_asof_nearest (nearest two-carry
+    * composition vs DuckDB's two-sided ASOF emulation).
+    */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTime: String, rightTime: String,
                direction: String = "backward",

@@ -33,6 +33,12 @@ object Resample {
       .unionByName(grid)
   }
 
+  /** Resample to a regular `step` grid by as-of carry (last sample
+    * at-or-before each grid point; leading grid points before the first
+    * sample stay null). One distributed fill-forward scan over the
+    * sample∪grid union (`Scan.fillForward` — range-partitioned, no global
+    * window); oracle: q47_resample.
+    */
   def asofGrid(s: Series, step: Double): DataFrame =
     Scan.fillForward(gridUnion(s, step), Seq("__idx", "__tag"), "__v", "__fv")
       .where(col("__tag") === 1)

@@ -121,6 +121,14 @@ object Sampling {
       .drop("__h", "__cum")
   }
 
+  /** EXACT stratified split: within every stratum, assign the first p₁% of
+    * rows (in deterministic md5-of-id order) to the first split, the next
+    * p₂% to the second, etc — band sizes exact to rounding of the stratum
+    * count, unlike hash-bucket splits whose per-stratum proportions drift
+    * at small strata. Scale shape: `Scan.keyedRank` (range-partitioned
+    * within stratum + summary-sized offset stitch), so a billion-row
+    * stratum spans many tasks; oracle: q57_stratified_split.
+    */
   def stratifiedSplit(df: DataFrame, idCol: String, strataCol: String,
                       splits: Seq[(String, Int)]): DataFrame = {
     require(splits.map(_._2).sum == 100, "split percentages must sum to 100")

@@ -51,6 +51,8 @@ object TextStats {
     (length(text) - length(regexp_replace(text, punctClass, ""))).cast("double") /
       greatest(length(text), lit(1)).cast("double")
 
+  /** English stopword set for the quality measures (small on purpose: the
+    * ratio is a signal, not an NLP dictionary). */
   val stopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "at", "by", "be", "this")
@@ -95,6 +97,9 @@ object TextStats {
     "es" -> Seq("el", "que", "los", "por", "una"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
+  /** Per-language marker-token hit counts (one codegen'd filter per
+    * language over the token split; map-only). Feeds [[langId]]; oracle:
+    * q27_lang_id. */
   def langScores(text: Column): Seq[(String, Column)] = {
     val toks = split(lower(trim(text)), "\\s+")
     langMarkers.map { case (lang, ms) =>

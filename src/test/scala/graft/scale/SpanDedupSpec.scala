@@ -126,6 +126,41 @@ class SpanDedupSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: keepFirst = all hits minus the (id,pos)-minimal per gram class") {
+    import spark.implicits._
+    val vocab = Vector("a", "b", "c", "d")
+    for (seed <- Seq(3, 11, 29)) {
+      val rng = new scala.util.Random(seed)
+      val n = 3
+      val corpus = (0L until 40L).map(id =>
+        (id, (0 until (n + rng.nextInt(20))).map(_ =>
+          vocab(rng.nextInt(vocab.size))).mkString(" ")))
+      val grams = corpus.flatMap { case (id, text) =>
+        text.split(" ").sliding(n).zipWithIndex.map { case (g, i) =>
+          (id, i + 1, g.mkString(" ")) } }
+      val byGram = grams.groupBy(_._3)
+      // the exempt occurrence per duplicated gram: minimal (id, pos)
+      val first = byGram.view.mapValues(_.map(g => (g._1, g._2)).min).toMap
+      val expect = corpus.flatMap { case (id, _) =>
+        val hits = grams.filter(g => g._1 == id && byGram(g._3).size >= 2 &&
+            first(g._3) != ((id, g._2)))
+          .map(_._2).sorted
+        val spans = scala.collection.mutable.ListBuffer[(Int, Int)]()
+        hits.foreach { p =>
+          if (spans.nonEmpty && p <= spans.last._2) {
+            val (s0, e0) = spans.remove(spans.length - 1)
+            spans += ((s0, math.max(e0, p + n)))
+          } else spans += ((p, p + n))
+        }
+        spans.map { case (s0, e0) => (id, s0, e0) }
+      }.toSet
+      val got = Dedup.duplicatedSpansKeepFirst(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", n = n, minCount = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(got == expect, s"seed $seed: ${got.size} vs ${expect.size} spans")
+    }
+  }
+
   test("contaminatedSpans: marks exactly the eval-set collisions") {
     import spark.implicits._
     val corpus = Seq(
