@@ -31,10 +31,14 @@ object Bench {
       SparkEntry.queries.get("q00_tpch_q1").foreach(_(spark, sfDir)
         .queryExecution.toRdd.count())
     } catch { case _: Throwable => }
-    // Two full passes, per-query min: run-to-run variance at local[N] is up
-    // to 3x per query (GC/scheduling), so a single pass lets ordering and
-    // warmup masquerade as per-query regressions. min-of-2 measures the
-    // plan, not the scheduler's mood.
+    // Each query runs TWICE back-to-back: the first run pays whatever the
+    // suite context costs (Janino's 100-entry codegen-class cache holds a
+    // few hundred generated classes per ~90-query pass, so a query's
+    // classes are always evicted by the time a second FULL pass reaches it
+    // — the r8-diagnosed wobble); the immediate repeat hits the codegen
+    // cache and measures the PLAN. The warm vector is the headline
+    // (round-over-round comparable); the cold vector stays in the artifact
+    // as the suite-context number.
     val names = SparkEntry.queries.keys.toSeq.sorted
     def once(name: String): Double = {
       val t0 = System.nanoTime()
@@ -54,15 +58,23 @@ object Bench {
       // (observed: a stable ~3.7 s CC query reading 19.8 s under prior
       // queries' retained checkpoints)
       graft.core.Pinned.release()
+      // ContextCleaner reclaims dead broadcast/shuffle/accumulator state
+      // only when a GC collects their weak references; ~180 query-runs in
+      // one JVM accumulate enough un-collected debris that the heaviest
+      // multi-round queries (CC fixpoints) read 5-7x slow late in the
+      // suite even on an immediate repeat. A GC at the query boundary
+      // makes reclamation deterministic instead of landing mid-measurement.
+      System.gc()
       sec
     }
-    val pass1 = names.map(n => n -> once(n)).toMap
-    val pass2 = names.map(n => n -> once(n)).toMap
-    val results = names.map(n => n -> math.min(pass1(n), pass2(n)))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2}"""
+    val timed = names.map(n => (n, once(n), once(n))) // (name, cold, warm)
+    def jmap(f: ((String, Double, Double)) => Double) =
+      timed.map(t => s"\"" + t._1 + "\":" + f(t)).mkString("{", ",", "}")
+    val qs = jmap(_._3)        // headline: warm (plan cost, codegen cached)
+    val qsCold = jmap(_._2)    // suite-context cost (cache-eviction noise in)
+    val total = timed.map(_._3).sum
+    val totalCold = timed.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$totalCold,"queries_cold":$qsCold,"sf":"$sfDir","passes":2,"headline":"warm"}"""
     println(json)
     // the stdout line gets tail-truncated by log captures once the suite
     // passes ~90 queries, losing the alphabetically-early per-query times;
