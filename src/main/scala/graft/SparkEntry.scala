@@ -741,6 +741,17 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- Hjorth params: one fused aggregate, two outputs ------------------
+    "q92_hjorth" -> ((s, dir) => {
+      val fc = FeatureCollection(FeatureDescriptor(hjorthParams, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h")))))
+      fc.calculate(Seq(valueSeries(s, dir)))
+        .select(unix_micros(col("ts")).as("ts_anchor"),
+          r6("value__hjorth_mobility__w=1D"),
+          r6("value__hjorth_complexity__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
     // ---- keyed as-of join: each click's last same-user purchase -----------
     "q82_asof_join" -> ((s, dir) => {
       val clicks = events(s, dir).where(col("event_type") === "click")
@@ -1252,6 +1263,25 @@ object SparkEntry {
       """SELECT user_id, round(median(value), 6) AS q_median,
         |  round(quantile_cont(value, 0.9), 6) AS q_p90
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q92_hjorth" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)},
+         |j AS (SELECT we, ts, value FROM seg LEFT JOIN events
+         |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |d AS (SELECT we, ts, value,
+         |  value - lag(value) OVER (PARTITION BY we ORDER BY ts) AS dx
+         |  FROM j),
+         |d2 AS (SELECT we, value, dx,
+         |  dx - lag(dx) OVER (PARTITION BY we ORDER BY ts) AS ddx FROM d),
+         |v AS (SELECT we, var_pop(value) AS vx, var_pop(dx) AS vdx,
+         |  var_pop(ddx) AS vddx FROM d2 GROUP BY we)
+         |SELECT we AS ts_anchor,
+         |  round(CASE WHEN vx > 0 AND vdx IS NOT NULL
+         |    THEN sqrt(vdx / vx) END, 6) AS "value__hjorth_mobility__w=1D",
+         |  round(CASE WHEN vdx > 0 AND vddx IS NOT NULL AND vx > 0
+         |    THEN sqrt(vddx / vdx) / sqrt(vdx / vx) END, 6)
+         |    AS "value__hjorth_complexity__w=1D"
+         |FROM v ORDER BY 1""".stripMargin,
 
     "q90_entropy" ->
       s"""WITH ${segCte(DAY, 6 * HOUR)},

@@ -473,6 +473,56 @@ object FeatureFuncs {
       when(w > 0 && a > 0 && b > 0, -log(a / b))
     })
 
+  /** Population variance of an array column in ONE fold: accumulate
+    * (n, Σx, Σx²), finish (Σx² − (Σx)²/n)/n; NULL on empty input. The
+    * lambda touches only its carry and element (see [[meanCrossings]]).
+    */
+  private def arrVarPop(arr: Column): Column =
+    aggregate(arr,
+      struct(lit(0L).as("n"), lit(0.0).as("s"), lit(0.0).as("s2")),
+      (acc, x) => struct((acc.getField("n") + 1L).as("n"),
+        (acc.getField("s") + x).as("s"),
+        (acc.getField("s2") + x * x).as("s2")),
+      acc => {
+        val n = acc.getField("n").cast("double")
+        when(acc.getField("n") > 0,
+          (acc.getField("s2") - acc.getField("s") * acc.getField("s") / n) / n)
+      })
+
+  /** Hjorth mobility and complexity (antropy `hjorth_params`, the second
+    * FuncWrapper-required member of the reference integration surface —
+    * tests/test_features_integration.py:375-380): with dx/ddx the first and
+    * second index-ordered differences,
+    * mobility = sqrt(var(dx)/var(x)), complexity = sqrt(var(ddx)/var(dx))
+    * / mobility — all variances population. One fused aggregate emitting
+    * BOTH outputs (multi-output struct, the reference's
+    * output_names=["hjorth_mobility","hjorth_complexity"]); the difference
+    * arrays come from slice+zip_with (never element_at-in-lambda), their
+    * variances from single [[arrVarPop]] folds. NULL when a needed
+    * variance is 0 or the window is too short (< 2 for mobility, < 3 for
+    * complexity).
+    */
+  val hjorthParams: FeatureFunc = {
+    def diffs(a: Column): Column = {
+      val n = size(a)
+      zip_with(slice(a, lit(2), greatest(n - 1, lit(0))),
+               slice(a, lit(1), greatest(n - 1, lit(0))),
+               (b, c) => b - c)
+    }
+    FeatureFunc("hjorth", (idx, v) => {
+      val vals = sortedVals(idx, v)
+      val dx = diffs(vals)
+      val ddx = diffs(dx)
+      val vx = var_pop(v) // native: order-free, O(1) reference
+      val vdx = arrVarPop(dx)
+      val vddx = arrVarPop(ddx)
+      val mob = when(vx > 0 && vdx.isNotNull, sqrt(vdx / vx))
+      val comp = when(vdx > 0 && vddx.isNotNull && mob.isNotNull,
+        sqrt(vddx / vdx) / mob)
+      struct(mob.as("hjorth_mobility"), comp.as("hjorth_complexity"))
+    }, outputNames = Some(Seq("hjorth_mobility", "hjorth_complexity")))
+  }
+
   /** [[sampEnImpl]] with antropy's default tolerance r = rFactor · σ_pop
     * (the window's own population std, a native aggregate referenced O(1)
     * inside the quantize lambda).

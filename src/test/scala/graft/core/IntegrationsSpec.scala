@@ -25,6 +25,28 @@ class IntegrationsSpec extends SparkSpec {
     if (r.isNullAt(0)) None else Some(r.getDouble(0))
   }
 
+  test("hjorth mobility/complexity match hand-computed variances") {
+    // x = (1,2,1,3,0): var_pop = 5.2/5; dx = (1,-1,2,-3): var_pop = 14.75/4
+    // ddx = (-2,3,-5): var_pop = 38/3 - (4/3)^2 = 98/9
+    val r = df.agg(hjorthParams.agg(col("idx"), col("v"))).head.getStruct(0)
+    val (vx, vdx, vddx) = (5.2 / 5, 14.75 / 4, 98.0 / 9)
+    val mob = math.sqrt(vdx / vx)
+    val comp = math.sqrt(vddx / vdx) / mob
+    assert(math.abs(r.getDouble(0) - mob) < 1e-12)
+    assert(math.abs(r.getDouble(1) - comp) < 1e-12)
+  }
+
+  test("hjorth guards: constant and short windows degrade to null/zero") {
+    import spark.implicits._
+    val const = Seq((0L, 5.0), (1L, 5.0), (2L, 5.0)).toDF("idx", "v")
+    val rc = const.agg(hjorthParams.agg(col("idx"), col("v"))).head.getStruct(0)
+    assert(rc.isNullAt(0) && rc.isNullAt(1)) // var(x) = 0
+    val two = Seq((0L, 1.0), (1L, 4.0)).toDF("idx", "v")
+    val r2 = two.agg(hjorthParams.agg(col("idx"), col("v"))).head.getStruct(0)
+    // a single dx has var 0 -> mobility 0, complexity null (no ddx)
+    assert(r2.getDouble(0) == 0.0 && r2.isNullAt(1))
+  }
+
   test("abs_energy = sum of squares") {
     assert(eval(absEnergy).contains(15.0)) // 1+4+1+9+0
   }
