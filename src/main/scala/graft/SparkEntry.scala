@@ -741,6 +741,18 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- fractal dimensions: Petrosian + Katz, fused aggregates -----------
+    "q93_fractal" -> ((s, dir) => {
+      val fc = FeatureCollection.of(Seq(petrosianFd, katzFd).map(f =>
+        FeatureDescriptor(f, "value",
+          Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
+      fc.calculate(Seq(valueSeries(s, dir)))
+        .select(unix_micros(col("ts")).as("ts_anchor"),
+          r6("value__petrosian_fd__w=1D"),
+          r6("value__katz_fd__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
     // ---- Hjorth params: one fused aggregate, two outputs ------------------
     "q92_hjorth" -> ((s, dir) => {
       val fc = FeatureCollection(FeatureDescriptor(hjorthParams, "value",
@@ -1263,6 +1275,32 @@ object SparkEntry {
       """SELECT user_id, round(median(value), 6) AS q_median,
         |  round(quantile_cont(value, 0.9), 6) AS q_p90
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q93_fractal" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)},
+         |j AS (SELECT we, ts, value FROM seg LEFT JOIN events
+         |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |d AS (SELECT we, ts, value,
+         |  value - lag(value) OVER (PARTITION BY we ORDER BY ts) AS dx
+         |  FROM j),
+         |sg AS (SELECT we, CASE WHEN sign(dx) !=
+         |    sign(lag(dx) OVER (PARTITION BY we ORDER BY ts))
+         |  THEN 1.0 ELSE 0.0 END AS chg
+         |  FROM d WHERE dx IS NOT NULL),
+         |nd AS (SELECT we, sum(chg) AS nd FROM sg GROUP BY we),
+         |a AS (SELECT we, CAST(count(value) AS DOUBLE) AS n,
+         |  sum(abs(dx)) AS L, arg_min(value, ts) AS x1,
+         |  max(value) AS mx, min(value) AS mn FROM d GROUP BY we)
+         |SELECT a.we AS ts_anchor,
+         |  round(CASE WHEN n >= 2 THEN log10(n) /
+         |    (log10(n) + log10(n / (n + 0.4 * coalesce(nd.nd, 0))))
+         |  END, 6) AS "value__petrosian_fd__w=1D",
+         |  round(CASE WHEN n >= 2 AND L > 0
+         |      AND greatest(mx - x1, x1 - mn) > 0
+         |    THEN log10(n - 1) / (log10(n - 1)
+         |      + log10(greatest(mx - x1, x1 - mn) / L))
+         |  END, 6) AS "value__katz_fd__w=1D"
+         |FROM a LEFT JOIN nd ON a.we = nd.we ORDER BY 1""".stripMargin,
 
     "q92_hjorth" ->
       s"""WITH ${segCte(DAY, 6 * HOUR)},

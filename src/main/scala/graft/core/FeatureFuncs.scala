@@ -489,6 +489,15 @@ object FeatureFuncs {
           (acc.getField("s2") - acc.getField("s") * acc.getField("s") / n) / n)
       })
 
+  /** First differences of an array column (index-ordered), via slices
+    * zipped pairwise — never `element_at`-in-lambda (the [[numberPeaks1]]
+    * trap). Empty for arrays shorter than 2.
+    */
+  private def arrDiffs(a: Column): Column = {
+    val m = greatest(size(a) - 1, lit(0))
+    zip_with(slice(a, lit(2), m), slice(a, lit(1), m), (b, c) => b - c)
+  }
+
   /** Hjorth mobility and complexity (antropy `hjorth_params`, the second
     * FuncWrapper-required member of the reference integration surface —
     * tests/test_features_integration.py:375-380): with dx/ddx the first and
@@ -503,16 +512,10 @@ object FeatureFuncs {
     * complexity).
     */
   val hjorthParams: FeatureFunc = {
-    def diffs(a: Column): Column = {
-      val n = size(a)
-      zip_with(slice(a, lit(2), greatest(n - 1, lit(0))),
-               slice(a, lit(1), greatest(n - 1, lit(0))),
-               (b, c) => b - c)
-    }
     FeatureFunc("hjorth", (idx, v) => {
       val vals = sortedVals(idx, v)
-      val dx = diffs(vals)
-      val ddx = diffs(dx)
+      val dx = arrDiffs(vals)
+      val ddx = arrDiffs(dx)
       val vx = var_pop(v) // native: order-free, O(1) reference
       val vdx = arrVarPop(dx)
       val vddx = arrVarPop(ddx)
@@ -522,6 +525,46 @@ object FeatureFuncs {
       struct(mob.as("hjorth_mobility"), comp.as("hjorth_complexity"))
     }, outputNames = Some(Seq("hjorth_mobility", "hjorth_complexity")))
   }
+
+  /** Petrosian fractal dimension (antropy `petrosian_fd`, part of the
+    * reference integration surface's `ant.fractal.all` sweep):
+    * log10(n) / (log10(n) + log10(n / (n + 0.4·N_Δ))) with N_Δ the number
+    * of sign changes in the first difference. One fused aggregate: the
+    * sign array folds over slice-zipped difference pairs; n is the native
+    * count. A constant window gives exactly 1.0; NULL for n < 2.
+    */
+  val petrosianFd: FeatureFunc = FeatureFunc("petrosian_fd", (idx, v) => {
+    val sg = transform(arrDiffs(sortedVals(idx, v)), x => signum(x))
+    val n = count(v).cast("double") // native: O(1) reference
+    val m = greatest(size(sg) - 1, lit(0))
+    val nd = aggregate(
+      zip_with(slice(sg, lit(2), m), slice(sg, lit(1), m),
+        (a, b) => when(a =!= b, 1.0).otherwise(0.0)),
+      lit(0.0), (acc, x) => acc + x)
+    when(n >= 2,
+      log10(n) / (log10(n) + log10(n / (n + lit(0.4) * nd))))
+  })
+
+  /** Katz fractal dimension (antropy `katz_fd`): with L = Σ|Δx| the path
+    * length, d = max|x_i − x_1| the farthest excursion from the first
+    * sample, and n the number of steps, KFD = log10(n) / (log10(n) +
+    * log10(d/L)). L is one slice-zipped fold; d needs no array at all —
+    * max|x − x₁| = max(max(x) − x₁, x₁ − min(x)) from three native
+    * aggregates (min_by gives x₁ without a second scan). NULL for
+    * degenerate windows (n < 2, zero path length, zero excursion —
+    * antropy's nan cases).
+    */
+  val katzFd: FeatureFunc = FeatureFunc("katz_fd", (idx, v) => {
+    val vals = sortedVals(idx, v)
+    val L = aggregate(transform(arrDiffs(vals), x => abs(x)),
+      lit(0.0), (acc, x) => acc + x)
+    val x1 = min_by(v, idx)
+    val d = greatest(org.apache.spark.sql.functions.max(v) - x1,
+      x1 - org.apache.spark.sql.functions.min(v))
+    val n = (count(v) - 1).cast("double")
+    when(n >= 1 && L > 0 && d > 0,
+      log10(n) / (log10(n) + log10(d / L)))
+  })
 
   /** [[sampEnImpl]] with antropy's default tolerance r = rFactor · σ_pop
     * (the window's own population std, a native aggregate referenced O(1)

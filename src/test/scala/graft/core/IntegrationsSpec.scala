@@ -47,6 +47,30 @@ class IntegrationsSpec extends SparkSpec {
     assert(r2.getDouble(0) == 0.0 && r2.isNullAt(1))
   }
 
+  test("petrosian_fd matches the closed form; constant window = 1") {
+    // x = (1,2,1,3,0): dx = (1,-1,2,-3) → signs (1,-1,1,-1) → 3 changes
+    val n = 5.0; val nd = 3.0
+    val expect = math.log10(n) /
+      (math.log10(n) + math.log10(n / (n + 0.4 * nd)))
+    assert(math.abs(eval(petrosianFd).get - expect) < 1e-12)
+    import spark.implicits._
+    val const = Seq((0L, 5.0), (1L, 5.0), (2L, 5.0)).toDF("idx", "v")
+    val rc = const.agg(petrosianFd.agg(col("idx"), col("v")).cast("double")).head
+    assert(rc.getDouble(0) == 1.0) // no sign changes → log10(n/n) = 0
+    val one = Seq((0L, 5.0)).toDF("idx", "v")
+    assert(one.agg(petrosianFd.agg(col("idx"), col("v"))).head.isNullAt(0))
+  }
+
+  test("katz_fd matches the closed form; degenerate windows null") {
+    // x = (1,2,1,3,0): L = 1+1+2+3 = 7; x1 = 1; d = max(3-1, 1-0) = 2; n = 4
+    val expect = math.log10(4.0) /
+      (math.log10(4.0) + math.log10(2.0 / 7.0))
+    assert(math.abs(eval(katzFd).get - expect) < 1e-12)
+    import spark.implicits._
+    val const = Seq((0L, 5.0), (1L, 5.0)).toDF("idx", "v")
+    assert(const.agg(katzFd.agg(col("idx"), col("v"))).head.isNullAt(0))
+  }
+
   test("abs_energy = sum of squares") {
     assert(eval(absEnergy).contains(15.0)) // 1+4+1+9+0
   }
