@@ -741,6 +741,19 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- entropy tranche 2: approximate entropy + normalized perm ---------
+    "q94_apen" -> ((s, dir) => {
+      val fns = Seq(approxEntropyAbs(2, 10.0),
+        permutationEntropy(3, normalize = true))
+      val fc = FeatureCollection.of(fns.map(f => FeatureDescriptor(f, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
+      fc.calculate(Seq(valueSeries(s, dir)))
+        .select(unix_micros(col("ts")).as("ts_anchor"),
+          r6("value__apen_2_r10.0__w=1D"),
+          r6("value__perm_entropy_3_norm__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
     // ---- fractal dimensions: Petrosian + Katz, fused aggregates -----------
     "q93_fractal" -> ((s, dir) => {
       val fc = FeatureCollection.of(Seq(petrosianFd, katzFd).map(f =>
@@ -1275,6 +1288,41 @@ object SparkEntry {
       """SELECT user_id, round(median(value), 6) AS q_median,
         |  round(quantile_cont(value, 0.9), 6) AS q_p90
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q94_apen" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)},
+         |j AS (SELECT we, ts, value FROM seg LEFT JOIN events
+         |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |d AS (SELECT we, value,
+         |  lead(value, 1) OVER (PARTITION BY we ORDER BY ts) AS v1,
+         |  lead(value, 2) OVER (PARTITION BY we ORDER BY ts) AS v2 FROM j),
+         |pc AS (SELECT we,
+         |  ((CASE WHEN v1 < value THEN 1 ELSE 0 END)
+         |   + (CASE WHEN v2 < value THEN 1 ELSE 0 END)) * 9
+         |  + ((CASE WHEN value <= v1 THEN 1 ELSE 0 END)
+         |   + (CASE WHEN v2 < v1 THEN 1 ELSE 0 END)) * 3
+         |  + ((CASE WHEN value <= v2 THEN 1 ELSE 0 END)
+         |   + (CASE WHEN v1 <= v2 THEN 1 ELSE 0 END)) AS code
+         |  FROM d WHERE v2 IS NOT NULL),
+         |pct AS (SELECT we, code, count(*) AS c FROM pc GROUP BY we, code),
+         |pe AS (SELECT we, (log2(sum(c)) - sum(c * log2(c)) / sum(c))
+         |    / log2(6) AS pe FROM pct GROUP BY we),
+         |sb AS (SELECT we, floor(value / 10.0) AS b0, floor(v1 / 10.0) AS b1,
+         |  floor(v2 / 10.0) AS b2 FROM d),
+         |p2 AS (SELECT we, sum(c * ln(c)) / sum(c) - ln(sum(c)) AS phi
+         |  FROM (SELECT we, b0, b1, CAST(count(*) AS DOUBLE) AS c FROM sb
+         |    WHERE b1 IS NOT NULL GROUP BY we, b0, b1) GROUP BY we),
+         |p3 AS (SELECT we, sum(c * ln(c)) / sum(c) - ln(sum(c)) AS phi
+         |  FROM (SELECT we, b0, b1, b2, CAST(count(*) AS DOUBLE) AS c FROM sb
+         |    WHERE b2 IS NOT NULL GROUP BY we, b0, b1, b2) GROUP BY we),
+         |ap AS (SELECT p2.we, p2.phi - p3.phi AS ap
+         |  FROM p2 JOIN p3 ON p2.we = p3.we)
+         |SELECT seg.we AS ts_anchor,
+         |  round(ap.ap, 6) AS "value__apen_2_r10.0__w=1D",
+         |  round(pe.pe, 6) AS "value__perm_entropy_3_norm__w=1D"
+         |FROM seg LEFT JOIN ap ON seg.we = ap.we
+         |  LEFT JOIN pe ON seg.we = pe.we
+         |ORDER BY 1""".stripMargin,
 
     "q93_fractal" ->
       s"""WITH ${segCte(DAY, 6 * HOUR)},

@@ -566,6 +566,51 @@ object FeatureFuncs {
       log10(n) / (log10(n) + log10(d / L)))
   })
 
+  /** Binned approximate-entropy APPROXIMATION, φ(m) − φ(m+1) with
+    * φ(mm) = (1/N)Σᵢ ln(Cᵢ) over the mm-length templates, Cᵢ = (count of
+    * templates sharing template i's quantization-cell code, self
+    * included)/N — the same same-cell match relaxation (and the same
+    * quantize → templates → sort → run-fold machinery) as [[sampEnImpl]],
+    * applied to Pincus ApEn instead of Richman–Moorman SampEn. Computed
+    * per length as (Σ_runs c·ln c)/N − ln N, so the fold's lambda touches
+    * only its carry. A constant window gives exactly 0; NULL when
+    * width ≤ 0 or the window is shorter than m+1.
+    */
+  private def apEnImpl(name: String, m: Int,
+                       width: (Column, Column) => Column): FeatureFunc =
+    FeatureFunc(name, (idx, v) => {
+      val w = width(idx, v)
+      val vals = sortedVals(idx, v)
+      val bins = transform(vals, x => floor(x / w).cast("long"))
+      def phi(mm: Int): Column = {
+        val sorted = array_sort(templates(bins, mm))
+        val n = size(sorted).cast("double")
+        val s = runSum(sorted, "array<bigint>",
+          run => when(run > 1, run.cast("double") * log(run.cast("double")))
+            .otherwise(lit(0.0)))
+        when(n > 0, s / n - log(n))
+      }
+      val p1 = phi(m)
+      val p2 = phi(m + 1)
+      when(w > 0 && p1.isNotNull && p2.isNotNull, p1 - p2)
+    })
+
+  /** [[apEnImpl]] with tolerance r = rFactor · σ_pop (antropy default). */
+  def approxEntropy(m: Int = 2, rFactor: Double = 0.2): FeatureFunc = {
+    require(m >= 1, "approximate entropy template length must be >= 1")
+    require(rFactor > 0, "tolerance factor must be > 0")
+    apEnImpl(s"apen_${m}_${rFactor}sigma", m,
+      (_, v) => stddev_pop(v) * lit(rFactor))
+  }
+
+  /** [[apEnImpl]] with a FIXED absolute tolerance (the oracle-twin
+    * variant, bit-identical across engines). */
+  def approxEntropyAbs(m: Int, r: Double): FeatureFunc = {
+    require(m >= 1, "approximate entropy template length must be >= 1")
+    require(r > 0, "tolerance must be > 0")
+    apEnImpl(s"apen_${m}_r$r", m, (_, _) => lit(r))
+  }
+
   /** [[sampEnImpl]] with antropy's default tolerance r = rFactor · σ_pop
     * (the window's own population std, a native aggregate referenced O(1)
     * inside the quantize lambda).
@@ -595,7 +640,12 @@ object FeatureFuncs {
       "abs_energy" -> absEnergy, "iqr" -> iqr,
       "zero_crossings" -> zeroCrossings, "mean_crossings" -> meanCrossings,
       "cid_ce" -> cidCe, "number_peaks_1" -> numberPeaks1,
-      "longest_strike_above_mean" -> longestStrikeAboveMean)
+      "longest_strike_above_mean" -> longestStrikeAboveMean,
+      // the parameterless r9 stock (parameterized members — quantile,
+      // crossings, autocorr, entropy variants — serialize via a caller-
+      // extended registry, like any custom func)
+      "hjorth" -> hjorthParams, "petrosian_fd" -> petrosianFd,
+      "katz_fd" -> katzFd)
 }
 
 /** A named aggregation over a TUPLE of series — the analog of a reference

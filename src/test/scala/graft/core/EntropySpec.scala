@@ -93,6 +93,25 @@ class EntropySpec extends SparkSpec {
     assert(a.isDefined && a == b)
   }
 
+  test("apen_abs: hand-computed phi(m) - phi(m+1) on an alternating series") {
+    // (0,10,0,10,0,10), r=2 → bins (0,5,0,5,0,5)
+    // m=2 codes: (0,5)x3, (5,0)x2 → N=5, phi2 = (3ln3 + 2ln2)/5 − ln5
+    // m=3 codes: (0,5,0)x2, (5,0,5)x2 → N=4, phi3 = (4ln2)/4 − ln4 = −ln2
+    val phi2 = (3 * math.log(3) + 2 * math.log(2)) / 5 - math.log(5)
+    val expect = phi2 - (-math.log(2))
+    val got = eval(approxEntropyAbs(2, 2.0), 0, 10, 0, 10, 0, 10).get
+    assert(math.abs(got - expect) < 1e-12)
+  }
+
+  test("apen: constant window gives 0 under abs tolerance, null under sigma") {
+    assert(eval(approxEntropyAbs(2, 2.0), 5, 5, 5, 5).contains(0.0))
+    assert(eval(approxEntropy(2), 5, 5, 5, 5).isEmpty) // σ = 0 → width 0
+  }
+
+  test("apen: window shorter than m+1 → null") {
+    assert(eval(approxEntropyAbs(2, 2.0), 1, 2).isEmpty)
+  }
+
   test("both survive the robust wrapper's NaN mask") {
     val fn = permutationEntropy(3).robust(3, passThroughNans = false)
     val got = eval(fn, 1, 2, 3, 2, 1, 2)
