@@ -185,6 +185,32 @@ object ScaleSmoke {
         docs.withColumn("__src", pmod(col("doc_id"), lit(20))),
         "doc_id", "__src", 1000L).count()
     }
+    time(s"events x$copies asof nearest") {
+      // two carries (backward + forward) composed — twice the range
+      // exchanges of the backward family above; same zero-single-task bar
+      val clicks = events.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      val purchases = events.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.proc.AsofJoin.asofJoin(clicks, purchases,
+        Seq("user_id"), "ts", "ts", "nearest").queryExecution.toRdd.count()
+    }
+    time(s"events x$copies multi quantiles") {
+      // composite-key rank: the unpivot doubles the ranked row count
+      graft.scale.GroupedStats.exactQuantilesMulti(
+        events.select(col("user_id"), col("value"),
+          length(col("event_type")).cast("double").as("etl")),
+        "user_id", Seq("value", "etl"),
+        Seq("med" -> 0.5, "p95" -> 0.95)).count()
+    }
+    time("rolling entropy 1D/6h") {
+      import FeatureFuncs._
+      val fns = Seq(permutationEntropy(3), sampleEntropyApproxAbs(2, 10.0))
+      val fc = FeatureCollection.of(fns.map(f => FeatureDescriptor(f, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
+      fc.calculate(Seq(Series("value", events, "ts", "value")))
+        .queryExecution.toRdd.count()
+    }
     time(s"events x$copies grouped quantiles") {
       graft.scale.GroupedStats.exactQuantiles(
         events.select(col("user_id"), col("value")),
