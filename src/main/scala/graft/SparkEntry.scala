@@ -741,6 +741,16 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- Higuchi fractal dimension per user series ------------------------
+    "q95_higuchi" -> ((s, dir) => {
+      graft.scale.GroupedStats.higuchiFd(
+        events(s, dir).select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value", 10)
+        .select(col("user_id").cast("long").as("user_id"),
+          round(col("higuchi_fd"), 6).as("higuchi_fd"))
+        .orderBy("user_id")
+    }),
+
     // ---- entropy tranche 2: approximate entropy + normalized perm ---------
     "q94_apen" -> ((s, dir) => {
       val fns = Seq(approxEntropyAbs(2, 10.0),
@@ -1288,6 +1298,33 @@ object SparkEntry {
       """SELECT user_id, round(median(value), 6) AS q_median,
         |  round(quantile_cont(value, 0.9), 6) AS q_p90
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q95_higuchi" -> {
+      val lagCols = (1 to 10).map(k =>
+        s"lag(value, $k) OVER (PARTITION BY user_id ORDER BY ts) AS l$k")
+        .mkString(",\n|  ")
+      val caseK = (1 to 10).map(k => s"WHEN $k THEN l$k").mkString(" ")
+      s"""WITH b AS (SELECT user_id, ts, value,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS p,
+         |  count(*) OVER (PARTITION BY user_id) AS n,
+         |  $lagCols
+         |  FROM events),
+         |lng AS (SELECT user_id, n, k, p % k AS m,
+         |  abs(value - CASE k $caseK END) AS d
+         |  FROM b, UNNEST(range(1, 11)) AS t(k)
+         |  WHERE (CASE k $caseK END) IS NOT NULL),
+         |lmk AS (SELECT user_id, k, m,
+         |  sum(d) * (max(n) - 1) / (count(*) * k) / k AS lmk
+         |  FROM lng GROUP BY user_id, k, m),
+         |lk AS (SELECT user_id, k, avg(lmk) AS lk
+         |  FROM lmk GROUP BY user_id, k),
+         |fd AS (SELECT user_id, regr_slope(ln(lk), ln(1.0 / k)) AS fd
+         |  FROM lk WHERE lk > 0 GROUP BY user_id)
+         |SELECT u.user_id, round(fd.fd, 6) AS higuchi_fd
+         |FROM (SELECT DISTINCT user_id FROM events) u
+         |LEFT JOIN fd ON u.user_id = fd.user_id
+         |ORDER BY u.user_id""".stripMargin
+    },
 
     "q94_apen" ->
       s"""WITH ${segCte(DAY, 6 * HOUR)},

@@ -135,6 +135,73 @@ object GroupedStats {
       .drop("__gs_rk")
   }
 
+  /** Higuchi fractal dimension per key (antropy `higuchi_fd`, closing the
+    * reference integration surface's fractal sweep): for k = 1..kMax and
+    * offset m < k, L(m,k) = Σ|x[m+ik] − x[m+(i−1)k]| · (N−1)/(cnt·k)/k
+    * over the key's index-ordered series, L(k) = mean over m, and the
+    * feature is the least-squares slope of ln L(k) against ln(1/k).
+    *
+    * Relational shape: strided differences are `lag(value, k)` columns
+    * under ONE per-key window pass (kMax lags share the partitioning);
+    * the offset class is `p mod k` after an explode to (row, k) long form
+    * (map-side, ×kMax); everything after is two hash aggregates and a
+    * moment-formula slope (division-free guard — ANSI-safe, NULL when
+    * fewer than two k points exist, e.g. N ≤ 2). The window partitions BY
+    * KEY: this operator is for BOUNDED per-key series (physiological
+    * signals, per-entity telemetry — thousands of rows), like
+    * [[graft.scale.Multimodal.frameStats]]; it is NOT the
+    * `Scan.keyedRank` hot-key shape. Oracle: q95_higuchi.
+    */
+  def higuchiFd(df: DataFrame, keyCol: String, idxCol: String,
+                valCol: String, kMax: Int = 10): DataFrame = {
+    require(kMax >= 2, "higuchi needs kMax >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(idxCol)
+    val base = df
+      .select(col(keyCol), col(idxCol), col(valCol).cast("double").as("__x"))
+      .withColumn("__p", row_number().over(w).cast("long") - 1)
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(keyCol)))
+    val lags = (1 to kMax).foldLeft(base)((d, k) =>
+      d.withColumn(s"__l$k", lag(col("__x"), k).over(w)))
+    val pairs = array((1 to kMax).map(k =>
+      struct(lit(k.toLong).as("k"),
+        abs(col("__x") - col(s"__l$k")).as("d"))): _*)
+    val long0 = lags
+      .select(col(keyCol), col("__p"), col("__n"), explode(pairs).as("__e"))
+      .where(col("__e.d").isNotNull)
+      .select(col(keyCol), col("__n"), col("__e.k").as("__k"),
+        (col("__p") % col("__e.k")).as("__m"), col("__e.d").as("__d"))
+    val lmk = long0.groupBy(col(keyCol), col("__k"), col("__m"))
+      .agg(sum("__d").as("__s"), count(lit(1)).as("__c"),
+        max("__n").as("__nn"))
+      .withColumn("__lmk", col("__s") * (col("__nn") - 1) /
+        (col("__c") * col("__k")) / col("__k"))
+    val lk = lmk.groupBy(col(keyCol), col("__k"))
+      .agg(avg("__lmk").as("__lk"))
+      .select(col(keyCol), log(col("__lk")).as("__y"),
+        log(lit(1.0) / col("__k")).as("__xk"))
+      // a constant series gives L(k) = 0 → ln null; drop those points so
+      // the moment sums and the count agree (SQL aggregates skip nulls)
+      .where(col("__y").isNotNull)
+    // moment-formula slope: Spark's regr_slope raises DIVIDE_BY_ZERO
+    // under ANSI on a single point; this form yields NULL instead
+    val n = count(lit(1)).cast("double")
+    val sx = sum(col("__xk")); val sy = sum(col("__y"))
+    val sxy = sum(col("__xk") * col("__y"))
+    val sxx = sum(col("__xk") * col("__xk"))
+    val fd = lk.groupBy(keyCol).agg(
+      when(n * sxx - sx * sx > 0,
+        (n * sxy - sx * sy) / (n * sxx - sx * sx)).as("higuchi_fd"))
+    // keys whose every point was degenerate (constant/too-short series)
+    // still surface, with NULL — the same re-attach convention as
+    // exactQuantiles, null-safe for NULL keys
+    require(keyCol != "__gs_rk", "__gs_rk is reserved by higuchiFd")
+    df.select(col(keyCol)).distinct()
+      .join(fd.withColumnRenamed(keyCol, "__gs_rk"),
+        col(keyCol) <=> col("__gs_rk"), "left")
+      .drop("__gs_rk")
+  }
+
   /** Exact per-key median (linear interpolation on even counts). */
   def exactMedian(df: DataFrame, keyCol: String, valCol: String): DataFrame =
     exactQuantiles(df, keyCol, valCol, Seq("median" -> 0.5))

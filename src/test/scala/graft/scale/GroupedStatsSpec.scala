@@ -108,6 +108,59 @@ class GroupedStatsSpec extends SparkSpec {
       assert(math.abs(g - e) < 1e-9, s"key $k: $g vs $e")
   }
 
+  test("higuchiFd matches a driver brute-force of the antropy formula") {
+    import spark.implicits._
+    def brute(x: Vector[Double], kMax: Int): Option[Double] = {
+      val nN = x.length
+      val pts = (1 to kMax).flatMap { k =>
+        val lmks = (0 until k).flatMap { m =>
+          val cnt = (nN - 1 - m) / k
+          if (cnt < 1) None
+          else {
+            val s = (1 to cnt).map(i => math.abs(x(m + i * k) - x(m + (i - 1) * k))).sum
+            Some(s * (nN - 1) / (cnt.toDouble * k) / k)
+          }
+        }
+        if (lmks.isEmpty) None
+        else {
+          val lk = lmks.sum / lmks.size
+          if (lk > 0) Some((math.log(1.0 / k), math.log(lk))) else None
+        }
+      }
+      if (pts.size < 2) None
+      else {
+        val n = pts.size.toDouble
+        val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+        val sxy = pts.map(p => p._1 * p._2).sum
+        val sxx = pts.map(p => p._1 * p._1).sum
+        val den = n * sxx - sx * sx
+        if (den > 0) Some((n * sxy - sx * sy) / den) else None
+      }
+    }
+    val rng = new scala.util.Random(41)
+    val series = Map(
+      "walk" -> Vector.iterate(0.0, 120)(v => v + rng.nextGaussian()),
+      "noise" -> Vector.fill(90)(rng.nextDouble() * 10),
+      "line" -> (0 until 60).map(_.toDouble).toVector,
+      "short" -> Vector(1.0, 5.0),
+      "flat" -> Vector.fill(40)(3.14))
+    val df = series.toSeq.flatMap { case (k, xs) =>
+      xs.zipWithIndex.map { case (v, i) => (k, i.toLong, v) }
+    }.toDF("k", "idx", "v").repartition(7)
+    val got = GroupedStats.higuchiFd(df, "k", "idx", "v", 10)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    for ((name, xs) <- series) {
+      val exp = brute(xs, 10)
+      (got(name), exp) match {
+        case (Some(g), Some(e)) => assert(math.abs(g - e) < 1e-9, s"$name: $g vs $e")
+        case (g, e) => assert(g == e, s"$name: $g vs $e")
+      }
+    }
+    // sanity: a diffusive walk is rougher than a straight line
+    assert(got("line").get < got("walk").get)
+  }
+
   test("plan: rank windows are partitioned (no per-key sort task)") {
     import spark.implicits._
     val df = (0 until 1000).map(i => ("hot", i.toDouble)).toDF("k", "v")
