@@ -741,6 +741,16 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- DFA exponent per user series -------------------------------------
+    "q96_dfa" -> ((s, dir) => {
+      graft.scale.GroupedStats.dfa(
+        events(s, dir).select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value", Seq(4, 8, 16))
+        .select(col("user_id").cast("long").as("user_id"),
+          round(col("dfa_alpha"), 6).as("dfa_alpha"))
+        .orderBy("user_id")
+    }),
+
     // ---- Higuchi fractal dimension per user series ------------------------
     "q95_higuchi" -> ((s, dir) => {
       graft.scale.GroupedStats.higuchiFd(
@@ -1298,6 +1308,35 @@ object SparkEntry {
       """SELECT user_id, round(median(value), 6) AS q_median,
         |  round(quantile_cont(value, 0.9), 6) AS q_p90
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q96_dfa" ->
+      """WITH a AS (SELECT user_id, ts, value,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1
+        |    AS DOUBLE) AS p,
+        |  count(*) OVER (PARTITION BY user_id) AS n,
+        |  avg(value) OVER (PARTITION BY user_id) AS mu
+        |  FROM events),
+        |b AS (SELECT user_id, p, n,
+        |  sum(value - mu) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS y FROM a),
+        |l AS (SELECT user_id, p, n, y, CAST(bs AS DOUBLE) AS bs
+        |  FROM b, UNNEST([4, 8, 16]) AS t(bs)
+        |  WHERE p < bs * floor(n / bs)),
+        |bx AS (SELECT user_id, bs, floor(p / bs) AS box,
+        |  CAST(count(*) AS DOUBLE) AS c, sum(p) AS sp, sum(p*p) AS spp,
+        |  sum(y) AS sy, sum(y*y) AS syy, sum(p*y) AS spy
+        |  FROM l GROUP BY user_id, bs, floor(p / bs)),
+        |fv AS (SELECT user_id, bs,
+        |  greatest((syy - sy*sy/c) - (spy - sp*sy/c)*(spy - sp*sy/c)
+        |    / (spp - sp*sp/c), 0.0) / c AS v FROM bx),
+        |fn AS (SELECT user_id, bs, sqrt(avg(v)) AS f
+        |  FROM fv GROUP BY user_id, bs),
+        |fd AS (SELECT user_id, regr_slope(ln(f), ln(bs)) AS alpha
+        |  FROM fn WHERE f > 0 GROUP BY user_id)
+        |SELECT u.user_id, round(fd.alpha, 6) AS dfa_alpha
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN fd USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
 
     "q95_higuchi" -> {
       val lagCols = (1 to 10).map(k =>

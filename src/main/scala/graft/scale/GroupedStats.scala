@@ -202,6 +202,73 @@ object GroupedStats {
       .drop("__gs_rk")
   }
 
+  /** Detrended fluctuation analysis per key (classic Peng DFA-1, the
+    * nolds `dfa` member of the reference integration surface): the
+    * mean-centered running-sum profile is cut into NON-OVERLAPPING boxes
+    * of each size n, each box is linearly detrended, F(n) is the RMS of
+    * the residuals, and the exponent alpha is the least-squares slope of
+    * ln F(n) vs ln n (white noise → α≈0.5, Brownian walk → α≈1.5).
+    *
+    * Relational shape: the profile is one running-sum window per key, the
+    * box fan-out is a map-side explode (×|boxSizes|), and the per-box
+    * detrend needs NO fit loop — with centered moments Sxx/Sxy/Syy over
+    * (position, profile), the residual sum of squares is closed-form
+    * Syy − Sxy²/Sxx, so each box is ONE hash-aggregate row. Incomplete
+    * trailing boxes are dropped (the standard convention). Like
+    * [[higuchiFd]], the window partitions BY KEY — bounded per-key series
+    * only. Degenerate keys surface with NULL. Oracle: q96_dfa.
+    */
+  def dfa(df: DataFrame, keyCol: String, idxCol: String, valCol: String,
+          boxSizes: Seq[Int] = Seq(4, 8, 16, 32, 64)): DataFrame = {
+    require(boxSizes.forall(_ >= 2), "DFA box sizes must be >= 2")
+    require(boxSizes.distinct.size >= 2, "DFA needs >= 2 distinct box sizes")
+    require(keyCol != "__gs_rk", "__gs_rk is reserved by dfa")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(idxCol)
+    val wk = Window.partitionBy(keyCol)
+    val base = df
+      .select(col(keyCol), col(idxCol), col(valCol).cast("double").as("__x"))
+      .withColumn("__p", (row_number().over(w) - 1).cast("double"))
+      .withColumn("__n", count(lit(1)).over(wk))
+      .withColumn("__y", sum(col("__x") - avg(col("__x")).over(wk))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val sizes = array(boxSizes.distinct.sorted.map(n => lit(n.toDouble)): _*)
+    val boxes = base
+      .select(col(keyCol), col("__p"), col("__n"), col("__y"),
+        explode(sizes).as("__bs"))
+      // complete boxes only
+      .where(col("__p") < col("__bs") * floor(col("__n") / col("__bs")))
+      .withColumn("__box", floor(col("__p") / col("__bs")))
+      .groupBy(col(keyCol), col("__bs"), col("__box"))
+      .agg(count(lit(1)).cast("double").as("__c"),
+        sum(col("__p")).as("__sp"), sum(col("__p") * col("__p")).as("__spp"),
+        sum(col("__y")).as("__sy"), sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__p") * col("__y")).as("__spy"))
+    val sxx = col("__spp") - col("__sp") * col("__sp") / col("__c")
+    val sxy = col("__spy") - col("__sp") * col("__sy") / col("__c")
+    val syy = col("__syy") - col("__sy") * col("__sy") / col("__c")
+    // FP can push a perfect fit's RSS a hair below zero — clamp before /n
+    val rss = greatest(syy - sxy * sxy / sxx, lit(0.0))
+    val fn = boxes
+      .withColumn("__v", rss / col("__c"))
+      .groupBy(col(keyCol), col("__bs"))
+      .agg(sqrt(avg(col("__v"))).as("__f"))
+      .where(col("__f") > 0)
+      .select(col(keyCol), log(col("__f")).as("__yf"),
+        log(col("__bs")).as("__xf"))
+    val n = count(lit(1)).cast("double")
+    val sx = sum(col("__xf")); val sy2 = sum(col("__yf"))
+    val sxy2 = sum(col("__xf") * col("__yf"))
+    val sxx2 = sum(col("__xf") * col("__xf"))
+    val alpha = fn.groupBy(keyCol).agg(
+      when(n * sxx2 - sx * sx > 0,
+        (n * sxy2 - sx * sy2) / (n * sxx2 - sx * sx)).as("dfa_alpha"))
+    df.select(col(keyCol)).distinct()
+      .join(alpha.withColumnRenamed(keyCol, "__gs_rk"),
+        col(keyCol) <=> col("__gs_rk"), "left")
+      .drop("__gs_rk")
+  }
+
   /** Exact per-key median (linear interpolation on even counts). */
   def exactMedian(df: DataFrame, keyCol: String, valCol: String): DataFrame =
     exactQuantiles(df, keyCol, valCol, Seq("median" -> 0.5))

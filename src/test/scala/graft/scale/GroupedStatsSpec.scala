@@ -161,6 +161,65 @@ class GroupedStatsSpec extends SparkSpec {
     assert(got("line").get < got("walk").get)
   }
 
+  test("dfa matches a driver brute-force; noise ~0.5, walk ~1.5") {
+    import spark.implicits._
+    def brute(x: Vector[Double], ns: Seq[Int]): Option[Double] = {
+      val mu = x.sum / x.length
+      val y = x.scanLeft(0.0)((a, v) => a + (v - mu)).tail
+      val pts = ns.flatMap { bn =>
+        val nb = x.length / bn
+        if (nb < 1) None
+        else {
+          val vs = (0 until nb).map { b =>
+            val idx = (b * bn until (b + 1) * bn).map(_.toDouble)
+            val yy = (b * bn until (b + 1) * bn).map(y)
+            val c = bn.toDouble
+            val (sp, spp) = (idx.sum, idx.map(t => t * t).sum)
+            val (sy, syy) = (yy.sum, yy.map(t => t * t).sum)
+            val spy = idx.zip(yy).map(p => p._1 * p._2).sum
+            val sxx = spp - sp * sp / c
+            val rss = math.max(
+              (syy - sy * sy / c) - math.pow(spy - sp * sy / c, 2) / sxx, 0.0)
+            rss / c
+          }
+          val f = math.sqrt(vs.sum / vs.size)
+          if (f > 0) Some((math.log(bn.toDouble), math.log(f))) else None
+        }
+      }
+      if (pts.size < 2) None
+      else {
+        val c = pts.size.toDouble
+        val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+        val sxy = pts.map(p => p._1 * p._2).sum
+        val sxx = pts.map(p => p._1 * p._1).sum
+        val den = c * sxx - sx * sx
+        if (den > 0) Some((c * sxy - sx * sy) / den) else None
+      }
+    }
+    val rng = new scala.util.Random(47)
+    val noise = Vector.fill(256)(rng.nextGaussian())
+    val walk = noise.scanLeft(0.0)(_ + _).tail
+    val series = Map("noise" -> noise, "walk" -> walk,
+      "flat" -> Vector.fill(64)(2.0), "short" -> Vector(1.0, 2.0, 3.0))
+    val ns = Seq(4, 8, 16, 32)
+    val df = series.toSeq.flatMap { case (k, xs) =>
+      xs.zipWithIndex.map { case (v, i) => (k, i.toLong, v) }
+    }.toDF("k", "idx", "v").repartition(5)
+    val got = GroupedStats.dfa(df, "k", "idx", "v", ns)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    for ((name, xs) <- series) {
+      val exp = brute(xs, ns)
+      (got(name), exp) match {
+        case (Some(g), Some(e)) => assert(math.abs(g - e) < 1e-9, s"$name: $g vs $e")
+        case (g, e) => assert(g == e, s"$name: $g vs $e")
+      }
+    }
+    // the classic DFA signatures
+    assert(got("noise").get > 0.3 && got("noise").get < 0.7)
+    assert(got("walk").get > 1.2 && got("walk").get < 1.8)
+  }
+
   test("plan: rank windows are partitioned (no per-key sort task)") {
     import spark.implicits._
     val df = (0 until 1000).map(i => ("hot", i.toDouble)).toDF("k", "v")
