@@ -211,6 +211,15 @@ object ScaleSmoke {
       fc.calculate(Seq(Series("value", events, "ts", "value")))
         .queryExecution.toRdd.count()
     }
+    time(s"events x$copies higuchi+dfa") {
+      // per-key-series operators: replication multiplies KEYS (users),
+      // series length stays constant — the documented bounded-window shape
+      val src = events.select(col("user_id"), col("ts"), col("value"))
+      graft.scale.GroupedStats.higuchiFd(src, "user_id", "ts", "value", 10)
+        .count() +
+      graft.scale.GroupedStats.dfa(src, "user_id", "ts", "value",
+        Seq(4, 8, 16, 32)).count()
+    }
     time(s"events x$copies grouped quantiles") {
       graft.scale.GroupedStats.exactQuantiles(
         events.select(col("user_id"), col("value")),
