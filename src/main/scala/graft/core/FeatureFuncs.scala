@@ -435,7 +435,10 @@ object FeatureFuncs {
     FeatureFunc(name, (idx, v) => {
       val vals = sortedVals(idx, v)
       val codes = transform(templates(vals, order), t => permCode(t, order))
-      val bigN = size(codes).cast("double")
+      // pattern count from the NATIVE count aggregate, not size(codes):
+      // the HOF chain sits outside whole-stage codegen, so every reference
+      // to a derived array re-evaluates collect → tuple → sort in full
+      val bigN = greatest(count(v) - lit(order - 1), lit(0L)).cast("double")
       val s = runSum(array_sort(codes), "bigint",
         run => when(run > 1, run.cast("double") * log2(run.cast("double")))
           .otherwise(lit(0.0)))
@@ -468,9 +471,11 @@ object FeatureFuncs {
       def pairs(mm: Int): Column =
         runSum(array_sort(templates(bins, mm)), "array<bigint>",
           run => (run * (run - lit(1L))).cast("double") / lit(2.0))
-      val b = pairs(m)
-      val a = pairs(m + 1)
-      when(w > 0 && a > 0 && b > 0, -log(a / b))
+      // −ln(A/B) = ln B − ln A, and ln(0) is NULL in Spark, so zero counts
+      // null out with each template pipeline referenced exactly ONCE (an
+      // A > 0 && B > 0 guard would re-evaluate both sorts per reference —
+      // HOF chains get no codegen CSE)
+      when(w > 0, log(pairs(m)) - log(pairs(m + 1)))
     })
 
   /** Population variance of an array column in ONE fold: accumulate
@@ -583,16 +588,20 @@ object FeatureFuncs {
       val vals = sortedVals(idx, v)
       val bins = transform(vals, x => floor(x / w).cast("long"))
       def phi(mm: Int): Column = {
-        val sorted = array_sort(templates(bins, mm))
-        val n = size(sorted).cast("double")
-        val s = runSum(sorted, "array<bigint>",
+        // template count from the NATIVE count aggregate (see
+        // permutationEntropy): size(sorted) would re-run the sort pipeline
+        // per reference
+        val n = greatest(count(v) - lit(mm - 1), lit(0L)).cast("double")
+        val s = runSum(array_sort(templates(bins, mm)), "array<bigint>",
           run => when(run > 1, run.cast("double") * log(run.cast("double")))
             .otherwise(lit(0.0)))
         when(n > 0, s / n - log(n))
       }
-      val p1 = phi(m)
-      val p2 = phi(m + 1)
-      when(w > 0 && p1.isNotNull && p2.isNotNull, p1 - p2)
+      // p1 − p2 null-propagates, so no isNotNull guards: each φ pipeline
+      // (collect → quantize → templates → sort → fold) is referenced ONCE
+      // — HOF chains sit outside whole-stage codegen, so every extra
+      // reference re-evaluates the whole chain (measured 6.5 → ~4 s)
+      when(w > 0, phi(m) - phi(m + 1))
     })
 
   /** [[apEnImpl]] with tolerance r = rFactor · σ_pop (antropy default). */
