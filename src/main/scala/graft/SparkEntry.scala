@@ -741,6 +741,16 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- Hurst R/S exponent per user series -------------------------------
+    "q97_hurst" -> ((s, dir) => {
+      graft.scale.GroupedStats.hurstRs(
+        events(s, dir).select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value", Seq(8, 16, 32))
+        .select(col("user_id").cast("long").as("user_id"),
+          round(col("hurst_rs"), 6).as("hurst_rs"))
+        .orderBy("user_id")
+    }),
+
     // ---- DFA exponent per user series -------------------------------------
     "q96_dfa" -> ((s, dir) => {
       graft.scale.GroupedStats.dfa(
@@ -1308,6 +1318,33 @@ object SparkEntry {
       """SELECT user_id, round(median(value), 6) AS q_median,
         |  round(quantile_cont(value, 0.9), 6) AS q_p90
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q97_hurst" ->
+      """WITH a AS (SELECT user_id, ts, value,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1
+        |    AS DOUBLE) AS p,
+        |  count(*) OVER (PARTITION BY user_id) AS n FROM events),
+        |l AS (SELECT user_id, ts, value, p, CAST(bs AS DOUBLE) AS bs,
+        |  floor(p / CAST(bs AS DOUBLE)) AS box
+        |  FROM a, UNNEST([8, 16, 32]) AS t(bs)
+        |  WHERE p < bs * floor(n / bs)),
+        |m AS (SELECT *, avg(value) OVER (PARTITION BY user_id, bs, box) AS mu,
+        |  stddev_pop(value) OVER (PARTITION BY user_id, bs, box) AS sd
+        |  FROM l),
+        |z AS (SELECT user_id, bs, box, sd,
+        |  sum(value - mu) OVER (PARTITION BY user_id, bs, box ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS z FROM m),
+        |bx AS (SELECT user_id, bs, box,
+        |  CASE WHEN max(sd) > 0 THEN (max(z) - min(z)) / max(sd) END AS rs
+        |  FROM z GROUP BY user_id, bs, box),
+        |rsn AS (SELECT user_id, bs, avg(rs) AS rsn
+        |  FROM bx GROUP BY user_id, bs),
+        |fd AS (SELECT user_id, regr_slope(ln(rsn), ln(bs)) AS h
+        |  FROM rsn WHERE rsn > 0 GROUP BY user_id)
+        |SELECT u.user_id, round(fd.h, 6) AS hurst_rs
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN fd USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
 
     "q96_dfa" ->
       """WITH a AS (SELECT user_id, ts, value,

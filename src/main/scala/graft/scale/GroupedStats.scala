@@ -269,6 +269,68 @@ object GroupedStats {
       .drop("__gs_rk")
   }
 
+  /** Hurst exponent per key by rescaled-range (R/S) analysis (the nolds
+    * `hurst_rs` member of the reference integration surface): for each
+    * box size n, each NON-OVERLAPPING box's rescaled range is
+    * R/S = (max − min of the box-mean-centered running sum) / σ_pop(box);
+    * RS(n) averages the boxes and H is the least-squares slope of
+    * ln RS(n) vs ln n (white noise → H≈0.5, persistent walk → H≈1).
+    *
+    * Relational shape: a map-side box-size explode, then the per-box
+    * profile as a running-sum window over (key, n, box) — the box-mean
+    * centering is a second window function on the SAME partitioning, so
+    * one exchange serves both — and two hash aggregates plus the
+    * moment-formula slope. Boxes with zero variance contribute nothing
+    * (their R/S is null; `avg` skips nulls). Bounded per-key series, the
+    * [[higuchiFd]] contract. Degenerate keys surface NULL. Oracle:
+    * q97_hurst.
+    */
+  def hurstRs(df: DataFrame, keyCol: String, idxCol: String, valCol: String,
+              boxSizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(boxSizes.forall(_ >= 2), "R/S box sizes must be >= 2")
+    require(boxSizes.distinct.size >= 2, "R/S needs >= 2 distinct box sizes")
+    require(keyCol != "__gs_rk", "__gs_rk is reserved by hurstRs")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(idxCol)
+    val wk = Window.partitionBy(keyCol)
+    val base = df
+      .select(col(keyCol), col(idxCol), col(valCol).cast("double").as("__x"))
+      .withColumn("__p", (row_number().over(w) - 1).cast("double"))
+      .withColumn("__n", count(lit(1)).over(wk))
+    val sizes = array(boxSizes.distinct.sorted.map(n => lit(n.toDouble)): _*)
+    val long0 = base
+      .select(col(keyCol), col("__p"), col("__n"), col(idxCol), col("__x"),
+        explode(sizes).as("__bs"))
+      .where(col("__p") < col("__bs") * floor(col("__n") / col("__bs")))
+      .withColumn("__box", floor(col("__p") / col("__bs")))
+    val wb = Window.partitionBy(col(keyCol), col("__bs"), col("__box"))
+    val wbo = wb.orderBy(idxCol)
+    val prof = long0
+      .withColumn("__mu", avg(col("__x")).over(wb))
+      .withColumn("__z", sum(col("__x") - col("__mu"))
+        .over(wbo.rowsBetween(Window.unboundedPreceding, 0)))
+    val boxes = prof.groupBy(col(keyCol), col("__bs"), col("__box"))
+      .agg(((max(col("__z")) - min(col("__z"))) /
+        when(stddev_pop(col("__x")) > 0, stddev_pop(col("__x"))))
+        .as("__rs"))
+    val rsn = boxes.groupBy(col(keyCol), col("__bs"))
+      .agg(avg(col("__rs")).as("__rsn"))
+      .where(col("__rsn") > 0)
+      .select(col(keyCol), log(col("__rsn")).as("__yr"),
+        log(col("__bs")).as("__xr"))
+    val n = count(lit(1)).cast("double")
+    val sx = sum(col("__xr")); val sy = sum(col("__yr"))
+    val sxy = sum(col("__xr") * col("__yr"))
+    val sxx = sum(col("__xr") * col("__xr"))
+    val h = rsn.groupBy(keyCol).agg(
+      when(n * sxx - sx * sx > 0,
+        (n * sxy - sx * sy) / (n * sxx - sx * sx)).as("hurst_rs"))
+    df.select(col(keyCol)).distinct()
+      .join(h.withColumnRenamed(keyCol, "__gs_rk"),
+        col(keyCol) <=> col("__gs_rk"), "left")
+      .drop("__gs_rk")
+  }
+
   /** Exact per-key median (linear interpolation on even counts). */
   def exactMedian(df: DataFrame, keyCol: String, valCol: String): DataFrame =
     exactQuantiles(df, keyCol, valCol, Seq("median" -> 0.5))

@@ -220,6 +220,57 @@ class GroupedStatsSpec extends SparkSpec {
     assert(got("walk").get > 1.2 && got("walk").get < 1.8)
   }
 
+  test("hurstRs matches a driver brute-force; noise ~0.5, walk ~1") {
+    import spark.implicits._
+    def brute(x: Vector[Double], ns: Seq[Int]): Option[Double] = {
+      val pts = ns.flatMap { bn =>
+        val nb = x.length / bn
+        val rss = (0 until nb).flatMap { b =>
+          val xs = x.slice(b * bn, (b + 1) * bn)
+          val mu = xs.sum / bn
+          val z = xs.scanLeft(0.0)((a, v) => a + (v - mu)).tail
+          val s = math.sqrt(xs.map(v => (v - mu) * (v - mu)).sum / bn)
+          if (s > 0) Some((z.max - z.min) / s) else None
+        }
+        if (rss.isEmpty) None
+        else {
+          val rs = rss.sum / rss.size
+          if (rs > 0) Some((math.log(bn.toDouble), math.log(rs))) else None
+        }
+      }
+      if (pts.size < 2) None
+      else {
+        val c = pts.size.toDouble
+        val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+        val sxy = pts.map(p => p._1 * p._2).sum
+        val sxx = pts.map(p => p._1 * p._1).sum
+        val den = c * sxx - sx * sx
+        if (den > 0) Some((c * sxy - sx * sy) / den) else None
+      }
+    }
+    val rng = new scala.util.Random(53)
+    val noise = Vector.fill(512)(rng.nextGaussian())
+    val walk = noise.scanLeft(0.0)(_ + _).tail
+    val series = Map("noise" -> noise, "walk" -> walk,
+      "flat" -> Vector.fill(64)(7.0), "short" -> Vector(1.0, 2.0))
+    val ns = Seq(8, 16, 32, 64)
+    val df = series.toSeq.flatMap { case (k, xs) =>
+      xs.zipWithIndex.map { case (v, i) => (k, i.toLong, v) }
+    }.toDF("k", "idx", "v").repartition(5)
+    val got = GroupedStats.hurstRs(df, "k", "idx", "v", ns)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    for ((name, xs) <- series) {
+      val exp = brute(xs, ns)
+      (got(name), exp) match {
+        case (Some(g), Some(e)) => assert(math.abs(g - e) < 1e-9, s"$name: $g vs $e")
+        case (g, e) => assert(g == e, s"$name: $g vs $e")
+      }
+    }
+    assert(got("noise").get > 0.3 && got("noise").get < 0.75)
+    assert(got("walk").get > 0.8 && got("walk").get < 1.2)
+  }
+
   test("plan: rank windows are partitioned (no per-key sort task)") {
     import spark.implicits._
     val df = (0 until 1000).map(i => ("hot", i.toDouble)).toDF("k", "v")
