@@ -218,7 +218,9 @@ object ScaleSmoke {
       graft.scale.GroupedStats.higuchiFd(src, "user_id", "ts", "value", 10)
         .count() +
       graft.scale.GroupedStats.dfa(src, "user_id", "ts", "value",
-        Seq(4, 8, 16, 32)).count()
+        Seq(4, 8, 16, 32)).count() +
+      graft.scale.GroupedStats.hurstRs(src, "user_id", "ts", "value",
+        Seq(8, 16, 32)).count()
     }
     time(s"events x$copies grouped quantiles") {
       graft.scale.GroupedStats.exactQuantiles(
