@@ -741,6 +741,18 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- spectral entropy: native DFT expression over rolling windows -----
+    "q98_spectral" -> ((s, dir) => {
+      val fc = FeatureCollection.of(Seq(spectralEntropy(),
+        spectralEntropy(normalize = true)).map(f => FeatureDescriptor(f,
+          "value", Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
+      fc.calculate(Seq(valueSeries(s, dir)))
+        .select(unix_micros(col("ts")).as("ts_anchor"),
+          r6("value__spectral_entropy__w=1D"),
+          r6("value__spectral_entropy_norm__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
     // ---- Hurst R/S exponent per user series -------------------------------
     "q97_hurst" -> ((s, dir) => {
       graft.scale.GroupedStats.hurstRs(
@@ -1318,6 +1330,34 @@ object SparkEntry {
       """SELECT user_id, round(median(value), 6) AS q_median,
         |  round(quantile_cont(value, 0.9), 6) AS q_p90
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q98_spectral" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)},
+         |j AS (SELECT we, ts, value FROM seg LEFT JOIN events
+         |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |d AS (SELECT we, ts, value,
+         |  CAST(row_number() OVER (PARTITION BY we ORDER BY ts) - 1
+         |    AS DOUBLE) AS t,
+         |  count(value) OVER (PARTITION BY we) AS n,
+         |  sum(value * value) OVER (PARTITION BY we) AS sxx
+         |  FROM j WHERE value IS NOT NULL),
+         |f AS (SELECT we, n, sxx, k,
+         |  sum(value * cos(2 * pi() * k * t / n)) AS re,
+         |  sum(value * sin(2 * pi() * k * t / n)) AS im
+         |  FROM d, UNNEST(range(1, CAST(n // 2 AS BIGINT) + 1)) AS u(k)
+         |  WHERE n >= 4 GROUP BY we, n, sxx, k),
+         |p AS (SELECT we, n, sxx, re * re + im * im AS psd FROM f),
+         |tot AS (SELECT we, max(n) AS n, sum(psd) AS tp,
+         |  count(*) AS nb FROM p GROUP BY we
+         |  HAVING sum(psd) > 1e-9 * max(sxx) * max(n)),
+         |h AS (SELECT p.we,
+         |  -sum(CASE WHEN psd > 0 THEN (psd / tp) * ln(psd / tp)
+         |    ELSE 0 END) AS h, max(nb) AS nb
+         |  FROM p JOIN tot ON p.we = tot.we GROUP BY p.we)
+         |SELECT seg.we AS ts_anchor,
+         |  round(h.h, 6) AS "value__spectral_entropy__w=1D",
+         |  round(h.h / ln(h.nb), 6) AS "value__spectral_entropy_norm__w=1D"
+         |FROM seg LEFT JOIN h ON seg.we = h.we ORDER BY 1""".stripMargin,
 
     "q97_hurst" ->
       """WITH a AS (SELECT user_id, ts, value,

@@ -640,6 +640,17 @@ object FeatureFuncs {
     sampEnImpl(s"sampen_${m}_r$r", m, (_, _) => lit(r))
   }
 
+  /** Spectral entropy of the window (Shannon entropy of the DC-excluded
+    * periodogram — the antropy `spectral_entropy` family member; see
+    * [[graft.expr.SpectralEntropy]] for semantics, bin convention and the
+    * deliberate O(n²)-per-window DFT cost note). Null for windows shorter
+    * than 4 samples or with zero oscillatory energy.
+    */
+  def spectralEntropy(normalize: Boolean = false): FeatureFunc =
+    FeatureFunc(
+      if (normalize) "spectral_entropy_norm" else "spectral_entropy",
+      (idx, v) => graft.expr.SpectralEntropy(sortedVals(idx, v), normalize))
+
   val byName: scala.collection.immutable.Map[String, FeatureFunc] =
     scala.collection.immutable.Map(
       "min" -> min, "max" -> max, "mean" -> mean, "median" -> median,

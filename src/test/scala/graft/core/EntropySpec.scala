@@ -112,6 +112,39 @@ class EntropySpec extends SparkSpec {
     assert(eval(approxEntropyAbs(2, 2.0), 1, 2).isEmpty)
   }
 
+  test("spectral entropy: pure tone → 0, two equal tones → ln 2") {
+    // n = 8, x_t = cos(2π·2t/8): all periodogram energy at bin 2 → H = 0
+    val tone = (0 until 8).map(t => math.cos(2 * math.Pi * 2 * t / 8))
+    assert(math.abs(eval(spectralEntropy(), tone: _*).get) < 1e-9)
+    // equal tones at bins 1 and 2 → p = (1/2, 1/2) → H = ln 2; the
+    // normalized variant divides by ln(#bins) = ln 4
+    val two = (0 until 8).map(t =>
+      math.cos(2 * math.Pi * t / 8) + math.cos(2 * math.Pi * 2 * t / 8))
+    assert(math.abs(eval(spectralEntropy(), two: _*).get - math.log(2)) < 1e-9)
+    assert(math.abs(eval(spectralEntropy(normalize = true), two: _*).get -
+      math.log(2) / math.log(4)) < 1e-9)
+  }
+
+  test("spectral entropy guards: constant or short windows → null") {
+    assert(eval(spectralEntropy(), 5, 5, 5, 5, 5).isEmpty) // DC only
+    assert(eval(spectralEntropy(), 1, 2, 3).isEmpty)       // n < 4
+  }
+
+  test("spectral entropy matches a driver DFT on random data") {
+    val rng = new scala.util.Random(59)
+    val x = Vector.fill(37)(rng.nextDouble() * 10)
+    val nb = x.length / 2
+    val psd = (1 to nb).map { k =>
+      val w = 2 * math.Pi * k / x.length
+      val re = x.zipWithIndex.map { case (v, t) => v * math.cos(w * t) }.sum
+      val im = x.zipWithIndex.map { case (v, t) => v * math.sin(w * t) }.sum
+      re * re + im * im
+    }
+    val tot = psd.sum
+    val expect = -psd.map(_ / tot).filter(_ > 0).map(p => p * math.log(p)).sum
+    assert(math.abs(eval(spectralEntropy(), x: _*).get - expect) < 1e-9)
+  }
+
   test("both survive the robust wrapper's NaN mask") {
     val fn = permutationEntropy(3).robust(3, passThroughNans = false)
     val got = eval(fn, 1, 2, 3, 2, 1, 2)
