@@ -1,9 +1,47 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** Benchmark harness. Two modes:
+  *
+  *  - `runMain graft.Bench` (no args, the driver's invocation): runs every
+  *    SparkEntry query twice back-to-back (cold = suite-context cost, warm =
+  *    plan cost), then — unless SPARK_GRAFT_BENCH_NOFORK=1 — forks ONE fresh
+  *    child JVM that re-times the dedup family (q21/q54/q65, the queries
+  *    whose in-suite time has historically swung 5x with zero code change)
+  *    in isolation, publishing `queries_isolated` + the in-suite/isolated
+  *    ratio alongside the in-suite vectors. The artifact therefore carries,
+  *    for every run, the evidence needed to attribute a blowup: per-query GC
+  *    time, post-GC heap, and codegen-compilation counts (the three JVM-
+  *    lifecycle suspects diagnosed in SCALE.md "Suite-context variance").
+  *  - `runMain graft.Bench <name>...`: isolated-child mode — times ONLY the
+  *    named queries with the same 2-pass protocol and prints the same JSON
+  *    line (no fork, no file write unless SPARK_GRAFT_BENCH_OUT is set).
+  */
 object Bench {
+  private def gcMs(): Long =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  private def heapUsedMb(): Long =
+    java.lang.management.ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage.getUsed >> 20
+  private def cgCount(): Long =
+    org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
+
+  /** The family whose in-suite timing is the round-over-round variance
+    * suspect; re-timed in a forked JVM each full run. */
+  private val isolateFamily =
+    Seq("q21_dedup_jaccard", "q54_dup_clusters", "q65_dedup_keep_one")
+
+  private case class QRun(name: String, cold: Double, warm: Double,
+                          gcColdMs: Long, gcWarmMs: Long, heapMb: Long,
+                          cgCold: Long, cgWarm: Long)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val only = args.toSeq
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,8 +77,10 @@ object Bench {
     // cache and measures the PLAN. The warm vector is the headline
     // (round-over-round comparable); the cold vector stays in the artifact
     // as the suite-context number.
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    def once(name: String): Double = {
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names = if (only.isEmpty) names0 else names0.filter(only.contains)
+    def once(name: String): (Double, Long, Long) = {
+      val gc0 = gcMs(); val cg0 = cgCount()
       val t0 = System.nanoTime()
       // toRdd.count() forces full materialization of every output row
       // (a bare DataFrame.count() lets Catalyst prune the projections,
@@ -65,23 +105,95 @@ object Bench {
       // suite even on an immediate repeat. A GC at the query boundary
       // makes reclamation deterministic instead of landing mid-measurement.
       System.gc()
-      sec
+      (sec, gcMs() - gc0, cgCount() - cg0)
     }
-    val timed = names.map(n => (n, once(n), once(n))) // (name, cold, warm)
-    def jmap(f: ((String, Double, Double)) => Double) =
-      timed.map(t => s"\"" + t._1 + "\":" + f(t)).mkString("{", ",", "}")
-    val qs = jmap(_._3)        // headline: warm (plan cost, codegen cached)
-    val qsCold = jmap(_._2)    // suite-context cost (cache-eviction noise in)
-    val total = timed.map(_._3).sum
-    val totalCold = timed.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$totalCold,"queries_cold":$qsCold,"sf":"$sfDir","passes":2,"headline":"warm"}"""
+    val timed = names.map { n =>
+      val (cold, gcC, cgC) = once(n)
+      val (warm, gcW, cgW) = once(n)
+      QRun(n, cold, warm, gcC, gcW, heapUsedMb(), cgC, cgW)
+    }
+    def jnum(f: QRun => Double) =
+      timed.map(t => "\"" + t.name + "\":" + f(t)).mkString("{", ",", "}")
+    val qs = jnum(_.warm)      // headline: warm (plan cost, codegen cached)
+    val qsCold = jnum(_.cold)  // suite-context cost (cache-eviction noise in)
+    // JVM-lifecycle diagnostics, one row per query: GC wall-ms inside the
+    // cold and warm runs, post-GC heap after the query, and the number of
+    // Janino compilations each pass triggered (warm-pass compilations != 0
+    // mean the codegen cache evicted this query's classes mid-suite — the
+    // variance suspect). These make a one-off blowup attributable from the
+    // artifact alone, without a repro.
+    val diag = timed.map { t =>
+      s""""${t.name}":{"gc_cold_ms":${t.gcColdMs},"gc_warm_ms":${t.gcWarmMs},""" +
+        s""""heap_after_mb":${t.heapMb},"cg_cold":${t.cgCold},"cg_warm":${t.cgWarm}}"""
+    }.mkString("{", ",", "}")
+    val total = timed.map(_.warm).sum
+    val totalCold = timed.map(_.cold).sum
+
+    // Forked-JVM isolation pass: a fresh child JVM (same classpath + module
+    // opens, inherited env) times the dedup family alone. Ratio in-suite /
+    // isolated ~1 certifies the suite context added nothing this run; a
+    // future blowup shows up as ratio >> 1 with the diag vectors saying why.
+    val isolated: Option[Map[String, Double]] =
+      if (only.nonEmpty || sys.env.contains("SPARK_GRAFT_BENCH_NOFORK")) None
+      else forkIsolated(isolateFamily)
+    val isoJson = isolated.map { m =>
+      val v = m.toSeq.sortBy(_._1)
+        .map { case (k, s) => s""""$k":$s""" }.mkString("{", ",", "}")
+      val ratios = isolateFamily.flatMap { n =>
+        for (i <- m.get(n); t <- timed.find(_.name == n); if i > 0)
+          yield s""""$n":${(t.warm / i * 100).round / 100.0}"""
+      }.mkString("{", ",", "}")
+      s""","queries_isolated":$v,"insuite_over_isolated":$ratios"""
+    }.getOrElse("")
+
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$totalCold,"queries_cold":$qsCold,"sf":"$sfDir","passes":2,"headline":"warm","diag":$diag$isoJson}"""
     println(json)
     // the stdout line gets tail-truncated by log captures once the suite
     // passes ~90 queries, losing the alphabetically-early per-query times;
     // the file is the complete, committable artifact
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val outEnv = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    val out = if (only.isEmpty) outEnv.orElse(Some("bench_local.json")) else outEnv
+    out.foreach { o =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(o),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
+
+  /** Fork a fresh JVM running `Bench <names>` and parse its stdout JSON's
+    * warm vector. Best-effort: any failure (classpath not file-based, child
+    * crash, unparseable output) returns None rather than failing the bench.
+    */
+  private def forkIsolated(names: Seq[String]): Option[Map[String, Double]] = try {
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val cp = System.getProperty("java.class.path")
+    // same module opens the parent got from build.sbt (Spark 4 on JDK 17+)
+    val opens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+        a.startsWith("-Xmx") || a.startsWith("-Dspark."))
+    val cmd = (Seq(javaBin) ++ opens ++ Seq("-cp", cp, "graft.Bench") ++ names).asJava
+    val pb = new ProcessBuilder(cmd)
+    // discard child stderr (Spark WARN spam) — an un-drained pipe would
+    // fill its buffer and deadlock the child mid-suite
+    pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+    pb.environment().remove("SPARK_GRAFT_BENCH_OUT") // child prints, never writes
+    val p = pb.start()
+    val outLines = new String(p.getInputStream.readAllBytes, "UTF-8")
+    if (!p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)) { p.destroyForcibly(); return None }
+    // the JSON line is the only stdout line starting with {"metric"
+    val line = outLines.linesIterator.find(_.startsWith("{\"metric\"")).getOrElse(return None)
+    // minimal extraction: "queries":{"name":num,...} — names are known, so
+    // regex per name is robust without a JSON parser on the classpath
+    val m = names.flatMap { n =>
+      val re = ("\"" + java.util.regex.Pattern.quote(n) + "\":([0-9.Ee+-]+)").r
+      // first occurrence after "queries": is the warm vector (it serializes first)
+      val qIdx = line.indexOf("\"queries\":")
+      val coldIdx = line.indexOf("\"queries_cold\":")
+      val window = if (qIdx >= 0 && coldIdx > qIdx) line.substring(qIdx, coldIdx) else line
+      re.findFirstMatchIn(window).map(mm => n -> mm.group(1).toDouble)
+    }.toMap
+    if (m.isEmpty) None else Some(m)
+  } catch { case _: Throwable => None }
 }

@@ -20,10 +20,17 @@ object SparkEntry {
   private val DAY = 86400000000L
   private val HOUR = 3600000000L
 
-  /** Load `events`, tolerating parquet TIMESTAMP(NANOS) (which Spark 4 only
-    * reads as Long via the legacy flag). Nanos are floor-truncated to micros
-    * with integer division — exactly what DuckDB's read does — keeping the
-    * oracle bit-identical.
+  /** Load `events`, tolerating the timestamp physical types the generator
+    * has shipped across rounds:
+    *  - TIMESTAMP(NANOS): Spark 4 only reads it as Long via the legacy flag;
+    *    nanos are floor-truncated to micros with integer division — exactly
+    *    what DuckDB's read does — keeping the oracle bit-identical.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    *    TIMESTAMP_NTZ (`spark.sql.parquet.inferTimestampNTZ.enabled`
+    *    defaults true); downstream `unix_micros` and interval arithmetic
+    *    require the LTZ TIMESTAMP type, so cast it up front. With the
+    *    session zone pinned to UTC the wall clock maps to the same epoch
+    *    micros DuckDB's naive read yields — oracle-identical.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -31,6 +38,9 @@ object SparkEntry {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
@@ -753,6 +763,37 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- catch22 tranche 1 (A7 battery, one multi-output kernel) ----------
+    // order-independent + run + local-forecast members
+    "q99a_catch22_dist" -> ((s, dir) => {
+      val fc = FeatureCollection(FeatureDescriptor(catch22Tranche1, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h")))))
+      fc.calculate(Seq(valueSeries(s, dir)))
+        .select(unix_micros(col("ts")).as("ts_anchor"),
+          r6z("value__DN_HistogramMode_5__w=1D"),
+          r6z("value__DN_HistogramMode_10__w=1D"),
+          r6("value__SB_BinaryStats_mean_longstretch1__w=1D"),
+          r6("value__SB_BinaryStats_diff_longstretch0__w=1D"),
+          r6z("value__CO_trev_1_num__w=1D"),
+          r6("value__MD_hrv_classic_pnn40__w=1D"),
+          r6("value__FC_LocalSimple_mean3_stderr__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
+    // autocorrelation-structure + spectral members (same kernel, the
+    // ACF/DFT tranche — oracle twins the ACF as an O(n²/2) self-join)
+    "q99b_catch22_acf" -> ((s, dir) => {
+      val fc = FeatureCollection(FeatureDescriptor(catch22Tranche1, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h")))))
+      fc.calculate(Seq(valueSeries(s, dir)))
+        .select(unix_micros(col("ts")).as("ts_anchor"),
+          r6("value__CO_f1ecac__w=1D"),
+          r6("value__CO_FirstMin_ac__w=1D"),
+          r6("value__FC_LocalSimple_mean1_tauresrat__w=1D"),
+          r6("value__SP_Summaries_welch_rect_centroid__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
     // ---- Hurst R/S exponent per user series -------------------------------
     "q97_hurst" -> ((s, dir) => {
       graft.scale.GroupedStats.hurstRs(
@@ -1330,6 +1371,165 @@ object SparkEntry {
       """SELECT user_id, round(median(value), 6) AS q_median,
         |  round(quantile_cont(value, 0.9), 6) AS q_p90
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // catch22 tranche 1, distributional/run/forecast members: histogram
+    // mode = mean of max-count bin centers (clamped even bins over
+    // [min,max]); longstretch = gaps-and-islands longest run; local-mean-3
+    // residual stderr = stddev_samp of lead-window residuals.
+    "q99a_catch22_dist" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)},
+         |j AS (SELECT we, ts, value FROM seg LEFT JOIN events
+         |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |d AS (SELECT we, value AS v,
+         |  CAST(row_number() OVER (PARTITION BY we ORDER BY ts) - 1
+         |    AS DOUBLE) AS t,
+         |  count(value) OVER (PARTITION BY we) AS n,
+         |  avg(value) OVER (PARTITION BY we) AS mu,
+         |  min(value) OVER (PARTITION BY we) AS mn,
+         |  max(value) OVER (PARTITION BY we) AS mx
+         |  FROM j WHERE value IS NOT NULL),
+         |st AS (SELECT we, max(n) AS n, max(mn) AS mn, max(mx) AS mx
+         |  FROM d GROUP BY we),
+         |h5 AS (SELECT we, mn, mx,
+         |  least(CAST(floor((v - mn) / ((mx - mn) / 5.0)) AS BIGINT), 4) AS b,
+         |  count(*) AS c FROM d WHERE mx > mn GROUP BY ALL),
+         |h5m AS (SELECT we, avg(mn + (b + 0.5) * ((mx - mn) / 5.0)) AS m FROM
+         |  (SELECT *, max(c) OVER (PARTITION BY we) AS mc FROM h5)
+         |  WHERE c = mc GROUP BY we),
+         |h10 AS (SELECT we, mn, mx,
+         |  least(CAST(floor((v - mn) / ((mx - mn) / 10.0)) AS BIGINT), 9) AS b,
+         |  count(*) AS c FROM d WHERE mx > mn GROUP BY ALL),
+         |h10m AS (SELECT we, avg(mn + (b + 0.5) * ((mx - mn) / 10.0)) AS m FROM
+         |  (SELECT *, max(c) OVER (PARTITION BY we) AS mc FROM h10)
+         |  WHERE c = mc GROUP BY we),
+         |r1m AS (SELECT we, max(len) AS ls1 FROM
+         |  (SELECT we, grp, count(*) AS len FROM
+         |    (SELECT we, t, t - row_number() OVER (PARTITION BY we ORDER BY t)
+         |       AS grp FROM d WHERE v > mu)
+         |   GROUP BY we, grp) GROUP BY we),
+         |df2 AS (SELECT we, t, dv FROM
+         |  (SELECT we, t, lead(v) OVER (PARTITION BY we ORDER BY t) - v AS dv
+         |   FROM d) WHERE dv IS NOT NULL),
+         |r0m AS (SELECT we, max(len) AS ls0 FROM
+         |  (SELECT we, grp, count(*) AS len FROM
+         |    (SELECT we, t, t - row_number() OVER (PARTITION BY we ORDER BY t)
+         |       AS grp FROM df2 WHERE dv < 0)
+         |   GROUP BY we, grp) GROUP BY we),
+         |dstat AS (SELECT we, avg(dv * dv * dv) AS trev,
+         |  avg(CASE WHEN abs(dv) > 0.04 THEN 1.0 ELSE 0.0 END) AS pnn40
+         |  FROM df2 GROUP BY we),
+         |lsr AS (SELECT we, stddev_samp(r) AS se FROM
+         |  (SELECT we, lead(v, 3) OVER w
+         |     - (v + lead(v, 1) OVER w + lead(v, 2) OVER w) / 3.0 AS r
+         |   FROM d WINDOW w AS (PARTITION BY we ORDER BY t))
+         |  WHERE r IS NOT NULL GROUP BY we)
+         |SELECT seg.we AS ts_anchor,
+         |  round(CASE WHEN st.mx > st.mn THEN h5m.m ELSE st.mn END, 6) + 0.0
+         |    AS "value__DN_HistogramMode_5__w=1D",
+         |  round(CASE WHEN st.mx > st.mn THEN h10m.m ELSE st.mn END, 6) + 0.0
+         |    AS "value__DN_HistogramMode_10__w=1D",
+         |  CASE WHEN st.n >= 1 THEN
+         |    round(CAST(coalesce(r1m.ls1, 0) AS DOUBLE), 6) END
+         |    AS "value__SB_BinaryStats_mean_longstretch1__w=1D",
+         |  CASE WHEN st.n >= 2 THEN
+         |    round(CAST(coalesce(r0m.ls0, 0) AS DOUBLE), 6) END
+         |    AS "value__SB_BinaryStats_diff_longstretch0__w=1D",
+         |  round(dstat.trev, 6) + 0.0 AS "value__CO_trev_1_num__w=1D",
+         |  round(dstat.pnn40, 6) AS "value__MD_hrv_classic_pnn40__w=1D",
+         |  round(lsr.se, 6) AS "value__FC_LocalSimple_mean3_stderr__w=1D"
+         |FROM seg LEFT JOIN st ON seg.we = st.we
+         |LEFT JOIN h5m ON seg.we = h5m.we
+         |LEFT JOIN h10m ON seg.we = h10m.we
+         |LEFT JOIN r1m ON seg.we = r1m.we
+         |LEFT JOIN r0m ON seg.we = r0m.we
+         |LEFT JOIN dstat ON seg.we = dstat.we
+         |LEFT JOIN lsr ON seg.we = lsr.we
+         |ORDER BY 1""".stripMargin,
+
+    // catch22 tranche 1, ACF + spectral members: biased ACF via the
+    // all-lags self-join (ac(τ) = Σ c_t·c_{t+τ} / Σ c²), f1ecac linearly
+    // interpolated at the first sub-1/e lag, first ACF local minimum,
+    // first-zero ratio of diff-residual vs raw ACF, and the rect-window
+    // periodogram cumulative-power centroid (q98's DFT CTE de-meaned).
+    "q99b_catch22_acf" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)},
+         |j AS (SELECT we, ts, value FROM seg LEFT JOIN events
+         |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |d AS (SELECT we, value AS v,
+         |  CAST(row_number() OVER (PARTITION BY we ORDER BY ts) - 1
+         |    AS DOUBLE) AS t,
+         |  count(value) OVER (PARTITION BY we) AS n,
+         |  avg(value) OVER (PARTITION BY we) AS mu
+         |  FROM j WHERE value IS NOT NULL),
+         |den AS (SELECT we, sum((v - mu) * (v - mu)) AS den, max(n) AS n
+         |  FROM d GROUP BY we),
+         |ac AS (SELECT a.we, CAST(b.t - a.t AS BIGINT) AS tau,
+         |  sum((a.v - a.mu) * (b.v - b.mu)) AS sp
+         |  FROM d a JOIN d b ON a.we = b.we AND b.t > a.t GROUP BY ALL),
+         |acn AS (SELECT ac.we, tau, sp / den.den AS r
+         |  FROM ac JOIN den ON ac.we = den.we WHERE den.den > 0),
+         |acz AS (SELECT we, CAST(0 AS BIGINT) AS tau, 1.0 AS r FROM den
+         |  WHERE den > 0 UNION ALL SELECT we, tau, r FROM acn),
+         |fc1 AS (SELECT acn.we, min(tau) AS tc FROM acn
+         |  JOIN den ON acn.we = den.we
+         |  WHERE r < exp(-1) AND tau <= den.n - 2 GROUP BY acn.we),
+         |f1 AS (SELECT fc1.we, (tc - 1) + (exp(-1) - p.r) / (c.r - p.r) AS v
+         |  FROM fc1 JOIN acz p ON p.we = fc1.we AND p.tau = tc - 1
+         |  JOIN acz c ON c.we = fc1.we AND c.tau = tc),
+         |fm AS (SELECT c.we, min(c.tau) AS tm FROM acz c
+         |  JOIN acz p ON p.we = c.we AND p.tau = c.tau - 1
+         |  JOIN acz x ON x.we = c.we AND x.tau = c.tau + 1
+         |  WHERE c.tau >= 1 AND c.r < p.r AND c.r < x.r GROUP BY c.we),
+         |fzy AS (SELECT we, min(tau) AS fz FROM acn WHERE r <= 0 GROUP BY we),
+         |dd AS (SELECT we, dv,
+         |  row_number() OVER (PARTITION BY we ORDER BY t) - 1 AS rn,
+         |  avg(dv) OVER (PARTITION BY we) AS mur,
+         |  count(*) OVER (PARTITION BY we) AS nr FROM
+         |  (SELECT we, t, lead(v) OVER (PARTITION BY we ORDER BY t) - v AS dv
+         |   FROM d) WHERE dv IS NOT NULL),
+         |denr AS (SELECT we, sum((dv - mur) * (dv - mur)) AS den,
+         |  max(nr) AS nr FROM dd GROUP BY we),
+         |acrn AS (SELECT q.we, q.tau, q.sp / denr.den AS r FROM
+         |  (SELECT a.we, CAST(b.rn - a.rn AS BIGINT) AS tau,
+         |     sum((a.dv - a.mur) * (b.dv - b.mur)) AS sp
+         |   FROM dd a JOIN dd b ON a.we = b.we AND b.rn > a.rn GROUP BY ALL) q
+         |  JOIN denr ON q.we = denr.we WHERE denr.den > 0),
+         |fzr AS (SELECT we, min(tau) AS fz FROM acrn WHERE r <= 0 GROUP BY we),
+         |p2 AS (SELECT we, n, k, re * re + im * im AS s FROM
+         |  (SELECT we, n, k,
+         |     sum((v - mu) * cos(2 * pi() * k * t / n)) AS re,
+         |     sum((v - mu) * sin(2 * pi() * k * t / n)) AS im
+         |   FROM d, UNNEST(range(1, CAST(n // 2 AS BIGINT) + 1)) AS u(k)
+         |   WHERE n >= 4 GROUP BY we, n, k)),
+         |tot2 AS (SELECT p2.we, sum(s) AS tp FROM p2
+         |  JOIN den ON p2.we = den.we GROUP BY p2.we
+         |  HAVING sum(s) > 1e-9 * max(den.den) * max(den.n)),
+         |cen AS (SELECT we, min(w) AS c FROM
+         |  (SELECT p2.we, 2 * pi() * k / n AS w,
+         |     sum(s) OVER (PARTITION BY p2.we ORDER BY k
+         |       ROWS UNBOUNDED PRECEDING) AS cs, tp
+         |   FROM p2 JOIN tot2 ON p2.we = tot2.we)
+         |  WHERE cs > tp / 2 GROUP BY we)
+         |SELECT seg.we AS ts_anchor,
+         |  CASE WHEN den.n >= 3 AND den.den > 0 THEN
+         |    round(coalesce(f1.v, den.n), 6) END AS "value__CO_f1ecac__w=1D",
+         |  CASE WHEN den.n >= 3 AND den.den > 0 THEN
+         |    round(CAST(coalesce(fm.tm, den.n) AS DOUBLE), 6) END
+         |    AS "value__CO_FirstMin_ac__w=1D",
+         |  CASE WHEN den.n >= 3 AND den.den > 0 AND denr.den > 0 THEN
+         |    round(CAST(coalesce(fzr.fz, denr.nr) AS DOUBLE)
+         |      / CAST(coalesce(fzy.fz, den.n) AS DOUBLE), 6) END
+         |    AS "value__FC_LocalSimple_mean1_tauresrat__w=1D",
+         |  round(cen.c, 6)
+         |    AS "value__SP_Summaries_welch_rect_centroid__w=1D"
+         |FROM seg LEFT JOIN den ON seg.we = den.we
+         |LEFT JOIN f1 ON seg.we = f1.we
+         |LEFT JOIN fm ON seg.we = fm.we
+         |LEFT JOIN fzy ON seg.we = fzy.we
+         |LEFT JOIN fzr ON seg.we = fzr.we
+         |LEFT JOIN denr ON seg.we = denr.we
+         |LEFT JOIN cen ON seg.we = cen.we
+         |ORDER BY 1""".stripMargin,
 
     "q98_spectral" ->
       s"""WITH ${segCte(DAY, 6 * HOUR)},

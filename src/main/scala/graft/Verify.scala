@@ -18,19 +18,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      if (only.nonEmpty && !only.contains(name)) ()
-      else {
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // each query's result is fully written — its checkpoint blocks are
-      // dead; freeing them keeps the 70-query dump at constant storage
-      graft.core.Pinned.release()
-      }
-    }
+    // Deterministic, lexicographic dump order (NOT Map hash order): if the
+    // driver wall-cuts the run partway, the dumped set truncates at a
+    // documented frontier (q00, q01, … first — the tsflex core surface)
+    // instead of dropping an arbitrary-looking hash-ordered subset.
+    // r10 lost 44/99 queries this way, invisibly.
+    val planned = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.contains(n) }
+    val dumped = scala.collection.mutable.ArrayBuffer.empty[String]
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -43,9 +38,37 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    def jarr(xs: Seq[String]) = xs.map(q).mkString("[", ",", "]")
+    // rewritten after every query so a wall-cut leaves a truthful manifest
+    // of declared-vs-dumped; the driver (and the judge) can see exactly
+    // which queries a partial run covered.
+    def writeManifest(): Unit = {
+      val m = s"""{"declared":${planned.size},"dumped":${dumped.size},""" +
+        s""""declared_names":${jarr(planned.map(_._1))},""" +
+        s""""dumped_names":${jarr(dumped.toSeq)}}"""
+      Files.writeString(Paths.get(s"$outDir/manifest.json"), m)
+    }
+    writeManifest()
+    // oracle_sql.json depends only on the static SparkEntry.oracleSql map —
+    // write it BEFORE the (slow, cut-prone) dump loop so a wall-cut partial
+    // run still carries the full oracle set.
+    val oracleJson = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
+    planned.foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        dumped += name
+      }
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      writeManifest()
+      // each query's result is fully written — its checkpoint blocks are
+      // dead; freeing them keeps the 99-query dump at constant storage
+      graft.core.Pinned.release()
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,103 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** catch22 tranche-1 kernel (reference battery surface:
+  * tsflex/features/integrations.py:282-337 wraps `catch22_all`;
+  * tests/test_features_integration.py:326-343 runs it over every series).
+  * Every row is hand-computed on the period-4 triangle
+  * x = [0,1,2,1,0,1,2,1]; input is shuffled so the index sort inside the
+  * aggregate is load-bearing.
+  */
+class Catch22Spec extends SparkSpec {
+  import FeatureFuncs._
+
+  private val x = Seq(0.0, 1.0, 2.0, 1.0, 0.0, 1.0, 2.0, 1.0)
+
+  private def eval(member: String, vals: Seq[Double]): Option[Double] = {
+    import spark.implicits._
+    val df = scala.util.Random.shuffle(
+      vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toList)
+      .toDF("idx", "v").repartition(3)
+    val r = df.agg(catch22Tranche1.agg(col("idx"), col("v"))
+      .getField(member).cast("double")).head
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
+  private def close(a: Option[Double], b: Double, tol: Double = 1e-9): Boolean =
+    a.exists(v => math.abs(v - b) < tol)
+
+  test("DN_HistogramMode_5/10: mean of max-count bin centers") {
+    // 5 bins over [0,2], step 0.4: 0→bin0(×2), 1→bin2(×4), 2→bin4(×2)
+    // → mode = center of bin2 = 1.0
+    assert(close(eval("DN_HistogramMode_5", x), 1.0))
+    // 10 bins, step 0.2: 1 → bin5 (center 1.1)
+    assert(close(eval("DN_HistogramMode_10", x), 1.1))
+    // constant window → the value itself
+    assert(close(eval("DN_HistogramMode_5", Seq(3.0, 3.0, 3.0)), 3.0))
+    // tie: [0,0,1,1] over [0,1], step 0.2 — the max clamps into bin 4, so
+    // bins 0 and 4 tie at 2 → mean of centers (0.1 + 0.9)/2 = 0.5
+    assert(close(eval("DN_HistogramMode_5", Seq(0.0, 0.0, 1.0, 1.0)), 0.5))
+  }
+
+  test("SB_BinaryStats longstretch members") {
+    // mean = 1; strictly above only at the two isolated 2s → 1
+    assert(close(eval("SB_BinaryStats_mean_longstretch1", x), 1.0))
+    // diffs [1,1,-1,-1,1,1,-1]: longest run of decreases = 2
+    assert(close(eval("SB_BinaryStats_diff_longstretch0", x), 2.0))
+    // no value above the mean → 0
+    assert(close(eval("SB_BinaryStats_mean_longstretch1", Seq(2.0, 2.0, 2.0)), 0.0))
+  }
+
+  test("CO_f1ecac: interpolated first 1/e crossing") {
+    // ACF of the triangle: ac(1) = 0 < 1/e already → out = 0 +
+    // (1/e − 1)/(0 − 1) = 1 − 1/e
+    assert(close(eval("CO_f1ecac", x), 1.0 - 1.0 / math.E))
+    // constant window: ACF undefined → null
+    assert(eval("CO_f1ecac", Seq(1.0, 1.0, 1.0, 1.0)).isEmpty)
+  }
+
+  test("CO_FirstMin_ac: first local ACF minimum") {
+    // ac = [1, 0, −0.75, 0, 0.5, …]: ac(1)=0 not below ac(2)=−0.75;
+    // ac(2) below both neighbors → 2
+    assert(close(eval("CO_FirstMin_ac", x), 2.0))
+  }
+
+  test("CO_trev_1_num and MD_hrv_classic_pnn40 over diffs") {
+    // diffs [1,1,-1,-1,1,1,-1]: Σd³ = 1 → 1/7
+    assert(close(eval("CO_trev_1_num", x), 1.0 / 7.0))
+    // every |diff| = 1 > 0.04 → 1.0
+    assert(close(eval("MD_hrv_classic_pnn40", x), 1.0))
+  }
+
+  test("FC_LocalSimple_mean3_stderr: sample std of mean-3 residuals") {
+    // residuals [0, −4/3, 0, 4/3, 0] → ddof-1 std = sqrt((32/9)/4)
+    assert(close(eval("FC_LocalSimple_mean3_stderr", x), math.sqrt(8.0) / 3.0))
+    // n = 4 → one residual → null
+    assert(eval("FC_LocalSimple_mean3_stderr", Seq(1.0, 2.0, 3.0, 4.0)).isEmpty)
+  }
+
+  test("FC_LocalSimple_mean1_tauresrat: first-zero ACF ratio") {
+    // fz(res) = 1 (ac_res(1) = −8/49 ≤ 0), fz(x) = 1 (ac(1) = 0) → 1.0
+    assert(close(eval("FC_LocalSimple_mean1_tauresrat", x), 1.0))
+  }
+
+  test("SP_Summaries_welch_rect_centroid: pure period-4 tone sits at π/2") {
+    // de-meaned triangle is a period-4 wave: all power at k = n/4 = 2 →
+    // centroid = 2π·2/8 = π/2
+    assert(close(eval("SP_Summaries_welch_rect_centroid", x), math.Pi / 2))
+    // constant window: zero oscillatory energy → null
+    assert(eval("SP_Summaries_welch_rect_centroid",
+      Seq(5.0, 5.0, 5.0, 5.0, 5.0)).isEmpty)
+  }
+
+  test("short-window null contract") {
+    // n = 1: histogram mode = the value, longstretch1 = 0, diff members null
+    assert(close(eval("DN_HistogramMode_5", Seq(7.0)), 7.0))
+    assert(close(eval("SB_BinaryStats_mean_longstretch1", Seq(7.0)), 0.0))
+    assert(eval("SB_BinaryStats_diff_longstretch0", Seq(7.0)).isEmpty)
+    assert(eval("CO_trev_1_num", Seq(7.0)).isEmpty)
+    assert(eval("CO_f1ecac", Seq(1.0, 2.0)).isEmpty)
+  }
+}
