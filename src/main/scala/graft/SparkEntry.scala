@@ -794,6 +794,28 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- Grassberger–Procaccia correlation dimension per user series ------
+    "q99c_corr_dim" -> ((s, dir) => {
+      graft.scale.GroupedStats.corrDim(
+        events(s, dir).select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value", embDim = 2)
+        .select(col("user_id").cast("long").as("user_id"),
+          round(col("corr_dim"), 6).as("corr_dim"))
+        .orderBy("user_id")
+    }),
+
+    // ---- multiscale entropy per user series (abs tolerance: oracle-robust)
+    "q99d_mse" -> ((s, dir) => {
+      graft.scale.GroupedStats.multiscaleEntropy(
+        events(s, dir).select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value", scales = Seq(1, 2, 3), m = 2, r = 10.0)
+        .select(col("user_id").cast("long").as("user_id"),
+          round(col("mse_1"), 6).as("mse_1"),
+          round(col("mse_2"), 6).as("mse_2"),
+          round(col("mse_3"), 6).as("mse_3"))
+        .orderBy("user_id")
+    }),
+
     // ---- Hurst R/S exponent per user series -------------------------------
     "q97_hurst" -> ((s, dir) => {
       graft.scale.GroupedStats.hurstRs(
@@ -1530,6 +1552,74 @@ object SparkEntry {
          |LEFT JOIN denr ON seg.we = denr.we
          |LEFT JOIN cen ON seg.we = cen.we
          |ORDER BY 1""".stripMargin,
+
+    // Grassberger–Procaccia: delay-1 2D embedding, pair counts at σ/2 and
+    // σ via the per-key self-join, two-point log-log slope. Radii squared
+    // written exactly as the Spark side computes them ((0.5·σ)·(0.5·σ))
+    // so the strict < agrees bit-for-bit.
+    "q99c_corr_dim" ->
+      """WITH a AS (SELECT user_id, ts, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+        |  stddev_pop(value) OVER (PARTITION BY user_id) AS sd FROM events),
+        |e AS (SELECT user_id, rn, sd, value AS e0,
+        |  lead(value) OVER (PARTITION BY user_id ORDER BY ts) AS e1 FROM a),
+        |e2 AS (SELECT * FROM e WHERE e1 IS NOT NULL),
+        |p AS (SELECT x.user_id, x.sd,
+        |  (x.e0 - y.e0) * (x.e0 - y.e0)
+        |    + (x.e1 - y.e1) * (x.e1 - y.e1) AS d2
+        |  FROM e2 x JOIN e2 y
+        |  ON x.user_id = y.user_id AND y.rn > x.rn),
+        |c AS (SELECT user_id, max(sd) AS sd,
+        |  sum(CASE WHEN d2 < (0.5 * sd) * (0.5 * sd) THEN 1 ELSE 0 END) AS c1,
+        |  sum(CASE WHEN d2 < sd * sd THEN 1 ELSE 0 END) AS c2
+        |  FROM p GROUP BY user_id),
+        |cd AS (SELECT user_id, CASE WHEN sd > 0 AND c1 > 0 THEN
+        |  (ln(CAST(c2 AS DOUBLE)) - ln(CAST(c1 AS DOUBLE))) / ln(2.0) END
+        |  AS v FROM c)
+        |SELECT u.user_id, round(cd.v, 6) AS corr_dim
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN cd USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
+
+    // multiscale entropy: complete-box coarse-grain means per scale, then
+    // the binned sampen approximation (bin = floor(y / r), tuple counts
+    // C(c,2) — the q90 idiom) with one ABSOLUTE tolerance across scales.
+    "q99d_mse" ->
+      """WITH a AS (SELECT user_id, value,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1
+        |    AS BIGINT) AS p,
+        |  count(*) OVER (PARTITION BY user_id) AS n FROM events),
+        |l AS (SELECT user_id, s, CAST(floor(p / s) AS BIGINT) AS box,
+        |  avg(value) AS y
+        |  FROM a, UNNEST([1, 2, 3]) AS t(s)
+        |  WHERE p < s * CAST(floor(n / s) AS BIGINT)
+        |  GROUP BY user_id, s, CAST(floor(p / s) AS BIGINT)),
+        |b AS (SELECT user_id, s, box, floor(y / 10.0) AS b0 FROM l),
+        |t2 AS (SELECT user_id, s, b0,
+        |  lead(b0) OVER (PARTITION BY user_id, s ORDER BY box) AS b1,
+        |  lead(b0, 2) OVER (PARTITION BY user_id, s ORDER BY box) AS b2
+        |  FROM b),
+        |bb AS (SELECT user_id, s, sum(c * (c - 1) / 2) AS b FROM (
+        |    SELECT user_id, s, b0, b1, count(*) AS c FROM t2
+        |    WHERE b1 IS NOT NULL GROUP BY user_id, s, b0, b1)
+        |  GROUP BY user_id, s),
+        |aa AS (SELECT user_id, s, sum(c * (c - 1) / 2) AS a FROM (
+        |    SELECT user_id, s, b0, b1, b2, count(*) AS c FROM t2
+        |    WHERE b2 IS NOT NULL GROUP BY user_id, s, b0, b1, b2)
+        |  GROUP BY user_id, s),
+        |se AS (SELECT bb.user_id, bb.s, CASE WHEN aa.a > 0 AND bb.b > 0
+        |    THEN -ln(CAST(aa.a AS DOUBLE) / CAST(bb.b AS DOUBLE)) END AS se
+        |  FROM bb JOIN aa ON bb.user_id = aa.user_id AND bb.s = aa.s),
+        |pv AS (SELECT user_id,
+        |  max(CASE WHEN s = 1 THEN se END) AS m1,
+        |  max(CASE WHEN s = 2 THEN se END) AS m2,
+        |  max(CASE WHEN s = 3 THEN se END) AS m3
+        |  FROM se GROUP BY user_id)
+        |SELECT u.user_id, round(pv.m1, 6) AS mse_1,
+        |  round(pv.m2, 6) AS mse_2, round(pv.m3, 6) AS mse_3
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN pv USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
 
     "q98_spectral" ->
       s"""WITH ${segCte(DAY, 6 * HOUR)},

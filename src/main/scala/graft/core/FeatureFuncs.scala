@@ -640,6 +640,18 @@ object FeatureFuncs {
     sampEnImpl(s"sampen_${m}_r$r", m, (_, _) => lit(r))
   }
 
+  /** [[sampEnImpl]] with the tolerance read from a COLUMN (constant within
+    * each group, e.g. a per-key 0.2·σ computed upstream) — the keyed
+    * multiscale-entropy building block, where the MSE convention fixes r
+    * on the ORIGINAL series once and reuses it at every coarse-grain scale
+    * (so the per-scale window cannot derive it from its own values).
+    */
+  def sampleEntropyApproxWidthCol(m: Int, widthCol: String): FeatureFunc = {
+    require(m >= 1, "sample entropy template length must be >= 1")
+    sampEnImpl(s"sampen_${m}_wcol", m,
+      (_, _) => org.apache.spark.sql.functions.first(col(widthCol)))
+  }
+
   /** Spectral entropy of the window (Shannon entropy of the DC-excluded
     * periodogram — the antropy `spectral_entropy` family member; see
     * [[graft.expr.SpectralEntropy]] for semantics, bin convention and the

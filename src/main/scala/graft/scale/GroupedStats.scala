@@ -335,4 +335,125 @@ object GroupedStats {
   def exactMedian(df: DataFrame, keyCol: String, valCol: String): DataFrame =
     exactQuantiles(df, keyCol, valCol, Seq("median" -> 0.5))
       .withColumnRenamed("q_median", "median")
+
+  /** Grassberger–Procaccia correlation dimension per key (the nolds
+    * `corr_dim` member of the reference integration surface, reference:
+    * tsflex/features/integrations.py:15-337, exercised by
+    * tests/test_features_integration.py:412-422): delay-1 embedding into
+    * `embDim` lag columns, correlation sums C(r) = #{i<j :
+    * ‖X_i − X_j‖² < r²} at two radii r = σ/2 and r = σ (per-key population
+    * std of the raw series), and the dimension estimate is the two-point
+    * log-log slope (ln C(σ) − ln C(σ/2)) / ln 2.
+    *
+    * Relational shape: embedding = `lead` columns over the per-key order
+    * (no collect), pair counts = ONE key-co-partitioned self-join — both
+    * sides shuffle on the key, so every pair is computed where its rows
+    * already live. The O(n²)-pairs-per-key cost is the documented
+    * bounded-per-key-series contract shared with [[higuchiFd]]/[[dfa]]
+    * (time-series keys, thousands of samples — NOT a free-text join key);
+    * the 100 TB axis is key COUNT, which partitions. NULL for keys with
+    * σ = 0, fewer than embDim+1 samples, or an empty inner-radius count.
+    * Oracle: q99c_corr_dim.
+    */
+  def corrDim(df: DataFrame, keyCol: String, idxCol: String,
+              valCol: String, embDim: Int = 2): DataFrame = {
+    require(embDim >= 1 && embDim <= 8, "corr_dim embDim must be in [1, 8]")
+    require(keyCol != "__gs_rk", "__gs_rk is reserved by corrDim")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(idxCol)
+    val wk = Window.partitionBy(keyCol)
+    val base = df
+      .select(col(keyCol), col(idxCol), col(valCol).cast("double").as("__x"))
+      .withColumn("__sd", stddev_pop(col("__x")).over(wk))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+    val embCols = (0 until embDim).map(i =>
+      (if (i == 0) col("__x") else lead(col("__x"), i).over(w)).as(s"__e$i"))
+    val emb = base
+      .select(Seq(col(keyCol), col("__rn"), col("__sd")) ++ embCols: _*)
+      .where(col(s"__e${embDim - 1}").isNotNull)
+    val a = emb.select(
+      Seq(col(keyCol), col("__rn").as("__ra"), col("__sd")) ++
+        (0 until embDim).map(i => col(s"__e$i").as(s"__a$i")): _*)
+    val b = emb.select(
+      Seq(col(keyCol).as("__kb"), col("__rn").as("__rb")) ++
+        (0 until embDim).map(i => col(s"__e$i").as(s"__b$i")): _*)
+    // null-safe key equality: null-keyed series stay one group, like the
+    // groupBy in the sibling operators
+    val pairs = a.join(b,
+      col(keyCol) <=> col("__kb") && col("__rb") > col("__ra"))
+      .withColumn("__d2", (0 until embDim).map(i =>
+        (col(s"__a$i") - col(s"__b$i")) * (col(s"__a$i") - col(s"__b$i")))
+        .reduce(_ + _))
+    // radii squared written EXACTLY as the oracle computes them
+    // ((0.5·σ)·(0.5·σ)) so the strict < comparisons agree bit-for-bit
+    val r1sq = (lit(0.5) * col("__sd")) * (lit(0.5) * col("__sd"))
+    val r2sq = col("__sd") * col("__sd")
+    val cd = pairs.groupBy(keyCol).agg(
+      max(col("__sd")).as("__s"),
+      sum(when(col("__d2") < r1sq, 1L).otherwise(0L)).as("__c1"),
+      sum(when(col("__d2") < r2sq, 1L).otherwise(0L)).as("__c2"))
+      .select(col(keyCol),
+        when(col("__s") > 0 && col("__c1") > 0,
+          (log(col("__c2").cast("double")) - log(col("__c1").cast("double")))
+            / lit(math.log(2.0))).as("corr_dim"))
+    df.select(col(keyCol)).distinct()
+      .join(cd.withColumnRenamed(keyCol, "__gs_rk"),
+        col(keyCol) <=> col("__gs_rk"), "left")
+      .drop("__gs_rk")
+  }
+
+  /** Multiscale (sample) entropy per key (the pyentrp
+    * `multiscale_entropy` member of the reference integration surface,
+    * reference: tests/test_features_integration.py:440-462): at each scale
+    * s the series is coarse-grained into means of consecutive
+    * non-overlapping length-s boxes (complete boxes only, the pyentrp
+    * convention), and the per-scale value is the binned sample-entropy
+    * approximation (see [[graft.core.FeatureFuncs.sampleEntropyApprox]]
+    * for the documented quantize-cell deviation from exact Chebyshev
+    * SampEn) with ONE tolerance fixed across scales: r > 0 uses the
+    * absolute width r (the oracle-robust variant, no std in the bin
+    * boundary); r = 0 uses the MSE convention 0.2·σ_pop of the RAW series.
+    *
+    * Relational shape: coarse-graining is a map-side explode (×|scales|)
+    * + one hash aggregate on (key, scale, box); each per-scale entropy is
+    * the same fused sort+run-fold aggregate the windowed sampen uses — no
+    * pairwise O(n²), no collect. One output column `mse_<s>` per scale.
+    * Degenerate keys (too short, zero width) surface with NULL.
+    * Oracle: q99d_mse.
+    */
+  def multiscaleEntropy(df: DataFrame, keyCol: String, idxCol: String,
+                        valCol: String, scales: Seq[Int] = Seq(1, 2, 3),
+                        m: Int = 2, r: Double = 0.0,
+                        rFactor: Double = 0.2): DataFrame = {
+    require(scales.nonEmpty && scales.forall(_ >= 1), "scales must be >= 1")
+    require(scales.distinct.size == scales.size, "duplicate scales")
+    require(keyCol != "__gs_rk", "__gs_rk is reserved by multiscaleEntropy")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(idxCol)
+    val wk = Window.partitionBy(keyCol)
+    val widthCol =
+      if (r > 0) lit(r)
+      else stddev_pop(col("__x")).over(wk) * lit(rFactor)
+    val base = df
+      .select(col(keyCol), col(idxCol), col(valCol).cast("double").as("__x"))
+      .withColumn("__p", (row_number().over(w) - 1).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wk))
+      .withColumn("__w", widthCol)
+    val coarse = base
+      .select(col(keyCol), col("__p"), col("__n"), col("__w"), col("__x"),
+        explode(array(scales.map(s => lit(s.toLong)): _*)).as("__s"))
+      .where(col("__p") < col("__s") * floor(col("__n") / col("__s")))
+      .groupBy(col(keyCol), col("__s"), floor(col("__p") / col("__s")).as("__box"))
+      .agg(avg(col("__x")).as("__y"), max(col("__w")).as("__w"))
+    val sampen = graft.core.FeatureFuncs.sampleEntropyApproxWidthCol(m, "__w")
+    val perScale = coarse.groupBy(col(keyCol), col("__s"))
+      .agg(sampen.agg(col("__box"), col("__y")).as("__se"))
+    val aggs = scales.map(s =>
+      max(when(col("__s") === s, col("__se"))).as(s"mse_$s"))
+    val mse = perScale.groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
+    df.select(col(keyCol)).distinct()
+      .join(mse.withColumnRenamed(keyCol, "__gs_rk"),
+        col(keyCol) <=> col("__gs_rk"), "left")
+      .drop("__gs_rk")
+  }
 }
