@@ -816,6 +816,19 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- Rosenstein largest Lyapunov exponent (1-in-10 user subset: the
+    // NN stage is O(n²) pairs per key by definition, so the demo query
+    // bounds total pair volume; the operator itself takes any keyed frame)
+    "q99e_lyap" -> ((s, dir) => {
+      graft.scale.GroupedStats.lyapR(
+        events(s, dir).where(col("user_id") % 10 === 0)
+          .select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value", embDim = 3, minTsep = 5, trajLen = 6)
+        .select(col("user_id").cast("long").as("user_id"),
+          round(col("lyap_r"), 6).as("lyap_r"))
+        .orderBy("user_id")
+    }),
+
     // ---- Hurst R/S exponent per user series -------------------------------
     "q97_hurst" -> ((s, dir) => {
       graft.scale.GroupedStats.hurstRs(
@@ -1619,6 +1632,52 @@ object SparkEntry {
         |  round(pv.m2, 6) AS mse_2, round(pv.m3, 6) AS mse_3
         |FROM (SELECT DISTINCT user_id FROM events) u
         |LEFT JOIN pv USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
+
+    // Rosenstein lyap_r: 3D delay-1 embedding, Theiler-window NN with the
+    // deterministic (min d2, then min j) tie-break, trajectory divergence
+    // means over t = 0..6, least-squares slope.
+    "q99e_lyap" ->
+      """WITH ev AS (SELECT user_id, ts, value FROM events
+        |  WHERE user_id % 10 = 0),
+        |a AS (SELECT user_id, value,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1
+        |    AS BIGINT) AS i FROM ev),
+        |e AS (SELECT user_id, i, value AS e0,
+        |  lead(value, 1) OVER w AS e1, lead(value, 2) OVER w AS e2
+        |  FROM a WINDOW w AS (PARTITION BY user_id ORDER BY i)),
+        |et AS (SELECT * FROM e WHERE e2 IS NOT NULL),
+        |p AS (SELECT x.user_id, x.i AS ia, y.i AS ib,
+        |  (x.e0 - y.e0) * (x.e0 - y.e0) + (x.e1 - y.e1) * (x.e1 - y.e1)
+        |    + (x.e2 - y.e2) * (x.e2 - y.e2) AS d2
+        |  FROM et x JOIN et y
+        |  ON x.user_id = y.user_id AND abs(y.i - x.i) > 5),
+        |nmin AS (SELECT user_id, ia, min(d2) AS dmin FROM p
+        |  GROUP BY user_id, ia),
+        |nn AS (SELECT p.user_id, p.ia, min(p.ib) AS j FROM p
+        |  JOIN nmin ON p.user_id = nmin.user_id AND p.ia = nmin.ia
+        |    AND p.d2 = nmin.dmin
+        |  GROUP BY p.user_id, p.ia),
+        |tr AS (SELECT user_id, ia, j, t
+        |  FROM nn, UNNEST([0, 1, 2, 3, 4, 5, 6]) AS u(t)),
+        |dv AS (SELECT tr.user_id, CAST(t AS DOUBLE) AS t,
+        |  (p1.e0 - p2.e0) * (p1.e0 - p2.e0)
+        |    + (p1.e1 - p2.e1) * (p1.e1 - p2.e1)
+        |    + (p1.e2 - p2.e2) * (p1.e2 - p2.e2) AS d2
+        |  FROM tr JOIN et p1
+        |    ON p1.user_id = tr.user_id AND p1.i = tr.ia + t
+        |  JOIN et p2
+        |    ON p2.user_id = tr.user_id AND p2.i = tr.j + t),
+        |cv AS (SELECT user_id, t, avg(ln(sqrt(d2))) AS y FROM dv
+        |  WHERE d2 > 0 GROUP BY user_id, t),
+        |sl AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n, sum(t) AS sx,
+        |  sum(y) AS sy, sum(t * y) AS sxy, sum(t * t) AS sxx
+        |  FROM cv GROUP BY user_id),
+        |ly AS (SELECT user_id, CASE WHEN n * sxx - sx * sx > 0 THEN
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS v FROM sl)
+        |SELECT u.user_id, round(ly.v, 6) AS lyap_r
+        |FROM (SELECT DISTINCT user_id FROM ev) u
+        |LEFT JOIN ly USING (user_id)
         |ORDER BY u.user_id""".stripMargin,
 
     "q98_spectral" ->

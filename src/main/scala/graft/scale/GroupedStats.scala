@@ -456,4 +456,86 @@ object GroupedStats {
         col(keyCol) <=> col("__gs_rk"), "left")
       .drop("__gs_rk")
   }
+
+  /** Largest Lyapunov exponent per key, Rosenstein's method (the nolds
+    * `lyap_r` member of the reference integration surface, reference:
+    * tests/test_features_integration.py:412-422): delay-1 embedding into
+    * `embDim` lag columns; each embedded point's nearest neighbor
+    * (Euclidean, temporal separation > `minTsep` — Theiler window, both
+    * directions) seeds a trajectory pair; the divergence curve is
+    * y(t) = mean_i ln‖X_{i+t} − X_{nn(i)+t}‖ for t = 0..`trajLen`
+    * (zero-distance trajectories are dropped from that t's mean, nolds'
+    * −inf mask), and the exponent is the least-squares slope of y(t) vs t
+    * (per sample step — multiply by the sampling rate for physical units).
+    *
+    * Relational shape: the NN search is the per-key self-join (O(n²) pairs
+    * per key — the same documented bounded-per-key contract as [[corrDim]],
+    * with Σn_k² the true cost axis; pre-filter hot keys or sample if a key
+    * holds millions of samples); the argmin is a single min(struct(d², j))
+    * hash aggregate with a deterministic smallest-j tie-break; trajectory
+    * tracking is two (key, position)-equi-joins — every stage shuffles on
+    * the key (+position), nothing collects. Degenerate keys (too short,
+    * no positive-distance trajectories, vertical fit) surface with NULL.
+    * Oracle: q99e_lyap.
+    */
+  def lyapR(df: DataFrame, keyCol: String, idxCol: String, valCol: String,
+            embDim: Int = 3, minTsep: Int = 5, trajLen: Int = 6): DataFrame = {
+    require(embDim >= 2 && embDim <= 8, "lyap_r embDim must be in [2, 8]")
+    require(minTsep >= 1 && trajLen >= 2, "minTsep >= 1, trajLen >= 2")
+    require(keyCol != "__gs_rk", "__gs_rk is reserved by lyapR")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(idxCol)
+    val base = df
+      .select(col(keyCol), col(idxCol), col(valCol).cast("double").as("__x"))
+      .withColumn("__i", (row_number().over(w) - 1).cast("long"))
+    val embCols = (0 until embDim).map(i =>
+      (if (i == 0) col("__x") else lead(col("__x"), i).over(w)).as(s"__e$i"))
+    val emb = base
+      .select(Seq(col(keyCol), col("__i")) ++ embCols: _*)
+      .where(col(s"__e${embDim - 1}").isNotNull)
+    val a = emb.select(Seq(col(keyCol), col("__i").as("__ia")) ++
+      (0 until embDim).map(i => col(s"__e$i").as(s"__a$i")): _*)
+    val b = emb.select(Seq(col(keyCol).as("__kb"), col("__i").as("__ib")) ++
+      (0 until embDim).map(i => col(s"__e$i").as(s"__b$i")): _*)
+    val pairs = a.join(b, col(keyCol) <=> col("__kb") &&
+        abs(col("__ib") - col("__ia")) > minTsep)
+      .withColumn("__d2", (0 until embDim).map(i =>
+        (col(s"__a$i") - col(s"__b$i")) * (col(s"__a$i") - col(s"__b$i")))
+        .reduce(_ + _))
+    val nn = pairs.groupBy(col(keyCol), col("__ia"))
+      .agg(min(struct(col("__d2").as("d"), col("__ib").as("j"))).as("__nn"))
+      .select(col(keyCol), col("__ia").as("__i0"),
+        col("__nn").getField("j").as("__j0"))
+    val tracked = nn
+      .select(col(keyCol), col("__i0"), col("__j0"),
+        explode(array((0 to trajLen).map(t => lit(t.toLong)): _*)).as("__t"))
+    val p1 = emb.select(Seq(col(keyCol).as("__k1"), col("__i").as("__i1")) ++
+      (0 until embDim).map(i => col(s"__e$i").as(s"__c$i")): _*)
+    val p2 = emb.select(Seq(col(keyCol).as("__k2"), col("__i").as("__i2")) ++
+      (0 until embDim).map(i => col(s"__e$i").as(s"__d$i")): _*)
+    val div = tracked
+      .join(p1, col(keyCol) <=> col("__k1") &&
+        col("__i1") === col("__i0") + col("__t"))
+      .join(p2, col(keyCol) <=> col("__k2") &&
+        col("__i2") === col("__j0") + col("__t"))
+      .withColumn("__dt2", (0 until embDim).map(i =>
+        (col(s"__c$i") - col(s"__d$i")) * (col(s"__c$i") - col(s"__d$i")))
+        .reduce(_ + _))
+      .where(col("__dt2") > 0)
+      .select(col(keyCol), col("__t").cast("double").as("__tt"),
+        log(sqrt(col("__dt2"))).as("__ld"))
+    val curve = div.groupBy(col(keyCol), col("__tt"))
+      .agg(avg(col("__ld")).as("__y"))
+    val n = count(lit(1)).cast("double")
+    val sx = sum(col("__tt")); val sy = sum(col("__y"))
+    val sxy = sum(col("__tt") * col("__y"))
+    val sxx = sum(col("__tt") * col("__tt"))
+    val le = curve.groupBy(keyCol).agg(
+      when(n * sxx - sx * sx > 0,
+        (n * sxy - sx * sy) / (n * sxx - sx * sx)).as("lyap_r"))
+    df.select(col(keyCol)).distinct()
+      .join(le.withColumnRenamed(keyCol, "__gs_rk"),
+        col(keyCol) <=> col("__gs_rk"), "left")
+      .drop("__gs_rk")
+  }
 }

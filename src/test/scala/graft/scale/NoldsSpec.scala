@@ -100,6 +100,61 @@ class NoldsSpec extends SparkSpec {
     }
   }
 
+  /** Brute-force Rosenstein lyap_r matching the operator's documented
+    * definition (Theiler-window NN, min-d² then min-j tie-break, divergence
+    * means, least-squares slope). */
+  private def bruteLyap(xs: Array[Double], m: Int, tsep: Int, T: Int): Option[Double] = {
+    val vecs = (0 to xs.length - m).map(i => xs.slice(i, i + m))
+    val N = vecs.size
+    def d2(i: Int, j: Int) = (0 until m).map(t =>
+      (vecs(i)(t) - vecs(j)(t)) * (vecs(i)(t) - vecs(j)(t))).sum
+    val nn = (0 until N).flatMap { i =>
+      val cands = (0 until N).filter(j => math.abs(j - i) > tsep)
+      if (cands.isEmpty) None
+      else Some(i -> cands.minBy(j => (d2(i, j), j)))
+    }
+    val ys = (0 to T).flatMap { t =>
+      val lds = nn.flatMap { case (i, j) =>
+        if (i + t < N && j + t < N) {
+          val d = d2(i + t, j + t)
+          if (d > 0) Some(math.log(math.sqrt(d))) else None
+        } else None
+      }
+      if (lds.nonEmpty) Some(t.toDouble -> lds.sum / lds.size) else None
+    }
+    val k = ys.size.toDouble
+    val sx = ys.map(_._1).sum; val sy = ys.map(_._2).sum
+    val sxy = ys.map(p => p._1 * p._2).sum; val sxx = ys.map(p => p._1 * p._1).sum
+    if (k * sxx - sx * sx > 0) Some((k * sxy - sx * sy) / (k * sxx - sx * sx))
+    else None
+  }
+
+  test("lyap_r matches the driver brute force on multi-partition keys") {
+    val df = keyedSeries(keys = 4, n = 60, seed = 13)
+    val got = GroupedStats.lyapR(df, "k", "i", "v",
+      embDim = 3, minTsep = 5, trajLen = 6)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val arrs = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (k, rows) => k -> rows.sortBy(_._2).map(_._3) }
+    assert(got.keySet == arrs.keySet)
+    for ((k, xs) <- arrs) {
+      val exp = bruteLyap(xs, 3, 5, 6)
+      (got(k), exp) match {
+        case (Some(g), Some(e)) => assert(math.abs(g - e) < 1e-6, s"key $k: $g vs $e")
+        case (g, e) => assert(g == e, s"key $k: $g vs $e")
+      }
+    }
+  }
+
+  test("lyap_r degenerate keys surface null") {
+    import spark.implicits._
+    // too short for any Theiler-window pair
+    val df = (0 until 6).map(i => (1L, i.toLong, i.toDouble)).toDF("k", "i", "v")
+    val out = GroupedStats.lyapR(df, "k", "i", "v").collect()
+    assert(out.length == 1 && out.head.isNullAt(1))
+  }
+
   test("multiscale entropy sigma-scaled width runs and respects nulls") {
     import spark.implicits._
     // constant key: sigma = 0 -> width 0 -> null at every scale; the live
