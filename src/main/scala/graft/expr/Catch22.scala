@@ -121,6 +121,18 @@ object Catch22Util {
     best
   }
 
+  /** Debug-only: print per-member wall times from [[compute]]. */
+  @volatile var timings: Boolean = false
+  private def timed[A](name: String)(f: => A): A = {
+    if (!timings) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"  $name%-36s ${(System.nanoTime() - t0) / 1e6}%.2f ms")
+      r
+    }
+  }
+
   def compute(arr: ArrayData): InternalRow = {
     val n = arr.numElements()
     val x = new Array[Double](n)
@@ -131,26 +143,26 @@ object Catch22Util {
     if (n > 0) mu /= n
     val out = new Array[Any](names.length)
 
-    out(0) = histMode(x, 5)
-    out(1) = histMode(x, 10)
+    out(0) = timed("mode5")(histMode(x, 5))
+    out(1) = timed("mode10")(histMode(x, 10))
 
     // SB_BinaryStats_mean_longstretch1: binarize by the mean (1 = strictly
     // above), longest run of 1s. Empty window → null; no value above → 0.
-    out(2) = if (n == 0) null
-      else java.lang.Double.valueOf(longestRun(0, n, t => x(t) > mu).toDouble)
+    out(2) = timed("longstretch1")(if (n == 0) null
+      else java.lang.Double.valueOf(longestRun(0, n, t => x(t) > mu).toDouble))
 
     // SB_BinaryStats_diff_longstretch0: binarize successive diffs (0 =
     // strict decrease), longest run of 0s = longest run of decreases.
-    out(3) = if (n < 2) null
+    out(3) = timed("diffstretch0")(if (n < 2) null
       else java.lang.Double.valueOf(
-        longestRun(0, n - 1, t => x(t + 1) - x(t) < 0).toDouble)
+        longestRun(0, n - 1, t => x(t + 1) - x(t) < 0).toDouble))
 
     val acf = new Acf(x)
 
     // CO_f1ecac: first 1/e crossing of the ACF, linearly interpolated
     // between the straddling lags (C: out = i + (thresh − ac_i)/(ac_{i+1} −
     // ac_i) at the first i with ac_{i+1} < 1/e); n if no crossing.
-    out(4) = if (n < 3 || !acf.defined) null else {
+    out(4) = timed("f1ecac")(if (n < 3 || !acf.defined) null else {
       val thresh = 1.0 / math.E
       var res = n.toDouble
       var j = 0
@@ -161,11 +173,11 @@ object Catch22Util {
         j += 1
       }
       java.lang.Double.valueOf(res)
-    }
+    })
 
     // CO_FirstMin_ac: lag of the first local ACF minimum (ac(i) below both
     // neighbors, 1 ≤ i ≤ n−2); n if none.
-    out(5) = if (n < 3 || !acf.defined) null else {
+    out(5) = timed("firstmin")(if (n < 3 || !acf.defined) null else {
       var res = n.toDouble
       var j = 1
       var done = false
@@ -174,26 +186,26 @@ object Catch22Util {
         j += 1
       }
       java.lang.Double.valueOf(res)
-    }
+    })
 
     // CO_trev_1_num: mean cubed successive difference.
-    out(6) = if (n < 2) null else {
+    out(6) = timed("trev")(if (n < 2) null else {
       var s = 0.0; var t = 0
       while (t < n - 1) { val d = x(t + 1) - x(t); s += d * d * d; t += 1 }
       java.lang.Double.valueOf(s / (n - 1))
-    }
+    })
 
     // MD_hrv_classic_pnn40: fraction of successive diffs with |Δ| > 0.04
     // (the C kernel scales |Δ|·1000 against the 40 ms HRV threshold).
-    out(7) = if (n < 2) null else {
+    out(7) = timed("pnn40")(if (n < 2) null else {
       var k = 0; var t = 0
       while (t < n - 1) { if (math.abs(x(t + 1) - x(t)) > 0.04) k += 1; t += 1 }
       java.lang.Double.valueOf(k.toDouble / (n - 1))
-    }
+    })
 
     // FC_LocalSimple_mean3_stderr: sample std (ddof=1) of the residuals of
     // a trailing-mean-3 forecast: r_i = x_{i+3} − mean(x_i, x_{i+1}, x_{i+2}).
-    out(8) = if (n < 5) null else {
+    out(8) = timed("ls3stderr")(if (n < 5) null else {
       val m = n - 3
       var s = 0.0; var ss = 0.0; var t = 0
       while (t < m) {
@@ -201,11 +213,11 @@ object Catch22Util {
         s += r; ss += r * r; t += 1
       }
       java.lang.Double.valueOf(math.sqrt((ss - s * s / m) / (m - 1)))
-    }
+    })
 
     // FC_LocalSimple_mean1_tauresrat: first-zero ACF lag of the mean-1
     // forecast residuals (= successive diffs) over that of the window.
-    out(9) = if (n < 3) null else {
+    out(9) = timed("tauresrat")(if (n < 3) null else {
       val res = new Array[Double](n - 1)
       var t = 0
       while (t < n - 1) { res(t) = x(t + 1) - x(t); t += 1 }
@@ -213,40 +225,24 @@ object Catch22Util {
       if (!acf.defined || !acfR.defined) null
       else java.lang.Double.valueOf(
         acfR.firstZero(n - 1).toDouble / acf.firstZero(n).toDouble)
-    }
+    })
 
     // SP_Summaries_welch_rect_centroid: rect-window periodogram of the
     // de-meaned window at bins k = 0..⌊n/2⌋, w_k = 2πk/n; centroid = first
     // w_k whose cumulative power strictly exceeds half the total. Same
     // trig-table DFT shape as [[SpectralEntropyUtil]].
-    out(10) = if (n < 4) null else {
+    out(10) = timed("centroid")(if (n < 4) null else {
       val nb = n / 2
-      val cosT = new Array[Double](n)
-      val sinT = new Array[Double](n)
-      var ti = 0
-      while (ti < n) {
-        val a = 2.0 * math.Pi * ti / n
-        cosT(ti) = math.cos(a); sinT(ti) = math.sin(a)
-        ti += 1
-      }
-      val s = new Array[Double](nb + 1)
-      var total = 0.0
+      val d = new Array[Double](n)
       var sxx = 0.0
       var t0 = 0
-      while (t0 < n) { val d = x(t0) - mu; sxx += d * d; t0 += 1 }
-      var k = 1 // k=0 is the (zeroed) DC bin of the de-meaned window
-      while (k <= nb) {
-        var re = 0.0; var im = 0.0; var idx = 0; var t = 0
-        while (t < n) {
-          val d = x(t) - mu
-          re += d * cosT(idx); im += d * sinT(idx)
-          idx += k; if (idx >= n) idx -= n
-          t += 1
-        }
-        s(k) = re * re + im * im
-        total += s(k)
-        k += 1
-      }
+      while (t0 < n) { d(t0) = x(t0) - mu; sxx += d(t0) * d(t0); t0 += 1 }
+      // bins 1..n/2 of the de-meaned window (DC bin is zero by
+      // construction); FFT/DFT split via [[Fft.halfPsd]]
+      val s = Fft.halfPsd(d)
+      var total = 0.0
+      var si = 0
+      while (si < nb) { total += s(si); si += 1 }
       // relative zero-energy guard, same convention as SpectralEntropyUtil
       if (!(total > 1e-9 * sxx * n)) null
       else {
@@ -255,14 +251,14 @@ object Catch22Util {
         var kk = 0
         var res = Double.NaN
         var done = false
-        while (!done && kk <= nb) {
+        while (!done && kk < nb) {
           cs += s(kk)
-          if (cs > half) { res = 2.0 * math.Pi * kk / n; done = true }
+          if (cs > half) { res = 2.0 * math.Pi * (kk + 1) / n; done = true }
           kk += 1
         }
         java.lang.Double.valueOf(res)
       }
-    }
+    })
 
     new GenericInternalRow(out)
   }

@@ -34,38 +34,14 @@ object SpectralEntropyUtil {
     var sxx = 0.0
     while (i < n) { x(i) = arr.getDouble(i); sxx += x(i) * x(i); i += 1 }
     val nb = n / 2
-    // every DFT angle is a multiple of 2π/n: one n-entry trig table per
-    // window (indexed by k·t mod n) replaces the 2·n²/2 Math.cos/sin
-    // calls of the naive loop — ~10× on 3k-sample windows, same math
-    val cosT = new Array[Double](n)
-    val sinT = new Array[Double](n)
-    var ti = 0
-    while (ti < n) {
-      val a = 2.0 * math.Pi * ti / n
-      cosT(ti) = math.cos(a)
-      sinT(ti) = math.sin(a)
-      ti += 1
-    }
-    val psd = new Array[Double](nb)
+    // O(n log n) Bluestein FFT above [[Fft.directThreshold]] samples, the
+    // trig-table direct DFT below — identical X_k mathematics either way
+    // (differential-tested in FftSpec), so the 6-decimal oracle contract
+    // is unaffected while 64k-sample windows drop from O(n²/2) to n log n
+    val psd = Fft.halfPsd(x)
     var total = 0.0
-    var k = 1
-    while (k <= nb) {
-      var re = 0.0
-      var im = 0.0
-      var idx = 0 // (k·t) mod n, advanced by k with wraparound
-      var t = 0
-      while (t < n) {
-        re += x(t) * cosT(idx)
-        im += x(t) * sinT(idx)
-        idx += k
-        if (idx >= n) idx -= n
-        t += 1
-      }
-      val p = re * re + im * im
-      psd(k - 1) = p
-      total += p
-      k += 1
-    }
+    var j0 = 0
+    while (j0 < nb) { total += psd(j0); j0 += 1 }
     // "zero oscillatory energy" must be judged RELATIVE to the signal: a
     // constant window's bins carry FP dust (~1e-32 of the energy), not
     // exact zeros. Threshold = 1e-9 · Σx² · n (≈ AC amplitude above
