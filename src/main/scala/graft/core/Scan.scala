@@ -331,6 +331,20 @@ object Scan {
   /** Last non-null `valCol` at-or-before each row in `orderCols` order
     * (distributed forward fill / as-of carry) → `outCol`.
     */
+  /** True when `dt` contains a MapType anywhere in its tree — maps are
+    * neither orderable nor hashable, so callers gate sort/hash
+    * participation on this (AsofJoin tie ordering, Sink tiebreak hash).
+    */
+  def containsMapType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => containsMapType(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        containsMapType(a.elementType)
+      case _ => false
+    }
+
   def fillForward(df: DataFrame, orderCols: Seq[String], valCol: String,
                   outCol: String): DataFrame = {
     val p = ranged(df, orderCols)

@@ -138,8 +138,19 @@ object AsofJoin {
         lPay.as("__lp"),
         lit(null).cast(rCarryType).as("__rp")): _*)
 
+    // Duplicate right timestamps on one key: the fill ordering must break
+    // the (key, __t, __side) tie deterministically or the carried payload
+    // is shuffle-arrival-dependent. Sorting by the carry struct itself
+    // (struct ordering over signed time then the value columns) makes the
+    // MAX payload win every run — deterministic-but-positional-free
+    // (pandas merge_asof's "last occurrence" has no distributed analog).
+    // Struct ordering requires orderable fields, so a right frame carrying
+    // a MapType keeps the documented arbitrary-but-valid behavior.
+    val rpOrderable = !rValCols.exists(c =>
+      graft.core.Scan.containsMapType(right.schema(c).dataType))
+    val tieOrder = if (rpOrderable) Seq("__rp") else Nil
     val filled = Scan.fillForward(rU.unionByName(lU),
-      keyCols ++ Seq("__t", "__side"), "__rp", "__fv")
+      keyCols ++ Seq("__t", "__side") ++ tieOrder, "__rp", "__fv")
 
     val sameKey = col("__fv").getField("__k") === struct(keyCols.map(col): _*)
     val dt = col("__t") - col("__fv").getField("__t0")

@@ -97,7 +97,12 @@ object GroupedStats {
       "quantile labels must be unique (they become output column names)")
     quantiles.foreach { case (_, q) =>
       require(q >= 0.0 && q <= 1.0, s"quantile $q outside [0, 1]") }
-    require(keyCol != "__gs_rk", "__gs_rk is reserved by exactQuantilesMulti")
+    // the unpivot introduces __gs_k/__gs_c/__gs_v/__gs_p internally — a
+    // caller column with one of those names would fail later with an
+    // opaque ambiguous-attribute error instead of this contract message
+    val gsReserved = Set("__gs_rk", "__gs_k", "__gs_c", "__gs_v", "__gs_p")
+    (keyCol +: valCols).foreach(c => require(!gsReserved.contains(c),
+      s"$c is reserved by exactQuantilesMulti"))
     // unpivot: (key, metric-name, value) — one row per non-null metric value
     val pairs = array(valCols.map(c =>
       struct(lit(c).as("__gs_c"), col(c).cast("double").as("__gs_v"))): _*)

@@ -48,12 +48,22 @@ object Sink {
     // xxhash64 over the hashable columns breaks sort-key ties
     // deterministically: without it, rows equal on sortCols would keep
     // their shuffle arrival order and re-runs could differ byte-for-byte.
-    // Map-typed columns are excluded (hash on MapType is disallowed —
-    // map key order is undefined), so rows differing ONLY in a map column
-    // keep nondeterministic relative order; likewise two distinct rows
-    // colliding on the 64-bit hash — both windows are negligible but real.
-    val hashableCols = df.schema.fields
-      .filterNot(f => containsMap(f.dataType)).map(f => col(f.name)).toSeq
+    // hash on MapType is disallowed (map key order is undefined), so
+    // TOP-LEVEL map columns participate via a canonicalized projection —
+    // array_sort(map_entries(c)) is an order-deterministic, hashable
+    // array<struct<key,value>> — keeping rows that differ only in a map
+    // column inside the determinism contract. Only maps nested deeper
+    // inside structs/arrays (or maps of maps) stay excluded; likewise two
+    // distinct rows colliding on the 64-bit hash — both windows are
+    // negligible but real.
+    val hashableCols = df.schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case m: MapType if !containsMap(m.keyType) && !containsMap(m.valueType) =>
+          Some(array_sort(map_entries(col(f.name))))
+        case dt if !containsMap(dt) => Some(col(f.name))
+        case _ => None
+      }
+    }
     val tiebreak =
       if (hashableCols.nonEmpty) xxhash64(hashableCols: _*) else lit(0L)
     df.withColumn("__file", bucket)

@@ -130,6 +130,17 @@ class AsofJoinSpec extends SparkSpec {
       Set(("a", 5.0, Some(20.0)), ("a", 7.0, Some(50.0))))
   }
 
+  test("duplicate right timestamps: the carried payload is deterministic") {
+    // three right rows share (k, rt) — the max payload struct must win on
+    // EVERY run and partitioning (the r9 arbitrary-tie gap); here that is
+    // the row with v = 9.0 (struct ordering reaches the value columns)
+    val right = r(("a", 2.0, 3.0), ("a", 2.0, 9.0), ("a", 2.0, 7.0))
+    for (parts <- Seq(1, 7, 13)) {
+      val out = run(l(("a", 5.0)), right.repartition(parts))
+      assert(out == Set(("a", 5.0, Some(9.0))), s"parts=$parts: $out")
+    }
+  }
+
   test("nearest differential: hot key over many partitions vs driver oracle") {
     import spark.implicits._
     val rng = new scala.util.Random(17)

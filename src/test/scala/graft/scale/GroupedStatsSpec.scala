@@ -285,4 +285,18 @@ class GroupedStatsSpec extends SparkSpec {
         s"quantile window partitioned only by [$parts]")
     }
   }
+
+  test("reserved __gs_* names fail fast with the contract message") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0)).toDF("__gs_v", "v")
+    val e = intercept[IllegalArgumentException] {
+      GroupedStats.exactQuantilesMulti(df, "__gs_v", Seq("v"), Seq("m" -> 0.5))
+    }
+    assert(e.getMessage.contains("reserved"))
+    val df2 = Seq(("a", 1.0)).toDF("k", "__gs_p")
+    val e2 = intercept[IllegalArgumentException] {
+      GroupedStats.exactQuantilesMulti(df2, "k", Seq("__gs_p"), Seq("m" -> 0.5))
+    }
+    assert(e2.getMessage.contains("reserved"))
+  }
 }

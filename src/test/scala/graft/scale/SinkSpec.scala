@@ -122,10 +122,42 @@ class SinkSpec extends SparkSpec {
     }
   }
 
-  test("writeShards accepts map-typed columns (excluded from the tiebreak)") {
+  test("writeShards: map columns join the tiebreak via canonicalized entries") {
     import spark.implicits._
-    // regression: hashing a MapType throws (map key order is undefined), so
-    // the all-column tiebreak must skip map columns rather than fail
+    // rows IDENTICAL except for a map column, all tied on the sort key:
+    // the canonicalized map_entries projection must order them the same
+    // way on every run/partitioning (the r9 determinism gap)
+    val dup = (0 until 40).map(i => (1L, "train", Map(s"k$i" -> i, s"j$i" -> -i)))
+    val mdf = dup.toDF("doc_id", "split", "meta")
+    val d1 = java.nio.file.Files.createTempDirectory("sinkM1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("sinkM2").toString
+    try {
+      Sink.writeShards(mdf, d1, Seq("split"), Seq("doc_id"))
+      Sink.writeShards(mdf.repartition(17), d2, Seq("split"), Seq("doc_id"))
+      def crcs(root: String): Seq[Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(root)).filter(_.getName.endsWith(".parquet"))
+          .map { f =>
+            val crc = new java.util.zip.CRC32()
+            crc.update(java.nio.file.Files.readAllBytes(f.toPath))
+            crc.getValue
+          }.sorted
+      }
+      assert(crcs(d1).nonEmpty && crcs(d1) == crcs(d2))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(d1)); rm(new java.io.File(d2))
+    }
+  }
+
+  test("writeShards accepts map-typed columns (hashable after canonicalize)") {
+    import spark.implicits._
+    // regression: hashing a MapType directly throws (map key order is
+    // undefined); the canonicalized array_sort(map_entries(c)) projection
+    // keeps such columns inside the tiebreak instead of dropping them
     val df = Seq(
       (1L, "train", Map("a" -> 1)),
       (2L, "train", Map("b" -> 2)),
