@@ -794,6 +794,19 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // catch22 tranche 2: AMI/motif/area members (same kernel)
+    "q99f_catch22_t2" -> ((s, dir) => {
+      val fc = FeatureCollection(FeatureDescriptor(catch22Tranche1, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h")))))
+      fc.calculate(Seq(valueSeries(s, dir)))
+        .select(unix_micros(col("ts")).as("ts_anchor"),
+          r6("value__CO_HistogramAMI_even_2_5__w=1D"),
+          r6("value__IN_AutoMutualInfoStats_40_gaussian_fmmi__w=1D"),
+          r6("value__SP_Summaries_welch_rect_area_5_1__w=1D"),
+          r6("value__SB_MotifThree_quantile_hh__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
     // ---- Grassberger–Procaccia correlation dimension per user series ------
     "q99c_corr_dim" -> ((s, dir) => {
       graft.scale.GroupedStats.corrDim(
@@ -1564,6 +1577,101 @@ object SparkEntry {
          |LEFT JOIN fzr ON seg.we = fzr.we
          |LEFT JOIN denr ON seg.we = denr.we
          |LEFT JOIN cen ON seg.we = cen.we
+         |ORDER BY 1""".stripMargin,
+
+    // catch22 tranche 2: joint-histogram AMI (5 even bins over the window
+    // range, lag 2), Gaussian auto-MI first-minimum over the biased ACF
+    // (τ ≤ 40), lowest-fifth spectral power fraction, tertile motif-pair
+    // entropy (quantile_cont thresholds).
+    "q99f_catch22_t2" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)},
+         |j AS (SELECT we, ts, value FROM seg LEFT JOIN events
+         |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |d AS (SELECT we, value AS v,
+         |  CAST(row_number() OVER (PARTITION BY we ORDER BY ts) - 1
+         |    AS DOUBLE) AS t,
+         |  count(value) OVER (PARTITION BY we) AS n,
+         |  avg(value) OVER (PARTITION BY we) AS mu,
+         |  min(value) OVER (PARTITION BY we) AS mn,
+         |  max(value) OVER (PARTITION BY we) AS mx
+         |  FROM j WHERE value IS NOT NULL),
+         |den AS (SELECT we, sum((v - mu) * (v - mu)) AS den, max(n) AS n,
+         |  max(mn) AS mn, max(mx) AS mx FROM d GROUP BY we),
+         |pr AS (SELECT we, mn, mx, v,
+         |  lead(v, 2) OVER (PARTITION BY we ORDER BY t) AS v2
+         |  FROM d WHERE mx > mn),
+         |-- NULL lead rows must drop BEFORE the bin clamp: DuckDB's
+         |-- least() IGNORES nulls (least(NULL, 4) = 4), so binning the
+         |-- lead directly would turn the two tail rows into phantom
+         |-- bin-4 pairs
+         |jh AS (SELECT we,
+         |  least(CAST(floor((v - mn) / ((mx - mn) / 5.0)) AS BIGINT), 4) AS b0,
+         |  least(CAST(floor((v2 - mn) / ((mx - mn) / 5.0)) AS BIGINT), 4) AS b2,
+         |  count(*) AS c FROM pr
+         |  WHERE v2 IS NOT NULL GROUP BY we, b0, b2),
+         |jm AS (SELECT we, sum(c) AS bign FROM jh GROUP BY we),
+         |m0 AS (SELECT we, b0, sum(c) AS r FROM jh GROUP BY we, b0),
+         |m2 AS (SELECT we, b2, sum(c) AS cc FROM jh GROUP BY we, b2),
+         |ami AS (SELECT jh.we,
+         |  sum((jh.c / jm.bign) * ln(jh.c * jm.bign
+         |    / (CAST(m0.r AS DOUBLE) * CAST(m2.cc AS DOUBLE)))) AS v
+         |  FROM jh JOIN jm ON jh.we = jm.we
+         |  JOIN m0 ON jh.we = m0.we AND jh.b0 = m0.b0
+         |  JOIN m2 ON jh.we = m2.we AND jh.b2 = m2.b2
+         |  GROUP BY jh.we),
+         |ac AS (SELECT a.we, CAST(b.t - a.t AS BIGINT) AS tau,
+         |  sum((a.v - a.mu) * (b.v - b.mu)) AS sp
+         |  FROM d a JOIN d b ON a.we = b.we AND b.t > a.t GROUP BY ALL),
+         |acn AS (SELECT ac.we, tau, sp / den.den AS r
+         |  FROM ac JOIN den ON ac.we = den.we WHERE den.den > 0),
+         |am AS (SELECT we, tau,
+         |  -0.5 * ln(greatest(1 - r * r, 1e-300)) AS a FROM acn),
+         |fmm AS (SELECT c.we, min(c.tau) AS v FROM am c
+         |  JOIN am p ON p.we = c.we AND p.tau = c.tau - 1
+         |  JOIN am x2 ON x2.we = c.we AND x2.tau = c.tau + 1
+         |  JOIN den ON den.we = c.we
+         |  WHERE c.tau >= 2 AND c.tau <= least(40, den.n - 1) - 1
+         |    AND c.a < p.a AND c.a < x2.a
+         |  GROUP BY c.we),
+         |p2 AS (SELECT we, n, k, re * re + im * im AS s FROM
+         |  (SELECT we, n, k,
+         |     sum((v - mu) * cos(2 * pi() * k * t / n)) AS re,
+         |     sum((v - mu) * sin(2 * pi() * k * t / n)) AS im
+         |   FROM d, UNNEST(range(1, CAST(n // 2 AS BIGINT) + 1)) AS u(k)
+         |   WHERE n >= 4 GROUP BY we, n, k)),
+         |tot2 AS (SELECT p2.we, sum(s) AS tp FROM p2
+         |  JOIN den ON p2.we = den.we GROUP BY p2.we
+         |  HAVING sum(s) > 1e-9 * max(den.den) * max(den.n)),
+         |a5 AS (SELECT p2.we,
+         |  sum(CASE WHEN k <= greatest(1, (n // 2) // 5) THEN s ELSE 0 END)
+         |    / sum(s) AS v
+         |  FROM p2 JOIN tot2 ON p2.we = tot2.we GROUP BY p2.we),
+         |qt AS (SELECT we, quantile_cont(v, 1.0 / 3) AS q1,
+         |  quantile_cont(v, 2.0 / 3) AS q2 FROM d GROUP BY we),
+         |lt AS (SELECT d.we,
+         |  CASE WHEN v <= q1 THEN 0 WHEN v <= q2 THEN 1 ELSE 2 END AS l0,
+         |  lead(CASE WHEN v <= q1 THEN 0 WHEN v <= q2 THEN 1 ELSE 2 END)
+         |    OVER (PARTITION BY d.we ORDER BY t) AS l1
+         |  FROM d JOIN qt ON d.we = qt.we),
+         |mh AS (SELECT we, -sum((c / bign) * ln(c / bign)) AS v FROM
+         |  (SELECT we, l0, l1, CAST(count(*) AS DOUBLE) AS c,
+         |     sum(count(*)) OVER (PARTITION BY we) AS bign
+         |   FROM lt WHERE l1 IS NOT NULL GROUP BY we, l0, l1)
+         |  GROUP BY we)
+         |SELECT seg.we AS ts_anchor,
+         |  CASE WHEN den.n >= 3 AND den.mx > den.mn THEN round(ami.v, 6) END
+         |    AS "value__CO_HistogramAMI_even_2_5__w=1D",
+         |  CASE WHEN den.n >= 3 AND den.den > 0 THEN
+         |    round(CAST(coalesce(fmm.v, least(40, den.n - 1)) AS DOUBLE), 6)
+         |    END AS "value__IN_AutoMutualInfoStats_40_gaussian_fmmi__w=1D",
+         |  round(a5.v, 6) AS "value__SP_Summaries_welch_rect_area_5_1__w=1D",
+         |  CASE WHEN den.n >= 2 THEN round(mh.v, 6) END
+         |    AS "value__SB_MotifThree_quantile_hh__w=1D"
+         |FROM seg LEFT JOIN den ON seg.we = den.we
+         |LEFT JOIN ami ON seg.we = ami.we
+         |LEFT JOIN fmm ON seg.we = fmm.we
+         |LEFT JOIN a5 ON seg.we = a5.we
+         |LEFT JOIN mh ON seg.we = mh.we
          |ORDER BY 1""".stripMargin,
 
     // Grassberger–Procaccia: delay-1 2D embedding, pair counts at σ/2 and

@@ -9,9 +9,11 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 
-/** catch22 tranche-1 kernel: eleven members of the catch22 canonical
-  * feature battery (Lubba et al. 2019, "catch22: CAnonical Time-series
-  * CHaracteristics"), computed in ONE pass over an index-ordered window
+/** catch22 kernel: fifteen members of the catch22 canonical feature
+  * battery (Lubba et al. 2019, "catch22: CAnonical Time-series
+  * CHaracteristics") — tranche 1 (r11, eleven members) + tranche 2 (r11,
+  * four more; the seven exclusions and their reasons are annotated on
+  * [[names]]) — computed in ONE pass over an index-ordered window
   * array. The reference integrates the battery via
   * `catch22_wrapper(catch22_all)` — a single 22-output FuncWrapper
   * (reference: tsflex/features/integrations.py:282-337, exercised by
@@ -49,7 +51,19 @@ object Catch22Util {
     "MD_hrv_classic_pnn40",
     "FC_LocalSimple_mean3_stderr",
     "FC_LocalSimple_mean1_tauresrat",
-    "SP_Summaries_welch_rect_centroid")
+    "SP_Summaries_welch_rect_centroid",
+    // tranche 2 (r11): the four further members whose semantics survive the
+    // raw-input convention AND admit an exact DuckDB twin. Excluded, with
+    // reasons: DN_OutlierInclude_{p,n}_001_mdrmd (the 0.01 threshold grid
+    // only makes sense on z-scored input), PD_PeriodicityWang_th0_01
+    // (spline detrend), CO_Embed2_Dist_tau_d_expfit_meandiff (exponential
+    // fit), SC_FluctAnal_2_{dfa,rsrangefit}_50_1_* (two-regime split fits —
+    // the keyed DFA/Hurst operators in scale/GroupedStats.scala cover the
+    // fluctuation-analysis need).
+    "CO_HistogramAMI_even_2_5",
+    "IN_AutoMutualInfoStats_40_gaussian_fmmi",
+    "SP_Summaries_welch_rect_area_5_1",
+    "SB_MotifThree_quantile_hh")
 
   val dataType: StructType =
     StructType(names.map(n => StructField(n, DoubleType, nullable = true)))
@@ -227,37 +241,140 @@ object Catch22Util {
         acfR.firstZero(n - 1).toDouble / acf.firstZero(n).toDouble)
     })
 
-    // SP_Summaries_welch_rect_centroid: rect-window periodogram of the
-    // de-meaned window at bins k = 0..⌊n/2⌋, w_k = 2πk/n; centroid = first
-    // w_k whose cumulative power strictly exceeds half the total. Same
-    // trig-table DFT shape as [[SpectralEntropyUtil]].
-    out(10) = timed("centroid")(if (n < 4) null else {
-      val nb = n / 2
-      val d = new Array[Double](n)
-      var sxx = 0.0
-      var t0 = 0
-      while (t0 < n) { d(t0) = x(t0) - mu; sxx += d(t0) * d(t0); t0 += 1 }
-      // bins 1..n/2 of the de-meaned window (DC bin is zero by
-      // construction); FFT/DFT split via [[Fft.halfPsd]]
-      val s = Fft.halfPsd(d)
-      var total = 0.0
-      var si = 0
-      while (si < nb) { total += s(si); si += 1 }
-      // relative zero-energy guard, same convention as SpectralEntropyUtil
-      if (!(total > 1e-9 * sxx * n)) null
-      else {
-        val half = total / 2.0
-        var cs = 0.0
-        var kk = 0
-        var res = Double.NaN
-        var done = false
-        while (!done && kk < nb) {
-          cs += s(kk)
-          if (cs > half) { res = 2.0 * math.Pi * (kk + 1) / n; done = true }
-          kk += 1
-        }
-        java.lang.Double.valueOf(res)
+    // Shared rect-window periodogram of the de-meaned window, bins
+    // k = 1..⌊n/2⌋ (DC bin is zero by construction); FFT/DFT split via
+    // [[Fft.halfPsd]]. Consumed by the centroid and area_5_1 members.
+    // `specOk` is the relative zero-energy guard, same convention as
+    // SpectralEntropyUtil.
+    val nb = n / 2
+    val (spec, specTotal, specOk) =
+      if (n < 4) (new Array[Double](0), 0.0, false)
+      else timed("psd") {
+        val d = new Array[Double](n)
+        var sxx = 0.0
+        var t0 = 0
+        while (t0 < n) { d(t0) = x(t0) - mu; sxx += d(t0) * d(t0); t0 += 1 }
+        val s = Fft.halfPsd(d)
+        var total = 0.0
+        var si = 0
+        while (si < nb) { total += s(si); si += 1 }
+        (s, total, total > 1e-9 * sxx * n)
       }
+
+    // SP_Summaries_welch_rect_centroid: first w_k = 2πk/n whose cumulative
+    // power strictly exceeds half the total.
+    out(10) = timed("centroid")(if (!specOk) null else {
+      val half = specTotal / 2.0
+      var cs = 0.0
+      var kk = 0
+      var res = Double.NaN
+      var done = false
+      while (!done && kk < nb) {
+        cs += spec(kk)
+        if (cs > half) { res = 2.0 * math.Pi * (kk + 1) / n; done = true }
+        kk += 1
+      }
+      java.lang.Double.valueOf(res)
+    })
+
+    // CO_HistogramAMI_even_2_5: auto mutual information at lag 2 over a
+    // 5×5 joint histogram of (x_t, x_{t+2}); bin edges are the 5 even bins
+    // over the WHOLE window's [min, max] (the DN_HistogramMode grid);
+    // AMI = Σ p_ij ln(p_ij / (p_i·p_j)) in nats, marginals taken over the
+    // paired samples. Null for n < 3 or a constant window.
+    out(11) = timed("ami25")(if (n < 3) null else {
+      var mn = x(0); var mx = x(0); var i2 = 1
+      while (i2 < n) { if (x(i2) < mn) mn = x(i2); if (x(i2) > mx) mx = x(i2); i2 += 1 }
+      if (mx <= mn) null else {
+        val step = (mx - mn) / 5
+        def bin(v: Double): Int = {
+          var b = ((v - mn) / step).toInt
+          if (b >= 5) b = 4
+          b
+        }
+        val joint = new Array[Long](25)
+        val bigN = (n - 2).toDouble
+        var t = 0
+        while (t < n - 2) { joint(5 * bin(x(t)) + bin(x(t + 2))) += 1; t += 1 }
+        val r = new Array[Long](5); val cc = new Array[Long](5)
+        var ij = 0
+        while (ij < 25) { r(ij / 5) += joint(ij); cc(ij % 5) += joint(ij); ij += 1 }
+        var ami = 0.0
+        ij = 0
+        while (ij < 25) {
+          val c = joint(ij)
+          if (c > 0) ami += (c / bigN) *
+            math.log(c * bigN / (r(ij / 5).toDouble * cc(ij % 5)))
+          ij += 1
+        }
+        java.lang.Double.valueOf(ami)
+      }
+    })
+
+    // IN_AutoMutualInfoStats_40_gaussian_fmmi: Gaussian auto-MI curve
+    // A(τ) = −½·ln(1 − ac(τ)²) over τ = 1..min(40, n−1); the feature is
+    // the first local minimum's lag (A below both neighbors, 2 ≤ τ ≤ L−1),
+    // L if none — the ACF-based estimator over the biased global-mean ACF,
+    // like the other CO members.
+    out(12) = timed("fmmi")(if (n < 3 || !acf.defined) null else {
+      val L = math.min(40, n - 1)
+      def ami(tau: Int): Double = {
+        val r = acf(tau)
+        -0.5 * math.log(math.max(1.0 - r * r, 1e-300))
+      }
+      var res = L.toDouble
+      var j = 2
+      var done = false
+      while (!done && j <= L - 1) {
+        if (ami(j) < ami(j - 1) && ami(j) < ami(j + 1)) { res = j.toDouble; done = true }
+        j += 1
+      }
+      java.lang.Double.valueOf(res)
+    })
+
+    // SP_Summaries_welch_rect_area_5_1: power in the lowest fifth of the
+    // spectrum as a FRACTION of total power (the raw C member is the same
+    // sum under Welch scale factors, which cancel under normalization —
+    // documented deviation, mirrored by the oracle). Bin count max(1, nb/5).
+    out(13) = timed("area51")(if (!specOk) null else {
+      val kc = math.max(1, nb / 5)
+      var s5 = 0.0
+      var kk = 0
+      while (kk < kc) { s5 += spec(kk); kk += 1 }
+      java.lang.Double.valueOf(s5 / specTotal)
+    })
+
+    // SB_MotifThree_quantile_hh: tertile alphabet by continuous quantiles
+    // (position (n−1)·q, linear interpolation — the numpy/DuckDB
+    // quantile_cont convention; letter = 0 for v ≤ q⅓, 1 for v ≤ q⅔,
+    // else 2), then the Shannon entropy (nats) of the 2-letter motif
+    // distribution over the n−1 index-consecutive pairs.
+    out(14) = timed("motif_hh")(if (n < 2) null else {
+      val sorted = java.util.Arrays.copyOf(x, n)
+      java.util.Arrays.sort(sorted)
+      def q(p: Double): Double = {
+        val pos = (n - 1) * p
+        val lo = pos.toInt
+        val frac = pos - lo
+        if (lo + 1 < n) sorted(lo) + (sorted(lo + 1) - sorted(lo)) * frac
+        else sorted(lo)
+      }
+      val q1 = q(1.0 / 3); val q2 = q(2.0 / 3)
+      def letter(v: Double): Int = if (v <= q1) 0 else if (v <= q2) 1 else 2
+      val counts = new Array[Long](9)
+      var t = 0
+      while (t < n - 1) { counts(3 * letter(x(t)) + letter(x(t + 1))) += 1; t += 1 }
+      val bigN = (n - 1).toDouble
+      var h = 0.0
+      var ij = 0
+      while (ij < 9) {
+        if (counts(ij) > 0) {
+          val p = counts(ij) / bigN
+          h -= p * math.log(p)
+        }
+        ij += 1
+      }
+      java.lang.Double.valueOf(h)
     })
 
     new GenericInternalRow(out)

@@ -92,6 +92,37 @@ class Catch22Spec extends SparkSpec {
       Seq(5.0, 5.0, 5.0, 5.0, 5.0)).isEmpty)
   }
 
+  test("CO_HistogramAMI_even_2_5: joint 5-bin mutual information at lag 2") {
+    // pairs (x_t, x_{t+2}) on the triangle: joint (0,4):2, (2,2):3, (4,0):1
+    // over N = 6 → (1/3)ln3 + (1/2)ln2 + (1/6)ln6
+    val expect = math.log(3.0) / 3 + math.log(2.0) / 2 + math.log(6.0) / 6
+    assert(close(eval("CO_HistogramAMI_even_2_5", x), expect))
+    // constant window → null
+    assert(eval("CO_HistogramAMI_even_2_5", Seq(2.0, 2.0, 2.0, 2.0)).isEmpty)
+  }
+
+  test("IN_AutoMutualInfoStats_40_gaussian_fmmi: first Gaussian-AMI minimum") {
+    // AMI(τ) = −½ln(1−ac²): [0, .413, 0, .144, 0, .032, 0] over τ=1..7 —
+    // τ=2 is above its neighbors; τ=3 is the first local minimum
+    assert(close(eval("IN_AutoMutualInfoStats_40_gaussian_fmmi", x), 3.0))
+  }
+
+  test("SP_Summaries_welch_rect_area_5_1: lowest-fifth power fraction") {
+    // all power of the period-4 triangle sits at k=2; the lowest fifth of
+    // nb=4 bins is just k=1 (power 0) → fraction 0
+    assert(close(eval("SP_Summaries_welch_rect_area_5_1", x), 0.0))
+    // a slow period-8 tone over n=8 puts all power in k=1 → fraction 1
+    val slow = (0 until 8).map(t => math.cos(2.0 * math.Pi * t / 8))
+    assert(close(eval("SP_Summaries_welch_rect_area_5_1", slow), 1.0))
+  }
+
+  test("SB_MotifThree_quantile_hh: tertile motif-pair entropy") {
+    // tertiles of the triangle collapse (q⅓ = q⅔ = 1) → letters
+    // [0,0,2,0,0,0,2,0], pair counts (0,0):3 (0,2):2 (2,0):2 over 7
+    val expect = -(3.0 / 7 * math.log(3.0 / 7) + 2 * (2.0 / 7) * math.log(2.0 / 7))
+    assert(close(eval("SB_MotifThree_quantile_hh", x), expect))
+  }
+
   test("short-window null contract") {
     // n = 1: histogram mode = the value, longstretch1 = 0, diff members null
     assert(close(eval("DN_HistogramMode_5", Seq(7.0)), 7.0))
