@@ -24,9 +24,19 @@ object ScaleSmoke {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "10").toInt
 
+    // same physical-type tolerance as SparkEntry.events(): nanos-as-Long
+    // (floor to micros) and TIMESTAMP_NTZ (cast to LTZ under the UTC
+    // session zone) have both shipped in driver-generated testdata
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev0 = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val evRaw = spark.read.parquet(s"$dir/events.parquet")
+    val ev0 = evRaw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        evRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        evRaw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => evRaw
+    }
     val span = ev0.agg(max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
       .head().getLong(0) + 1000000L
     val events = (0 until copies).map(k =>
@@ -147,6 +157,39 @@ object ScaleSmoke {
     }
     time(s"docs x$copies repetition") {
       graft.scale.TextStats.repetition(docs, "doc_id", "text").count()
+    }
+    // nolds family (r11): per-key quadratic-pair operators. Replication
+    // multiplies KEY COUNT at constant per-key series length — exactly the
+    // 100 TB axis the bounded-per-key contract claims partitions cleanly;
+    // the listener asserts the self-joins never collapse to one task.
+    time(s"events x$copies corr_dim") {
+      graft.scale.GroupedStats.corrDim(
+        events.select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value", embDim = 2)
+        .queryExecution.toRdd.count()
+    }
+    time(s"events x$copies lyap_r (1-in-10 keys)") {
+      graft.scale.GroupedStats.lyapR(
+        events.where(col("user_id") % 10 === 0)
+          .select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value", embDim = 3, minTsep = 5, trajLen = 6)
+        .queryExecution.toRdd.count()
+    }
+    time(s"events x$copies multiscale entropy") {
+      graft.scale.GroupedStats.multiscaleEntropy(
+        events.select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value", scales = Seq(1, 2, 3), m = 2, r = 10.0)
+        .queryExecution.toRdd.count()
+    }
+    // catch22 kernel over the replicated window count (the per-window cost
+    // axis: windows multiply with the time span; the kernel is constant
+    // per window)
+    time(s"events x$copies catch22 battery") {
+      import FeatureFuncs._
+      val fc = FeatureCollection(FeatureDescriptor(catch22Tranche1, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h")))))
+      fc.calculate(Seq(Series("value", events, "ts", "value")))
+        .queryExecution.toRdd.count()
     }
     time(s"docs x$copies contamination") {
       // fixed eval-set size vs growing corpus — the production shape
