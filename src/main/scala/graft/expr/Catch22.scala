@@ -9,12 +9,14 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 
-/** catch22 kernel: fifteen members of the catch22 canonical feature
-  * battery (Lubba et al. 2019, "catch22: CAnonical Time-series
+/** catch22 kernel: the COMPLETE catch22 canonical feature battery
+  * (Lubba et al. 2019, "catch22: CAnonical Time-series
   * CHaracteristics") — tranche 1 (r11, eleven members) + tranche 2 (r11,
-  * four more; the seven exclusions and their reasons are annotated on
-  * [[names]]) — computed in ONE pass over an index-ordered window
-  * array. The reference integrates the battery via
+  * four more) + tranche 3 (r11, the final seven: outlier-inclusion
+  * medians, the transition-matrix trace, the 2-embedding exp-fit
+  * distance, the two two-regime fluctuation-analysis members, and the
+  * Wang periodicity detector) — computed in ONE pass over an
+  * index-ordered window array. The reference integrates the battery via
   * `catch22_wrapper(catch22_all)` — a single 22-output FuncWrapper
   * (reference: tsflex/features/integrations.py:282-337, exercised by
   * tests/test_features_integration.py:326-343); this is the same shape — a
@@ -52,18 +54,38 @@ object Catch22Util {
     "FC_LocalSimple_mean3_stderr",
     "FC_LocalSimple_mean1_tauresrat",
     "SP_Summaries_welch_rect_centroid",
-    // tranche 2 (r11): the four further members whose semantics survive the
-    // raw-input convention AND admit an exact DuckDB twin. Excluded, with
-    // reasons: DN_OutlierInclude_{p,n}_001_mdrmd (the 0.01 threshold grid
-    // only makes sense on z-scored input), PD_PeriodicityWang_th0_01
-    // (spline detrend), CO_Embed2_Dist_tau_d_expfit_meandiff (exponential
-    // fit), SC_FluctAnal_2_{dfa,rsrangefit}_50_1_* (two-regime split fits —
-    // the keyed DFA/Hurst operators in scale/GroupedStats.scala cover the
-    // fluctuation-analysis need).
+    // tranche 2 (r11): four further members.
     "CO_HistogramAMI_even_2_5",
     "IN_AutoMutualInfoStats_40_gaussian_fmmi",
     "SP_Summaries_welch_rect_area_5_1",
-    "SB_MotifThree_quantile_hh")
+    "SB_MotifThree_quantile_hh",
+    // tranche 3 (r11): the final seven, closing the battery at 22/22.
+    // Documented conventions where the published C kernel assumes z-scored
+    // input or leaves scale ambiguous (each mirrored exactly by the DuckDB
+    // oracle twin):
+    //  - DN_OutlierInclude_{p,n}: the 0.01 threshold grid is calibrated to
+    //    unit variance, so the member z-scores ITS OWN input (population σ)
+    //    before the sweep — the battery-level raw-input convention is
+    //    preserved and the member stays well-defined on raw windows;
+    //  - SC_FluctAnal_2_*: computed on the raw window, which is EXACTLY the
+    //    z-scored value — the per-buffer linear detrend absorbs the mean's
+    //    linear cumsum contribution and log F shifts uniformly by −log σ,
+    //    leaving the two-regime split-fit residuals (and hence prop_r1)
+    //    invariant under any affine input transform (spec-verified);
+    //  - PD_PeriodicityWang: the detrended series is autocorrelated with
+    //    the NORMALIZED Pearson ACF so the 0.01 peak-prominence threshold
+    //    is scale-invariant on raw input (the C kernel's unnormalized
+    //    autocovariance is only meaningful after z-scoring); the cubic
+    //    spline detrend is the C² one-interior-knot least-squares fit
+    //    (basis {1,u,u²,u³,(u−½)³₊}, u = t/(n−1)) solved by classical
+    //    Gram–Schmidt — the same arithmetic as the oracle's SQL.
+    "DN_OutlierInclude_p_001_mdrmd",
+    "DN_OutlierInclude_n_001_mdrmd",
+    "SB_TransitionMatrix_3ac_sumdiagcov",
+    "CO_Embed2_Dist_tau_d_expfit_meandiff",
+    "SC_FluctAnal_2_dfa_50_1_2_logi_prop_r1",
+    "SC_FluctAnal_2_rsrangefit_50_1_logi_prop_r1",
+    "PD_PeriodicityWang_th0_01")
 
   val dataType: StructType =
     StructType(names.map(n => StructField(n, DoubleType, nullable = true)))
@@ -133,6 +155,391 @@ object Catch22Util {
       t += 1
     }
     best
+  }
+
+  /** Midpoint-convention median of the first `len` entries of a SORTED
+    * array (even count averages the two middle values — the C helper's and
+    * DuckDB `median`'s convention).
+    */
+  private def medianSorted(a: Array[Double], len: Int): Double =
+    if (len % 2 == 1) a(len / 2) else (a(len / 2 - 1) + a(len / 2)) / 2.0
+
+  /** Continuous (numpy / DuckDB quantile_cont) quantile of a SORTED array:
+    * linear interpolation at position (len−1)·p.
+    */
+  private def quantileCont(sorted: Array[Double], len: Int, p: Double): Double = {
+    val pos = (len - 1) * p
+    val lo = pos.toInt
+    val frac = pos - lo
+    if (lo + 1 < len) sorted(lo) + (sorted(lo + 1) - sorted(lo)) * frac
+    else sorted(lo)
+  }
+
+  /** OLS slope/intercept of y(lo..lo+len) over x(lo..lo+len). Zero-spread
+    * x → slope 0 (degenerate guard, mirrored by the oracle's CASE).
+    */
+  private def linreg(x: Array[Double], y: Array[Double], lo: Int, len: Int): (Double, Double) = {
+    var sx = 0.0; var sy = 0.0; var sxx = 0.0; var sxy = 0.0
+    var i = 0
+    while (i < len) {
+      val xv = x(lo + i); val yv = y(lo + i)
+      sx += xv; sy += yv; sxx += xv * xv; sxy += xv * yv
+      i += 1
+    }
+    val den = len * sxx - sx * sx
+    val m = if (den == 0) 0.0 else (len * sxy - sx * sy) / den
+    (m, (sy - m * sx) / len)
+  }
+
+  /** DN_OutlierInclude_{p,n}_001_mdrmd: sweep thresholds 0, 0.01, 0.02, …
+    * over the internally z-scored window (sign −1 flips it first); at each
+    * threshold record the median RELATIVE POSITION (1-based index median
+    * over n/2, minus 1) of the exceeding samples; trim the sweep at the
+    * last threshold keeping >2 % exceedances (and at the first with <2
+    * exceedances), and return the median of the recorded position medians.
+    * Constant window (σ = 0) or max z-score below one grid step → 0 (the
+    * C kernel's convention); empty window → null.
+    */
+  private def outlierInclude(x: Array[Double], sign: Double): Any = {
+    val n = x.length
+    if (n == 0) return null
+    var mu = 0.0; var i = 0
+    while (i < n) { mu += x(i); i += 1 }
+    mu /= n
+    var sq = 0.0; i = 0
+    while (i < n) { val c = x(i) - mu; sq += c * c; i += 1 }
+    val sig = math.sqrt(sq / n)
+    if (sig == 0.0) return java.lang.Double.valueOf(0.0)
+    val inc = 0.01
+    val yW = new Array[Double](n)
+    var tot = 0
+    var maxVal = Double.NegativeInfinity
+    i = 0
+    while (i < n) {
+      yW(i) = sign * (x(i) - mu) / sig
+      if (yW(i) >= 0) tot += 1
+      if (yW(i) > maxVal) maxVal = yW(i)
+      i += 1
+    }
+    if (maxVal < inc) return java.lang.Double.valueOf(0.0)
+    val nThresh = (maxVal / inc).toInt + 1
+    val msDti3 = new Array[Double](nThresh)
+    val msDti4 = new Array[Double](nThresh)
+    val thin = new Array[Boolean](nThresh) // fewer than 2 exceedances
+    val r = new Array[Double](n)
+    var j = 0
+    while (j < nThresh) {
+      val th = j * inc
+      var hs = 0
+      i = 0
+      while (i < n) { if (yW(i) >= th) { r(hs) = i + 1.0; hs += 1 }; i += 1 }
+      msDti3(j) = (hs - 1) * 100.0 / tot
+      msDti4(j) = medianSorted(r, hs) / (n / 2.0) - 1.0 // r ascending already
+      thin(j) = hs < 2
+      j += 1
+    }
+    var mj = 0; var fbi = nThresh - 1
+    j = 0
+    while (j < nThresh) {
+      if (msDti3(j) > 2.0) mj = j
+      if (thin(nThresh - 1 - j)) fbi = nThresh - 1 - j
+      j += 1
+    }
+    val lim = math.min(mj, fbi)
+    val m4 = java.util.Arrays.copyOfRange(msDti4, 0, lim + 1)
+    java.util.Arrays.sort(m4)
+    java.lang.Double.valueOf(medianSorted(m4, lim + 1))
+  }
+
+  /** SB_TransitionMatrix_3ac_sumdiagcov: downsample at the ACF first-zero
+    * lag, coarse-grain into a 3-letter alphabet at the continuous terciles
+    * (quantileCont convention, same letter rule as MotifThree: ≤q⅓ → 0,
+    * ≤q⅔ → 1, else 2), build the (nDown−1)-normalized 3×3 transition
+    * matrix, and return the trace of its column covariance (sum of the
+    * three per-column ddof-1 variances). Null when the ACF is undefined
+    * (constant window) or fewer than 2 downsampled points remain.
+    */
+  private def transitionMatrix3(x: Array[Double], acf: Acf): Any = {
+    val n = x.length
+    if (n < 3 || !acf.defined) return null
+    val tau = acf.firstZero(n)
+    val nDown = (n - 1) / tau + 1
+    if (nDown < 2) return null
+    val yD = new Array[Double](nDown)
+    var i = 0
+    while (i < nDown) { yD(i) = x(i * tau); i += 1 }
+    val sorted = java.util.Arrays.copyOf(yD, nDown)
+    java.util.Arrays.sort(sorted)
+    val q1 = quantileCont(sorted, nDown, 1.0 / 3)
+    val q2 = quantileCont(sorted, nDown, 2.0 / 3)
+    def letter(v: Double): Int = if (v <= q1) 0 else if (v <= q2) 1 else 2
+    val t = new Array[Double](9) // row-major counts
+    i = 0
+    while (i < nDown - 1) { t(3 * letter(yD(i)) + letter(yD(i + 1))) += 1.0; i += 1 }
+    val den = (nDown - 1).toDouble
+    var out = 0.0
+    var c = 0
+    while (c < 3) {
+      val a = t(c) / den; val b = t(3 + c) / den; val d = t(6 + c) / den
+      val m = (a + b + d) / 3.0
+      out += ((a - m) * (a - m) + (b - m) * (b - m) + (d - m) * (d - m)) / 2.0
+      c += 1
+    }
+    java.lang.Double.valueOf(out)
+  }
+
+  /** CO_Embed2_Dist_tau_d_expfit_meandiff: embed at (x_t, x_{t+τ}) with
+    * τ = min(ACF first-zero, ⌊n/10⌋), take the Euclidean distances between
+    * SUCCESSIVE embedded points, and compare their histogram (Scott-rule
+    * bin count, probability MASS per bin — the published kernel's quirk)
+    * against the ML exponential density at the bin centres: the member is
+    * the mean absolute difference over bins. Distance spread below 0.001 →
+    * 0 (the C bin-count guard); constant window or <2 distances → null.
+    */
+  private def embed2DistExpFit(x: Array[Double], acf: Acf): Any = {
+    val n = x.length
+    if (n < 4 || !acf.defined) return null
+    var tau = acf.firstZero(n)
+    if (tau > n / 10.0) tau = n / 10
+    val m = n - tau - 1
+    if (m < 2) return null
+    val d = new Array[Double](m)
+    var mn = Double.MaxValue; var mx = -Double.MaxValue
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      val dx = x(i + 1) - x(i); val dy = x(i + tau + 1) - x(i + tau)
+      d(i) = math.sqrt(dx * dx + dy * dy)
+      s += d(i)
+      if (d(i) < mn) mn = d(i)
+      if (d(i) > mx) mx = d(i)
+      i += 1
+    }
+    val l = s / m
+    var ss = 0.0; i = 0
+    while (i < m) { val c = d(i) - l; ss += c * c; i += 1 }
+    val sd = math.sqrt(ss / (m - 1))
+    if (sd < 0.001) return java.lang.Double.valueOf(0.0)
+    val nBins = math.ceil((mx - mn) / (3.5 * sd / math.cbrt(m.toDouble))).toInt
+    if (nBins <= 0) return java.lang.Double.valueOf(0.0)
+    val width = (mx - mn) / nBins
+    val counts = new Array[Int](nBins)
+    i = 0
+    while (i < m) {
+      var b = ((d(i) - mn) / width).toInt
+      if (b >= nBins) b = nBins - 1
+      counts(b) += 1
+      i += 1
+    }
+    var out = 0.0; i = 0
+    while (i < nBins) {
+      val centre = mn + (i + 0.5) * width
+      out += math.abs(counts(i).toDouble / m - math.exp(-centre / l) / l)
+      i += 1
+    }
+    java.lang.Double.valueOf(out / nBins)
+  }
+
+  /** SC_FluctAnal_2_{dfa,rsrangefit}: cumulative-sum profile over every
+    * `lag`-th sample, 50-point log-spaced scale grid τ ∈ [5, n/2]
+    * (rounded, deduped), per-scale fluctuation F(τ) from per-buffer linear
+    * detrends (dfa: RMS residual; rsrangefit: RMS residual range), then the
+    * best two-regime split of the (log τ, log F) curve — segments share the
+    * split point; cost is ‖r‖₁ of the two Euclidean residual norms — and
+    * the member is splitIndex/nτ (proportion of scales in the first
+    * regime). Invariant under affine input transforms (see [[names]]), so
+    * the raw-window value equals the published z-scored one. Grid shorter
+    * than 12 scales (n < ~32) → 0 (C convention); any F(τ) ≤ 0 (constant
+    * window) → null; empty window → null.
+    */
+  private def fluctAnal(x: Array[Double], lag: Int, dfa: Boolean): Any = {
+    val n = x.length
+    if (n == 0) return null
+    if (n < 10) return java.lang.Double.valueOf(0.0)
+    val nTauSteps = 50
+    val linLow = math.log(5.0)
+    val linHigh = math.log((n / 2).toDouble)
+    val tauStep = (linHigh - linLow) / (nTauSteps - 1)
+    val tauBuf = new Array[Int](nTauSteps)
+    var i = 0
+    while (i < nTauSteps) {
+      tauBuf(i) = math.round(math.exp(linLow + i * tauStep)).toInt
+      i += 1
+    }
+    var nTau = nTauSteps
+    i = 0
+    while (i < nTau - 1) { // C-style adjacent dedup (grid is monotone)
+      while (i < nTau - 1 && tauBuf(i) == tauBuf(i + 1)) {
+        var j = i + 1
+        while (j < nTau - 1) { tauBuf(j) = tauBuf(j + 1); j += 1 }
+        nTau -= 1
+      }
+      i += 1
+    }
+    if (nTau < 12) return java.lang.Double.valueOf(0.0)
+    val sizeCS = n / lag
+    val yCS = new Array[Double](sizeCS)
+    var acc = 0.0
+    i = 0
+    while (i < sizeCS) { acc += x(i * lag); yCS(i) = acc; i += 1 }
+    val logtt = new Array[Double](nTau)
+    val logFF = new Array[Double](nTau)
+    i = 0
+    while (i < nTau) {
+      val tau = tauBuf(i)
+      val nBuffer = sizeCS / tau
+      if (nBuffer == 0) return null
+      var f = 0.0
+      var j = 0
+      while (j < nBuffer) {
+        val lo = j * tau
+        var sx = 0.0; var sy = 0.0; var sxx = 0.0; var sxy = 0.0
+        var k = 0
+        while (k < tau) {
+          val xv = (k + 1).toDouble; val yv = yCS(lo + k)
+          sx += xv; sy += yv; sxx += xv * xv; sxy += xv * yv
+          k += 1
+        }
+        val den = tau * sxx - sx * sx
+        val mm = if (den == 0) 0.0 else (tau * sxy - sx * sy) / den
+        val bb = (sy - mm * sx) / tau
+        if (dfa) {
+          k = 0
+          while (k < tau) {
+            val rr = yCS(lo + k) - (mm * (k + 1) + bb); f += rr * rr; k += 1
+          }
+        } else {
+          var rmn = Double.MaxValue; var rmx = -Double.MaxValue
+          k = 0
+          while (k < tau) {
+            val rr = yCS(lo + k) - (mm * (k + 1) + bb)
+            if (rr < rmn) rmn = rr
+            if (rr > rmx) rmx = rr
+            k += 1
+          }
+          f += (rmx - rmn) * (rmx - rmn)
+        }
+        j += 1
+      }
+      val fv = if (dfa) math.sqrt(f / (nBuffer * tau)) else math.sqrt(f / nBuffer)
+      if (!(fv > 0.0)) return null
+      logtt(i) = math.log(tau.toDouble)
+      logFF(i) = math.log(fv)
+      i += 1
+    }
+    val minPoints = 6
+    var best = Double.MaxValue
+    var bestI = -1
+    var sp = minPoints
+    while (sp <= nTau - minPoints) {
+      val (m1, b1) = linreg(logtt, logFF, 0, sp)
+      val (m2, b2) = linreg(logtt, logFF, sp - 1, nTau - sp + 1)
+      var s1 = 0.0
+      var j = 0
+      while (j < sp) { val rr = logtt(j) * m1 + b1 - logFF(j); s1 += rr * rr; j += 1 }
+      var s2 = 0.0
+      j = sp - 1
+      while (j < nTau) { val rr = logtt(j) * m2 + b2 - logFF(j); s2 += rr * rr; j += 1 }
+      val e = math.sqrt(s1) + math.sqrt(s2)
+      if (e < best) { best = e; bestI = sp }
+      sp += 1
+    }
+    java.lang.Double.valueOf(bestI.toDouble / nTau)
+  }
+
+  /** PD_PeriodicityWang_th0_01: detrend with the C² one-interior-knot
+    * cubic spline (least squares over {1, u, u², u³, (u−½)³₊}, u =
+    * t/(n−1), by classical Gram–Schmidt — identical arithmetic to the
+    * oracle SQL), autocorrelate the residual with the Pearson ACF up to
+    * ⌈n/3⌉, and return the first ACF peak (local max) that sits ≥ 0, has a
+    * preceding trough (local min), and rises ≥ 0.01 above it — the
+    * detected period — else 1. Null for n < 7 (no interior lag to test).
+    */
+  private def periodicityWang(x: Array[Double]): Any = {
+    val n = x.length
+    if (n < 7) return null
+    val th = 0.01
+    val basis = Array.ofDim[Double](5, n)
+    var t = 0
+    while (t < n) {
+      val u = t.toDouble / (n - 1)
+      basis(0)(t) = 1.0
+      basis(1)(t) = u
+      basis(2)(t) = u * u
+      basis(3)(t) = u * u * u
+      val up = u - 0.5
+      basis(4)(t) = if (up > 0) up * up * up else 0.0
+      t += 1
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val u = Array.ofDim[Double](5, n)
+    var k = 0
+    while (k < 5) {
+      System.arraycopy(basis(k), 0, u(k), 0, n)
+      var j = 0
+      while (j < k) {
+        val nrm = dot(u(j), u(j))
+        val c = if (nrm > 0) dot(basis(k), u(j)) / nrm else 0.0
+        var i = 0
+        while (i < n) { u(k)(i) -= c * u(j)(i); i += 1 }
+        j += 1
+      }
+      k += 1
+    }
+    val ySub = java.util.Arrays.copyOf(x, n)
+    k = 0
+    while (k < 5) {
+      val nrm = dot(u(k), u(k))
+      val c = if (nrm > 0) dot(x, u(k)) / nrm else 0.0
+      var i = 0
+      while (i < n) { ySub(i) -= c * u(k)(i); i += 1 }
+      k += 1
+    }
+    val acmax = math.ceil(n / 3.0).toInt
+    val ac = new Array[Double](acmax + 2) // 1-based lag; [0] unused
+    var tau = 1
+    while (tau <= acmax) {
+      val m = n - tau
+      var sa = 0.0; var sb = 0.0; var saa = 0.0; var sbb = 0.0; var sab = 0.0
+      var i = 0
+      while (i < m) {
+        val a = ySub(i); val b = ySub(i + tau)
+        sa += a; sb += b; saa += a * a; sbb += b * b; sab += a * b
+        i += 1
+      }
+      val cov = sab - sa * sb / m
+      val va = saa - sa * sa / m
+      val vb = sbb - sb * sb / m
+      ac(tau) = cov / math.sqrt(va * vb) // NaN on zero variance: never a peak
+      tau += 1
+    }
+    // troughs/peaks over interior lags 2..acmax−1, then the C pairing scan
+    val kind = new Array[Int](acmax + 1) // 0 none, 1 trough, 2 peak
+    var lag = 2
+    while (lag <= acmax - 1) {
+      val slopeIn = ac(lag) - ac(lag - 1)
+      val slopeOut = ac(lag + 1) - ac(lag)
+      if (slopeIn < 0 && slopeOut > 0) kind(lag) = 1
+      else if (slopeIn > 0 && slopeOut < 0) kind(lag) = 2
+      lag += 1
+    }
+    var out = 1.0
+    var lastTrough = -1
+    var done = false
+    lag = 2
+    while (!done && lag <= acmax - 1) {
+      if (kind(lag) == 1) lastTrough = lag
+      else if (kind(lag) == 2 && lastTrough >= 0 &&
+        ac(lag) >= 0 && ac(lag) - ac(lastTrough) >= th) {
+        out = lag.toDouble; done = true
+      }
+      lag += 1
+    }
+    java.lang.Double.valueOf(out)
   }
 
   /** Debug-only: print per-member wall times from [[compute]]. */
@@ -376,6 +783,15 @@ object Catch22Util {
       }
       java.lang.Double.valueOf(h)
     })
+
+    // ---- tranche 3 ------------------------------------------------------
+    out(15) = timed("outincl_p")(outlierInclude(x, 1.0))
+    out(16) = timed("outincl_n")(outlierInclude(x, -1.0))
+    out(17) = timed("transmat")(transitionMatrix3(x, acf))
+    out(18) = timed("embed2dist")(embed2DistExpFit(x, acf))
+    out(19) = timed("fluct_dfa")(fluctAnal(x, lag = 2, dfa = true))
+    out(20) = timed("fluct_rs")(fluctAnal(x, lag = 1, dfa = false))
+    out(21) = timed("periodwang")(periodicityWang(x))
 
     new GenericInternalRow(out)
   }

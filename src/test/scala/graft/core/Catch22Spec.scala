@@ -131,4 +131,96 @@ class Catch22Spec extends SparkSpec {
     assert(eval("CO_trev_1_num", Seq(7.0)).isEmpty)
     assert(eval("CO_f1ecac", Seq(1.0, 2.0)).isEmpty)
   }
+
+  // ---- tranche 3: exact-arithmetic fixtures (no libm in their
+  // construction, so the independently-derived constants below are
+  // bit-identical across languages): a drifting period-10 triangle wave
+  // and an LCG noise walk.
+  private val tria: Seq[Double] =
+    (0 until 100).map(t => math.abs(t % 10 - 5) + 0.05 * t)
+  private val noise: Seq[Double] = {
+    var s = 42L
+    (0 until 100).map { _ =>
+      s = (1103515245L * s + 12345L) % (1L << 31)
+      s.toDouble / (1L << 31).toDouble
+    }
+  }
+
+  test("DN_OutlierInclude_{p,n}_001_mdrmd: threshold-sweep position medians") {
+    // triangle x, z-scored: z = ±2/√3 at the extremes, 0 at the 1s.
+    // sign p: every threshold's exceedance set has median position 5
+    // (th=0 → {2,3,4,6,7,8}, th>0 → {3,7}) → msDti4 ≡ 5/4 − 1 = 0.25,
+    // never trimmed (16.7 % > 2 % throughout) → 0.25
+    assert(close(eval("DN_OutlierInclude_p_001_mdrmd", x), 0.25))
+    // sign n: th=0 → positions {1,2,4,5,6,8} (median 4.5 → 0.125); th>0 →
+    // {1,5} (median 3 → −0.25); median over [0.125, −0.25×115] = −0.25
+    assert(close(eval("DN_OutlierInclude_n_001_mdrmd", x), -0.25))
+    // constant window → 0 (C convention), both signs
+    assert(close(eval("DN_OutlierInclude_p_001_mdrmd", Seq(3.0, 3.0, 3.0)), 0.0))
+    assert(close(eval("DN_OutlierInclude_n_001_mdrmd", Seq(3.0, 3.0, 3.0)), 0.0))
+    // independently-derived constants on the drifting triangle
+    assert(close(eval("DN_OutlierInclude_p_001_mdrmd", tria), 0.63))
+    assert(close(eval("DN_OutlierInclude_n_001_mdrmd", tria), -0.65))
+  }
+
+  test("SB_TransitionMatrix_3ac_sumdiagcov: tercile transition covariance") {
+    // triangle: ACF first-zero τ=1 → no downsampling; terciles collapse
+    // (q⅓ = q⅔ = 1) → letters [0,0,2,0,0,0,2,0]; T = [[3,0,2],[0,0,0],
+    // [2,0,0]]/7 → column ddof-1 variances 1/21 + 0 + 4/147 = 11/147
+    assert(close(eval("SB_TransitionMatrix_3ac_sumdiagcov", x), 11.0 / 147))
+    // drifting triangle: independently derived 13/361
+    assert(close(eval("SB_TransitionMatrix_3ac_sumdiagcov", tria), 13.0 / 361))
+    assert(close(eval("SB_TransitionMatrix_3ac_sumdiagcov", noise),
+      5.781722953440129e-4))
+    // constant window (ACF undefined) → null
+    assert(eval("SB_TransitionMatrix_3ac_sumdiagcov", Seq(1.0, 1.0, 1.0)).isEmpty)
+  }
+
+  test("CO_Embed2_Dist_tau_d_expfit_meandiff: successive embed distances") {
+    // triangle: τ capped to ⌊8/10⌋ = 0 → d ≡ √2 (every |Δ| = 1) → zero
+    // spread → 0 (the C bin-count guard)
+    assert(close(eval("CO_Embed2_Dist_tau_d_expfit_meandiff", x), 0.0))
+    // LCG noise: independently derived
+    assert(close(eval("CO_Embed2_Dist_tau_d_expfit_meandiff", noise),
+      0.5318117853368965, 1e-9))
+    // constant window → null
+    assert(eval("CO_Embed2_Dist_tau_d_expfit_meandiff",
+      Seq(2.0, 2.0, 2.0, 2.0, 2.0)).isEmpty)
+  }
+
+  test("SC_FluctAnal two-regime split proportions") {
+    // n = 8 < 10 → degenerate grid → 0 (C convention), both members
+    assert(close(eval("SC_FluctAnal_2_dfa_50_1_2_logi_prop_r1", x), 0.0))
+    assert(close(eval("SC_FluctAnal_2_rsrangefit_50_1_logi_prop_r1", x), 0.0))
+    // n = 100 → 35 distinct scales; independently-derived split indices
+    assert(close(eval("SC_FluctAnal_2_dfa_50_1_2_logi_prop_r1", tria), 18.0 / 35))
+    assert(close(eval("SC_FluctAnal_2_rsrangefit_50_1_logi_prop_r1", tria), 29.0 / 35))
+    assert(close(eval("SC_FluctAnal_2_dfa_50_1_2_logi_prop_r1", noise), 24.0 / 35))
+    assert(close(eval("SC_FluctAnal_2_rsrangefit_50_1_logi_prop_r1", noise), 26.0 / 35))
+    // constant window: F ≡ 0 → null
+    assert(eval("SC_FluctAnal_2_dfa_50_1_2_logi_prop_r1",
+      Seq.fill(40)(3.0)).isEmpty)
+  }
+
+  test("SC_FluctAnal members are affine-invariant (raw ≡ z-scored input)") {
+    // the documented raw-input convention rests on this: per-buffer linear
+    // detrend absorbs the mean, log F shifts uniformly under scaling
+    val scaled = noise.map(v => 3.0 * v - 7.0)
+    assert(eval("SC_FluctAnal_2_dfa_50_1_2_logi_prop_r1", noise) ==
+      eval("SC_FluctAnal_2_dfa_50_1_2_logi_prop_r1", scaled))
+    assert(eval("SC_FluctAnal_2_rsrangefit_50_1_logi_prop_r1", noise) ==
+      eval("SC_FluctAnal_2_rsrangefit_50_1_logi_prop_r1", scaled))
+  }
+
+  test("PD_PeriodicityWang_th0_01: spline-detrended ACF period") {
+    // the drift is absorbed by the spline; the period-10 triangle wave's
+    // first qualifying ACF peak is at lag 10
+    assert(close(eval("PD_PeriodicityWang_th0_01", tria), 10.0))
+    // LCG noise: independently derived spurious short period
+    assert(close(eval("PD_PeriodicityWang_th0_01", noise), 3.0))
+    // constant window: ACF undefined everywhere → no peaks → 1
+    assert(close(eval("PD_PeriodicityWang_th0_01", Seq.fill(20)(5.0)), 1.0))
+    // n < 7 → null
+    assert(eval("PD_PeriodicityWang_th0_01", Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)).isEmpty)
+  }
 }
