@@ -807,6 +807,44 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // catch22 tranche 3a: outlier-inclusion position medians (internally
+    // z-scored threshold sweep), tercile transition-matrix covariance
+    // trace, and the 2-embedding exponential-fit distance (same kernel)
+    "q99g_catch22_t3" -> ((s, dir) => {
+      val fc = FeatureCollection(FeatureDescriptor(catch22Tranche1, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h")))))
+      fc.calculate(Seq(valueSeries(s, dir)))
+        .select(unix_micros(col("ts")).as("ts_anchor"),
+          r6z("value__DN_OutlierInclude_p_001_mdrmd__w=1D"),
+          r6z("value__DN_OutlierInclude_n_001_mdrmd__w=1D"),
+          r6("value__SB_TransitionMatrix_3ac_sumdiagcov__w=1D"),
+          r6("value__CO_Embed2_Dist_tau_d_expfit_meandiff__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
+    // catch22 tranche 3b: the two two-regime fluctuation-analysis members
+    // (dfa lag-2 / rsrangefit lag-1 split proportions; same kernel)
+    "q99h_catch22_fluct" -> ((s, dir) => {
+      val fc = FeatureCollection(FeatureDescriptor(catch22Tranche1, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h")))))
+      fc.calculate(Seq(valueSeries(s, dir)))
+        .select(unix_micros(col("ts")).as("ts_anchor"),
+          r6("value__SC_FluctAnal_2_dfa_50_1_2_logi_prop_r1__w=1D"),
+          r6("value__SC_FluctAnal_2_rsrangefit_50_1_logi_prop_r1__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
+    // catch22 tranche 3c: Wang periodicity (spline detrend + Pearson-ACF
+    // peak scan; same kernel — battery complete at 22/22)
+    "q99i_catch22_pwang" -> ((s, dir) => {
+      val fc = FeatureCollection(FeatureDescriptor(catch22Tranche1, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h")))))
+      fc.calculate(Seq(valueSeries(s, dir)))
+        .select(unix_micros(col("ts")).as("ts_anchor"),
+          r6("value__PD_PeriodicityWang_th0_01__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
     // ---- Grassberger–Procaccia correlation dimension per user series ------
     "q99c_corr_dim" -> ((s, dir) => {
       graft.scale.GroupedStats.corrDim(
@@ -1672,6 +1710,323 @@ object SparkEntry {
          |LEFT JOIN fmm ON seg.we = fmm.we
          |LEFT JOIN a5 ON seg.we = a5.we
          |LEFT JOIN mh ON seg.we = mh.we
+         |ORDER BY 1""".stripMargin,
+
+    // catch22 tranche 3a: outlier-include threshold sweep (z-scored in
+    // a CTE, per-threshold position medians via join + median, C-style
+    // trim), first-zero-lag downsample -> tercile transition matrix ->
+    // per-column var_samp trace, and the 2-embedding distance histogram
+    // (Scott bins) vs the ML exponential density at bin centres.
+    "q99g_catch22_t3" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)},
+         |j AS (SELECT we, ts, value FROM seg LEFT JOIN events
+         |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |d AS (SELECT we, value AS v,
+         |  CAST(row_number() OVER (PARTITION BY we ORDER BY ts) - 1 AS DOUBLE) AS t,
+         |  count(value) OVER (PARTITION BY we) AS n,
+         |  avg(value) OVER (PARTITION BY we) AS mu
+         |  FROM j WHERE value IS NOT NULL),
+         |st AS (SELECT we, max(n) AS n, max(mu) AS mu,
+         |  sqrt(sum((v - mu) * (v - mu)) / max(n)) AS sig,
+         |  sum((v - mu) * (v - mu)) AS den FROM d GROUP BY we),
+         |sg AS (SELECT * FROM (VALUES (1.0), (-1.0)) s(sgn)),
+         |z AS (SELECT d.we, sg.sgn, d.t, sg.sgn * (d.v - st.mu) / st.sig AS w, st.n
+         |      FROM d JOIN st ON d.we = st.we CROSS JOIN sg WHERE st.sig > 0),
+         |ag AS (SELECT we, sgn, max(n) AS n, max(w) AS mx,
+         |       sum(CASE WHEN w >= 0 THEN 1 ELSE 0 END) AS tot
+         |       FROM z GROUP BY we, sgn),
+         |th AS (SELECT we, sgn, n, tot, u.jj, CAST(u.jj AS DOUBLE) * 0.01 AS thr
+         |       FROM ag, UNNEST(range(0, CAST(floor(mx / 0.01) AS BIGINT) + 1)) u(jj)
+         |       WHERE mx >= 0.01),
+         |ex AS (SELECT th.we, th.sgn, th.jj, max(th.n) AS n, max(th.tot) AS tot,
+         |       count(*) AS hs, median(z.t + 1.0) AS medr
+         |       FROM th JOIN z ON z.we = th.we AND z.sgn = th.sgn AND z.w >= th.thr
+         |       GROUP BY th.we, th.sgn, th.jj),
+         |tr AS (SELECT we, sgn,
+         |       coalesce(max(CASE WHEN (hs - 1) * 100.0 / tot > 2.0 THEN jj END), 0) AS mj,
+         |       coalesce(min(CASE WHEN hs < 2 THEN jj END), max(jj)) AS fbi
+         |       FROM ex GROUP BY we, sgn),
+         |oi AS (SELECT ex.we, ex.sgn, median(ex.medr / (ex.n / 2.0) - 1.0) AS md
+         |       FROM ex JOIN tr ON ex.we = tr.we AND ex.sgn = tr.sgn
+         |       WHERE ex.jj <= least(tr.mj, tr.fbi)
+         |       GROUP BY ex.we, ex.sgn),
+         |oifull AS (SELECT st.we, sg.sgn,
+         |       CASE WHEN st.sig = 0 THEN 0.0
+         |            WHEN ag.mx < 0.01 THEN 0.0
+         |            ELSE oi.md END AS md
+         |       FROM st CROSS JOIN sg
+         |       LEFT JOIN ag ON ag.we = st.we AND ag.sgn = sg.sgn
+         |       LEFT JOIN oi ON oi.we = st.we AND oi.sgn = sg.sgn),
+         |oip AS (SELECT we, md FROM oifull WHERE sgn = 1.0),
+         |oin AS (SELECT we, md FROM oifull WHERE sgn = -1.0),
+         |acn AS (SELECT a.we, CAST(b.t - a.t AS BIGINT) AS tau,
+         |        sum((a.v - a.mu) * (b.v - b.mu)) AS sp
+         |        FROM d a JOIN d b ON a.we = b.we AND b.t > a.t GROUP BY ALL),
+         |acr AS (SELECT acn.we, tau, sp / st.den AS r
+         |        FROM acn JOIN st ON acn.we = st.we WHERE st.den > 0),
+         |fz AS (SELECT st.we, st.n, coalesce(fz0.fz, st.n) AS fz FROM st LEFT JOIN
+         |       (SELECT we, min(tau) AS fz FROM acr WHERE r <= 0 GROUP BY we) fz0
+         |       ON st.we = fz0.we WHERE st.den > 0),
+         |dn AS (SELECT d.we, CAST(d.t AS BIGINT) // fz.fz AS i, d.v,
+         |       count(*) OVER (PARTITION BY d.we) AS nd
+         |       FROM d JOIN fz ON d.we = fz.we
+         |       WHERE CAST(d.t AS BIGINT) % fz.fz = 0),
+         |dq AS (SELECT we, max(nd) AS nd, quantile_cont(v, 1.0/3) AS q1,
+         |       quantile_cont(v, 2.0/3) AS q2
+         |       FROM dn GROUP BY we HAVING max(nd) >= 2),
+         |dl AS (SELECT dn.we, dn.i,
+         |       CASE WHEN dn.v <= dq.q1 THEN 0 WHEN dn.v <= dq.q2 THEN 1 ELSE 2 END AS a,
+         |       dq.nd FROM dn JOIN dq ON dn.we = dq.we),
+         |dp AS (SELECT we, a, lead(a) OVER (PARTITION BY we ORDER BY i) AS bb, nd FROM dl),
+         |tmc AS (SELECT we, a, bb, max(nd) AS nd, count(*) AS c FROM dp
+         |        WHERE bb IS NOT NULL GROUP BY we, a, bb),
+         |tmg AS (SELECT g.we, g.a, g.bb, coalesce(tmc.c, 0) AS c, g.nd FROM
+         |        (SELECT DISTINCT tmc.we, tmc.nd, aa.a, cc.bb
+         |         FROM tmc, UNNEST(range(3)) aa(a), UNNEST(range(3)) cc(bb)) g
+         |        LEFT JOIN tmc ON tmc.we = g.we AND tmc.a = g.a AND tmc.bb = g.bb),
+         |tmv AS (SELECT we, sum(cv) AS v FROM
+         |        (SELECT we, bb, var_samp(CAST(c AS DOUBLE) / (nd - 1)) AS cv
+         |         FROM tmg GROUP BY we, bb) GROUP BY we),
+         |e2t AS (SELECT fz.we, CASE WHEN fz.fz > st.n / 10.0 THEN st.n // 10 ELSE fz.fz END AS tau
+         |        FROM fz JOIN st ON fz.we = st.we),
+         |e2d AS (SELECT a.we,
+         |        sqrt((p1.v - a.v) * (p1.v - a.v) + (c2.v - c1.v) * (c2.v - c1.v)) AS dd
+         |        FROM d a
+         |        JOIN e2t ON a.we = e2t.we
+         |        JOIN d p1 ON p1.we = a.we AND p1.t = a.t + 1
+         |        JOIN d c1 ON c1.we = a.we AND c1.t = a.t + e2t.tau
+         |        JOIN d c2 ON c2.we = a.we AND c2.t = a.t + e2t.tau + 1),
+         |e2s AS (SELECT we, count(*) AS m, avg(dd) AS l, stddev_samp(dd) AS sd,
+         |        min(dd) AS mn, max(dd) AS mx FROM e2d GROUP BY we),
+         |e2b AS (SELECT we, m, l, mn, mx,
+         |        CAST(ceil((mx - mn) / (3.5 * sd / cbrt(CAST(m AS DOUBLE)))) AS BIGINT) AS nb
+         |        FROM e2s WHERE sd >= 0.001),
+         |e2h AS (SELECT e2d.we,
+         |        least(CAST(floor((e2d.dd - e2b.mn) / ((e2b.mx - e2b.mn) / e2b.nb)) AS BIGINT),
+         |              e2b.nb - 1) AS bin,
+         |        count(*) AS c FROM e2d JOIN e2b ON e2d.we = e2b.we GROUP BY ALL),
+         |e2g AS (SELECT gg.we, gg.bin, coalesce(e2h.c, 0) AS c,
+         |        gg.m, gg.l, gg.mn, gg.mx, gg.nb FROM
+         |        (SELECT e2b.we, e2b.m, e2b.l, e2b.mn, e2b.mx, e2b.nb, u.k AS bin
+         |         FROM e2b, UNNEST(range(e2b.nb)) u(k)) gg
+         |        LEFT JOIN e2h ON e2h.we = gg.we AND e2h.bin = gg.bin),
+         |e2o AS (SELECT we, sum(abs(CAST(c AS DOUBLE) / m
+         |          - exp(-(mn + (bin + 0.5) * ((mx - mn) / nb)) / l) / l)) / max(nb) AS v
+         |        FROM e2g GROUP BY we)
+         |SELECT seg.we AS ts_anchor,
+         |  CASE WHEN st.n >= 1 THEN round(oip.md, 6) + 0.0 END
+         |    AS "value__DN_OutlierInclude_p_001_mdrmd__w=1D",
+         |  CASE WHEN st.n >= 1 THEN round(oin.md, 6) + 0.0 END
+         |    AS "value__DN_OutlierInclude_n_001_mdrmd__w=1D",
+         |  CASE WHEN st.n >= 3 AND st.den > 0 AND dq.nd >= 2 THEN round(tmv.v, 6) END
+         |    AS "value__SB_TransitionMatrix_3ac_sumdiagcov__w=1D",
+         |  CASE WHEN st.n >= 4 AND st.den > 0 AND e2s.m >= 2 THEN
+         |    CASE WHEN e2s.sd < 0.001 THEN 0.0 ELSE round(e2o.v, 6) END END
+         |    AS "value__CO_Embed2_Dist_tau_d_expfit_meandiff__w=1D"
+         |FROM seg LEFT JOIN st ON seg.we = st.we
+         |LEFT JOIN oip ON seg.we = oip.we
+         |LEFT JOIN oin ON seg.we = oin.we
+         |LEFT JOIN dq ON seg.we = dq.we
+         |LEFT JOIN tmv ON seg.we = tmv.we
+         |LEFT JOIN e2s ON seg.we = e2s.we
+         |LEFT JOIN e2o ON seg.we = e2o.we
+         |ORDER BY 1""".stripMargin,
+
+    // catch22 tranche 3b: both fluctuation members in one sweep (lag 2 =
+    // dfa, lag 1 = rsrangefit): log-spaced tau grid (DISTINCT = the C
+    // adjacent dedup, grid is monotone), per-lag cumsum profile, closed-
+    // form per-buffer OLS detrend, F(tau), then the split sweep with
+    // shared end point and first-min pick (ORDER BY e, sp).
+    "q99h_catch22_fluct" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)},
+         |j AS (SELECT we, ts, value FROM seg LEFT JOIN events
+         |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |d AS (SELECT we, value AS v,
+         |  CAST(row_number() OVER (PARTITION BY we ORDER BY ts) - 1 AS DOUBLE) AS t,
+         |  count(value) OVER (PARTITION BY we) AS n
+         |  FROM j WHERE value IS NOT NULL),
+         |st AS (SELECT we, max(n) AS n FROM d GROUP BY we),
+         |lg AS (SELECT * FROM (VALUES (2), (1)) l(lag)),
+         |tg AS (SELECT DISTINCT st.we, lg.lag, st.n,
+         |       CAST(round(exp(ln(5.0) + u.jj * (ln(CAST(st.n // 2 AS DOUBLE)) - ln(5.0)) / 49.0)) AS BIGINT) AS tau
+         |       FROM st CROSS JOIN lg, UNNEST(range(0, 50)) u(jj)
+         |       WHERE st.n >= 10),
+         |tgr AS (SELECT we, lag, n, tau,
+         |        row_number() OVER (PARTITION BY we, lag ORDER BY tau) AS ti,
+         |        count(*) OVER (PARTITION BY we, lag) AS ntau
+         |        FROM tg),
+         |tgn AS (SELECT DISTINCT we, lag, ntau FROM tgr),
+         |cs AS (SELECT dd.we, dd.lag, CAST(dd.t AS BIGINT) // dd.lag AS i,
+         |       sum(dd.v) OVER (PARTITION BY dd.we, dd.lag ORDER BY dd.t
+         |         ROWS UNBOUNDED PRECEDING) AS ycs,
+         |       dd.n
+         |       FROM (SELECT d.we, d.t, d.v, d.n, lg.lag FROM d CROSS JOIN lg) dd
+         |       WHERE CAST(dd.t AS BIGINT) % dd.lag = 0
+         |         AND CAST(dd.t AS BIGINT) // dd.lag < dd.n // dd.lag),
+         |bf AS (SELECT cs.we, cs.lag, tgr.tau, tgr.ti, tgr.ntau,
+         |       cs.i // tgr.tau AS bj, cs.i % tgr.tau AS k, cs.ycs
+         |       FROM cs JOIN tgr ON cs.we = tgr.we AND cs.lag = tgr.lag
+         |       WHERE tgr.ntau >= 12 AND cs.i // tgr.tau < (cs.n // cs.lag) // tgr.tau),
+         |ft AS (SELECT we, lag, tau, ti, ntau, bj,
+         |       sum(k + 1.0) AS sx, sum(ycs) AS sy,
+         |       sum((k + 1.0) * (k + 1.0)) AS sxx, sum((k + 1.0) * ycs) AS sxy
+         |       FROM bf GROUP BY we, lag, tau, ti, ntau, bj),
+         |fm AS (SELECT *, CASE WHEN tau * sxx - sx * sx = 0 THEN 0.0
+         |       ELSE (tau * sxy - sx * sy) / (tau * sxx - sx * sx) END AS m FROM ft),
+         |fb AS (SELECT *, (sy - m * sx) / tau AS b FROM fm),
+         |rs AS (SELECT bf.we, bf.lag, bf.tau, bf.ti, bf.ntau, bf.bj,
+         |       bf.ycs - (fb.m * (bf.k + 1.0) + fb.b) AS r
+         |       FROM bf JOIN fb ON bf.we = fb.we AND bf.lag = fb.lag
+         |         AND bf.tau = fb.tau AND bf.bj = fb.bj),
+         |fbu AS (SELECT we, lag, tau, ti, ntau, bj, sum(r * r) AS ssr,
+         |        max(r) - min(r) AS rng FROM rs GROUP BY we, lag, tau, ti, ntau, bj),
+         |ff AS (SELECT we, lag, tau, ti, ntau, count(*) AS nbuf,
+         |       CASE WHEN lag = 2 THEN sqrt(sum(ssr) / (count(*) * tau))
+         |            ELSE sqrt(sum(rng * rng) / count(*)) END AS fv
+         |       FROM fbu GROUP BY we, lag, tau, ti, ntau),
+         |lf AS (SELECT we, lag, ti, ntau, ln(CAST(tau AS DOUBLE)) AS lt, ln(fv) AS lfv
+         |       FROM ff WHERE fv > 0),
+         |lfn AS (SELECT we, lag, max(ntau) AS ntau, count(*) AS ngood
+         |        FROM lf GROUP BY we, lag),
+         |sw AS (SELECT ss.we, ss.lag, ss.ntau, ss.sp FROM
+         |       (SELECT lfn.we, lfn.lag, lfn.ntau, u.sp
+         |        FROM lfn, UNNEST(range(6, lfn.ntau - 6 + 1)) u(sp)
+         |        WHERE lfn.ngood = lfn.ntau) ss),
+         |la AS (SELECT sw.we, sw.lag, sw.sp, count(*) AS c,
+         |       sum(lf.lt) AS sx, sum(lf.lfv) AS sy,
+         |       sum(lf.lt * lf.lt) AS sxx, sum(lf.lt * lf.lfv) AS sxy
+         |       FROM sw JOIN lf ON lf.we = sw.we AND lf.lag = sw.lag AND lf.ti <= sw.sp
+         |       GROUP BY sw.we, sw.lag, sw.sp),
+         |lam AS (SELECT *, CASE WHEN c * sxx - sx * sx = 0 THEN 0.0
+         |        ELSE (c * sxy - sx * sy) / (c * sxx - sx * sx) END AS m FROM la),
+         |lab AS (SELECT *, (sy - m * sx) / c AS b FROM lam),
+         |ra AS (SELECT sw.we, sw.lag, sw.sp, count(*) AS c,
+         |       sum(lf.lt) AS sx, sum(lf.lfv) AS sy,
+         |       sum(lf.lt * lf.lt) AS sxx, sum(lf.lt * lf.lfv) AS sxy
+         |       FROM sw JOIN lf ON lf.we = sw.we AND lf.lag = sw.lag AND lf.ti >= sw.sp
+         |       GROUP BY sw.we, sw.lag, sw.sp),
+         |ram AS (SELECT *, CASE WHEN c * sxx - sx * sx = 0 THEN 0.0
+         |        ELSE (c * sxy - sx * sy) / (c * sxx - sx * sx) END AS m FROM ra),
+         |rab AS (SELECT *, (sy - m * sx) / c AS b FROM ram),
+         |lres AS (SELECT lab.we, lab.lag, lab.sp,
+         |         sum((lf.lt * lab.m + lab.b - lf.lfv) * (lf.lt * lab.m + lab.b - lf.lfv)) AS s1
+         |         FROM lab JOIN lf ON lf.we = lab.we AND lf.lag = lab.lag AND lf.ti <= lab.sp
+         |         GROUP BY lab.we, lab.lag, lab.sp),
+         |rres AS (SELECT rab.we, rab.lag, rab.sp,
+         |         sum((lf.lt * rab.m + rab.b - lf.lfv) * (lf.lt * rab.m + rab.b - lf.lfv)) AS s2
+         |         FROM rab JOIN lf ON lf.we = rab.we AND lf.lag = rab.lag AND lf.ti >= rab.sp
+         |         GROUP BY rab.we, rab.lag, rab.sp),
+         |serr AS (SELECT lres.we, lres.lag, lres.sp, sqrt(lres.s1) + sqrt(rres.s2) AS e
+         |         FROM lres JOIN rres ON lres.we = rres.we AND lres.lag = rres.lag
+         |           AND lres.sp = rres.sp),
+         |pick AS (SELECT we, lag, sp, ntau FROM
+         |         (SELECT serr.we, serr.lag, serr.sp, sw.ntau,
+         |                 row_number() OVER (PARTITION BY serr.we, serr.lag
+         |                   ORDER BY serr.e, serr.sp) AS rk
+         |          FROM serr JOIN sw ON sw.we = serr.we AND sw.lag = serr.lag
+         |            AND sw.sp = serr.sp)
+         |         WHERE rk = 1),
+         |p2 AS (SELECT we, sp, ntau FROM pick WHERE lag = 2),
+         |p1 AS (SELECT we, sp, ntau FROM pick WHERE lag = 1),
+         |t2 AS (SELECT we, ntau FROM tgn WHERE lag = 2),
+         |t1 AS (SELECT we, ntau FROM tgn WHERE lag = 1)
+         |SELECT seg.we AS ts_anchor,
+         |  CASE WHEN st.n IS NULL THEN NULL
+         |       WHEN st.n < 10 THEN 0.0
+         |       WHEN t2.ntau < 12 THEN 0.0
+         |       WHEN p2.sp IS NULL THEN NULL
+         |       ELSE round(CAST(p2.sp AS DOUBLE) / p2.ntau, 6) END
+         |    AS "value__SC_FluctAnal_2_dfa_50_1_2_logi_prop_r1__w=1D",
+         |  CASE WHEN st.n IS NULL THEN NULL
+         |       WHEN st.n < 10 THEN 0.0
+         |       WHEN t1.ntau < 12 THEN 0.0
+         |       WHEN p1.sp IS NULL THEN NULL
+         |       ELSE round(CAST(p1.sp AS DOUBLE) / p1.ntau, 6) END
+         |    AS "value__SC_FluctAnal_2_rsrangefit_50_1_logi_prop_r1__w=1D"
+         |FROM seg LEFT JOIN st ON seg.we = st.we
+         |LEFT JOIN t2 ON seg.we = t2.we
+         |LEFT JOIN t1 ON seg.we = t1.we
+         |LEFT JOIN p2 ON seg.we = p2.we
+         |LEFT JOIN p1 ON seg.we = p1.we
+         |ORDER BY 1""".stripMargin,
+
+    // catch22 tranche 3c: the spline detrend as classical Gram-Schmidt
+    // over {1,u,u^2,u^3,(u-1/2)^3+} (same arithmetic as the kernel),
+    // Pearson ACF to ceil(n/3) via the shifted self-join, trough/peak
+    // classification on slope signs, and the last-trough-before-peak
+    // pairing with the 0.01 prominence gate.
+    "q99i_catch22_pwang" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)},
+         |j AS (SELECT we, ts, value FROM seg LEFT JOIN events
+         |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |d AS (SELECT we, value AS v,
+         |  CAST(row_number() OVER (PARTITION BY we ORDER BY ts) - 1 AS DOUBLE) AS t,
+         |  count(value) OVER (PARTITION BY we) AS n
+         |  FROM j WHERE value IS NOT NULL),
+         |st AS (SELECT we, max(n) AS n FROM d GROUP BY we),
+         |db AS (SELECT we, v, t, n, t / (n - 1) AS u FROM d WHERE n >= 7),
+         |db2 AS (SELECT we, v, t, n, u, u * u AS bu2, u * u * u AS bu3,
+         |        CASE WHEN u - 0.5 > 0 THEN (u - 0.5) * (u - 0.5) * (u - 0.5)
+         |             ELSE 0.0 END AS bk
+         |        FROM db),
+         |p1 AS (SELECT we, avg(u) AS m2, avg(bu2) AS m3, avg(bu3) AS m4,
+         |       avg(bk) AS m5, avg(v) AS my FROM db2 GROUP BY we),
+         |e2 AS (SELECT db2.we, db2.v, db2.t, db2.n, db2.u, db2.bu2, db2.bu3, db2.bk,
+         |       db2.u - p1.m2 AS w2, db2.bu2 - p1.m3 AS b3c, db2.bu3 - p1.m4 AS b4c,
+         |       db2.bk - p1.m5 AS b5c, db2.v - p1.my AS yc
+         |       FROM db2 JOIN p1 ON db2.we = p1.we),
+         |q2 AS (SELECT we, sum(bu2 * w2) / sum(w2 * w2) AS c32,
+         |       sum(bu3 * w2) / sum(w2 * w2) AS c42,
+         |       sum(bk * w2) / sum(w2 * w2) AS c52 FROM e2 GROUP BY we),
+         |e3 AS (SELECT e2.*, e2.b3c - q2.c32 * e2.w2 AS w3, q2.c42 AS c42, q2.c52 AS c52
+         |       FROM e2 JOIN q2 ON e2.we = q2.we),
+         |q3 AS (SELECT we, sum(bu3 * w3) / sum(w3 * w3) AS c43,
+         |       sum(bk * w3) / sum(w3 * w3) AS c53 FROM e3 GROUP BY we),
+         |e4 AS (SELECT e3.*, e3.b4c - e3.c42 * e3.w2 - q3.c43 * e3.w3 AS w4,
+         |       q3.c53 AS c53
+         |       FROM e3 JOIN q3 ON e3.we = q3.we),
+         |q4 AS (SELECT we, sum(bk * w4) / sum(w4 * w4) AS c54 FROM e4 GROUP BY we),
+         |e5 AS (SELECT e4.*, e4.b5c - e4.c52 * e4.w2 - e4.c53 * e4.w3 - q4.c54 * e4.w4 AS w5
+         |       FROM e4 JOIN q4 ON e4.we = q4.we),
+         |pa AS (SELECT we, sum(v * w2) / sum(w2 * w2) AS a2,
+         |       sum(v * w3) / sum(w3 * w3) AS a3,
+         |       sum(v * w4) / sum(w4 * w4) AS a4,
+         |       sum(v * w5) / sum(w5 * w5) AS a5 FROM e5 GROUP BY we),
+         |ys AS (SELECT e5.we, e5.t, e5.n,
+         |       e5.yc - pa.a2 * e5.w2 - pa.a3 * e5.w3 - pa.a4 * e5.w4 - pa.a5 * e5.w5 AS ysv
+         |       FROM e5 JOIN pa ON e5.we = pa.we),
+         |acm AS (SELECT we, CAST(ceil(max(n) / 3.0) AS BIGINT) AS acmax FROM db GROUP BY we),
+         |ac AS (SELECT a.we, CAST(bq.t - a.t AS BIGINT) AS tau,
+         |       count(*) AS m, sum(a.ysv) AS sa, sum(bq.ysv) AS sb,
+         |       sum(a.ysv * a.ysv) AS saa, sum(bq.ysv * bq.ysv) AS sbb,
+         |       sum(a.ysv * bq.ysv) AS sab
+         |       FROM ys a JOIN ys bq ON a.we = bq.we AND bq.t > a.t
+         |       JOIN acm ON acm.we = a.we
+         |       WHERE bq.t - a.t <= acm.acmax
+         |       GROUP BY a.we, CAST(bq.t - a.t AS BIGINT)),
+         |acr AS (SELECT we, tau,
+         |        CASE WHEN (saa - sa * sa / m) > 0 AND (sbb - sb * sb / m) > 0 THEN
+         |          (sab - sa * sb / m) / sqrt((saa - sa * sa / m) * (sbb - sb * sb / m))
+         |        END AS r FROM ac),
+         |tp AS (SELECT c.we, c.tau,
+         |       CASE WHEN c.r - p.r < 0 AND x.r - c.r > 0 THEN 1
+         |            WHEN c.r - p.r > 0 AND x.r - c.r < 0 THEN 2 END AS kind, c.r
+         |       FROM acr c
+         |       JOIN acr p ON p.we = c.we AND p.tau = c.tau - 1
+         |       JOIN acr x ON x.we = c.we AND x.tau = c.tau + 1
+         |       JOIN acm ON acm.we = c.we
+         |       WHERE c.tau >= 2 AND c.tau <= acm.acmax - 1),
+         |pk AS (SELECT pp.we, pp.tau, pp.r AS pr, max(tr.tau) AS trt
+         |       FROM tp pp JOIN tp tr ON tr.we = pp.we AND tr.kind = 1 AND tr.tau < pp.tau
+         |       WHERE pp.kind = 2 GROUP BY pp.we, pp.tau, pp.r),
+         |ok AS (SELECT pk.we, min(pk.tau) AS lag FROM pk
+         |       JOIN tp t2 ON t2.we = pk.we AND t2.tau = pk.trt AND t2.kind = 1
+         |       WHERE pk.pr >= 0 AND pk.pr - t2.r >= 0.01 GROUP BY pk.we)
+         |SELECT seg.we AS ts_anchor,
+         |  CASE WHEN st.n >= 7 THEN round(CAST(coalesce(ok.lag, 1) AS DOUBLE), 6) END
+         |    AS "value__PD_PeriodicityWang_th0_01__w=1D"
+         |FROM seg LEFT JOIN st ON seg.we = st.we
+         |LEFT JOIN ok ON seg.we = ok.we
          |ORDER BY 1""".stripMargin,
 
     // Grassberger–Procaccia: delay-1 2D embedding, pair counts at σ/2 and

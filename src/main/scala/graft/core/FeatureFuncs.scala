@@ -663,12 +663,13 @@ object FeatureFuncs {
       if (normalize) "spectral_entropy_norm" else "spectral_entropy",
       (idx, v) => graft.expr.SpectralEntropy(sortedVals(idx, v), normalize))
 
-  /** catch22 tranche 1: eleven members of the canonical catch22 battery as
-    * ONE multi-output aggregate — a single kernel call per window emitting
-    * one column per member, the same shape as the reference's
-    * `catch22_wrapper(catch22_all)` 22-output FuncWrapper (reference:
-    * tsflex/features/integrations.py:282-337). Member semantics, raw-input
-    * convention, and per-window cost notes live on [[graft.expr.Catch22Util]].
+  /** The COMPLETE canonical catch22 battery (all 22 members, three r11
+    * tranches) as ONE multi-output aggregate — a single kernel call per
+    * window emitting one column per member, the same shape as the
+    * reference's `catch22_wrapper(catch22_all)` 22-output FuncWrapper
+    * (reference: tsflex/features/integrations.py:282-337). Member
+    * semantics, raw-input convention, and per-window cost notes live on
+    * [[graft.expr.Catch22Util]].
     */
   val catch22Tranche1: FeatureFunc = FeatureFunc("catch22",
     (idx, v) => graft.expr.Catch22Slice(sortedVals(idx, v)),

@@ -222,7 +222,7 @@ object Catch22Util {
       i += 1
     }
     if (maxVal < inc) return java.lang.Double.valueOf(0.0)
-    val nThresh = (maxVal / inc).toInt + 1
+    var nThresh = (maxVal / inc).toInt + 1
     val msDti3 = new Array[Double](nThresh)
     val msDti4 = new Array[Double](nThresh)
     val thin = new Array[Boolean](nThresh) // fewer than 2 exceedances
@@ -233,9 +233,17 @@ object Catch22Util {
       var hs = 0
       i = 0
       while (i < n) { if (yW(i) >= th) { r(hs) = i + 1.0; hs += 1 }; i += 1 }
-      msDti3(j) = (hs - 1) * 100.0 / tot
-      msDti4(j) = medianSorted(r, hs) / (n / 2.0) - 1.0 // r ascending already
-      thin(j) = hs < 2
+      if (hs == 0) {
+        // float boundary: ⌊max/inc⌋·inc can exceed max by an ulp, leaving
+        // the top threshold's exceedance set empty — truncate the sweep
+        // there (sets shrink monotonically, so all later sets are empty
+        // too); the oracle's join-based sweep drops the row the same way
+        nThresh = j
+      } else {
+        msDti3(j) = (hs - 1) * 100.0 / tot
+        msDti4(j) = medianSorted(r, hs) / (n / 2.0) - 1.0 // r ascending already
+        thin(j) = hs < 2
+      }
       j += 1
     }
     var mj = 0; var fbi = nThresh - 1
