@@ -845,6 +845,34 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- tsfel temporal/statistical battery (r11 tranche 4: the remaining
+    // basic members of the reference's tsfel integration surface —
+    // reference: tsflex/features/integrations.py:102-173, exercised at
+    // tests/test_features_integration.py:158-216) --------------------------
+    "q100_tsfel_basic" -> ((s, dir) => {
+      val fns = Seq(meanAbsDiff, meanDiff, medianAbsDiff, medianDiff,
+        curveDistance, pkPkDistance, aucFs(0.04), calcCentroid(0.04),
+        neighbourhoodPeaks(5), histCounts(4))
+      val fc = FeatureCollection.of(fns.map(f => FeatureDescriptor(f, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
+      fc.calculate(Seq(valueSeries(s, dir)))
+        .select(unix_micros(col("ts")).as("ts_anchor"),
+          r6("value__mean_abs_diff__w=1D"),
+          r6("value__mean_diff__w=1D"),
+          r6("value__median_abs_diff__w=1D"),
+          r6("value__median_diff__w=1D"),
+          r6("value__distance__w=1D"),
+          r6("value__pk_pk_distance__w=1D"),
+          r6("value__auc_fs0.04__w=1D"),
+          r6("value__centroid_fs0.04__w=1D"),
+          qc("value__neighbourhood_peaks_5__w=1D").as("n_peaks5"),
+          qc("value__hist1__w=1D").as("hist1"),
+          qc("value__hist2__w=1D").as("hist2"),
+          qc("value__hist3__w=1D").as("hist3"),
+          qc("value__hist4__w=1D").as("hist4"))
+        .orderBy("ts_anchor")
+    }),
+
     // ---- Grassberger–Procaccia correlation dimension per user series ------
     "q99c_corr_dim" -> ((s, dir) => {
       graft.scale.GroupedStats.corrDim(
@@ -2333,6 +2361,67 @@ object SparkEntry {
          |    THEN sqrt(vddx / vdx) / sqrt(vdx / vx) END, 6)
          |    AS "value__hjorth_complexity__w=1D"
          |FROM v ORDER BY 1""".stripMargin,
+
+    // tsfel basic battery: diff stats from lead() pairs, trapezoid auc,
+    // energy centroid, strict ±5 neighbourhood peaks, 4-bin histogram
+    "q100_tsfel_basic" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)},
+         |j AS (SELECT we, ts, value FROM seg LEFT JOIN events
+         |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |d AS (SELECT we, value AS v,
+         |  row_number() OVER (PARTITION BY we ORDER BY ts) - 1 AS t,
+         |  lead(value) OVER (PARTITION BY we ORDER BY ts) AS nx,
+         |  greatest(lag(value, 1) OVER w, lag(value, 2) OVER w,
+         |           lag(value, 3) OVER w, lag(value, 4) OVER w,
+         |           lag(value, 5) OVER w) AS mxl,
+         |  greatest(lead(value, 1) OVER w, lead(value, 2) OVER w,
+         |           lead(value, 3) OVER w, lead(value, 4) OVER w,
+         |           lead(value, 5) OVER w) AS mxr,
+         |  lag(value, 5) OVER w AS l5, lead(value, 5) OVER w AS r5
+         |  FROM j WHERE value IS NOT NULL
+         |  WINDOW w AS (PARTITION BY we ORDER BY ts)),
+         |st AS (SELECT we, count(*) AS n, min(v) AS mn, max(v) AS mx,
+         |  sum(v * v) AS en, sum(t * v * v) AS tvv,
+         |  max_by(v, t) AS lastv, min_by(v, t) AS firstv,
+         |  CAST(sum(CASE WHEN l5 IS NOT NULL AND r5 IS NOT NULL
+         |           AND v > mxl AND v > mxr THEN 1 ELSE 0 END) AS BIGINT) AS npk
+         |  FROM d GROUP BY we),
+         |df AS (SELECT d.we, avg(abs(nx - v)) AS madiff,
+         |  median(abs(nx - v)) AS medad, median(nx - v) AS medd,
+         |  sum(sqrt(1 + (nx - v) * (nx - v))) AS dist,
+         |  sum(abs(v + nx)) AS aucs
+         |  FROM d WHERE nx IS NOT NULL GROUP BY d.we),
+         |hb AS (SELECT d.we, CASE WHEN st.mx > st.mn THEN
+         |    CAST(least(floor((d.v - st.mn) / (st.mx - st.mn) * 4), 3) AS INT)
+         |    ELSE 0 END AS b
+         |  FROM d JOIN st ON d.we = st.we),
+         |hc AS (SELECT we,
+         |  CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+         |  CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+         |  CAST(sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+         |  CAST(sum(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h4
+         |  FROM hb GROUP BY we)
+         |SELECT seg.we AS ts_anchor,
+         |  round(df.madiff, 6) AS "value__mean_abs_diff__w=1D",
+         |  CASE WHEN st.n >= 2 THEN
+         |    round((st.lastv - st.firstv) / (st.n - 1), 6) END
+         |    AS "value__mean_diff__w=1D",
+         |  round(df.medad, 6) AS "value__median_abs_diff__w=1D",
+         |  round(df.medd, 6) AS "value__median_diff__w=1D",
+         |  CASE WHEN st.n >= 1 THEN round(coalesce(df.dist, 0.0), 6) END
+         |    AS "value__distance__w=1D",
+         |  round(st.mx - st.mn, 6) AS "value__pk_pk_distance__w=1D",
+         |  CASE WHEN st.n >= 1 THEN round(coalesce(df.aucs, 0.0) * (0.5 / 0.04), 6) END
+         |    AS "value__auc_fs0.04__w=1D",
+         |  CASE WHEN st.en > 0 THEN round((st.tvv / 0.04) / st.en, 6)
+         |       WHEN st.n >= 1 THEN 0.0 END
+         |    AS "value__centroid_fs0.04__w=1D",
+         |  st.npk AS n_peaks5,
+         |  hc.h1 AS hist1, hc.h2 AS hist2, hc.h3 AS hist3, hc.h4 AS hist4
+         |FROM seg LEFT JOIN st ON seg.we = st.we
+         |  LEFT JOIN df ON seg.we = df.we
+         |  LEFT JOIN hc ON seg.we = hc.we
+         |ORDER BY 1""".stripMargin,
 
     "q90_entropy" ->
       s"""WITH ${segCte(DAY, 6 * HOUR)},

@@ -675,6 +675,151 @@ object FeatureFuncs {
     (idx, v) => graft.expr.Catch22Slice(sortedVals(idx, v)),
     outputNames = Some(graft.expr.Catch22Util.names))
 
+  // ---- tsfel temporal/statistical stock completion (r11 tranche 4) --------
+  // The remaining members of the reference's tsfel integration surface
+  // (tsflex/features/integrations.py:102-173 `tsfel_feature_dict_wrapper`,
+  // exercised over the basic battery at
+  // tests/test_features_integration.py:158-216). Each is a single fused
+  // aggregate on the slice/zip_with machinery above — the window array is
+  // never referenced inside a lambda body (the [[numberPeaks1]] trap).
+
+  /** First differences of the index-sorted window, shared by the diff
+    * stock below. Empty for windows shorter than 2.
+    */
+  private def sortedDiffs(idx: Column, v: Column): Column =
+    arrDiffs(sortedVals(idx, v))
+
+  /** Linear-interpolated median of an array column (np.median: mean of the
+    * two middle order statistics for even length). The sorted chain is
+    * referenced a constant number of times (each reference re-evaluates
+    * the HOF chain — O(k·n log n), never O(n²); see [[meanCrossings]]).
+    */
+  private def arrMedian(a: Column): Column = {
+    val s = array_sort(a)
+    val n = size(s)
+    val h = floor(n / lit(2.0)).cast("int") // ⌊n/2⌋ (Spark `/` is double)
+    when(n >= 1,
+      when(n % 2 === 1, element_at(s, h + 1))
+        .otherwise((element_at(s, h) + element_at(s, h + 1)) / 2.0))
+  }
+
+  /** tsfel `mean_abs_diff`: mean of |Δx| — [[absDiffSum]] over the native
+    * count (np.mean of an empty diff → NULL for n < 2).
+    */
+  val meanAbsDiff: FeatureFunc = FeatureFunc("mean_abs_diff", (idx, v) => {
+    val d = transform(sortedDiffs(idx, v), x => abs(x))
+    val n = count(v)
+    when(n >= 2, aggregate(d, lit(0.0), (acc, x) => acc + x)
+      / (n - 1).cast("double"))
+  })
+
+  /** tsfel `mean_diff`: mean of Δx = (xₙ − x₁)/(n − 1) — the telescoping
+    * closed form, three NATIVE aggregates, no array at all.
+    */
+  val meanDiff: FeatureFunc = FeatureFunc("mean_diff", (idx, v) => {
+    val n = count(v)
+    when(n >= 2, (max_by(v, idx) - min_by(v, idx)) / (n - 1).cast("double"))
+  })
+
+  /** tsfel `median_abs_diff` / `median_diff`: median of (|Δx| / Δx). */
+  val medianAbsDiff: FeatureFunc = FeatureFunc("median_abs_diff",
+    (idx, v) => arrMedian(transform(sortedDiffs(idx, v), x => abs(x))))
+  val medianDiff: FeatureFunc = FeatureFunc("median_diff",
+    (idx, v) => arrMedian(sortedDiffs(idx, v)))
+
+  /** tsfel `distance`: total curve length Σ √(1 + Δx²) (unit index step);
+    * 0.0 for singleton windows (np.sum of an empty diff).
+    */
+  val curveDistance: FeatureFunc = FeatureFunc("distance", (idx, v) =>
+    when(count(v) >= 1,
+      aggregate(sortedDiffs(idx, v), lit(0.0),
+        (acc, d) => acc + sqrt(lit(1.0) + d * d))),
+    emptyValue = None)
+
+  /** tsfel `pk_pk_distance`: |max − min| — two native aggregates. */
+  val pkPkDistance: FeatureFunc = FeatureFunc("pk_pk_distance", (_, v) =>
+    org.apache.spark.sql.functions.max(v) -
+      org.apache.spark.sql.functions.min(v))
+
+  /** tsfel `auc` at sampling rate `fs`: trapezoid area of |signal| over
+    * t = i/fs — Σ 0.5·(1/fs)·|xᵢ + xᵢ₊₁| (tsfel's np.diff(t) is the
+    * constant 1/fs on the uniform sample grid it builds). 0.0 for
+    * singleton windows.
+    */
+  def aucFs(fs: Double): FeatureFunc = {
+    require(fs > 0, "auc sampling rate must be > 0")
+    FeatureFunc(s"auc_fs$fs", (idx, v) => {
+      val vals = sortedVals(idx, v)
+      val m = greatest(size(vals) - 1, lit(0))
+      when(count(v) >= 1, aggregate(
+        zip_with(slice(vals, lit(1), m), slice(vals, lit(2), m),
+          (a, b) => abs(a + b)),
+        lit(0.0), (acc, x) => acc + x) * lit(0.5 / fs))
+    })
+  }
+
+  /** tsfel `calc_centroid` at sampling rate `fs`: energy-weighted time
+    * centroid Σ tᵢ·xᵢ² / Σ xᵢ² with tᵢ = i/fs; 0.0 when the window
+    * carries no energy (tsfel's zero-energy guard).
+    */
+  def calcCentroid(fs: Double): FeatureFunc = {
+    require(fs > 0, "centroid sampling rate must be > 0")
+    FeatureFunc(s"centroid_fs$fs", (idx, v) => {
+      val vals = sortedVals(idx, v)
+      // 2-arg transform gives the element's position — no element_at
+      val num = aggregate(
+        transform(vals, (x, i) => i.cast("double") * x * x),
+        lit(0.0), (acc, x) => acc + x) / lit(fs)
+      val den = org.apache.spark.sql.functions.sum(v * v) // native, O(1) ref
+      when(count(v) >= 1, when(den > 0, num / den).otherwise(lit(0.0)))
+    })
+  }
+
+  /** tsfel `neighbourhood_peaks(n)`: count of samples strictly greater
+    * than ALL 2n neighbours within ±n positions (boundary samples have no
+    * full neighbourhood and never count). (2n+1)-tuples via [[templates]];
+    * the comparison fan touches only the lambda's own tuple.
+    */
+  def neighbourhoodPeaks(nn: Int): FeatureFunc = {
+    require(nn >= 1 && nn <= 16, "neighbourhood radius must be in [1, 16]")
+    FeatureFunc(s"neighbourhood_peaks_$nn", (idx, v) => {
+      val w = 2 * nn + 1
+      val tups = templates(sortedVals(idx, v), w)
+      aggregate(
+        transform(tups, t => {
+          val mid = element_at(t, nn + 1)
+          val isPeak = ((1 to w).filter(_ != nn + 1)
+            .map(j => mid > element_at(t, j)): Seq[Column]).reduce(_ && _)
+          when(isPeak, 1L).otherwise(0L)
+        }),
+        lit(0L), (acc, x) => acc + x)
+    }, emptyValue = Some(lit(0L)))
+  }
+
+  /** tsfel `hist(nbins)`: per-bin counts over `bins` equal-width bins
+    * spanning [min, max], right-inclusive last bin (np.histogram). One
+    * multi-output aggregate (hist1..histB). Documented deviation: a
+    * constant window (min == max) puts all samples in bin 1, where
+    * np.histogram pads the range by ±0.5 and centres them.
+    */
+  def histCounts(bins: Int): FeatureFunc = {
+    require(bins >= 1 && bins <= 64, "hist bins must be in [1, 64]")
+    val names = (1 to bins).map(b => s"hist$b")
+    FeatureFunc(s"hist$bins", (idx, v) => {
+      val vals = sortedVals(idx, v)
+      val mn = org.apache.spark.sql.functions.min(v)
+      val mx = org.apache.spark.sql.functions.max(v)
+      val binOf: Column => Column = x =>
+        when(mx > mn,
+          least(floor((x - mn) / (mx - mn) * lit(bins)), lit(bins - 1))
+            .cast("int"))
+          .otherwise(lit(0))
+      struct(names.zipWithIndex.map { case (nm, b) =>
+        size(filter(vals, x => binOf(x) === b)).cast("long").as(nm)
+      }: _*)
+    }, outputNames = Some(names))
+  }
+
   val byName: scala.collection.immutable.Map[String, FeatureFunc] =
     scala.collection.immutable.Map(
       "min" -> min, "max" -> max, "mean" -> mean, "median" -> median,
