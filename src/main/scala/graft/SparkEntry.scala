@@ -873,6 +873,58 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- pyentrp completion (r11 tranche 4: value-frequency Shannon
+    // entropy + weighted permutation entropy — reference surface:
+    // tests/test_features_integration.py:500-540) --------------------------
+    "q101_pyentrp" -> ((s, dir) => {
+      val fns = Seq(shannonEntropy, weightedPermutationEntropy(2),
+        weightedPermutationEntropy(3, normalize = true))
+      val fc = FeatureCollection.of(fns.map(f => FeatureDescriptor(f, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
+      fc.calculate(Seq(valueSeries(s, dir)))
+        .select(unix_micros(col("ts")).as("ts_anchor"),
+          r6("value__shannon_entropy__w=1D"),
+          r6("value__wpe_2__w=1D"),
+          r6("value__wpe_3_norm__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
+    // ---- antropy completion (r11 tranche 4: SVD entropy via the order-3
+    // closed-form eigen solve, LZ76 Lempel–Ziv complexity of the median-
+    // binarized window — reference surface:
+    // tests/test_features_integration.py:360-430) --------------------------
+    "q102_antropy2" -> ((s, dir) => {
+      val fns = Seq(svdEntropy(3), svdEntropy(3, normalize = true),
+        lzivComplexity(), lzivComplexity(normalize = true))
+      val fc = FeatureCollection.of(fns.map(f => FeatureDescriptor(f, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
+      fc.calculate(Seq(valueSeries(s, dir)))
+        .select(unix_micros(col("ts")).as("ts_anchor"),
+          r6("value__svd_entropy_3__w=1D"),
+          r6("value__svd_entropy_3_norm__w=1D"),
+          r6("value__lziv__w=1D"),
+          r6("value__lziv_norm__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
+    // ---- pyentrp multiscale members (r11 tranche 4: per-window MSPE +
+    // exact-SampEn multiscale entropy; the keyed q99d variant covers the
+    // grouped form, this is the FuncWrapper per-window form) ---------------
+    "q103_msentropy" -> ((s, dir) => {
+      val fns = Seq(multiscalePermEntropy(3, 3),
+        multiscaleEntropyExact(2, 10.0, 2))
+      val fc = FeatureCollection.of(fns.map(f => FeatureDescriptor(f, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
+      fc.calculate(Seq(valueSeries(s, dir)))
+        .select(unix_micros(col("ts")).as("ts_anchor"),
+          r6("value__mspe_1__w=1D"),
+          r6("value__mspe_2__w=1D"),
+          r6("value__mspe_3__w=1D"),
+          r6("value__msen_1__w=1D"),
+          r6("value__msen_2__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
     // ---- Grassberger–Procaccia correlation dimension per user series ------
     "q99c_corr_dim" -> ((s, dir) => {
       graft.scale.GroupedStats.corrDim(
@@ -2421,6 +2473,205 @@ object SparkEntry {
          |FROM seg LEFT JOIN st ON seg.we = st.we
          |  LEFT JOIN df ON seg.we = df.we
          |  LEFT JOIN hc ON seg.we = hc.we
+         |ORDER BY 1""".stripMargin,
+
+    // antropy completion: SVD entropy (Gram matrix from lead() products,
+    // trigonometric closed-form 3x3 eigenvalues — the SAME arithmetic as
+    // the Scala kernel's order-3 path) + LZ76 complexity (the exact
+    // Kaspar–Schuster state machine as a recursive CTE over the
+    // median-binarized window string)
+    "q102_antropy2" ->
+      s"""WITH RECURSIVE ${segCte(DAY, 6 * HOUR)},
+         |j AS (SELECT we, ts, value FROM seg LEFT JOIN events
+         |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |d AS (SELECT we, value AS v,
+         |  row_number() OVER w - 1 AS t,
+         |  lead(value, 1) OVER w AS v1, lead(value, 2) OVER w AS v2,
+         |  median(value) OVER (PARTITION BY we) AS med,
+         |  count(*) OVER (PARTITION BY we) AS n
+         |  FROM j WHERE value IS NOT NULL
+         |  WINDOW w AS (PARTITION BY we ORDER BY ts)),
+         |gm AS (SELECT we,
+         |  sum(v * v) AS g00, sum(v * v1) AS g01, sum(v * v2) AS g02,
+         |  sum(v1 * v1) AS g11, sum(v1 * v2) AS g12, sum(v2 * v2) AS g22
+         |  FROM d WHERE v2 IS NOT NULL GROUP BY we),
+         |e1 AS (SELECT we, g00, g01, g02, g11, g12, g22,
+         |  (g00 + g11 + g22) / 3.0 AS q,
+         |  g01 * g01 + g02 * g02 + g12 * g12 AS p1 FROM gm),
+         |e2 AS (SELECT *, (g00 - q) * (g00 - q) + (g11 - q) * (g11 - q)
+         |  + (g22 - q) * (g22 - q) + 2.0 * p1 AS p2 FROM e1),
+         |e3 AS (SELECT *, CASE WHEN p2 > 0 THEN sqrt(p2 / 6.0) END AS p FROM e2),
+         |e4 AS (SELECT we, q, p, CASE WHEN p IS NOT NULL THEN
+         |  ((g00 - q) / p * ((g11 - q) / p * ((g22 - q) / p)
+         |     - (g12 / p) * (g12 / p))
+         |   - g01 / p * ((g01 / p) * ((g22 - q) / p) - (g12 / p) * (g02 / p))
+         |   + g02 / p * ((g01 / p) * (g12 / p) - ((g11 - q) / p) * (g02 / p)))
+         |  / 2.0 END AS r FROM e3),
+         |e5 AS (SELECT we, q, p,
+         |  CASE WHEN r <= -1.0 THEN pi() / 3.0 WHEN r >= 1.0 THEN 0.0
+         |       ELSE acos(r) / 3.0 END AS phi FROM e4),
+         |ev AS (SELECT we, q, p,
+         |  CASE WHEN p IS NULL THEN q ELSE q + 2.0 * p * cos(phi) END AS l1,
+         |  CASE WHEN p IS NULL THEN q
+         |       ELSE q + 2.0 * p * cos(phi + 2.0 * pi() / 3.0) END AS l3
+         |  FROM e5),
+         |sv0 AS (SELECT we,
+         |  sqrt(greatest(l1, 0.0)) AS s1,
+         |  sqrt(greatest(3.0 * q - l1 - l3, 0.0)) AS s2,
+         |  sqrt(greatest(l3, 0.0)) AS s3 FROM ev),
+         |sv AS (SELECT we,
+         |  CASE WHEN s1 < 1e-6 * greatest(s1, s2, s3) THEN 0.0 ELSE s1 END AS s1,
+         |  CASE WHEN s2 < 1e-6 * greatest(s1, s2, s3) THEN 0.0 ELSE s2 END AS s2,
+         |  CASE WHEN s3 < 1e-6 * greatest(s1, s2, s3) THEN 0.0 ELSE s3 END AS s3
+         |  FROM sv0),
+         |sh AS (SELECT we, CASE WHEN s1 + s2 + s3 > 0 THEN
+         |  - (CASE WHEN s1 > 0 THEN s1 / (s1 + s2 + s3)
+         |        * log2(s1 / (s1 + s2 + s3)) ELSE 0 END)
+         |  - (CASE WHEN s2 > 0 THEN s2 / (s1 + s2 + s3)
+         |        * log2(s2 / (s1 + s2 + s3)) ELSE 0 END)
+         |  - (CASE WHEN s3 > 0 THEN s3 / (s1 + s2 + s3)
+         |        * log2(s3 / (s1 + s2 + s3)) ELSE 0 END) END AS h FROM sv),
+         |bs AS (SELECT we, max(n) AS n,
+         |  string_agg(CASE WHEN v > med THEN '1' ELSE '0' END, ''
+         |             ORDER BY t) AS s
+         |  FROM d GROUP BY we HAVING max(n) >= 2),
+         |rec AS (
+         |  SELECT we, s, n, 1 AS c, 1 AS l, 0 AS i, 1 AS k, 1 AS kmax,
+         |    false AS done FROM bs
+         |  UNION ALL
+         |  SELECT we, s, n,
+         |    CASE WHEN m THEN (CASE WHEN l + k + 1 > n THEN c + 1 ELSE c END)
+         |         WHEN i + 1 = l THEN c + 1 ELSE c END,
+         |    CASE WHEN m THEN l
+         |         WHEN i + 1 = l THEN l + greatest(k, kmax) ELSE l END,
+         |    CASE WHEN m THEN i WHEN i + 1 = l THEN 0 ELSE i + 1 END,
+         |    CASE WHEN m THEN k + 1 ELSE 1 END,
+         |    CASE WHEN m THEN kmax WHEN i + 1 = l THEN 1
+         |         ELSE greatest(k, kmax) END,
+         |    CASE WHEN m THEN l + k + 1 > n
+         |         WHEN i + 1 = l THEN l + greatest(k, kmax) + 1 > n
+         |         ELSE false END
+         |  FROM (SELECT we, s, n, c, l, i, k, kmax,
+         |        substr(s, i + k, 1) = substr(s, l + k, 1) AS m
+         |        FROM rec WHERE NOT done)),
+         |lz AS (SELECT rec.we, max(n) AS n, max(c) AS c FROM rec
+         |       WHERE done GROUP BY rec.we)
+         |SELECT seg.we AS ts_anchor,
+         |  round(sh.h, 6) AS "value__svd_entropy_3__w=1D",
+         |  round(sh.h / log2(3.0), 6) AS "value__svd_entropy_3_norm__w=1D",
+         |  round(CAST(lz.c AS DOUBLE), 6) AS "value__lziv__w=1D",
+         |  round(lz.c * log2(CAST(lz.n AS DOUBLE)) / lz.n, 6)
+         |    AS "value__lziv_norm__w=1D"
+         |FROM seg LEFT JOIN sh ON seg.we = sh.we
+         |  LEFT JOIN lz ON seg.we = lz.we
+         |ORDER BY 1""".stripMargin,
+
+    // pyentrp multiscale members: per-scale coarse-grain means (full
+    // blocks only), q90's base-3 pattern formula per scale for MSPE, and
+    // the exact-SampEn pair self-join for msen
+    "q103_msentropy" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)},
+         |j AS (SELECT we, ts, value FROM seg LEFT JOIN events
+         |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |d AS (SELECT we, value AS v,
+         |  row_number() OVER (PARTITION BY we ORDER BY ts) - 1 AS t
+         |  FROM j WHERE value IS NOT NULL),
+         |cg AS (SELECT sc.s AS sc, d.we, d.t // sc.s AS jj,
+         |    sum(d.v) / sc.s AS cv, count(*) AS cnt
+         |  FROM d CROSS JOIN (SELECT * FROM (VALUES (1), (2), (3)) v(s)) sc
+         |  GROUP BY sc.s, d.we, d.t // sc.s
+         |  HAVING count(*) = sc.s),
+         |cl AS (SELECT sc, we, cv,
+         |  lead(cv, 1) OVER w AS v1, lead(cv, 2) OVER w AS v2
+         |  FROM cg WINDOW w AS (PARTITION BY sc, we ORDER BY jj)),
+         |pc AS (SELECT sc, we,
+         |  ((CASE WHEN v1 < cv THEN 1 ELSE 0 END)
+         |   + (CASE WHEN v2 < cv THEN 1 ELSE 0 END)) * 9
+         |  + ((CASE WHEN cv <= v1 THEN 1 ELSE 0 END)
+         |   + (CASE WHEN v2 < v1 THEN 1 ELSE 0 END)) * 3
+         |  + ((CASE WHEN cv <= v2 THEN 1 ELSE 0 END)
+         |   + (CASE WHEN v1 <= v2 THEN 1 ELSE 0 END)) AS code
+         |  FROM cl WHERE v2 IS NOT NULL),
+         |pct AS (SELECT sc, we, code, count(*) AS c FROM pc
+         |  GROUP BY sc, we, code),
+         |pe AS (SELECT sc, we, log2(CAST(sum(c) AS DOUBLE))
+         |  - sum(c * log2(CAST(c AS DOUBLE))) / sum(c) AS pe
+         |  FROM pct GROUP BY sc, we),
+         |mb AS (SELECT a.sc, a.we,
+         |  count(*) FILTER (WHERE abs(a.cv - b.cv) <= 10.0
+         |    AND abs(a1.cv - b1.cv) <= 10.0) AS b,
+         |  count(*) FILTER (WHERE abs(a.cv - b.cv) <= 10.0
+         |    AND abs(a1.cv - b1.cv) <= 10.0
+         |    AND abs(a2.cv - b2.cv) <= 10.0) AS a
+         |  FROM cg a JOIN cg a1 ON a1.sc = a.sc AND a1.we = a.we
+         |    AND a1.jj = a.jj + 1
+         |  JOIN cg a2 ON a2.sc = a.sc AND a2.we = a.we AND a2.jj = a.jj + 2
+         |  JOIN cg b ON b.sc = a.sc AND b.we = a.we AND b.jj > a.jj
+         |  JOIN cg b1 ON b1.sc = a.sc AND b1.we = a.we AND b1.jj = b.jj + 1
+         |  JOIN cg b2 ON b2.sc = a.sc AND b2.we = a.we AND b2.jj = b.jj + 2
+         |  WHERE a.sc <= 2
+         |  GROUP BY a.sc, a.we),
+         |ms AS (SELECT sc, we, CASE WHEN a > 0 AND b > 0
+         |  THEN -ln(CAST(a AS DOUBLE) / CAST(b AS DOUBLE)) END AS h FROM mb)
+         |SELECT seg.we AS ts_anchor,
+         |  round(p1.pe, 6) AS "value__mspe_1__w=1D",
+         |  round(p2.pe, 6) AS "value__mspe_2__w=1D",
+         |  round(p3.pe, 6) AS "value__mspe_3__w=1D",
+         |  round(m1.h, 6) AS "value__msen_1__w=1D",
+         |  round(m2.h, 6) AS "value__msen_2__w=1D"
+         |FROM seg
+         |  LEFT JOIN pe p1 ON seg.we = p1.we AND p1.sc = 1
+         |  LEFT JOIN pe p2 ON seg.we = p2.we AND p2.sc = 2
+         |  LEFT JOIN pe p3 ON seg.we = p3.we AND p3.sc = 3
+         |  LEFT JOIN ms m1 ON seg.we = m1.we AND m1.sc = 1
+         |  LEFT JOIN ms m2 ON seg.we = m2.we AND m2.sc = 2
+         |ORDER BY 1""".stripMargin,
+
+    // pyentrp: value-frequency Shannon entropy; weighted permutation
+    // entropy = Bandt–Pompe codes (q90's base-3 rank formula) weighted by
+    // per-tuple population variance
+    "q101_pyentrp" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)},
+         |j AS (SELECT we, ts, value FROM seg LEFT JOIN events
+         |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |d AS (SELECT we, value AS v,
+         |  lead(value, 1) OVER w AS v1, lead(value, 2) OVER w AS v2
+         |  FROM j WHERE value IS NOT NULL
+         |  WINDOW w AS (PARTITION BY we ORDER BY ts)),
+         |vc AS (SELECT we, v, count(*) AS c FROM d GROUP BY we, v),
+         |sh AS (SELECT we, log2(CAST(sum(c) AS DOUBLE))
+         |  - sum(c * log2(CAST(c AS DOUBLE))) / sum(c) AS h
+         |  FROM vc GROUP BY we),
+         |p2 AS (SELECT we, CASE WHEN v1 >= v THEN 1 ELSE 2 END AS code,
+         |  ((v - (v + v1) / 2.0) * (v - (v + v1) / 2.0)
+         |   + (v1 - (v + v1) / 2.0) * (v1 - (v + v1) / 2.0)) / 2.0 AS w
+         |  FROM d WHERE v1 IS NOT NULL),
+         |g2 AS (SELECT we, code, sum(w) AS wp FROM p2 GROUP BY we, code),
+         |h2 AS (SELECT we, CASE WHEN sum(wp) > 0 THEN log2(sum(wp))
+         |  - sum(CASE WHEN wp > 0 THEN wp * log2(wp) ELSE 0 END) / sum(wp)
+         |  END AS h FROM g2 GROUP BY we),
+         |p3 AS (SELECT we,
+         |  ((CASE WHEN v1 < v THEN 1 ELSE 0 END)
+         |   + (CASE WHEN v2 < v THEN 1 ELSE 0 END)) * 9
+         |  + ((CASE WHEN v <= v1 THEN 1 ELSE 0 END)
+         |   + (CASE WHEN v2 < v1 THEN 1 ELSE 0 END)) * 3
+         |  + ((CASE WHEN v <= v2 THEN 1 ELSE 0 END)
+         |   + (CASE WHEN v1 <= v2 THEN 1 ELSE 0 END)) AS code,
+         |  ((v - (v + v1 + v2) / 3.0) * (v - (v + v1 + v2) / 3.0)
+         |   + (v1 - (v + v1 + v2) / 3.0) * (v1 - (v + v1 + v2) / 3.0)
+         |   + (v2 - (v + v1 + v2) / 3.0) * (v2 - (v + v1 + v2) / 3.0)) / 3.0 AS w
+         |  FROM d WHERE v2 IS NOT NULL),
+         |g3 AS (SELECT we, code, sum(w) AS wp FROM p3 GROUP BY we, code),
+         |h3 AS (SELECT we, CASE WHEN sum(wp) > 0 THEN (log2(sum(wp))
+         |  - sum(CASE WHEN wp > 0 THEN wp * log2(wp) ELSE 0 END) / sum(wp))
+         |  / (ln(6.0) / ln(2.0)) END AS h FROM g3 GROUP BY we)
+         |SELECT seg.we AS ts_anchor,
+         |  round(sh.h, 6) AS "value__shannon_entropy__w=1D",
+         |  round(h2.h, 6) AS "value__wpe_2__w=1D",
+         |  round(h3.h, 6) AS "value__wpe_3_norm__w=1D"
+         |FROM seg LEFT JOIN sh ON seg.we = sh.we
+         |  LEFT JOIN h2 ON seg.we = h2.we
+         |  LEFT JOIN h3 ON seg.we = h3.we
          |ORDER BY 1""".stripMargin,
 
     "q90_entropy" ->

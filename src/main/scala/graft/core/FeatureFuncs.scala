@@ -663,6 +663,55 @@ object FeatureFuncs {
       if (normalize) "spectral_entropy_norm" else "spectral_entropy",
       (idx, v) => graft.expr.SpectralEntropy(sortedVals(idx, v), normalize))
 
+  /** antropy `svd_entropy` (time-delay-embedding singular-value entropy,
+    * bits; see [[graft.expr.EntropyKernelUtil.svdEntropy]] for semantics
+    * and the order-3 closed-form/Jacobi split).
+    */
+  def svdEntropy(order: Int = 3, delay: Int = 1,
+                 normalize: Boolean = false): FeatureFunc = {
+    require(order >= 2 && order <= 6, "svd_entropy order must be in [2, 6]")
+    require(delay >= 1, "svd_entropy delay must be >= 1")
+    val name = s"svd_entropy_$order" + (if (normalize) "_norm" else "")
+    FeatureFunc(name,
+      (idx, v) => graft.expr.SvdEntropy(sortedVals(idx, v), order, delay,
+        normalize))
+  }
+
+  /** antropy-family `lziv_complexity` over the median-binarized window
+    * (LZ76 phrase count; see
+    * [[graft.expr.EntropyKernelUtil.lzivComplexity]]).
+    */
+  def lzivComplexity(normalize: Boolean = false): FeatureFunc =
+    FeatureFunc(if (normalize) "lziv_norm" else "lziv",
+      (idx, v) => graft.expr.LzivComplexity(sortedVals(idx, v), normalize))
+
+  /** pyentrp `multiscale_permutation_entropy`: one output per scale
+    * (see [[graft.expr.EntropyKernelUtil.mspe]]).
+    */
+  def multiscalePermEntropy(order: Int, maxScale: Int): FeatureFunc = {
+    require(order >= 2 && order <= 6, "mspe order must be in [2, 6]")
+    require(maxScale >= 1 && maxScale <= 16, "mspe scale must be in [1, 16]")
+    FeatureFunc(s"mspe$order",
+      (idx, v) => graft.expr.Mspe(sortedVals(idx, v), order, maxScale),
+      outputNames = Some((1 to maxScale).map(s => s"mspe_$s")))
+  }
+
+  /** pyentrp-family `multiscale_entropy` with EXACT Richman–Moorman
+    * sample entropy at fixed absolute tolerance (the oracle-robust MSE
+    * convention, like the keyed q99d variant; see
+    * [[graft.expr.EntropyKernelUtil.mseExact]]). msen_1 is plain exact
+    * SampEn of the window — the exact-parity sibling of the O(n log n)
+    * [[sampleEntropyApprox]] approximation.
+    */
+  def multiscaleEntropyExact(m: Int, r: Double, maxScale: Int): FeatureFunc = {
+    require(m >= 1, "sample entropy template length must be >= 1")
+    require(r > 0, "tolerance must be > 0")
+    require(maxScale >= 1 && maxScale <= 16, "msen scale must be in [1, 16]")
+    FeatureFunc("msen",
+      (idx, v) => graft.expr.MseExact(sortedVals(idx, v), m, r, maxScale),
+      outputNames = Some((1 to maxScale).map(s => s"msen_$s")))
+  }
+
   /** The COMPLETE canonical catch22 battery (all 22 members, three r11
     * tranches) as ONE multi-output aggregate — a single kernel call per
     * window emitting one column per member, the same shape as the
@@ -674,6 +723,80 @@ object FeatureFuncs {
   val catch22Tranche1: FeatureFunc = FeatureFunc("catch22",
     (idx, v) => graft.expr.Catch22Slice(sortedVals(idx, v)),
     outputNames = Some(graft.expr.Catch22Util.names))
+
+  // ---- pyentrp completion (r11 tranche 4) ---------------------------------
+  // The two members of the reference's pyentrp integration surface
+  // (tests/test_features_integration.py:500-540) not yet in the stock:
+  // value-frequency Shannon entropy and weighted permutation entropy.
+
+  /** pyentrp `shannon_entropy`: Shannon entropy (bits) of the VALUE
+    * frequency distribution — H = log2(n) − Σ c·log2(c)/n over the
+    * equal-value runs of the sorted window ([[runSum]], one fold). A
+    * constant window gives 0; NULL on empty windows.
+    */
+  val shannonEntropy: FeatureFunc = FeatureFunc("shannon_entropy", (idx, v) => {
+    val n = count(v).cast("double") // native, O(1) reference
+    val s = runSum(array_sort(sortedVals(idx, v)), "double",
+      run => when(run > 1, run.cast("double") * log2(run.cast("double")))
+        .otherwise(lit(0.0)))
+    when(n > 0, log2(n) - s / n)
+  })
+
+  /** Σ f(run-weight) over equal-CODE runs of an array<struct<c,w>> sorted
+    * by code — the weighted sibling of [[runSum]] (one linear fold; `f`
+    * must satisfy f(0) = 0 for the first element's dummy flush).
+    */
+  private def runWeightSum(sorted: Column, f: Column => Column): Column =
+    aggregate(sorted,
+      struct(lit(null).cast("bigint").as("prev"), lit(0.0).as("run"),
+        lit(0.0).as("s")),
+      (acc, e) => {
+        val same = acc.getField("prev").isNotNull &&
+          acc.getField("prev") === e.getField("c")
+        struct(e.getField("c").as("prev"),
+          when(same, acc.getField("run") + e.getField("w"))
+            .otherwise(e.getField("w")).as("run"),
+          when(same, acc.getField("s"))
+            .otherwise(acc.getField("s") + f(acc.getField("run"))).as("s"))
+      },
+      acc => acc.getField("s") + f(acc.getField("run")))
+
+  /** pyentrp `weighted_permutation_entropy` (delay 1): Bandt–Pompe
+    * patterns ([[permCode]] stable tie rule) weighted by each tuple's
+    * POPULATION variance; H = log2(W) − Σ w_p·log2(w_p)/W over per-pattern
+    * weight sums w_p, W = Σ weights, optionally normalized by
+    * log2(order!). NULL when the window is shorter than `order` or
+    * carries zero total weight (an everywhere-constant window — pyentrp's
+    * 0/0). Documented deviation: observed patterns whose weight sum is 0
+    * contribute 0 (pyentrp propagates 0·log2(0) = nan).
+    *
+    * Same fold discipline as [[permutationEntropy]]: tuple → (code,
+    * weight) structs, sort, one [[runWeightSum]] pass; the only window-
+    * sized chain references sit OUTSIDE lambda bodies.
+    */
+  def weightedPermutationEntropy(order: Int = 2,
+                                 normalize: Boolean = false): FeatureFunc = {
+    require(order >= 2 && order <= 6, "wpe order must be in [2, 6]")
+    val name = s"wpe_$order" + (if (normalize) "_norm" else "")
+    val logFact = math.log((2 to order).map(_.toDouble).product) / math.log(2.0)
+    FeatureFunc(name, (idx, v) => {
+      val vals = sortedVals(idx, v)
+      val coded = transform(templates(vals, order), t => {
+        val es = (1 to order).map(j => element_at(t, j))
+        val mu = es.reduce(_ + _) / lit(order.toDouble)
+        val va = es.map(e => (e - mu) * (e - mu)).reduce(_ + _) /
+          lit(order.toDouble)
+        struct(permCode(t, order).as("c"), va.as("w"))
+      })
+      val sorted = array_sort(coded)
+      val bigW = aggregate(sorted, lit(0.0), (acc, e) => acc + e.getField("w"))
+      val s = runWeightSum(sorted,
+        w => when(w > 0, w * log2(w)).otherwise(lit(0.0)))
+      val h = log2(bigW) - s / bigW
+      when(count(v) >= order && bigW > 0,
+        if (normalize) h / lit(logFact) else h)
+    })
+  }
 
   // ---- tsfel temporal/statistical stock completion (r11 tranche 4) --------
   // The remaining members of the reference's tsfel integration surface

@@ -1,0 +1,446 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** r11 tranche-4 entropy/complexity kernels completing the reference's
+  * antropy + pyentrp integration surfaces (reference:
+  * tsflex/features/integrations.py:15-337; exercised by
+  * tests/test_features_integration.py:360-430 `test_antropy_all_features`
+  * and :500-540 `test_pyentrp_all_features`): SVD entropy, Lempel–Ziv
+  * complexity, multiscale permutation entropy, and exact
+  * (Richman–Moorman) sample entropy / multiscale entropy.
+  *
+  * All are per-WINDOW kernels over an index-ordered array — the same
+  * deliberate cost model as [[SpectralEntropyUtil]] / [[Catch22Util]]:
+  * bounded by window length, never by corpus size; the 100 TB axis is
+  * window COUNT, which parallelizes embarrassingly. The only
+  * super-linear member is exact sample entropy (O(n²·m) pair scan — the
+  * definition), which is why the relational stock keeps the O(n log n)
+  * binned approximation ([[graft.core.FeatureFuncs.sampleEntropyApprox]])
+  * as the default and offers this kernel for exact-parity needs.
+  */
+object EntropyKernelUtil {
+
+  /** Cyclic Jacobi eigenvalues of a symmetric d×d matrix (d ≤ 6 here —
+    * a handful of sweeps; destroys `a`).
+    */
+  def jacobiEigen(a: Array[Array[Double]], d: Int): Array[Double] = {
+    var sweep = 0
+    var off = 0.0
+    var j = 0
+    while (j < d) { var k = j + 1; while (k < d) { off += a(j)(k) * a(j)(k); k += 1 }; j += 1 }
+    while (sweep < 64 && off > 1e-28) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = 0.0
+      j = 0
+      while (j < d) { var k = j + 1; while (k < d) { off += a(j)(k) * a(j)(k); k += 1 }; j += 1 }
+      sweep += 1
+    }
+    Array.tabulate(d)(i => a(i)(i))
+  }
+
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+
+  /** Closed-form eigenvalues of a symmetric 3×3 matrix (trigonometric
+    * method). Used for order-3 SVD entropy so the Scala kernel and the
+    * DuckDB oracle execute the SAME arithmetic (the Jacobi path stays for
+    * other orders); differentially tested against Jacobi in the spec.
+    */
+  def eigen3(g00: Double, g01: Double, g02: Double,
+             g11: Double, g12: Double, g22: Double): Array[Double] = {
+    val q = (g00 + g11 + g22) / 3.0
+    val p1 = g01 * g01 + g02 * g02 + g12 * g12
+    val p2 = (g00 - q) * (g00 - q) + (g11 - q) * (g11 - q) +
+      (g22 - q) * (g22 - q) + 2.0 * p1
+    if (!(p2 > 0)) return Array(q, q, q) // multiple of the identity
+    val p = math.sqrt(p2 / 6.0)
+    val b00 = (g00 - q) / p; val b11 = (g11 - q) / p; val b22 = (g22 - q) / p
+    val b01 = g01 / p; val b02 = g02 / p; val b12 = g12 / p
+    val det = b00 * (b11 * b22 - b12 * b12) - b01 * (b01 * b22 - b12 * b02) +
+      b02 * (b01 * b12 - b11 * b02)
+    val r = det / 2.0
+    val phi =
+      if (r <= -1.0) math.Pi / 3.0
+      else if (r >= 1.0) 0.0
+      else math.acos(r) / 3.0
+    val l1 = q + 2.0 * p * math.cos(phi)
+    val l3 = q + 2.0 * p * math.cos(phi + 2.0 * math.Pi / 3.0)
+    Array(l1, 3.0 * q - l1 - l3, l3)
+  }
+
+  /** antropy `svd_entropy(order, delay)`: Shannon entropy (bits) of the
+    * normalized singular-value spectrum of the time-delay embedding
+    * matrix. Singular values come from the order×order Gram matrix YᵀY
+    * (O(n·order²) accumulation + an O(order³) eigen solve — never an
+    * n-sized decomposition), normalized to Σs = 1; optionally divided by
+    * log2(order). Null when the embedding is empty (n < (order−1)·delay+1)
+    * or the window is all-zero.
+    */
+  def svdEntropy(arr: ArrayData, order: Int, delay: Int,
+                 normalize: Boolean): Any = {
+    val n = arr.numElements()
+    val m = n - (order - 1) * delay
+    if (m < 1) return null
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) { x(i) = arr.getDouble(i); i += 1 }
+    val g = Array.ofDim[Double](order, order)
+    var j = 0
+    while (j < order) {
+      var k = j
+      while (k < order) {
+        var s = 0.0
+        var t = 0
+        while (t < m) { s += x(t + j * delay) * x(t + k * delay); t += 1 }
+        g(j)(k) = s
+        g(k)(j) = s
+        k += 1
+      }
+      j += 1
+    }
+    val ev =
+      if (order == 3)
+        eigen3(g(0)(0), g(0)(1), g(0)(2), g(1)(1), g(1)(2), g(2)(2))
+      else jacobiEigen(g, order)
+    val sv = new Array[Double](order)
+    i = 0
+    var smax = 0.0
+    while (i < order) {
+      sv(i) = math.sqrt(math.max(ev(i), 0.0))
+      if (sv(i) > smax) smax = sv(i)
+      i += 1
+    }
+    // rank-deficiency fence: the closed-form/Jacobi eigen solve leaves
+    // O(√(ulp·‖A‖)) ≈ 3e-8·s_max of FP dust on degenerate spectra, and
+    // p·log p amplifies it to ~1e-7 entropy noise that the two engines
+    // (Java Math vs libm trig) round DIFFERENTLY near r = ±1. Singular
+    // values below 1e-6·s_max are noise by construction — zero them
+    // (documented convention, mirrored exactly in the DuckDB oracle).
+    var tot = 0.0
+    i = 0
+    while (i < order) {
+      if (sv(i) < 1e-6 * smax) sv(i) = 0.0
+      tot += sv(i)
+      i += 1
+    }
+    if (!(tot > 0)) return null
+    var h = 0.0
+    i = 0
+    while (i < order) {
+      val p = sv(i) / tot
+      if (p > 0) h -= p * log2(p)
+      i += 1
+    }
+    java.lang.Double.valueOf(if (normalize) h / log2(order.toDouble) else h)
+  }
+
+  /** Kaspar–Schuster LZ76 phrase count of a 0/1 array. */
+  def lz76(b: Array[Byte]): Int = {
+    val n = b.length
+    if (n == 0) return 0
+    if (n == 1) return 1
+    var c = 1; var l = 1; var i = 0; var k = 1; var kmax = 1
+    var done = false
+    while (!done) {
+      if (b(i + k - 1) == b(l + k - 1)) {
+        k += 1
+        if (l + k > n) { c += 1; done = true }
+      } else {
+        if (k > kmax) kmax = k
+        i += 1
+        if (i == l) {
+          c += 1
+          l += kmax
+          if (l + 1 > n) done = true
+          else { i = 0; k = 1; kmax = 1 }
+        } else k = 1
+      }
+    }
+    c
+  }
+
+  /** antropy-family `lziv_complexity` over the MEDIAN-binarized window
+    * (bᵢ = 1 iff xᵢ > median — our documented symbolization, the common
+    * binarization convention; antropy takes a pre-binarized sequence).
+    * Optionally normalized to c·log2(n)/n. Null for windows shorter
+    * than 2.
+    */
+  def lzivComplexity(arr: ArrayData, normalize: Boolean): Any = {
+    val n = arr.numElements()
+    if (n < 2) return null
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) { x(i) = arr.getDouble(i); i += 1 }
+    val sorted = x.clone()
+    java.util.Arrays.sort(sorted)
+    val med =
+      if (n % 2 == 1) sorted(n / 2)
+      else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+    val b = new Array[Byte](n)
+    i = 0
+    while (i < n) { b(i) = if (x(i) > med) 1 else 0; i += 1 }
+    val c = lz76(b)
+    java.lang.Double.valueOf(
+      if (normalize) c * log2(n.toDouble) / n else c.toDouble)
+  }
+
+  /** Bandt–Pompe permutation entropy (bits) of `x[0 until len]`, delay 1,
+    * numpy-stable tie rule — the array-kernel twin of the relational
+    * [[graft.core.FeatureFuncs.permutationEntropy]]. NaN when len < order
+    * (caller converts to null).
+    */
+  def permEntropy(x: Array[Double], len: Int, order: Int): Double = {
+    val m = len - order + 1
+    if (m < 1) return Double.NaN
+    val codes = new Array[Long](m)
+    var t = 0
+    while (t < m) {
+      var code = 0L
+      var i = 0
+      while (i < order) {
+        var rank = 0
+        var j = 0
+        while (j < order) {
+          if (j != i) {
+            val lt =
+              if (j < i) x(t + j) <= x(t + i)
+              else x(t + j) < x(t + i)
+            if (lt) rank += 1
+          }
+          j += 1
+        }
+        code = code * order + rank
+        i += 1
+      }
+      codes(t) = code
+      t += 1
+    }
+    java.util.Arrays.sort(codes)
+    var h = 0.0
+    var run = 1
+    t = 1
+    while (t <= m) {
+      if (t < m && codes(t) == codes(t - 1)) run += 1
+      else {
+        if (run > 1) h += run * log2(run.toDouble)
+        run = 1
+      }
+      t += 1
+    }
+    log2(m.toDouble) - h / m
+  }
+
+  /** pyentrp `multiscale_permutation_entropy`: non-overlapping coarse-grain
+    * means at scales 1..maxScale (trailing partial block dropped), then
+    * [[permEntropy]] per scale. One output column per scale; a scale whose
+    * coarse series is shorter than `order` yields null.
+    */
+  def mspe(arr: ArrayData, order: Int, maxScale: Int): InternalRow = {
+    val n = arr.numElements()
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) { x(i) = arr.getDouble(i); i += 1 }
+    val out = new Array[Any](maxScale)
+    var s = 1
+    while (s <= maxScale) {
+      val m = n / s
+      val y = new Array[Double](m)
+      var j = 0
+      while (j < m) {
+        var acc = 0.0
+        var k = 0
+        while (k < s) { acc += x(j * s + k); k += 1 }
+        y(j) = acc / s
+        j += 1
+      }
+      val h = permEntropy(y, m, order)
+      out(s - 1) = if (h.isNaN) null else java.lang.Double.valueOf(h)
+      s += 1
+    }
+    new GenericInternalRow(out)
+  }
+
+  /** Exact Richman–Moorman sample entropy of `x[0 until len]`: −ln(A/B)
+    * with B/A the counts of ordered template pairs (i < j) of length
+    * m/m+1 within Chebyshev distance r. O(n²·(m+1)) pair scan with early
+    * exit — the definition's cost, deliberately per-window. NaN when
+    * either count is 0 or len ≤ m+1.
+    */
+  def sampEnExact(x: Array[Double], len: Int, m: Int, r: Double): Double = {
+    if (len <= m + 1) return Double.NaN
+    var a = 0L
+    var b = 0L
+    var i = 0
+    while (i < len - m) {
+      var j = i + 1
+      while (j < len - m) {
+        // Chebyshev over the m-template, early exit
+        var k = 0
+        var ok = true
+        while (ok && k < m) {
+          if (math.abs(x(i + k) - x(j + k)) > r) ok = false
+          k += 1
+        }
+        if (ok) {
+          b += 1
+          // extendable to m+1 only when both (i+m, j+m) are in range
+          if (i + m < len && j + m < len &&
+              math.abs(x(i + m) - x(j + m)) <= r) a += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // B counts pairs of m-templates over positions 0..len-m-1 (the
+    // standard convention: both template sets share the first n-m
+    // positions so A/B is a true conditional probability)
+    if (a == 0L || b == 0L) Double.NaN else -math.log(a.toDouble / b.toDouble)
+  }
+
+  /** pyentrp-family `multiscale_entropy` with EXACT sample entropy:
+    * coarse-grain means at scales 1..maxScale, [[sampEnExact]] per scale
+    * at fixed absolute tolerance r (fixed on the ORIGINAL series, the MSE
+    * convention — and oracle-robust, like the q99d keyed variant). One
+    * output column per scale.
+    */
+  def mseExact(arr: ArrayData, m: Int, r: Double, maxScale: Int): InternalRow = {
+    val n = arr.numElements()
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) { x(i) = arr.getDouble(i); i += 1 }
+    val out = new Array[Any](maxScale)
+    var s = 1
+    while (s <= maxScale) {
+      val mm = n / s
+      val y = new Array[Double](mm)
+      var j = 0
+      while (j < mm) {
+        var acc = 0.0
+        var k = 0
+        while (k < s) { acc += x(j * s + k); k += 1 }
+        y(j) = acc / s
+        j += 1
+      }
+      val h = sampEnExact(y, mm, m, r)
+      out(s - 1) = if (h.isNaN) null else java.lang.Double.valueOf(h)
+      s += 1
+    }
+    new GenericInternalRow(out)
+  }
+}
+
+private[expr] trait ArrayDoubleKernel extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.sql}")
+  }
+  override def nullable: Boolean = true
+}
+
+/** Native SVD entropy of an array<double> window (see
+  * [[EntropyKernelUtil.svdEntropy]]).
+  */
+case class SvdEntropy(child: Expression, order: Int, delay: Int,
+                      normalize: Boolean) extends ArrayDoubleKernel {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "svd_entropy"
+  override def nullSafeEval(a: Any): Any =
+    EntropyKernelUtil.svdEntropy(a.asInstanceOf[ArrayData], order, delay, normalize)
+  override protected def withNewChildInternal(newChild: Expression): SvdEntropy =
+    copy(child = newChild)
+}
+object SvdEntropy {
+  def apply(arr: Column, order: Int, delay: Int, normalize: Boolean): Column =
+    ColumnBridge.column(
+      SvdEntropy(ColumnBridge.expression(arr), order, delay, normalize))
+}
+
+/** Native Lempel–Ziv (LZ76) complexity of the median-binarized window
+  * (see [[EntropyKernelUtil.lzivComplexity]]).
+  */
+case class LzivComplexity(child: Expression, normalize: Boolean)
+  extends ArrayDoubleKernel {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "lziv_complexity"
+  override def nullSafeEval(a: Any): Any =
+    EntropyKernelUtil.lzivComplexity(a.asInstanceOf[ArrayData], normalize)
+  override protected def withNewChildInternal(newChild: Expression): LzivComplexity =
+    copy(child = newChild)
+}
+object LzivComplexity {
+  def apply(arr: Column, normalize: Boolean): Column =
+    ColumnBridge.column(
+      LzivComplexity(ColumnBridge.expression(arr), normalize))
+}
+
+/** Native multiscale permutation entropy (struct mspe_1..mspe_S — see
+  * [[EntropyKernelUtil.mspe]]).
+  */
+case class Mspe(child: Expression, order: Int, maxScale: Int)
+  extends ArrayDoubleKernel {
+  override def dataType: DataType = StructType(
+    (1 to maxScale).map(s => StructField(s"mspe_$s", DoubleType)))
+  override def prettyName: String = "mspe"
+  override def nullSafeEval(a: Any): Any =
+    EntropyKernelUtil.mspe(a.asInstanceOf[ArrayData], order, maxScale)
+  override protected def withNewChildInternal(newChild: Expression): Mspe =
+    copy(child = newChild)
+}
+object Mspe {
+  def apply(arr: Column, order: Int, maxScale: Int): Column =
+    ColumnBridge.column(Mspe(ColumnBridge.expression(arr), order, maxScale))
+}
+
+/** Native exact-SampEn multiscale entropy (struct msen_1..msen_S — see
+  * [[EntropyKernelUtil.mseExact]]).
+  */
+case class MseExact(child: Expression, m: Int, r: Double, maxScale: Int)
+  extends ArrayDoubleKernel {
+  override def dataType: DataType = StructType(
+    (1 to maxScale).map(s => StructField(s"msen_$s", DoubleType)))
+  override def prettyName: String = "mse_exact"
+  override def nullSafeEval(a: Any): Any =
+    EntropyKernelUtil.mseExact(a.asInstanceOf[ArrayData], m, r, maxScale)
+  override protected def withNewChildInternal(newChild: Expression): MseExact =
+    copy(child = newChild)
+}
+object MseExact {
+  def apply(arr: Column, m: Int, r: Double, maxScale: Int): Column =
+    ColumnBridge.column(MseExact(ColumnBridge.expression(arr), m, r, maxScale))
+}
