@@ -925,6 +925,57 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- tsfel spectral-shape battery (r11 tranche 4: centroid, spread,
+    // shape moments, decrease, rolloff, band powers — one periodogram
+    // kernel; reference surface: tests/test_features_integration.py:218-283)
+    "q104_tsfel_spectral" -> ((s, dir) => {
+      val fc = FeatureCollection(FeatureDescriptor(spectralShape(0.04),
+        "value", Some(Win.time("1D")), Some(Seq(Win.time("6h")))))
+      fc.calculate(Seq(valueSeries(s, dir)))
+        .select(unix_micros(col("ts")).as("ts_anchor"),
+          r6("value__spec_centroid__w=1D"),
+          r6("value__spec_spread__w=1D"),
+          r6("value__spec_skew__w=1D"),
+          r6("value__spec_kurt__w=1D"),
+          r6("value__spec_decrease__w=1D"),
+          r6("value__spec_rolloff__w=1D"),
+          r6("value__median_freq__w=1D"),
+          r6("value__max_power_rel__w=1D"),
+          r6("value__fund_freq__w=1D"),
+          r6("value__fft_mc_1__w=1D"),
+          r6("value__fft_mc_2__w=1D"),
+          r6("value__fft_mc_3__w=1D"),
+          r6("value__fft_mc_4__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
+    // ---- tsfresh combiner members (r11 tranche 4: index mass quantiles,
+    // positional + wall-clock OLS trends, relative Welch density —
+    // reference surface: tests/test_features_integration.py:286-316) -------
+    "q105_tsfresh_comb" -> ((s, dir) => {
+      val fns = Seq(indexMassQuantile(0.15), indexMassQuantile(0.5),
+        indexMassQuantile(0.75), linearTrend, linearTrendTimewise,
+        welchDensityRel(5))
+      val fc = FeatureCollection.of(fns.map(f => FeatureDescriptor(f, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
+      fc.calculate(Seq(valueSeries(s, dir)))
+        .select(unix_micros(col("ts")).as("ts_anchor"),
+          r6("value__index_mass_q0.15__w=1D"),
+          r6("value__index_mass_q0.5__w=1D"),
+          r6("value__index_mass_q0.75__w=1D"),
+          r6("value__lt_slope__w=1D"),
+          r6("value__lt_intercept__w=1D"),
+          r6("value__lt_stderr__w=1D"),
+          r6("value__ltt_slope__w=1D"),
+          r6("value__ltt_intercept__w=1D"),
+          r6("value__welch_rel_0__w=1D"),
+          r6("value__welch_rel_1__w=1D"),
+          r6("value__welch_rel_2__w=1D"),
+          r6("value__welch_rel_3__w=1D"),
+          r6("value__welch_rel_4__w=1D"))
+        .orderBy("ts_anchor")
+    }),
+
     // ---- Grassberger–Procaccia correlation dimension per user series ------
     "q99c_corr_dim" -> ((s, dir) => {
       graft.scale.GroupedStats.corrDim(
@@ -2473,6 +2524,180 @@ object SparkEntry {
          |FROM seg LEFT JOIN st ON seg.we = st.we
          |  LEFT JOIN df ON seg.we = df.we
          |  LEFT JOIN hc ON seg.we = hc.we
+         |ORDER BY 1""".stripMargin,
+
+    // tsfresh combiners: |x|-mass cumsum quantile indices, OLS against
+    // sample position (closed-form Σt/Σt² on n) and against wall-clock
+    // hours (exact Δµs), scipy-convention Welch (periodic Hann, constant
+    // detrend, density scaling) as relative density among 5 coefficients
+    "q105_tsfresh_comb" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)},
+         |j AS (SELECT we, ts, value FROM seg LEFT JOIN events
+         |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |d AS (SELECT we, value AS v, epoch_us(ts) AS eus,
+         |  row_number() OVER (PARTITION BY we ORDER BY ts) - 1 AS t,
+         |  sum(abs(value)) OVER (PARTITION BY we ORDER BY ts) AS cum
+         |  FROM j WHERE value IS NOT NULL),
+         |stn AS (SELECT we, count(*) AS n, sum(v) AS sv, sum(v * v) AS svv,
+         |  sum(abs(v)) AS sab, sum(t * v) AS stv, min(eus) AS mne
+         |  FROM d GROUP BY we),
+         |imq AS (SELECT d.we,
+         |  min(CASE WHEN cum >= 0.15 * sab THEN t + 1 END) AS i15,
+         |  min(CASE WHEN cum >= 0.5 * sab THEN t + 1 END) AS i50,
+         |  min(CASE WHEN cum >= 0.75 * sab THEN t + 1 END) AS i75
+         |  FROM d JOIN stn ON d.we = stn.we WHERE stn.sab > 0 GROUP BY d.we),
+         |lt AS (SELECT we, n, sv, svv, stv,
+         |  CAST(n AS DOUBLE) * (n - 1) / 2.0 AS st,
+         |  (CAST(n AS DOUBLE) - 1) * n * (2.0 * n - 1) / 6.0 AS stt
+         |  FROM stn),
+         |lt2 AS (SELECT we, n, sv, st,
+         |  stt - st * st / n AS sxx, stv - st * sv / n AS sxy,
+         |  svv - sv * sv / n AS syy FROM lt),
+         |lt3 AS (SELECT we, n, sxx, sxy, syy, sxy / sxx AS slope,
+         |  (sv - sxy / sxx * st) / n AS icept FROM lt2 WHERE sxx > 0),
+         |tw AS (SELECT d.we, count(*) AS n, sum(d.v) AS sv,
+         |  sum((d.eus - stn.mne) / 3600000000.0) AS st,
+         |  sum(((d.eus - stn.mne) / 3600000000.0)
+         |      * ((d.eus - stn.mne) / 3600000000.0)) AS stt,
+         |  sum((d.eus - stn.mne) / 3600000000.0 * d.v) AS stv
+         |  FROM d JOIN stn ON d.we = stn.we GROUP BY d.we),
+         |tw2 AS (SELECT we, n, sv, st, stt - st * st / n AS sxx,
+         |  stv - st * sv / n AS sxy FROM tw),
+         |tw3 AS (SELECT we, sxy / sxx AS slope,
+         |  (sv - sxy / sxx * st) / n AS icept FROM tw2 WHERE sxx > 0 AND n >= 2),
+         |wp AS (SELECT we, n, least(256, n) AS M FROM stn WHERE n >= 4),
+         |ww AS (SELECT wp.we, wp.M,
+         |  sum((0.5 - 0.5 * cos(2 * pi() * u.t / wp.M))
+         |      * (0.5 - 0.5 * cos(2 * pi() * u.t / wp.M))) AS uu
+         |  FROM wp, UNNEST(range(wp.M)) u(t) GROUP BY wp.we, wp.M),
+         |sg AS (SELECT wp.we, wp.M, wp.M - wp.M // 2 AS step, s.o
+         |  FROM wp, UNNEST(range((wp.n - wp.M) // (wp.M - wp.M // 2) + 1)) s(o)),
+         |sm AS (SELECT sg.we, sg.o, sg.M, sg.step, avg(d.v) AS mu
+         |  FROM sg JOIN d ON d.we = sg.we
+         |    AND d.t >= sg.o * sg.step AND d.t < sg.o * sg.step + sg.M
+         |  GROUP BY sg.we, sg.o, sg.M, sg.step),
+         |fy AS (SELECT sm.we, sm.o, k.k, sm.M,
+         |  sum((d.v - sm.mu)
+         |    * (0.5 - 0.5 * cos(2 * pi() * (d.t - sm.o * sm.step) / sm.M))
+         |    * cos(2 * pi() * k.k * (d.t - sm.o * sm.step) / sm.M)) AS re,
+         |  sum((d.v - sm.mu)
+         |    * (0.5 - 0.5 * cos(2 * pi() * (d.t - sm.o * sm.step) / sm.M))
+         |    * sin(2 * pi() * k.k * (d.t - sm.o * sm.step) / sm.M)) AS im
+         |  FROM sm JOIN d ON d.we = sm.we
+         |    AND d.t >= sm.o * sm.step AND d.t < sm.o * sm.step + sm.M,
+         |  UNNEST(range(least(5, sm.M // 2 + 1))) k(k)
+         |  GROUP BY sm.we, sm.o, k.k, sm.M),
+         |px AS (SELECT fy.we, fy.k, avg(re * re + im * im)
+         |  * (CASE WHEN fy.k = 0 OR 2 * fy.k = fy.M THEN 1.0 ELSE 2.0 END)
+         |  AS pnum FROM fy GROUP BY fy.we, fy.k, fy.M),
+         |px2 AS (SELECT px.we, px.k, px.pnum / ww.uu AS pxx
+         |  FROM px JOIN ww ON px.we = ww.we),
+         |pt AS (SELECT we, sum(pxx) AS tot FROM px2 GROUP BY we
+         |  HAVING sum(pxx) > 0),
+         |wr AS (SELECT px2.we,
+         |  max(CASE WHEN k = 0 THEN pxx / tot END) AS w0,
+         |  max(CASE WHEN k = 1 THEN pxx / tot END) AS w1,
+         |  max(CASE WHEN k = 2 THEN pxx / tot END) AS w2,
+         |  max(CASE WHEN k = 3 THEN pxx / tot END) AS w3,
+         |  max(CASE WHEN k = 4 THEN pxx / tot END) AS w4
+         |  FROM px2 JOIN pt ON px2.we = pt.we GROUP BY px2.we)
+         |SELECT seg.we AS ts_anchor,
+         |  round(CAST(imq.i15 AS DOUBLE) / stn.n, 6)
+         |    AS "value__index_mass_q0.15__w=1D",
+         |  round(CAST(imq.i50 AS DOUBLE) / stn.n, 6)
+         |    AS "value__index_mass_q0.5__w=1D",
+         |  round(CAST(imq.i75 AS DOUBLE) / stn.n, 6)
+         |    AS "value__index_mass_q0.75__w=1D",
+         |  CASE WHEN stn.n >= 2 THEN round(lt3.slope, 6) END
+         |    AS "value__lt_slope__w=1D",
+         |  CASE WHEN stn.n >= 2 THEN round(lt3.icept, 6) END
+         |    AS "value__lt_intercept__w=1D",
+         |  CASE WHEN stn.n >= 3 AND lt3.syy - lt3.slope * lt3.sxy >= 0 THEN
+         |    round(sqrt((lt3.syy - lt3.slope * lt3.sxy)
+         |      / ((stn.n - 2) * lt3.sxx)), 6) END
+         |    AS "value__lt_stderr__w=1D",
+         |  round(tw3.slope, 6) AS "value__ltt_slope__w=1D",
+         |  round(tw3.icept, 6) AS "value__ltt_intercept__w=1D",
+         |  round(wr.w0, 6) AS "value__welch_rel_0__w=1D",
+         |  round(wr.w1, 6) AS "value__welch_rel_1__w=1D",
+         |  round(wr.w2, 6) AS "value__welch_rel_2__w=1D",
+         |  round(wr.w3, 6) AS "value__welch_rel_3__w=1D",
+         |  round(wr.w4, 6) AS "value__welch_rel_4__w=1D"
+         |FROM seg LEFT JOIN stn ON seg.we = stn.we
+         |  LEFT JOIN imq ON seg.we = imq.we
+         |  LEFT JOIN lt3 ON seg.we = lt3.we
+         |  LEFT JOIN tw3 ON seg.we = tw3.we
+         |  LEFT JOIN wr ON seg.we = wr.we
+         |ORDER BY 1""".stripMargin,
+
+    // tsfel spectral battery: q98's per-window DFT self-join, then the
+    // shape members over the DC-excluded bins (every power output
+    // normalized by total power — see SpectralShapeUtil's conventions)
+    "q104_tsfel_spectral" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)},
+         |j AS (SELECT we, ts, value FROM seg LEFT JOIN events
+         |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |d AS (SELECT we, ts, value,
+         |  CAST(row_number() OVER (PARTITION BY we ORDER BY ts) - 1
+         |    AS DOUBLE) AS t,
+         |  count(value) OVER (PARTITION BY we) AS n,
+         |  sum(value * value) OVER (PARTITION BY we) AS sxx
+         |  FROM j WHERE value IS NOT NULL),
+         |f AS (SELECT we, n, sxx, k,
+         |  sum(value * cos(2 * pi() * k * t / n)) AS re,
+         |  sum(value * sin(2 * pi() * k * t / n)) AS im
+         |  FROM d, UNNEST(range(1, CAST(n // 2 AS BIGINT) + 1)) AS u(k)
+         |  WHERE n >= 4 GROUP BY we, n, sxx, k),
+         |p0 AS (SELECT we, n, sxx, k, re * re + im * im AS psd FROM f),
+         |tot AS (SELECT we, max(n) AS n, sum(psd) AS tp, count(*) AS nb
+         |  FROM p0 GROUP BY we
+         |  HAVING sum(psd) > 1e-9 * max(sxx) * max(n)),
+         |pf AS (SELECT p0.we, p0.k, p0.psd, p0.k * 0.04 / p0.n AS fq,
+         |  tot.tp, tot.nb,
+         |  first_value(p0.psd) OVER (PARTITION BY p0.we ORDER BY p0.k) AS p1,
+         |  sum(p0.psd) OVER (PARTITION BY p0.we ORDER BY p0.k) AS cum
+         |  FROM p0 JOIN tot ON p0.we = tot.we),
+         |ct AS (SELECT we, sum(fq * psd) / max(tp) AS c FROM pf GROUP BY we),
+         |mom AS (SELECT pf.we, max(ct.c) AS c,
+         |  sum((fq - c) * (fq - c) * (psd / tp)) AS m2,
+         |  sum((fq - c) * (fq - c) * (fq - c) * (psd / tp)) AS m3,
+         |  sum((fq - c) * (fq - c) * (fq - c) * (fq - c) * (psd / tp)) AS m4,
+         |  sum(CASE WHEN k >= 2 THEN psd END) AS dden,
+         |  sum(CASE WHEN k >= 2 THEN (psd - p1) / (k - 1) END) AS dnum,
+         |  min(fq) FILTER (WHERE cum >= 0.85 * tp) AS roll,
+         |  min(fq) FILTER (WHERE cum >= 0.5 * tp) AS med,
+         |  max(psd) / max(tp) AS maxrel,
+         |  arg_max(fq, psd) AS fund
+         |  FROM pf JOIN ct ON pf.we = ct.we GROUP BY pf.we),
+         |mcb AS (SELECT we, least(3, (k - 1) * 4 // nb) AS b,
+         |  sum(psd / tp) AS w FROM pf GROUP BY we, least(3, (k - 1) * 4 // nb))
+         |SELECT seg.we AS ts_anchor,
+         |  round(mom.c, 6) AS "value__spec_centroid__w=1D",
+         |  round(sqrt(mom.m2), 6) AS "value__spec_spread__w=1D",
+         |  CASE WHEN mom.m2 > 0 THEN round(mom.m3
+         |    / (sqrt(mom.m2) * sqrt(mom.m2) * sqrt(mom.m2)), 6) END
+         |    AS "value__spec_skew__w=1D",
+         |  CASE WHEN mom.m2 > 0 THEN round(mom.m4 / (mom.m2 * mom.m2), 6) END
+         |    AS "value__spec_kurt__w=1D",
+         |  CASE WHEN mom.dden > 0 THEN round(mom.dnum / mom.dden, 6) END
+         |    AS "value__spec_decrease__w=1D",
+         |  round(mom.roll, 6) AS "value__spec_rolloff__w=1D",
+         |  round(mom.med, 6) AS "value__median_freq__w=1D",
+         |  round(mom.maxrel, 6) AS "value__max_power_rel__w=1D",
+         |  round(mom.fund, 6) AS "value__fund_freq__w=1D",
+         |  CASE WHEN mom.we IS NOT NULL THEN round(coalesce(b0.w, 0.0), 6) END
+         |    AS "value__fft_mc_1__w=1D",
+         |  CASE WHEN mom.we IS NOT NULL THEN round(coalesce(b1.w, 0.0), 6) END
+         |    AS "value__fft_mc_2__w=1D",
+         |  CASE WHEN mom.we IS NOT NULL THEN round(coalesce(b2.w, 0.0), 6) END
+         |    AS "value__fft_mc_3__w=1D",
+         |  CASE WHEN mom.we IS NOT NULL THEN round(coalesce(b3.w, 0.0), 6) END
+         |    AS "value__fft_mc_4__w=1D"
+         |FROM seg LEFT JOIN mom ON seg.we = mom.we
+         |  LEFT JOIN mcb b0 ON seg.we = b0.we AND b0.b = 0
+         |  LEFT JOIN mcb b1 ON seg.we = b1.we AND b1.b = 1
+         |  LEFT JOIN mcb b2 ON seg.we = b2.we AND b2.b = 2
+         |  LEFT JOIN mcb b3 ON seg.we = b3.we AND b3.b = 3
          |ORDER BY 1""".stripMargin,
 
     // antropy completion: SVD entropy (Gram matrix from lead() products,

@@ -712,6 +712,126 @@ object FeatureFuncs {
       outputNames = Some((1 to maxScale).map(s => s"msen_$s")))
   }
 
+  /** tsfel spectral-shape battery (13 outputs from ONE periodogram pass;
+    * see [[graft.expr.SpectralShapeUtil]] for members and conventions).
+    */
+  def spectralShape(fs: Double): FeatureFunc = {
+    require(fs > 0, "sampling rate must be > 0")
+    FeatureFunc("spectral_shape",
+      (idx, v) => graft.expr.SpectralShape(sortedVals(idx, v), fs),
+      outputNames = Some(graft.expr.SpectralShapeUtil.names))
+  }
+
+  // ---- tsfresh combiner members (r11 tranche 4 — the reference's
+  // `tsfresh_combiner_wrapper` surface: index_mass_quantile, linear_trend,
+  // linear_trend_timewise, spkt_welch_density; reference:
+  // tsflex/features/integrations.py:175-213, exercised at
+  // tests/test_features_integration.py:286-316) ----------------------------
+
+  /** tsfresh `index_mass_quantile(q)`: relative index (i+1)/n at which the
+    * cumulative |x| mass first reaches q·Σ|x| — one fold carrying
+    * (position, cumsum, answer); Σ|x| and n are native aggregates
+    * referenced O(1) inside the lambda. NULL when the window carries zero
+    * absolute mass (tsfresh's 0/0).
+    */
+  def indexMassQuantile(q: Double): FeatureFunc = {
+    require(q > 0 && q < 1, "mass quantile must be in (0, 1)")
+    FeatureFunc(s"index_mass_q$q", (idx, v) => {
+      val vals = sortedVals(idx, v)
+      val s = org.apache.spark.sql.functions.sum(abs(v))
+      val n = count(v)
+      val fold = aggregate(vals,
+        struct(lit(0L).as("i"), lit(0.0).as("cum"),
+          lit(null).cast("double").as("ans")),
+        (acc, x) => {
+          val cum2 = acc.getField("cum") + abs(x)
+          val i2 = acc.getField("i") + 1L
+          val hit = acc.getField("ans").isNull && cum2 >= lit(q) * s
+          struct(i2.as("i"), cum2.as("cum"),
+            when(hit, i2.cast("double") / n.cast("double"))
+              .otherwise(acc.getField("ans")).as("ans"))
+        },
+        acc => acc.getField("ans"))
+      when(s > 0, fold)
+    })
+  }
+
+  /** tsfresh `linear_trend` (attrs slope/intercept/stderr): OLS of value
+    * against the 0-based sample position, one multi-output aggregate. Σt
+    * and Σt² come from the closed forms on n (positions are 0..n−1 by
+    * construction); Σt·v is the only fold. stderr is scipy linregress's
+    * slope standard error √((Syy/Sxx − slope²)·Sxx/(n−2))/Sxx, computed
+    * as √((Syy − slope·Sxy)/((n−2)·Sxx)). Slope/intercept need n ≥ 2,
+    * stderr n ≥ 3; all NULL on zero index variance.
+    */
+  val linearTrend: FeatureFunc = {
+    val outs = Seq("lt_slope", "lt_intercept", "lt_stderr")
+    FeatureFunc("linear_trend", (idx, v) => {
+      val vals = sortedVals(idx, v)
+      val n = count(v).cast("double")
+      val sv = org.apache.spark.sql.functions.sum(v)
+      val svv = org.apache.spark.sql.functions.sum(v * v)
+      val stv = aggregate(transform(vals, (x, i) => i.cast("double") * x),
+        lit(0.0), (a, b) => a + b)
+      val st = n * (n - 1) / 2.0
+      val stt = (n - 1) * n * (lit(2.0) * n - 1) / 6.0
+      val sxx = stt - st * st / n
+      val sxy = stv - st * sv / n
+      val syy = svv - sv * sv / n
+      val slope = sxy / sxx
+      val icept = (sv - slope * st) / n
+      val resid = syy - slope * sxy
+      val se = sqrt(resid / ((n - 2) * sxx))
+      struct(
+        when(n >= 2 && sxx > 0, slope).as("lt_slope"),
+        when(n >= 2 && sxx > 0, icept).as("lt_intercept"),
+        when(n >= 3 && sxx > 0 && resid >= 0, se).as("lt_stderr"))
+    }, outputNames = Some(outs))
+  }
+
+  /** tsfresh `linear_trend_timewise` (attrs slope/intercept): OLS of value
+    * against WALL-CLOCK hours since the window's first sample (the
+    * index-aware sibling of [[linearTrend]] — irregular sampling changes
+    * the regressor). `__idx` is epoch micros as DOUBLE (exact integers),
+    * so Δµs is exact and the single µs→h division is identical on both
+    * engines.
+    */
+  val linearTrendTimewise: FeatureFunc = {
+    val outs = Seq("ltt_slope", "ltt_intercept")
+    FeatureFunc("linear_trend_timewise", (idx, v) => {
+      val pairs = array_sort(collect_list(
+        when(v.isNotNull, struct(idx.as("i"), v.as("v")))))
+      val tmin = org.apache.spark.sql.functions.min(idx)
+      val ts = transform(pairs,
+        p => (p.getField("i") - tmin) / lit(3600000000.0))
+      val vs = transform(pairs, p => p.getField("v"))
+      val n = count(v).cast("double")
+      val sv = org.apache.spark.sql.functions.sum(v)
+      val st = aggregate(ts, lit(0.0), (a, b) => a + b)
+      val stt = aggregate(transform(ts, t => t * t), lit(0.0), (a, b) => a + b)
+      val stv = aggregate(zip_with(ts, vs, (a, b) => a * b), lit(0.0),
+        (a, b) => a + b)
+      val sxx = stt - st * st / n
+      val sxy = stv - st * sv / n
+      val slope = sxy / sxx
+      val icept = (sv - slope * st) / n
+      struct(
+        when(n >= 2 && sxx > 0, slope).as("ltt_slope"),
+        when(n >= 2 && sxx > 0, icept).as("ltt_intercept"))
+    }, outputNames = Some(outs))
+  }
+
+  /** tsfresh `spkt_welch_density` at coefficients 0..nCoef−1, reported as
+    * relative density (see [[graft.expr.WelchRelUtil]] for the scipy
+    * conventions and the normalization rationale).
+    */
+  def welchDensityRel(nCoef: Int): FeatureFunc = {
+    require(nCoef >= 1 && nCoef <= 64, "coefficient count must be in [1, 64]")
+    FeatureFunc("welch_rel",
+      (idx, v) => graft.expr.WelchRel(sortedVals(idx, v), nCoef),
+      outputNames = Some(graft.expr.WelchRelUtil.names(nCoef)))
+  }
+
   /** The COMPLETE canonical catch22 battery (all 22 members, three r11
     * tranches) as ONE multi-output aggregate — a single kernel call per
     * window emitting one column per member, the same shape as the
