@@ -998,6 +998,20 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- Eckmann Lyapunov spectrum (matrix_dim 2) per user series — the
+    // last nolds FuncWrapper member; same 1-in-10 subset rationale as
+    // q99e (the neighbor stage is O(n²) pairs per key by definition) ------
+    "q106_lyap_e" -> ((s, dir) => {
+      graft.scale.GroupedStats.lyapE(
+        events(s, dir).where(col("user_id") % 10 === 0)
+          .select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value", minTsep = 5, minNb = 6)
+        .select(col("user_id").cast("long").as("user_id"),
+          round(col("lyap_e_1"), 6).as("lyap_e_1"),
+          round(col("lyap_e_2"), 6).as("lyap_e_2"))
+        .orderBy("user_id")
+    }),
+
     // ---- Rosenstein largest Lyapunov exponent (1-in-10 user subset: the
     // NN stage is O(n²) pairs per key by definition, so the demo query
     // bounds total pair volume; the operator itself takes any keyed frame)
@@ -2231,6 +2245,83 @@ object SparkEntry {
     // Rosenstein lyap_r: 3D delay-1 embedding, Theiler-window NN with the
     // deterministic (min d2, then min j) tie-break, trajectory divergence
     // means over t = 0..6, least-squares slope.
+    // Eckmann lyap_e (matrix_dim 2): Chebyshev kNN radius via windowed
+    // row_number, closed-form 2x2 least-squares fits, then the QR chain
+    // as a recursive CTE carrying (Q, Sigma ln R_kk) per user
+    "q106_lyap_e" ->
+      """WITH RECURSIVE ev AS (SELECT user_id, ts, value FROM events
+        |  WHERE user_id % 10 = 0),
+        |aa AS (SELECT user_id, value AS x,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1
+        |    AS BIGINT) AS i FROM ev),
+        |e AS (SELECT user_id, i, x AS x0,
+        |  lead(x, 1) OVER w AS x1, lead(x, 2) OVER w AS x2
+        |  FROM aa WINDOW w AS (PARTITION BY user_id ORDER BY i)),
+        |et AS (SELECT * FROM e WHERE x2 IS NOT NULL),
+        |p AS (SELECT x.user_id, x.i AS ia, y.i AS ib,
+        |  greatest(abs(y.x0 - x.x0), abs(y.x1 - x.x1)) AS dist,
+        |  y.x0 - x.x0 AS u0, y.x1 - x.x1 AS u1, y.x2 - x.x2 AS w
+        |  FROM et x JOIN et y
+        |  ON x.user_id = y.user_id AND abs(y.i - x.i) > 5),
+        |rad AS (SELECT user_id, ia, dist AS radius FROM (
+        |  SELECT user_id, ia, dist,
+        |    row_number() OVER (PARTITION BY user_id, ia
+        |      ORDER BY dist, ib) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, ia) AS cnt FROM p)
+        |  WHERE rn = least(6, cnt)),
+        |fit AS (SELECT p.user_id, p.ia,
+        |  sum(u0 * u0) AS s11, sum(u0 * u1) AS s12, sum(u1 * u1) AS s22,
+        |  sum(u0 * w) AS t1, sum(u1 * w) AS t2
+        |  FROM p JOIN rad ON p.user_id = rad.user_id AND p.ia = rad.ia
+        |    AND p.dist <= rad.radius
+        |  GROUP BY p.user_id, p.ia),
+        |ac AS (SELECT user_id, ia,
+        |  (t1 * s22 - t2 * s12) / (s11 * s22 - s12 * s12) AS a1,
+        |  (s11 * t2 - s12 * t1) / (s11 * s22 - s12 * s12) AS a2
+        |  FROM fit WHERE s11 * s22 - s12 * s12 > 0),
+        |stp AS (SELECT user_id, a1, a2,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ia) AS rn FROM ac),
+        |rec AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS rn,
+        |    CAST(1.0 AS DOUBLE) AS q11, CAST(0.0 AS DOUBLE) AS q12,
+        |    CAST(0.0 AS DOUBLE) AS q21, CAST(1.0 AS DOUBLE) AS q22,
+        |    CAST(0.0 AS DOUBLE) AS l1, CAST(0.0 AS DOUBLE) AS l2,
+        |    CAST(0 AS BIGINT) AS c1, CAST(0 AS BIGINT) AS c2
+        |  FROM (SELECT DISTINCT user_id FROM stp)
+        |  UNION ALL
+        |  SELECT user_id, rn,
+        |    CASE WHEN r11 > 0 THEN b11 / r11 ELSE q11 END,
+        |    CASE WHEN r11 > 0 THEN -(b21 / r11) ELSE q12 END,
+        |    CASE WHEN r11 > 0 THEN b21 / r11 ELSE q21 END,
+        |    CASE WHEN r11 > 0 THEN b11 / r11 ELSE q22 END,
+        |    CASE WHEN r11 > 0 THEN l1 + ln(r11) ELSE l1 END,
+        |    CASE WHEN r11 > 0
+        |      AND abs((b11 * b22 - b21 * b12) / r11) > 0
+        |      THEN l2 + ln(abs((b11 * b22 - b21 * b12) / r11)) ELSE l2 END,
+        |    c1 + CASE WHEN r11 > 0 THEN 1 ELSE 0 END,
+        |    c2 + CASE WHEN r11 > 0
+        |      AND abs((b11 * b22 - b21 * b12) / r11) > 0 THEN 1 ELSE 0 END
+        |  FROM (
+        |    SELECT rec.user_id, stp.rn, rec.q11, rec.q12, rec.q21, rec.q22,
+        |      rec.l1, rec.l2, rec.c1, rec.c2,
+        |      rec.q21 AS b11, rec.q22 AS b12,
+        |      stp.a1 * rec.q11 + stp.a2 * rec.q21 AS b21,
+        |      stp.a1 * rec.q12 + stp.a2 * rec.q22 AS b22,
+        |      sqrt(rec.q21 * rec.q21
+        |        + (stp.a1 * rec.q11 + stp.a2 * rec.q21)
+        |        * (stp.a1 * rec.q11 + stp.a2 * rec.q21)) AS r11
+        |    FROM rec JOIN stp ON stp.user_id = rec.user_id
+        |      AND stp.rn = rec.rn + 1)),
+        |fin AS (SELECT user_id,
+        |  max_by(CASE WHEN c1 > 0 THEN l1 / c1 END, rn) AS le1,
+        |  max_by(CASE WHEN c2 > 0 THEN l2 / c2 END, rn) AS le2
+        |  FROM rec GROUP BY user_id)
+        |SELECT u.user_id, round(fin.le1, 6) AS lyap_e_1,
+        |  round(fin.le2, 6) AS lyap_e_2
+        |FROM (SELECT DISTINCT user_id FROM ev) u
+        |LEFT JOIN fin USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
+
     "q99e_lyap" ->
       """WITH ev AS (SELECT user_id, ts, value FROM events
         |  WHERE user_id % 10 = 0),

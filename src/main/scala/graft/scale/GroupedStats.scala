@@ -543,4 +543,78 @@ object GroupedStats {
         col(keyCol) <=> col("__gs_rk"), "left")
       .drop("__gs_rk")
   }
+
+  /** Eckmann Lyapunov SPECTRUM `lyap_e` per key, matrix dimension 2 (the
+    * nolds FuncWrapper battery's last member — reference:
+    * tests/test_features_integration.py:470-498). Our documented
+    * conventions (mirrored exactly by the DuckDB oracle): 2-dimensional
+    * delay-1 embedding, Chebyshev neighborhoods at the minNb-th smallest
+    * distance among temporally separated candidates (|Δi| > minTsep),
+    * companion-form Jacobians fitted by interceptless least squares, QR
+    * re-orthogonalization with per-step averages of ln |R_kk|.
+    *
+    * Scale shape: the O(n_k²) neighbor search and the per-step fits are
+    * RELATIONAL (self-join on the key → distributed, partial-aggregated);
+    * only the inherently sequential QR chain folds per key, over the
+    * collected (step, a1, a2) array — bounded by the documented per-key
+    * series-length contract (the higuchi/DFA/lyap_r family contract), so
+    * the collect is k·O(n_k) fit rows, never raw points².
+    */
+  def lyapE(df: DataFrame, keyCol: String, idxCol: String, valCol: String,
+            minTsep: Int = 5, minNb: Int = 6): DataFrame = {
+    require(minTsep >= 1 && minNb >= 2, "minTsep >= 1, minNb >= 2")
+    require(keyCol != "__gs_rk", "__gs_rk is reserved by lyapE")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(idxCol)
+    val e = df
+      .select(col(keyCol), col(idxCol), col(valCol).cast("double").as("__x0"))
+      .withColumn("__i", (row_number().over(w) - 1).cast("long"))
+      .withColumn("__x1", lead(col("__x0"), 1).over(w))
+      .withColumn("__x2", lead(col("__x0"), 2).over(w))
+      .where(col("__x2").isNotNull)
+      .select(col(keyCol), col("__i"), col("__x0"), col("__x1"), col("__x2"))
+    val b = e.select(col(keyCol).as("__kb"), col("__i").as("__ib"),
+      col("__x0").as("__y0"), col("__x1").as("__y1"), col("__x2").as("__y2"))
+    val pairs = e.join(b, col(keyCol) <=> col("__kb") &&
+        abs(col("__ib") - col("__i")) > minTsep)
+      .select(col(keyCol), col("__i").as("__ia"), col("__ib"),
+        greatest(abs(col("__y0") - col("__x0")),
+          abs(col("__y1") - col("__x1"))).as("__dist"),
+        (col("__y0") - col("__x0")).as("__u0"),
+        (col("__y1") - col("__x1")).as("__u1"),
+        (col("__y2") - col("__x2")).as("__w"))
+    val wr = Window.partitionBy(col(keyCol), col("__ia"))
+    val rad = pairs
+      .withColumn("__rn", row_number().over(wr.orderBy(col("__dist"), col("__ib"))))
+      .withColumn("__cnt", count(lit(1)).over(wr))
+      .where(col("__rn") === least(lit(minNb.toLong), col("__cnt")))
+      .select(col(keyCol).as("__kr"), col("__ia").as("__ir"),
+        col("__dist").as("__radius"))
+    val fit = pairs
+      .join(rad, col(keyCol) <=> col("__kr") && col("__ia") === col("__ir") &&
+        col("__dist") <= col("__radius"))
+      .groupBy(col(keyCol), col("__ia"))
+      .agg(sum(col("__u0") * col("__u0")).as("__s11"),
+        sum(col("__u0") * col("__u1")).as("__s12"),
+        sum(col("__u1") * col("__u1")).as("__s22"),
+        sum(col("__u0") * col("__w")).as("__t1"),
+        sum(col("__u1") * col("__w")).as("__t2"))
+      .withColumn("__det",
+        col("__s11") * col("__s22") - col("__s12") * col("__s12"))
+      .where(col("__det") > 0)
+      .select(col(keyCol), col("__ia"),
+        ((col("__t1") * col("__s22") - col("__t2") * col("__s12"))
+          / col("__det")).as("__a1"),
+        ((col("__s11") * col("__t2") - col("__s12") * col("__t1"))
+          / col("__det")).as("__a2"))
+    val folded = fit.groupBy(keyCol)
+      .agg(graft.expr.LyapEFold(array_sort(collect_list(
+        struct(col("__ia"), col("__a1"), col("__a2"))))).as("__le"))
+      .select(col(keyCol).as("__gs_rk"),
+        col("__le").getField("lyap_e_1").as("lyap_e_1"),
+        col("__le").getField("lyap_e_2").as("lyap_e_2"))
+    df.select(col(keyCol)).distinct()
+      .join(folded, col(keyCol) <=> col("__gs_rk"), "left")
+      .drop("__gs_rk")
+  }
 }

@@ -168,4 +168,82 @@ class NoldsSpec extends SparkSpec {
     assert(out(9L) == Seq(true, true))
     assert(out(0L) == Seq(false, false))
   }
+
+  /** Brute-force Eckmann lyap_e (matrix_dim 2) matching the operator's
+    * documented definition: Chebyshev kNN radius (minNb-th smallest,
+    * ties by value), interceptless companion fits, QR chain averages.
+    */
+  private def bruteLyapE(xs: Array[Double], tsep: Int, minNb: Int):
+      (Option[Double], Option[Double]) = {
+    val last = xs.length - 3 // usable i: 0..last (needs x(i+2))
+    if (last < 0) return (None, None)
+    def dist(i: Int, j: Int) = math.max(
+      math.abs(xs(i) - xs(j)), math.abs(xs(i + 1) - xs(j + 1)))
+    val steps = (0 to last).flatMap { i =>
+      val cand = (0 to last).filter(j => math.abs(j - i) > tsep)
+      if (cand.isEmpty) None
+      else {
+        val ds = cand.map(j => dist(i, j)).sorted
+        val radius = ds(math.min(minNb, ds.size) - 1)
+        val nb = cand.filter(j => dist(i, j) <= radius)
+        var s11 = 0.0; var s12 = 0.0; var s22 = 0.0; var t1 = 0.0; var t2 = 0.0
+        for (j <- nb) {
+          val u0 = xs(j) - xs(i); val u1 = xs(j + 1) - xs(i + 1)
+          val w = xs(j + 2) - xs(i + 2)
+          s11 += u0 * u0; s12 += u0 * u1; s22 += u1 * u1
+          t1 += u0 * w; t2 += u1 * w
+        }
+        val det = s11 * s22 - s12 * s12
+        if (det > 0)
+          Some((i, (t1 * s22 - t2 * s12) / det, (s11 * t2 - s12 * t1) / det))
+        else None
+      }
+    }
+    var q11 = 1.0; var q12 = 0.0; var q21 = 0.0; var q22 = 1.0
+    var l1 = 0.0; var l2 = 0.0; var c1 = 0L; var c2 = 0L
+    for ((_, a1, a2) <- steps) {
+      val b11 = q21; val b12 = q22
+      val b21 = a1 * q11 + a2 * q21; val b22 = a1 * q12 + a2 * q22
+      val r11 = math.sqrt(b11 * b11 + b21 * b21)
+      if (r11 > 0) {
+        val r22 = (b11 * b22 - b21 * b12) / r11
+        val c = b11 / r11; val s = b21 / r11
+        q11 = c; q12 = -s; q21 = s; q22 = c
+        l1 += math.log(r11); c1 += 1
+        if (math.abs(r22) > 0) { l2 += math.log(math.abs(r22)); c2 += 1 }
+      }
+    }
+    (if (c1 > 0) Some(l1 / c1) else None, if (c2 > 0) Some(l2 / c2) else None)
+  }
+
+  test("lyap_e matches the driver brute force on multi-partition keys") {
+    val df = keyedSeries(keys = 4, n = 50, seed = 29)
+    val got = GroupedStats.lyapE(df, "k", "i", "v", minTsep = 5, minNb = 6)
+      .collect().map(r => r.getLong(0) -> (
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1))),
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    val arrs = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (k, rows) => k -> rows.sortBy(_._2).map(_._3) }
+    assert(got.keySet == arrs.keySet)
+    for ((k, xs) <- arrs) {
+      val (e1, e2) = bruteLyapE(xs, 5, 6)
+      (got(k)._1, e1) match {
+        case (Some(g), Some(e)) => assert(math.abs(g - e) < 1e-9, s"key $k l1: $g vs $e")
+        case (g, e) => assert(g == e, s"key $k l1: $g vs $e")
+      }
+      (got(k)._2, e2) match {
+        case (Some(g), Some(e)) => assert(math.abs(g - e) < 1e-9, s"key $k l2: $g vs $e")
+        case (g, e) => assert(g == e, s"key $k l2: $g vs $e")
+      }
+      // the spectrum is ordered: the leading exponent dominates
+      for (g1 <- got(k)._1; g2 <- got(k)._2) assert(g1 >= g2)
+    }
+  }
+
+  test("lyap_e degenerate keys surface null") {
+    import spark.implicits._
+    val df = (0 until 7).map(i => (1L, i.toLong, i.toDouble)).toDF("k", "i", "v")
+    val out = GroupedStats.lyapE(df, "k", "i", "v").collect()
+    assert(out.length == 1 && out.head.isNullAt(1) && out.head.isNullAt(2))
+  }
 }
