@@ -191,6 +191,31 @@ object ScaleSmoke {
       fc.calculate(Seq(Series("value", events, "ts", "value")))
         .queryExecution.toRdd.count()
     }
+    // r11 tranche-4 battery: the remaining integration-surface members as
+    // one windowed pass — same axis as catch22 (window COUNT multiplies,
+    // per-window kernel cost is constant)
+    time(s"events x$copies tranche4 battery") {
+      import FeatureFuncs._
+      val fns = Seq(shannonEntropy, weightedPermutationEntropy(3),
+        svdEntropy(3), lzivComplexity(), multiscalePermEntropy(3, 3),
+        spectralShape(0.04), welchDensityRel(5), linearTrend,
+        indexMassQuantile(0.5), meanAbsDiff, curveDistance,
+        neighbourhoodPeaks(5), histCounts(4))
+      val fc = FeatureCollection.of(fns.map(f => FeatureDescriptor(f, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
+      fc.calculate(Seq(Series("value", events, "ts", "value")))
+        .queryExecution.toRdd.count()
+    }
+    // Eckmann spectrum: the relational O(n^2)-pairs stages replicate on
+    // the KEY axis like corr_dim/lyap_r; the sequential QR chain is the
+    // bounded per-key fold
+    time(s"events x$copies lyap_e (1-in-10 keys)") {
+      graft.scale.GroupedStats.lyapE(
+        events.where(col("user_id") % 10 === 0)
+          .select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value", minTsep = 5, minNb = 6)
+        .queryExecution.toRdd.count()
+    }
     time(s"docs x$copies contamination") {
       // fixed eval-set size vs growing corpus — the production shape
       val bench = d0.select(col("doc_id"), col("text")).limit(500)
