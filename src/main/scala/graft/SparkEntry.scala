@@ -976,6 +976,29 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- tsfel advanced tail (r11 tranche 5: Ricker-CWT wavelet battery,
+    // band-energy ratio, normalized spectral distance, ecdf percentile
+    // counts — reference surface: tests/test_features_integration.py:218-283)
+    "q107_tsfel_wavelet" -> ((s, dir) => {
+      val fns = Seq(wavelet(Seq(1, 2, 3, 4)),
+        spectralBand(0.04, 0.002, 0.01),
+        ecdfPercCount(0.2), ecdfPercCount(0.8))
+      val fc = FeatureCollection.of(fns.map(f => FeatureDescriptor(f, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
+      fc.calculate(Seq(valueSeries(s, dir)))
+        .select(Seq(unix_micros(col("ts")).as("ts_anchor"),
+          r6("value__wavelet_entropy__w=1D")) ++
+          (1 to 4).flatMap(w => Seq(
+            r6(s"value__wam_${w}__w=1D"),
+            r6(s"value__wsd_${w}__w=1D"),
+            r6(s"value__wen_${w}__w=1D"))) ++ Seq(
+          r6("value__band_energy__w=1D"),
+          r6("value__spec_dist_rel__w=1D"),
+          qc("value__ecdf_count_0.2__w=1D").as("ecdf_cnt_20"),
+          qc("value__ecdf_count_0.8__w=1D").as("ecdf_cnt_80")): _*)
+        .orderBy("ts_anchor")
+    }),
+
     // ---- Grassberger–Procaccia correlation dimension per user series ------
     "q99c_corr_dim" -> ((s, dir) => {
       graft.scale.GroupedStats.corrDim(
@@ -2615,6 +2638,93 @@ object SparkEntry {
          |FROM seg LEFT JOIN st ON seg.we = st.we
          |  LEFT JOIN df ON seg.we = df.we
          |  LEFT JOIN hc ON seg.we = hc.we
+         |ORDER BY 1""".stripMargin,
+
+    // tsfel advanced tail: Ricker-CWT via an offset self-join per width
+    // ('same'-mode convolution taps), per-width moment sums, cross-width
+    // energy entropy; band/distance members on the q98 DFT pattern; ecdf
+    // counts against quantile_cont
+    "q107_tsfel_wavelet" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)},
+         |j AS (SELECT we, ts, value FROM seg LEFT JOIN events
+         |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |d AS (SELECT we, value AS v,
+         |  CAST(row_number() OVER (PARTITION BY we ORDER BY ts) - 1
+         |    AS BIGINT) AS t,
+         |  count(value) OVER (PARTITION BY we) AS n,
+         |  sum(value * value) OVER (PARTITION BY we) AS sxx
+         |  FROM j WHERE value IS NOT NULL),
+         |stn AS (SELECT we, max(n) AS n, max(sxx) AS sxx,
+         |  quantile_cont(v, 0.2) AS p20, quantile_cont(v, 0.8) AS p80
+         |  FROM d GROUP BY we),
+         |ec AS (SELECT d.we,
+         |  CAST(sum(CASE WHEN d.v <= stn.p20 THEN 1 ELSE 0 END) AS BIGINT) AS c20,
+         |  CAST(sum(CASE WHEN d.v <= stn.p80 THEN 1 ELSE 0 END) AS BIGINT) AS c80
+         |  FROM d JOIN stn ON d.we = stn.we GROUP BY d.we),
+         |wv AS (SELECT stn.we, stn.n, w.w, least(10 * w.w, stn.n) AS m
+         |  FROM stn, UNNEST([1, 2, 3, 4]) w(w) WHERE stn.n >= 2),
+         |cv AS (SELECT a.we, wv.w, a.t,
+         |  sum(b.v * ((2.0 / (sqrt(3.0 * wv.w) * pow(pi(), 0.25)))
+         |    * (1.0 - ((a.t - b.t + (wv.m - 1) // 2 - (wv.m - 1) / 2.0) / wv.w)
+         |         * ((a.t - b.t + (wv.m - 1) // 2 - (wv.m - 1) / 2.0) / wv.w))
+         |    * exp(-(a.t - b.t + (wv.m - 1) // 2 - (wv.m - 1) / 2.0)
+         |          * (a.t - b.t + (wv.m - 1) // 2 - (wv.m - 1) / 2.0)
+         |          / (2.0 * wv.w * wv.w)))) AS y
+         |  FROM wv JOIN d a ON a.we = wv.we
+         |  JOIN d b ON b.we = a.we
+         |    AND a.t - b.t + (wv.m - 1) // 2 >= 0
+         |    AND a.t - b.t + (wv.m - 1) // 2 <= wv.m - 1
+         |  GROUP BY a.we, wv.w, a.t),
+         |ws AS (SELECT we, w, sum(abs(y)) AS sa, sum(y) AS ss,
+         |  sum(y * y) AS s2, count(*) AS cn FROM cv GROUP BY we, w),
+         |wtot AS (SELECT we, sum(s2) AS te FROM ws GROUP BY we),
+         |went AS (SELECT ws.we,
+         |  -sum(CASE WHEN s2 / te > 0 THEN (s2 / te) * ln(s2 / te) / ln(2.0)
+         |       ELSE 0 END) AS h
+         |  FROM ws JOIN wtot ON ws.we = wtot.we WHERE wtot.te > 0
+         |  GROUP BY ws.we),
+         |f AS (SELECT we, n, sxx, k,
+         |  sum(v * cos(2 * pi() * k * t / n)) AS re,
+         |  sum(v * sin(2 * pi() * k * t / n)) AS im
+         |  FROM d, UNNEST(range(1, CAST(n // 2 AS BIGINT) + 1)) AS u(k)
+         |  WHERE n >= 4 GROUP BY we, n, sxx, k),
+         |p0 AS (SELECT we, n, sxx, k, re * re + im * im AS psd FROM f),
+         |tot AS (SELECT we, max(n) AS n, sum(psd) AS tp, count(*) AS nb
+         |  FROM p0 GROUP BY we
+         |  HAVING sum(psd) > 1e-9 * max(sxx) * max(n)),
+         |be AS (SELECT p0.we,
+         |  sum(CASE WHEN p0.k * 0.04 / p0.n >= 0.002
+         |        AND p0.k * 0.04 / p0.n <= 0.01 THEN p0.psd ELSE 0 END)
+         |    / max(tot.tp) AS band
+         |  FROM p0 JOIN tot ON p0.we = tot.we GROUP BY p0.we),
+         |mg AS (SELECT p0.we, p0.k, sqrt(p0.psd) AS m, tot.nb
+         |  FROM p0 JOIN tot ON p0.we = tot.we),
+         |mt AS (SELECT we, sum(m) AS mtot, max(nb) AS nb FROM mg GROUP BY we
+         |  HAVING sum(m) > 0 AND max(nb) >= 2),
+         |mgc AS (SELECT mg.we, mg.k, mt.mtot, mt.nb,
+         |  sum(mg.m) OVER (PARTITION BY mg.we ORDER BY mg.k) AS cum
+         |  FROM mg JOIN mt ON mg.we = mt.we),
+         |sdist AS (SELECT we,
+         |  sum((k - 1) * mtot / (nb - 1) - cum) / (max(nb) * max(mtot)) AS sd
+         |  FROM mgc GROUP BY we)
+         |SELECT seg.we AS ts_anchor,
+         |  round(went.h, 6) AS "value__wavelet_entropy__w=1D",
+         |  ${(1 to 4).map(w =>
+             s"""round(w$w.sa / w$w.cn, 6) AS "value__wam_${w}__w=1D",
+         |  round(sqrt((w$w.s2 - w$w.ss * w$w.ss / w$w.cn) / w$w.cn), 6)
+         |    AS "value__wsd_${w}__w=1D",
+         |  round(sqrt(w$w.s2 / w$w.cn), 6) AS "value__wen_${w}__w=1D",""")
+             .mkString("\n         |  ")}
+         |  round(be.band, 6) AS "value__band_energy__w=1D",
+         |  round(sdist.sd, 6) AS "value__spec_dist_rel__w=1D",
+         |  ec.c20 AS ecdf_cnt_20, ec.c80 AS ecdf_cnt_80
+         |FROM seg LEFT JOIN went ON seg.we = went.we
+         |  ${(1 to 4).map(w =>
+             s"LEFT JOIN ws w$w ON seg.we = w$w.we AND w$w.w = $w")
+             .mkString("\n         |  ")}
+         |  LEFT JOIN be ON seg.we = be.we
+         |  LEFT JOIN sdist ON seg.we = sdist.we
+         |  LEFT JOIN ec ON seg.we = ec.we
          |ORDER BY 1""".stripMargin,
 
     // tsfresh combiners: |x|-mass cumsum quantile indices, OLS against

@@ -832,6 +832,40 @@ object FeatureFuncs {
       outputNames = Some(graft.expr.WelchRelUtil.names(nCoef)))
   }
 
+  /** tsfel wavelet battery: Ricker-CWT per-width abs-mean/std/energy +
+    * cross-width energy entropy (see [[graft.expr.WaveletUtil]]).
+    */
+  def wavelet(widths: Seq[Int]): FeatureFunc = {
+    require(widths.nonEmpty && widths.forall(w => w >= 1 && w <= 64),
+      "wavelet widths must be in [1, 64]")
+    FeatureFunc("wavelet",
+      (idx, v) => graft.expr.WaveletSlice(sortedVals(idx, v), widths),
+      outputNames = Some(graft.expr.WaveletUtil.names(widths)))
+  }
+
+  /** Parametric band-energy ratio + normalized spectral distance on the
+    * shared periodogram path (see [[graft.expr.SpectralExtrasUtil]]).
+    */
+  def spectralBand(fs: Double, lo: Double, hi: Double): FeatureFunc = {
+    require(fs > 0 && lo >= 0 && hi > lo, "need fs > 0 and 0 <= lo < hi")
+    FeatureFunc("spectral_band",
+      (idx, v) => graft.expr.SpectralExtras(sortedVals(idx, v), fs, lo, hi),
+      outputNames = Some(graft.expr.SpectralExtrasUtil.names))
+  }
+
+  /** tsfel `ecdf_percentile_count`: number of samples ≤ the linearly
+    * interpolated q-percentile (np.percentile semantics — the native
+    * `percentile` aggregate, referenced O(1) inside the filter lambda).
+    */
+  def ecdfPercCount(q: Double): FeatureFunc = {
+    require(q > 0 && q < 1, "ecdf percentile must be in (0, 1)")
+    FeatureFunc(s"ecdf_count_$q", (idx, v) => {
+      val p = percentile(v, lit(q))
+      val vals = sortedVals(idx, v)
+      size(filter(vals, x => x <= p)).cast("long")
+    }, emptyValue = Some(lit(0L)))
+  }
+
   /** The COMPLETE canonical catch22 battery (all 22 members, three r11
     * tranches) as ONE multi-output aggregate — a single kernel call per
     * window emitting one column per member, the same shape as the

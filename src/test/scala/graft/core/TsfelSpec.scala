@@ -85,6 +85,14 @@ class TsfelSpec extends SparkSpec {
     assert(eval(neighbourhoodPeaks(2), 1, 9, 1).contains(0.0))
   }
 
+  test("ecdf_percentile_count: samples at or below the interpolated percentile") {
+    // (1..10): p20 = 2.8 -> 2 samples; p80 = 8.2 -> 8 samples
+    assert(eval(ecdfPercCount(0.2), (1 to 10).map(_.toDouble): _*).contains(2.0))
+    assert(eval(ecdfPercCount(0.8), (1 to 10).map(_.toDouble): _*).contains(8.0))
+    // percentile landing exactly on a sample includes it: (1..5), q=0.5 -> 3
+    assert(eval(ecdfPercCount(0.5), 1, 2, 3, 4, 5).contains(3.0))
+  }
+
   test("hist: equal-width counts, right-inclusive last bin") {
     // (0..8) over 4 bins of width 2: [0,2) [2,4) [4,6) [6,8] →
     // counts 2,2,2,3 (8 clamps into the last bin)
