@@ -206,6 +206,17 @@ object ScaleSmoke {
       fc.calculate(Seq(Series("value", events, "ts", "value")))
         .queryExecution.toRdd.count()
     }
+    // r11 tranche-5: the CWT battery is the costliest per-window kernel
+    // (O(n * sum(min(10w, n))) taps) — same window-count axis
+    time(s"events x$copies wavelet battery") {
+      import FeatureFuncs._
+      val fns = Seq(wavelet(Seq(1, 2, 3, 4)), spectralBand(0.04, 0.002, 0.01),
+        ecdfPercCount(0.2), ecdfPercCount(0.8))
+      val fc = FeatureCollection.of(fns.map(f => FeatureDescriptor(f, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
+      fc.calculate(Seq(Series("value", events, "ts", "value")))
+        .queryExecution.toRdd.count()
+    }
     // Eckmann spectrum: the relational O(n^2)-pairs stages replicate on
     // the KEY axis like corr_dim/lyap_r; the sequential QR chain is the
     // bounded per-key fold

@@ -2693,8 +2693,14 @@ object SparkEntry {
          |  FROM p0 GROUP BY we
          |  HAVING sum(psd) > 1e-9 * max(sxx) * max(n)),
          |be AS (SELECT p0.we,
-         |  sum(CASE WHEN p0.k * 0.04 / p0.n >= 0.002
-         |        AND p0.k * 0.04 / p0.n <= 0.01 THEN p0.psd ELSE 0 END)
+         |  -- CAST(k): DuckDB parses 0.04 as DECIMAL, and BIGINT*DECIMAL/BIGINT
+         |  -- is EXACT rational — the f = hi boundary bin (k·0.04/n == 0.01
+         |  -- exactly when 4 | n) then classifies differently than the
+         |  -- kernel's IEEE-double axis. Forcing the k term to DOUBLE makes
+         |  -- the whole expression the same double arithmetic as the kernel.
+         |  sum(CASE WHEN CAST(p0.k AS DOUBLE) * 0.04 / p0.n >= 0.002
+         |        AND CAST(p0.k AS DOUBLE) * 0.04 / p0.n <= 0.01
+         |      THEN p0.psd ELSE 0 END)
          |    / max(tot.tp) AS band
          |  FROM p0 JOIN tot ON p0.we = tot.we GROUP BY p0.we),
          |mg AS (SELECT p0.we, p0.k, sqrt(p0.psd) AS m, tot.nb
