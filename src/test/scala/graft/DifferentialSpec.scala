@@ -131,4 +131,50 @@ class DifferentialSpec extends SparkSpec {
     assert(naive.nonEmpty) // the corpus actually produces near-dups
     assert(fast == naive)
   }
+
+  private def aggOne(fn: FeatureFunc, vals: Seq[Double],
+                     field: Option[String] = None): Option[Double] = {
+    import spark.implicits._
+    val df = scala.util.Random.shuffle(
+      vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toList)
+      .toDF("idx", "v").repartition(5)
+    val c = fn.agg(col("idx"), col("v"))
+    val r = field match {
+      case Some(f) => df.agg(c.as("s")).select(col(s"s.$f").cast("double")).head
+      case None => df.agg(c.cast("double")).head
+    }
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
+  test("kernel MSPE at scale 1 equals the relational permutation entropy") {
+    // two INDEPENDENT implementations of Bandt-Pompe PE: the HOF
+    // templates/permCode/runSum pipeline vs the native array kernel
+    val rnd = new scala.util.Random(23)
+    val xs = Seq.fill(300)(rnd.nextGaussian() * 20)
+    val hof = aggOne(permutationEntropy(3), xs).get
+    val ker = aggOne(multiscalePermEntropy(3, 2), xs, Some("mspe_1")).get
+    assert(math.abs(hof - ker) < 1e-9)
+  }
+
+  test("lziv on an alternating window matches the hand LZ76 count") {
+    // values 0/10 alternate; median 5 binarizes to 0101...: phrases 0|1|01...
+    val xs = (0 until 10).map(i => if (i % 2 == 0) 0.0 else 10.0)
+    assert(aggOne(lzivComplexity(), xs).contains(3.0))
+  }
+
+  test("welch relative density is invariant to a constant offset") {
+    // per-segment constant detrend removes any DC shift exactly
+    val rnd = new scala.util.Random(31)
+    val xs = Seq.fill(300)(math.sin(rnd.nextDouble() * 6) * 10)
+    val a = graft.expr.WelchRelUtil.names(5).map(n =>
+      aggOne(welchDensityRel(5), xs, Some(n)))
+    val b = graft.expr.WelchRelUtil.names(5).map(n =>
+      aggOne(welchDensityRel(5), xs.map(_ + 1e6), Some(n)))
+    a.zip(b).foreach { case (x, y) =>
+      (x, y) match {
+        case (Some(u), Some(v)) => assert(math.abs(u - v) < 1e-6)
+        case (u, v) => assert(u == v)
+      }
+    }
+  }
 }
