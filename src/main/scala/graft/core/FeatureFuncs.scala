@@ -896,25 +896,6 @@ object FeatureFuncs {
     when(n > 0, log2(n) - s / n)
   })
 
-  /** Σ f(run-weight) over equal-CODE runs of an array<struct<c,w>> sorted
-    * by code — the weighted sibling of [[runSum]] (one linear fold; `f`
-    * must satisfy f(0) = 0 for the first element's dummy flush).
-    */
-  private def runWeightSum(sorted: Column, f: Column => Column): Column =
-    aggregate(sorted,
-      struct(lit(null).cast("bigint").as("prev"), lit(0.0).as("run"),
-        lit(0.0).as("s")),
-      (acc, e) => {
-        val same = acc.getField("prev").isNotNull &&
-          acc.getField("prev") === e.getField("c")
-        struct(e.getField("c").as("prev"),
-          when(same, acc.getField("run") + e.getField("w"))
-            .otherwise(e.getField("w")).as("run"),
-          when(same, acc.getField("s"))
-            .otherwise(acc.getField("s") + f(acc.getField("run"))).as("s"))
-      },
-      acc => acc.getField("s") + f(acc.getField("run")))
-
   /** pyentrp `weighted_permutation_entropy` (delay 1): Bandt–Pompe
     * patterns ([[permCode]] stable tie rule) weighted by each tuple's
     * POPULATION variance; H = log2(W) − Σ w_p·log2(w_p)/W over per-pattern
@@ -943,12 +924,33 @@ object FeatureFuncs {
         struct(permCode(t, order).as("c"), va.as("w"))
       })
       val sorted = array_sort(coded)
-      val bigW = aggregate(sorted, lit(0.0), (acc, e) => acc + e.getField("w"))
-      val s = runWeightSum(sorted,
-        w => when(w > 0, w * log2(w)).otherwise(lit(0.0)))
-      val h = log2(bigW) - s / bigW
-      when(count(v) >= order && bigW > 0,
-        if (normalize) h / lit(logFact) else h)
+      // ONE fold carrying (prev, run-weight, Σ w·log2 w, total W), with the
+      // entropy computed inside the FINISH lambda — the whole
+      // collect→tuple→code→sort chain is referenced exactly once (HOF
+      // chains get no codegen CSE: a second reference re-evaluates the
+      // chain per window; measured ~1.9× on q101)
+      val f: Column => Column =
+        w => when(w > 0, w * log2(w)).otherwise(lit(0.0))
+      val h = aggregate(sorted,
+        struct(lit(null).cast("bigint").as("prev"), lit(0.0).as("run"),
+          lit(0.0).as("s"), lit(0.0).as("tot")),
+        (acc, e) => {
+          val same = acc.getField("prev").isNotNull &&
+            acc.getField("prev") === e.getField("c")
+          struct(e.getField("c").as("prev"),
+            when(same, acc.getField("run") + e.getField("w"))
+              .otherwise(e.getField("w")).as("run"),
+            when(same, acc.getField("s"))
+              .otherwise(acc.getField("s") + f(acc.getField("run"))).as("s"),
+            (acc.getField("tot") + e.getField("w")).as("tot")
+          )
+        },
+        acc => {
+          val s = acc.getField("s") + f(acc.getField("run"))
+          val tot = acc.getField("tot")
+          when(tot > 0, log2(tot) - s / tot)
+        })
+      when(count(v) >= order, if (normalize) h / lit(logFact) else h)
     })
   }
 
@@ -967,13 +969,13 @@ object FeatureFuncs {
     arrDiffs(sortedVals(idx, v))
 
   /** Linear-interpolated median of an array column (np.median: mean of the
-    * two middle order statistics for even length). The sorted chain is
-    * referenced a constant number of times (each reference re-evaluates
-    * the HOF chain — O(k·n log n), never O(n²); see [[meanCrossings]]).
+    * two middle order statistics for even length). `n` must be the array's
+    * length as a NATIVE aggregate (count-derived) so the sorted chain is
+    * referenced only by the 1–2 element_at probes — every extra reference
+    * re-evaluates the whole HOF chain per window (see [[meanCrossings]]).
     */
-  private def arrMedian(a: Column): Column = {
+  private def arrMedian(a: Column, n: Column): Column = {
     val s = array_sort(a)
-    val n = size(s)
     val h = floor(n / lit(2.0)).cast("int") // ⌊n/2⌋ (Spark `/` is double)
     when(n >= 1,
       when(n % 2 === 1, element_at(s, h + 1))
@@ -998,11 +1000,16 @@ object FeatureFuncs {
     when(n >= 2, (max_by(v, idx) - min_by(v, idx)) / (n - 1).cast("double"))
   })
 
-  /** tsfel `median_abs_diff` / `median_diff`: median of (|Δx| / Δx). */
+  /** tsfel `median_abs_diff` / `median_diff`: median of (|Δx| / Δx). The
+    * diff-array length is count(v) − 1, a native aggregate — so the diff
+    * chain is only referenced by the median's element probes.
+    */
   val medianAbsDiff: FeatureFunc = FeatureFunc("median_abs_diff",
-    (idx, v) => arrMedian(transform(sortedDiffs(idx, v), x => abs(x))))
+    (idx, v) => arrMedian(transform(sortedDiffs(idx, v), x => abs(x)),
+      greatest(count(v) - 1, lit(0L)).cast("int")))
   val medianDiff: FeatureFunc = FeatureFunc("median_diff",
-    (idx, v) => arrMedian(sortedDiffs(idx, v)))
+    (idx, v) => arrMedian(sortedDiffs(idx, v),
+      greatest(count(v) - 1, lit(0L)).cast("int")))
 
   /** tsfel `distance`: total curve length Σ √(1 + Δx²) (unit index step);
     * 0.0 for singleton windows (np.sum of an empty diff).
@@ -1027,7 +1034,9 @@ object FeatureFuncs {
     require(fs > 0, "auc sampling rate must be > 0")
     FeatureFunc(s"auc_fs$fs", (idx, v) => {
       val vals = sortedVals(idx, v)
-      val m = greatest(size(vals) - 1, lit(0))
+      // native-count slice length: size(vals) inside the slice args would
+      // re-evaluate the collect+sort chain per reference
+      val m = greatest(count(v) - 1, lit(0L)).cast("int")
       when(count(v) >= 1, aggregate(
         zip_with(slice(vals, lit(1), m), slice(vals, lit(2), m),
           (a, b) => abs(a + b)),
