@@ -128,12 +128,14 @@ object FeatureFuncs {
     val pairs = array_sort(collect_list(
       when(v.isNotNull, struct(idx.as("i"), v.as("v")))))
     val vals = transform(pairs, p => p.getField("v"))
-    // guard: slice() rejects negative lengths, so windows with <2 samples
-    // short-circuit to 0 (a single sample has no successive differences)
-    when(size(vals) <= 1, lit(0.0)).otherwise(
+    // native-count slice lengths (size(vals) would re-evaluate the
+    // collect+sort chain per reference); <2-sample windows short-circuit
+    // to 0 (a single sample has no successive differences)
+    val m = greatest(count(v) - 1, lit(0L)).cast("int")
+    when(count(v) <= 1, lit(0.0)).otherwise(
       aggregate(
-        zip_with(slice(vals, lit(1), size(vals) - 1),
-                 slice(vals, lit(2), size(vals) - 1),
+        zip_with(slice(vals, lit(1), m),
+                 slice(vals, lit(2), m),
                  (a, b) => abs(b - a)),
         lit(0.0), (acc, x) => acc + x))
   }, emptyValue = Some(lit(0.0)))
@@ -212,10 +214,11 @@ object FeatureFuncs {
   def crossings(m: Double): FeatureFunc = FeatureFunc(s"crossings_$m", (idx, v) => {
     val vals = sortedVals(idx, v)
     val above = transform(vals, x => (x > lit(m)).cast("int"))
-    when(size(vals) <= 1, lit(0L)).otherwise(
+    val len = greatest(count(v) - 1, lit(0L)).cast("int") // native, O(1)
+    when(count(v) <= 1, lit(0L)).otherwise(
       aggregate(
-        zip_with(slice(above, lit(1), size(above) - 1),
-                 slice(above, lit(2), size(above) - 1),
+        zip_with(slice(above, lit(1), len),
+                 slice(above, lit(2), len),
                  (a, b) => when(a =!= b, 1L).otherwise(0L)),
         lit(0L), (acc, x) => acc + x))
   }, emptyValue = Some(lit(0L)))
@@ -236,10 +239,11 @@ object FeatureFuncs {
     val vals = sortedVals(idx, v)
     val mu = avg(v)
     val above = transform(vals, x => (x > mu).cast("int"))
-    when(size(vals) <= 1, lit(0L)).otherwise(
+    val len = greatest(count(v) - 1, lit(0L)).cast("int") // native, O(1)
+    when(count(v) <= 1, lit(0L)).otherwise(
       aggregate(
-        zip_with(slice(above, lit(1), size(above) - 1),
-                 slice(above, lit(2), size(above) - 1),
+        zip_with(slice(above, lit(1), len),
+                 slice(above, lit(2), len),
                  (a, b) => when(a =!= b, 1L).otherwise(0L)),
         lit(0L), (acc, x) => acc + x))
   }, emptyValue = Some(lit(0L)))
@@ -252,12 +256,12 @@ object FeatureFuncs {
     require(lag >= 1, "autocorrelation lag must be >= 1")
     FeatureFunc(s"autocorr_$lag", (idx, v) => {
       val vals = sortedVals(idx, v)
-      val n = size(vals)
+      val n = count(v) // native (size(vals) re-evaluates the chain per ref)
       // native aggregates: referenced O(1) inside the zip_with lambda (an
       // array fold embedded there would re-run per element — O(n²))
       val mu = avg(v)
       val varp = var_pop(v)
-      val m = n - lit(lag)
+      val m = greatest(n - lit(lag.toLong), lit(0L)).cast("int")
       val cov = aggregate(
         zip_with(slice(vals, lit(1), m), slice(vals, lit(1 + lag), m),
           (a, b) => (a - mu) * (b - mu)),
@@ -274,7 +278,7 @@ object FeatureFuncs {
     require(bins >= 1, "binned_entropy needs >= 1 bin")
     FeatureFunc(s"binned_entropy_$bins", (idx, v) => {
       val vals = sortedVals(idx, v)
-      val n = size(vals).cast("double")
+      val n = count(v).cast("double") // native, O(1) reference
       // native min/max: O(1) references inside the filter lambda (see
       // meanCrossings scaladoc for the embedded-fold O(n²) trap)
       val mn = org.apache.spark.sql.functions.min(v)
@@ -285,7 +289,7 @@ object FeatureFuncs {
           .otherwise(lit(0))
       val counts = transform(sequence(lit(0), lit(bins - 1)),
         b => size(filter(vals, x => binOf(x) === b)).cast("double"))
-      when(size(vals) > 0,
+      when(n > 0,
         aggregate(counts, lit(0.0), (acc, c) =>
           acc + when(c > 0, -(c / n) * log(c / n)).otherwise(lit(0.0))))
     })
@@ -297,9 +301,10 @@ object FeatureFuncs {
     */
   val cidCe: FeatureFunc = FeatureFunc("cid_ce", (idx, v) => {
     val vals = sortedVals(idx, v)
-    val n = size(vals)
+    val n = count(v) // native
+    val m = greatest(n - 1, lit(0L)).cast("int")
     when(n >= 2, sqrt(aggregate(
-      zip_with(slice(vals, lit(1), n - 1), slice(vals, lit(2), n - 1),
+      zip_with(slice(vals, lit(1), m), slice(vals, lit(2), m),
         (a, b) => (b - a) * (b - a)),
       lit(0.0), (acc, x) => acc + x)))
   })
@@ -313,11 +318,12 @@ object FeatureFuncs {
     */
   val numberPeaks1: FeatureFunc = FeatureFunc("number_peaks_1", (idx, v) => {
     val vals = sortedVals(idx, v)
-    val n = size(vals)
-    val mid = slice(vals, lit(2), n - 2)
-    val gtPrev = zip_with(mid, slice(vals, lit(1), n - 2),
+    val n = count(v) // native
+    val m2 = greatest(n - 2, lit(0L)).cast("int")
+    val mid = slice(vals, lit(2), m2)
+    val gtPrev = zip_with(mid, slice(vals, lit(1), m2),
       (m, p) => (m > p).cast("int"))
-    val gtNext = zip_with(mid, slice(vals, lit(3), n - 2),
+    val gtNext = zip_with(mid, slice(vals, lit(3), m2),
       (m, x) => (m > x).cast("int"))
     when(n >= 3, aggregate(
       zip_with(gtPrev, gtNext,
@@ -353,9 +359,10 @@ object FeatureFuncs {
       val vals = sortedVals(idx, v)
       val mu = avg(v)
       val sd = stddev_pop(v)
-      when(size(vals) > 0,
+      val n = count(v) // native (size(vals) re-evaluates the chain)
+      when(n > 0,
         size(filter(vals, x => abs(x - mu) > lit(r.toDouble) * sd))
-          .cast("double") / size(vals).cast("double"))
+          .cast("double") / n.cast("double"))
     })
   }
 
@@ -370,8 +377,10 @@ object FeatureFuncs {
     * (the [[numberPeaks1]] O(n²) re-evaluation trap). Empty when the window
     * is shorter than m.
     */
-  private def templates(vals: Column, m: Int): Column = {
-    val len = greatest(size(vals) - lit(m - 1), lit(0))
+  private def templates(vals: Column, m: Int, n: Column): Column = {
+    // n = the array length as a NATIVE aggregate: size(vals) inside the m
+    // slice-length arguments would re-evaluate the whole chain per slice
+    val len = greatest(n - lit((m - 1).toLong), lit(0L)).cast("int")
     val first = transform(slice(vals, lit(1), len), x => array(x))
     (2 to m).foldLeft(first)((acc, i) =>
       zip_with(acc, slice(vals, lit(i), len), (arr, x) => concat(arr, array(x))))
@@ -434,7 +443,7 @@ object FeatureFuncs {
     val logFact = math.log((2 to order).map(_.toDouble).product) / math.log(2.0)
     FeatureFunc(name, (idx, v) => {
       val vals = sortedVals(idx, v)
-      val codes = transform(templates(vals, order), t => permCode(t, order))
+      val codes = transform(templates(vals, order, count(v)), t => permCode(t, order))
       // pattern count from the NATIVE count aggregate, not size(codes):
       // the HOF chain sits outside whole-stage codegen, so every reference
       // to a derived array re-evaluates collect → tuple → sort in full
@@ -469,7 +478,7 @@ object FeatureFuncs {
       val vals = sortedVals(idx, v)
       val bins = transform(vals, x => floor(x / w).cast("long"))
       def pairs(mm: Int): Column =
-        runSum(array_sort(templates(bins, mm)), "array<bigint>",
+        runSum(array_sort(templates(bins, mm, count(v))), "array<bigint>",
           run => (run * (run - lit(1L))).cast("double") / lit(2.0))
       // −ln(A/B) = ln B − ln A, and ln(0) is NULL in Spark, so zero counts
       // null out with each template pipeline referenced exactly ONCE (an
@@ -496,12 +505,16 @@ object FeatureFuncs {
 
   /** First differences of an array column (index-ordered), via slices
     * zipped pairwise — never `element_at`-in-lambda (the [[numberPeaks1]]
-    * trap). Empty for arrays shorter than 2.
+    * trap). `m` is the RESULT length (input length − 1, clamped ≥ 0) as a
+    * count-derived native column, so the input chain is referenced only by
+    * the two slices. Empty for arrays shorter than 2.
     */
-  private def arrDiffs(a: Column): Column = {
-    val m = greatest(size(a) - 1, lit(0))
+  private def arrDiffs(a: Column, m: Column): Column =
     zip_with(slice(a, lit(2), m), slice(a, lit(1), m), (b, c) => b - c)
-  }
+
+  /** [[arrDiffs]] length helper: count-derived (input length − k)⁺ as INT. */
+  private def lenMinus(v: Column, k: Int): Column =
+    greatest(count(v) - lit(k.toLong), lit(0L)).cast("int")
 
   /** Hjorth mobility and complexity (antropy `hjorth_params`, the second
     * FuncWrapper-required member of the reference integration surface —
@@ -519,8 +532,8 @@ object FeatureFuncs {
   val hjorthParams: FeatureFunc = {
     FeatureFunc("hjorth", (idx, v) => {
       val vals = sortedVals(idx, v)
-      val dx = arrDiffs(vals)
-      val ddx = arrDiffs(dx)
+      val dx = arrDiffs(vals, lenMinus(v, 1))
+      val ddx = arrDiffs(dx, lenMinus(v, 2))
       val vx = var_pop(v) // native: order-free, O(1) reference
       val vdx = arrVarPop(dx)
       val vddx = arrVarPop(ddx)
@@ -539,9 +552,10 @@ object FeatureFuncs {
     * count. A constant window gives exactly 1.0; NULL for n < 2.
     */
   val petrosianFd: FeatureFunc = FeatureFunc("petrosian_fd", (idx, v) => {
-    val sg = transform(arrDiffs(sortedVals(idx, v)), x => signum(x))
+    val sg = transform(arrDiffs(sortedVals(idx, v), lenMinus(v, 1)),
+      x => signum(x))
     val n = count(v).cast("double") // native: O(1) reference
-    val m = greatest(size(sg) - 1, lit(0))
+    val m = lenMinus(v, 2) // |sg| - 1, count-derived
     val nd = aggregate(
       zip_with(slice(sg, lit(2), m), slice(sg, lit(1), m),
         (a, b) => when(a =!= b, 1.0).otherwise(0.0)),
@@ -561,7 +575,7 @@ object FeatureFuncs {
     */
   val katzFd: FeatureFunc = FeatureFunc("katz_fd", (idx, v) => {
     val vals = sortedVals(idx, v)
-    val L = aggregate(transform(arrDiffs(vals), x => abs(x)),
+    val L = aggregate(transform(arrDiffs(vals, lenMinus(v, 1)), x => abs(x)),
       lit(0.0), (acc, x) => acc + x)
     val x1 = min_by(v, idx)
     val d = greatest(org.apache.spark.sql.functions.max(v) - x1,
@@ -592,7 +606,7 @@ object FeatureFuncs {
         // permutationEntropy): size(sorted) would re-run the sort pipeline
         // per reference
         val n = greatest(count(v) - lit(mm - 1), lit(0L)).cast("double")
-        val s = runSum(array_sort(templates(bins, mm)), "array<bigint>",
+        val s = runSum(array_sort(templates(bins, mm, count(v))), "array<bigint>",
           run => when(run > 1, run.cast("double") * log(run.cast("double")))
             .otherwise(lit(0.0)))
         when(n > 0, s / n - log(n))
@@ -916,7 +930,7 @@ object FeatureFuncs {
     val logFact = math.log((2 to order).map(_.toDouble).product) / math.log(2.0)
     FeatureFunc(name, (idx, v) => {
       val vals = sortedVals(idx, v)
-      val coded = transform(templates(vals, order), t => {
+      val coded = transform(templates(vals, order, count(v)), t => {
         val es = (1 to order).map(j => element_at(t, j))
         val mu = es.reduce(_ + _) / lit(order.toDouble)
         val va = es.map(e => (e - mu) * (e - mu)).reduce(_ + _) /
@@ -966,7 +980,7 @@ object FeatureFuncs {
     * stock below. Empty for windows shorter than 2.
     */
   private def sortedDiffs(idx: Column, v: Column): Column =
-    arrDiffs(sortedVals(idx, v))
+    arrDiffs(sortedVals(idx, v), lenMinus(v, 1))
 
   /** Linear-interpolated median of an array column (np.median: mean of the
     * two middle order statistics for even length). `n` must be the array's
@@ -1070,7 +1084,7 @@ object FeatureFuncs {
     require(nn >= 1 && nn <= 16, "neighbourhood radius must be in [1, 16]")
     FeatureFunc(s"neighbourhood_peaks_$nn", (idx, v) => {
       val w = 2 * nn + 1
-      val tups = templates(sortedVals(idx, v), w)
+      val tups = templates(sortedVals(idx, v), w, count(v))
       aggregate(
         transform(tups, t => {
           val mid = element_at(t, nn + 1)
