@@ -1134,7 +1134,14 @@ object FeatureFuncs {
       // crossings, autocorr, entropy variants — serialize via a caller-
       // extended registry, like any custom func)
       "hjorth" -> hjorthParams, "petrosian_fd" -> petrosianFd,
-      "katz_fd" -> katzFd)
+      "katz_fd" -> katzFd,
+      // the parameterless r11 tranche-4/5 stock
+      "shannon_entropy" -> shannonEntropy,
+      "mean_abs_diff" -> meanAbsDiff, "mean_diff" -> meanDiff,
+      "median_abs_diff" -> medianAbsDiff, "median_diff" -> medianDiff,
+      "distance" -> curveDistance, "pk_pk_distance" -> pkPkDistance,
+      "linear_trend" -> linearTrend,
+      "linear_trend_timewise" -> linearTrendTimewise)
 }
 
 /** A named aggregation over a TUPLE of series — the analog of a reference

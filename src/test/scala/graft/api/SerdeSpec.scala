@@ -23,6 +23,18 @@ class SerdeSpec extends AnyFunSuite {
     assert(back.descriptors.head.funcName == "mean")
   }
 
+  test("r11 tranche-4/5 parameterless stock round-trips by name") {
+    val fns = Seq(shannonEntropy, meanAbsDiff, meanDiff, medianAbsDiff,
+      medianDiff, curveDistance, pkPkDistance, linearTrend,
+      linearTrendTimewise)
+    val fc = FeatureCollection.of(fns.map(f =>
+      FeatureDescriptor(f, "v", Some(Win.time("1h")), Some(Seq(Win.time("30m"))))))
+    val back = FeatureCollectionSerde.fromJson(FeatureCollectionSerde.toJson(fc))
+    assert(back.descriptors.map(_.funcName) == fns.map(_.name))
+    // multi-output members keep their output names through the registry
+    assert(back.descriptors.map(_.funcOutputNames) == fns.map(_.outputNames))
+  }
+
   test("unregistered function fails at SAVE time with the function name") {
     val custom = FeatureFunc("mystery", (_, v) => org.apache.spark.sql.functions.max(v))
     val fc = FeatureCollection(FeatureDescriptor(custom, "x", Some(Win.seq(2L)),
