@@ -2717,7 +2717,7 @@ object SparkEntry {
          |  round(went.h, 6) AS "value__wavelet_entropy__w=1D",
          |  ${(1 to 4).map(w =>
              s"""round(w$w.sa / w$w.cn, 6) AS "value__wam_${w}__w=1D",
-         |  round(sqrt((w$w.s2 - w$w.ss * w$w.ss / w$w.cn) / w$w.cn), 6)
+         |  round(sqrt(greatest(0, (w$w.s2 - w$w.ss * w$w.ss / w$w.cn) / w$w.cn)), 6)
          |    AS "value__wsd_${w}__w=1D",
          |  round(sqrt(w$w.s2 / w$w.cn), 6) AS "value__wen_${w}__w=1D",""")
              .mkString("\n         |  ")}
@@ -2862,7 +2862,8 @@ object SparkEntry {
          |pf AS (SELECT p0.we, p0.k, p0.psd, p0.k * 0.04 / p0.n AS fq,
          |  tot.tp, tot.nb,
          |  first_value(p0.psd) OVER (PARTITION BY p0.we ORDER BY p0.k) AS p1,
-         |  sum(p0.psd) OVER (PARTITION BY p0.we ORDER BY p0.k) AS cum
+         |  sum(p0.psd) OVER (PARTITION BY p0.we ORDER BY p0.k) AS cum,
+         |  max(p0.psd) OVER (PARTITION BY p0.we) AS pmax
          |  FROM p0 JOIN tot ON p0.we = tot.we),
          |ct AS (SELECT we, sum(fq * psd) / max(tp) AS c FROM pf GROUP BY we),
          |mom AS (SELECT pf.we, max(ct.c) AS c,
@@ -2874,7 +2875,9 @@ object SparkEntry {
          |  min(fq) FILTER (WHERE cum >= 0.85 * tp) AS roll,
          |  min(fq) FILTER (WHERE cum >= 0.5 * tp) AS med,
          |  max(psd) / max(tp) AS maxrel,
-         |  arg_max(fq, psd) AS fund
+         |  -- lowest-frequency bin among PSD-tied maxima: pins the same
+         |  -- tie-break as the kernel's strict-> first-max scan
+         |  min(fq) FILTER (WHERE psd = pmax) AS fund
          |  FROM pf JOIN ct ON pf.we = ct.we GROUP BY pf.we),
          |mcb AS (SELECT we, least(3, (k - 1) * 4 // nb) AS b,
          |  sum(psd / tp) AS w FROM pf GROUP BY we, least(3, (k - 1) * 4 // nb))

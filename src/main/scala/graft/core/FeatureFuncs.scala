@@ -816,22 +816,33 @@ object FeatureFuncs {
       val pairs = array_sort(collect_list(
         when(v.isNotNull, struct(idx.as("i"), v.as("v")))))
       val tmin = org.apache.spark.sql.functions.min(idx)
-      val ts = transform(pairs,
-        p => (p.getField("i") - tmin) / lit(3600000000.0))
-      val vs = transform(pairs, p => p.getField("v"))
       val n = count(v).cast("double")
       val sv = org.apache.spark.sql.functions.sum(v)
-      val st = aggregate(ts, lit(0.0), (a, b) => a + b)
-      val stt = aggregate(transform(ts, t => t * t), lit(0.0), (a, b) => a + b)
-      val stv = aggregate(zip_with(ts, vs, (a, b) => a * b), lit(0.0),
-        (a, b) => a + b)
-      val sxx = stt - st * st / n
-      val sxy = stv - st * sv / n
-      val slope = sxy / sxx
-      val icept = (sv - slope * st) / n
-      struct(
-        when(n >= 2 && sxx > 0, slope).as("ltt_slope"),
-        when(n >= 2 && sxx > 0, icept).as("ltt_intercept"))
+      // ONE fold carrying (Σt, Σt², Σt·v) with slope/intercept computed in
+      // the FINISH lambda — the collect→sort chain is referenced exactly
+      // once (HOF chains get no codegen CSE; each extra reference
+      // re-evaluates the chain per window, measured ~1.9× on q101)
+      aggregate(pairs,
+        struct(lit(0.0).as("st"), lit(0.0).as("stt"), lit(0.0).as("stv")),
+        (a, p) => {
+          val t = (p.getField("i") - tmin) / lit(3600000000.0)
+          struct(
+            (a.getField("st") + t).as("st"),
+            (a.getField("stt") + t * t).as("stt"),
+            (a.getField("stv") + t * p.getField("v")).as("stv"))
+        },
+        a => {
+          val st = a.getField("st")
+          val stt = a.getField("stt")
+          val stv = a.getField("stv")
+          val sxx = stt - st * st / n
+          val sxy = stv - st * sv / n
+          val slope = sxy / sxx
+          val icept = (sv - slope * st) / n
+          struct(
+            when(n >= 2 && sxx > 0, slope).as("ltt_slope"),
+            when(n >= 2 && sxx > 0, icept).as("ltt_intercept"))
+        })
     }, outputNames = Some(outs))
   }
 
@@ -1106,7 +1117,11 @@ object FeatureFuncs {
     require(bins >= 1 && bins <= 64, "hist bins must be in [1, 64]")
     val names = (1 to bins).map(b => s"hist$b")
     FeatureFunc(s"hist$bins", (idx, v) => {
-      val vals = sortedVals(idx, v)
+      // counts are order-independent: plain collect (no sort), and ONE fold
+      // carrying a per-bin array counter — the previous per-bin
+      // size(filter(vals, ...)) re-evaluated the collect chain once per bin
+      // (HOF chains get no codegen CSE; up to 64 chain evals per window)
+      val vals = collect_list(v)
       val mn = org.apache.spark.sql.functions.min(v)
       val mx = org.apache.spark.sql.functions.max(v)
       val binOf: Column => Column = x =>
@@ -1114,9 +1129,15 @@ object FeatureFuncs {
           least(floor((x - mn) / (mx - mn) * lit(bins)), lit(bins - 1))
             .cast("int"))
           .otherwise(lit(0))
-      struct(names.zipWithIndex.map { case (nm, b) =>
-        size(filter(vals, x => binOf(x) === b)).cast("long").as(nm)
-      }: _*)
+      aggregate(vals,
+        array((0 until bins).map(_ => lit(0L)): _*),
+        (acc, x) => {
+          val b = binOf(x)
+          transform(acc, (c, i) => when(i === b, c + 1L).otherwise(c))
+        },
+        acc => struct(names.zipWithIndex.map { case (nm, b) =>
+          element_at(acc, b + 1).as(nm)
+        }: _*))
     }, outputNames = Some(names))
   }
 

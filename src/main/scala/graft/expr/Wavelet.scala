@@ -74,7 +74,7 @@ object WaveletUtil {
       }
       out(1 + 3 * wi) = java.lang.Double.valueOf(sa / n)
       out(2 + 3 * wi) =
-        java.lang.Double.valueOf(math.sqrt((s2 - ss * ss / n) / n))
+        java.lang.Double.valueOf(math.sqrt(math.max(0.0, (s2 - ss * ss / n) / n)))
       out(3 + 3 * wi) = java.lang.Double.valueOf(math.sqrt(s2 / n))
       energy(wi) = s2
       wi += 1
