@@ -46,6 +46,17 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // The whole-stage-codegen class cache is bounded at 100 entries by
+      // default; a cold pass over this 116-query suite compiles ~3.2k
+      // generated classes, so by the time a second pass (or the warm
+      // repeat of a late query) runs, the early classes are evicted and
+      // Janino recompiles them mid-measurement — the r11 driver artifact
+      // showed q21 warm at 2.88x its own isolated run with cg_warm=45
+      // recompiles and 2.9 s of GC. Any long-lived JVM serving >100
+      // distinct large plans needs this raised (static conf, so it must
+      // be set at session creation); 8192 holds the full suite with
+      // headroom at <1 GiB worst-case for the cached class metadata.
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Queries that materialize a localCheckpoint (Dedup, G3) discard the
@@ -69,14 +80,14 @@ object Bench {
       SparkEntry.queries.get("q00_tpch_q1").foreach(_(spark, sfDir)
         .queryExecution.toRdd.count())
     } catch { case _: Throwable => }
-    // Each query runs TWICE back-to-back: the first run pays whatever the
-    // suite context costs (Janino's 100-entry codegen-class cache holds a
-    // few hundred generated classes per ~90-query pass, so a query's
-    // classes are always evicted by the time a second FULL pass reaches it
-    // — the r8-diagnosed wobble); the immediate repeat hits the codegen
-    // cache and measures the PLAN. The warm vector is the headline
-    // (round-over-round comparable); the cold vector stays in the artifact
-    // as the suite-context number.
+    // Each query runs TWICE back-to-back: the first run pays the suite
+    // context (first-time Janino compilation of this query's generated
+    // classes — with the cache raised to 8192 above, first-time is the
+    // ONLY compilation; at the default 100 entries the suite thrashed the
+    // cache and recompiled mid-measurement, the r8-diagnosed wobble); the
+    // immediate repeat hits the codegen cache and measures the PLAN. The
+    // warm vector is the headline (round-over-round comparable); the cold
+    // vector stays in the artifact as the suite-context number.
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names = if (only.isEmpty) names0 else names0.filter(only.contains)
     def once(name: String): (Double, Long, Long) = {
@@ -93,6 +104,13 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      // diag deltas are snapshotted HERE, before the boundary cleanup:
+      // gc_*_ms counts only GC that ran inside the measured region (the
+      // boundary System.gc below used to be charged to the query's diag
+      // row, putting a uniform ~250 ms floor in every cell and masking
+      // real in-region GC)
+      val gcIn = gcMs() - gc0
+      val cgIn = cgCount() - cg0
       // free this query's checkpoint blocks so the next query's time
       // measures ITS plan, not the eviction of accumulated storage debt
       // (observed: a stable ~3.7 s CC query reading 19.8 s under prior
@@ -105,7 +123,13 @@ object Bench {
       // suite even on an immediate repeat. A GC at the query boundary
       // makes reclamation deterministic instead of landing mid-measurement.
       System.gc()
-      (sec, gcMs() - gc0, cgCount() - cg0)
+      // ...but the GC only ENQUEUES the dead weak refs; the ContextCleaner
+      // thread then issues the removeBroadcast/removeShuffle RPCs
+      // asynchronously. A short settle window drains that work at the
+      // boundary instead of letting it contend inside the NEXT query's
+      // timed region (untimed; 116x2 boundaries ~= 28 s of wall).
+      Thread.sleep(120)
+      (sec, gcIn, cgIn)
     }
     val timed = names.map { n =>
       val (cold, gcC, cgC) = once(n)

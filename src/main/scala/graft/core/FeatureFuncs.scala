@@ -868,6 +868,18 @@ object FeatureFuncs {
       outputNames = Some(graft.expr.WaveletUtil.names(widths)))
   }
 
+  /** tsfel `mfcc(fs, num_ceps)`: mel filterbank log-energies + orthonormal
+    * DCT-II with mean normalization and sinusoidal liftering (see
+    * [[graft.expr.MfccUtil]] for the full convention list; reference
+    * exercise: tests/test_features_integration.py:256).
+    */
+  def mfcc(fs: Double, numCeps: Int): FeatureFunc = {
+    require(fs > 0, "sampling rate must be > 0")
+    FeatureFunc("mfcc",
+      (idx, v) => graft.expr.MfccSlice(sortedVals(idx, v), fs, numCeps),
+      outputNames = Some(graft.expr.MfccUtil.names(numCeps)))
+  }
+
   /** Parametric band-energy ratio + normalized spectral distance on the
     * shared periodogram path (see [[graft.expr.SpectralExtrasUtil]]).
     */
@@ -902,6 +914,18 @@ object FeatureFuncs {
   val catch22Tranche1: FeatureFunc = FeatureFunc("catch22",
     (idx, v) => graft.expr.Catch22Slice(sortedVals(idx, v)),
     outputNames = Some(graft.expr.Catch22Util.names))
+
+  /** The catch24 variant: the same single kernel call emitting the battery
+    * plus pycatch22's two extras (DN_Mean, sample-std DN_Spread_Std)
+    * appended last — the reference's `catch22_all(catch24=True)` 24-output
+    * shape (tests/test_features_integration.py:341-357). Computed inside
+    * the one kernel pass, NOT composed from separate aggregates: a
+    * composed struct would reference the sorted-window chain 24 times
+    * (HOF chains get no codegen CSE).
+    */
+  val catch24Battery: FeatureFunc = FeatureFunc("catch24",
+    (idx, v) => graft.expr.Catch22Slice(sortedVals(idx, v), catch24 = true),
+    outputNames = Some(graft.expr.Catch22Util.names24))
 
   // ---- pyentrp completion (r11 tranche 4) ---------------------------------
   // The two members of the reference's pyentrp integration surface
@@ -1162,7 +1186,9 @@ object FeatureFuncs {
       "median_abs_diff" -> medianAbsDiff, "median_diff" -> medianDiff,
       "distance" -> curveDistance, "pk_pk_distance" -> pkPkDistance,
       "linear_trend" -> linearTrend,
-      "linear_trend_timewise" -> linearTrendTimewise)
+      "linear_trend_timewise" -> linearTrendTimewise,
+      // the two parameterless battery entries (r12)
+      "catch22" -> catch22Tranche1, "catch24" -> catch24Battery)
 }
 
 /** A named aggregation over a TUPLE of series — the analog of a reference

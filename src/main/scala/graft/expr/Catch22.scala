@@ -90,6 +90,17 @@ object Catch22Util {
   val dataType: StructType =
     StructType(names.map(n => StructField(n, DoubleType, nullable = true)))
 
+  /** catch24 = the 22-member battery + mean and SAMPLE std (ddof=1 — the
+    * pycatch22 C `stddev` helper divides by n−1), appended LAST in
+    * pycatch22's `catch22_all(catch24=True)` order (reference surface:
+    * tests/test_features_integration.py:341-357 via
+    * tsflex/features/integrations.py:281-337).
+    */
+  val names24: Seq[String] = names ++ Seq("DN_Mean", "DN_Spread_Std")
+
+  val dataType24: StructType =
+    StructType(names24.map(n => StructField(n, DoubleType, nullable = true)))
+
   /** Lazily-extended ACF: values are computed on first demand per lag and
     * memoized, so crossing searches pay O(n·k) for stopping lag k instead
     * of the full O(n²/2). `null`-equivalent: NaN when σ² = 0.
@@ -562,7 +573,9 @@ object Catch22Util {
     }
   }
 
-  def compute(arr: ArrayData): InternalRow = {
+  def compute(arr: ArrayData): InternalRow = compute(arr, catch24 = false)
+
+  def compute(arr: ArrayData, catch24: Boolean): InternalRow = {
     val n = arr.numElements()
     val x = new Array[Double](n)
     var i = 0
@@ -570,7 +583,7 @@ object Catch22Util {
     var mu = 0.0; i = 0
     while (i < n) { mu += x(i); i += 1 }
     if (n > 0) mu /= n
-    val out = new Array[Any](names.length)
+    val out = new Array[Any](if (catch24) names24.length else names.length)
 
     out(0) = timed("mode5")(histMode(x, 5))
     out(1) = timed("mode10")(histMode(x, 10))
@@ -801,6 +814,16 @@ object Catch22Util {
     out(20) = timed("fluct_rs")(fluctAnal(x, lag = 1, dfa = false))
     out(21) = timed("periodwang")(periodicityWang(x))
 
+    if (catch24) {
+      // DN_Mean / DN_Spread_Std (sample std, n−1): pycatch22's two extras
+      out(22) = if (n == 0) null else java.lang.Double.valueOf(mu)
+      out(23) = if (n < 2) null else {
+        var ss = 0.0; var t = 0
+        while (t < n) { val d = x(t) - mu; ss += d * d; t += 1 }
+        java.lang.Double.valueOf(math.sqrt(ss / (n - 1)))
+      }
+    }
+
     new GenericInternalRow(out)
   }
 }
@@ -809,7 +832,7 @@ object Catch22Util {
   * [[Catch22Util]]). CodegenFallback: one heavy call per WINDOW
   * (post-aggregation), not per row — codegen would buy nothing.
   */
-case class Catch22Slice(child: Expression)
+case class Catch22Slice(child: Expression, catch24: Boolean = false)
   extends UnaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -817,12 +840,13 @@ case class Catch22Slice(child: Expression)
     case t => TypeCheckResult.TypeCheckFailure(
       s"catch22 requires array<double>, got ${t.sql}")
   }
-  override def dataType: DataType = Catch22Util.dataType
+  override def dataType: DataType =
+    if (catch24) Catch22Util.dataType24 else Catch22Util.dataType
   override def nullable: Boolean = true
-  override def prettyName: String = "catch22_tranche1"
+  override def prettyName: String = if (catch24) "catch24" else "catch22_tranche1"
 
   override def nullSafeEval(a: Any): Any =
-    Catch22Util.compute(a.asInstanceOf[ArrayData])
+    Catch22Util.compute(a.asInstanceOf[ArrayData], catch24)
 
   override protected def withNewChildInternal(
       newChild: Expression): Catch22Slice = copy(child = newChild)
@@ -831,4 +855,6 @@ case class Catch22Slice(child: Expression)
 object Catch22Slice {
   def apply(arr: Column): Column =
     ColumnBridge.column(Catch22Slice(ColumnBridge.expression(arr)))
+  def apply(arr: Column, catch24: Boolean): Column =
+    ColumnBridge.column(Catch22Slice(ColumnBridge.expression(arr), catch24))
 }

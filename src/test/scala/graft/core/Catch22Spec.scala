@@ -212,6 +212,32 @@ class Catch22Spec extends SparkSpec {
       eval("SC_FluctAnal_2_rsrangefit_50_1_logi_prop_r1", scaled))
   }
 
+  test("catch24: battery + DN_Mean / sample-std DN_Spread_Std appended last") {
+    import spark.implicits._
+    val vals = Seq(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("idx", "v").repartition(2)
+    val r = df.agg(catch24Battery.agg(col("idx"), col("v"))).head.getStruct(0)
+    assert(r.length == 24)
+    assert(graft.expr.Catch22Util.names24.takeRight(2) ==
+      Seq("DN_Mean", "DN_Spread_Std"))
+    val mean = r.getDouble(22)
+    val sd = r.getDouble(23)
+    assert(math.abs(mean - 5.0) < 1e-12)
+    // Σ(x-5)² = 9+1+1+1+0+0+4+16 = 32; sample std = sqrt(32/7)
+    assert(math.abs(sd - math.sqrt(32.0 / 7)) < 1e-12)
+    // the battery prefix is the catch22 result unchanged
+    val c22 = df.agg(catch22Tranche1.agg(col("idx"), col("v"))).head.getStruct(0)
+    (0 until 22).foreach { i =>
+      assert((c22.isNullAt(i) && r.isNullAt(i)) ||
+        c22.getDouble(i) == r.getDouble(i), s"member $i differs")
+    }
+    // n fences on the extras
+    val one = Seq((0L, 3.5)).toDF("idx", "v")
+    val r1 = one.agg(catch24Battery.agg(col("idx"), col("v"))).head.getStruct(0)
+    assert(r1.getDouble(22) == 3.5 && r1.isNullAt(23))
+  }
+
   test("PD_PeriodicityWang_th0_01: spline-detrended ACF period") {
     // the drift is absorbed by the spline; the period-10 triangle wave's
     // first qualifying ACF peak is at lag 10
