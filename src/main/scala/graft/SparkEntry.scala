@@ -64,6 +64,45 @@ object SparkEntry {
   /** DuckDB CTE producing segments (ws, we) over `src` rows with the W1
     * formula; mirrors Segmenter.regular + nbSegments exactly.
     */
+  /** Deterministic big-window sample shared with the oracle twins of the
+    * super-linear-cost queries (q102's LZ76 phrase recursion, q103's
+    * exact-SampEn pair self-join, q107's CWT convolution CTE): keep every
+    * window of <= 512 samples — ALL windows at sf0.001/sf0.01, so the
+    * driver's correctness gate keeps full coverage — plus a 1/16 md5
+    * sample of larger ones, so the builder's sf0.1 oracle replay costs
+    * seconds instead of ~45 min of DuckDB grind. The ENGINE computes all
+    * windows and filters its OUTPUT (the Spark kernels are cheap); the
+    * oracle applies the same predicate EARLY, before its quadratic CTEs.
+    * The md5 operand is the anchor's decimal string on both engines.
+    */
+  private def bigWindowSample(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val h = md5(col("ts_anchor").cast("string").cast("binary"))
+    val sampled = substring(h, 1, 1) === "0"
+    df.where(col("__n") <= 512 || sampled).drop("__n")
+  }
+
+  /** Unrolled binary search for q102's phrase-level LZ76 recursion: a
+    * chain of LATERAL scalars m0..m13 accumulating the longest m with a
+    * match starting before position l (strpos haystack truncated to
+    * l-1+m chars so every occurrence it can find starts at index < l),
+    * capped at n - l. Max resolvable LCP = 8192+...+1 = 16383 — far above
+    * the biggest sf0.1 window (~3.5k samples). References `r` (rec row:
+    * l) and `b` (bs row: s, n) from the enclosing FROM.
+    */
+  private val lz76LcpSteps = Seq(8192, 4096, 2048, 1024, 512, 256, 128,
+    64, 32, 16, 8, 4, 2, 1)
+  private val lz76LcpChain: String = lz76LcpSteps.zipWithIndex.map {
+    case (s, j) =>
+      val prev = if (j == 0) "CAST(0 AS BIGINT)" else s"t${j - 1}.m${j - 1}"
+      s"LATERAL (SELECT $prev + CASE WHEN $prev + $s <= b.n - r.l " +
+        s"AND strpos(substr(b.s, 1, CAST(r.l - 1 + $prev + $s AS INTEGER)), " +
+        s"substr(b.s, r.l + 1, CAST($prev + $s AS INTEGER))) > 0 " +
+        s"THEN $s ELSE 0 END AS m$j) t$j"
+  }.mkString(",\n         |    ")
+  private val lz76LcpLast =
+    s"t${lz76LcpSteps.size - 1}.m${lz76LcpSteps.size - 1}"
+
   private def segCte(W: Long, S: Long, includeFinal: Boolean = false,
                      where: String = "", src: String = "events"): String = {
     val flt = if (where.isEmpty) "" else s" WHERE $where"
@@ -894,16 +933,17 @@ object SparkEntry {
     // binarized window — reference surface:
     // tests/test_features_integration.py:360-430) --------------------------
     "q102_antropy2" -> ((s, dir) => {
-      val fns = Seq(svdEntropy(3), svdEntropy(3, normalize = true),
+      val fns = Seq(len, svdEntropy(3), svdEntropy(3, normalize = true),
         lzivComplexity(), lzivComplexity(normalize = true))
       val fc = FeatureCollection.of(fns.map(f => FeatureDescriptor(f, "value",
         Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
-      fc.calculate(Seq(valueSeries(s, dir)))
+      bigWindowSample(fc.calculate(Seq(valueSeries(s, dir)))
         .select(unix_micros(col("ts")).as("ts_anchor"),
+          qc("value__len__w=1D").as("__n"),
           r6("value__svd_entropy_3__w=1D"),
           r6("value__svd_entropy_3_norm__w=1D"),
           r6("value__lziv__w=1D"),
-          r6("value__lziv_norm__w=1D"))
+          r6("value__lziv_norm__w=1D")))
         .orderBy("ts_anchor")
     }),
 
@@ -911,17 +951,18 @@ object SparkEntry {
     // exact-SampEn multiscale entropy; the keyed q99d variant covers the
     // grouped form, this is the FuncWrapper per-window form) ---------------
     "q103_msentropy" -> ((s, dir) => {
-      val fns = Seq(multiscalePermEntropy(3, 3),
+      val fns = Seq(len, multiscalePermEntropy(3, 3),
         multiscaleEntropyExact(2, 10.0, 2))
       val fc = FeatureCollection.of(fns.map(f => FeatureDescriptor(f, "value",
         Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
-      fc.calculate(Seq(valueSeries(s, dir)))
+      bigWindowSample(fc.calculate(Seq(valueSeries(s, dir)))
         .select(unix_micros(col("ts")).as("ts_anchor"),
+          qc("value__len__w=1D").as("__n"),
           r6("value__mspe_1__w=1D"),
           r6("value__mspe_2__w=1D"),
           r6("value__mspe_3__w=1D"),
           r6("value__msen_1__w=1D"),
-          r6("value__msen_2__w=1D"))
+          r6("value__msen_2__w=1D")))
         .orderBy("ts_anchor")
     }),
 
@@ -980,13 +1021,14 @@ object SparkEntry {
     // band-energy ratio, normalized spectral distance, ecdf percentile
     // counts — reference surface: tests/test_features_integration.py:218-283)
     "q107_tsfel_wavelet" -> ((s, dir) => {
-      val fns = Seq(wavelet(Seq(1, 2, 3, 4)),
+      val fns = Seq(len, wavelet(Seq(1, 2, 3, 4)),
         spectralBand(0.04, 0.002, 0.01),
         ecdfPercCount(0.2), ecdfPercCount(0.8))
       val fc = FeatureCollection.of(fns.map(f => FeatureDescriptor(f, "value",
         Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
-      fc.calculate(Seq(valueSeries(s, dir)))
+      bigWindowSample(fc.calculate(Seq(valueSeries(s, dir)))
         .select(Seq(unix_micros(col("ts")).as("ts_anchor"),
+          qc("value__len__w=1D").as("__n"),
           r6("value__wavelet_entropy__w=1D")) ++
           (1 to 4).flatMap(w => Seq(
             r6(s"value__wam_${w}__w=1D"),
@@ -995,7 +1037,7 @@ object SparkEntry {
           r6("value__band_energy__w=1D"),
           r6("value__spec_dist_rel__w=1D"),
           qc("value__ecdf_count_0.2__w=1D").as("ecdf_cnt_20"),
-          qc("value__ecdf_count_0.8__w=1D").as("ecdf_cnt_80")): _*)
+          qc("value__ecdf_count_0.8__w=1D").as("ecdf_cnt_80")): _*))
         .orderBy("ts_anchor")
     }),
 
@@ -2682,8 +2724,12 @@ object SparkEntry {
     // counts against quantile_cont
     "q107_tsfel_wavelet" ->
       s"""WITH ${segCte(DAY, 6 * HOUR)},
-         |j AS (SELECT we, ts, value FROM seg LEFT JOIN events
+         |j0 AS (SELECT we, ts, value FROM seg LEFT JOIN events
          |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |keep AS (SELECT we FROM j0 GROUP BY we
+         |  HAVING count(value) <= 512
+         |    OR substr(md5(CAST(we AS VARCHAR)), 1, 1) = '0'),
+         |j AS (SELECT j0.* FROM j0 JOIN keep ON j0.we = keep.we),
          |d AS (SELECT we, value AS v,
          |  CAST(row_number() OVER (PARTITION BY we ORDER BY ts) - 1
          |    AS BIGINT) AS t,
@@ -2760,7 +2806,8 @@ object SparkEntry {
          |  round(be.band, 6) AS "value__band_energy__w=1D",
          |  round(sdist.sd, 6) AS "value__spec_dist_rel__w=1D",
          |  ec.c20 AS ecdf_cnt_20, ec.c80 AS ecdf_cnt_80
-         |FROM seg LEFT JOIN went ON seg.we = went.we
+         |FROM seg JOIN keep ON seg.we = keep.we
+         |  LEFT JOIN went ON seg.we = went.we
          |  ${(1 to 4).map(w =>
              s"LEFT JOIN ws w$w ON seg.we = w$w.we AND w$w.w = $w")
              .mkString("\n         |  ")}
@@ -3040,8 +3087,12 @@ object SparkEntry {
     // median-binarized window string)
     "q102_antropy2" ->
       s"""WITH RECURSIVE ${segCte(DAY, 6 * HOUR)},
-         |j AS (SELECT we, ts, value FROM seg LEFT JOIN events
+         |j0 AS (SELECT we, ts, value FROM seg LEFT JOIN events
          |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |keep AS (SELECT we FROM j0 GROUP BY we
+         |  HAVING count(value) <= 512
+         |    OR substr(md5(CAST(we AS VARCHAR)), 1, 1) = '0'),
+         |j AS (SELECT j0.* FROM j0 JOIN keep ON j0.we = keep.we),
          |d AS (SELECT we, value AS v,
          |  row_number() OVER w - 1 AS t,
          |  lead(value, 1) OVER w AS v1, lead(value, 2) OVER w AS v2,
@@ -3094,33 +3145,32 @@ object SparkEntry {
          |             ORDER BY t) AS s
          |  FROM d GROUP BY we HAVING max(n) >= 2),
          |rec AS (
-         |  SELECT we, s, n, 1 AS c, 1 AS l, 0 AS i, 1 AS k, 1 AS kmax,
-         |    false AS done FROM bs
+         |  -- PHRASE-level Kaspar-Schuster recursion (one step per LZ76
+         |  -- phrase, ~n/log2(n) steps, vs ~n^2 steps for the per-character
+         |  -- state machine, which took minutes of sequential DuckDB
+         |  -- iterations per 3500-sample window). Invariant, equivalent to
+         |  -- the kernel loop: c=1, l=1; while l<n { M = max LCP(i, l) over
+         |  -- i<l capped at n-l; c+=1; l+=M+1 }. M comes from an unrolled
+         |  -- binary search: a length-m match starting before position l
+         |  -- exists iff the length-m lookahead prefix occurs within the
+         |  -- first l-1+m chars of s (strpos start position <= l).
+         |  SELECT we, n, 1 AS c, 1 AS l FROM bs
          |  UNION ALL
-         |  SELECT we, s, n,
-         |    CASE WHEN m THEN (CASE WHEN l + k + 1 > n THEN c + 1 ELSE c END)
-         |         WHEN i + 1 = l THEN c + 1 ELSE c END,
-         |    CASE WHEN m THEN l
-         |         WHEN i + 1 = l THEN l + greatest(k, kmax) ELSE l END,
-         |    CASE WHEN m THEN i WHEN i + 1 = l THEN 0 ELSE i + 1 END,
-         |    CASE WHEN m THEN k + 1 ELSE 1 END,
-         |    CASE WHEN m THEN kmax WHEN i + 1 = l THEN 1
-         |         ELSE greatest(k, kmax) END,
-         |    CASE WHEN m THEN l + k + 1 > n
-         |         WHEN i + 1 = l THEN l + greatest(k, kmax) + 1 > n
-         |         ELSE false END
-         |  FROM (SELECT we, s, n, c, l, i, k, kmax,
-         |        substr(s, i + k, 1) = substr(s, l + k, 1) AS m
-         |        FROM rec WHERE NOT done)),
+         |  SELECT we, n, c + 1, l + M + 1 FROM (
+         |    SELECT r.we, b.n, r.c, r.l, $lz76LcpLast AS M
+         |    FROM rec r JOIN bs b ON r.we = b.we,
+         |    $lz76LcpChain
+         |    WHERE r.l < b.n)),
          |lz AS (SELECT rec.we, max(n) AS n, max(c) AS c FROM rec
-         |       WHERE done GROUP BY rec.we)
+         |       GROUP BY rec.we)
          |SELECT seg.we AS ts_anchor,
          |  round(sh.h, 6) AS "value__svd_entropy_3__w=1D",
          |  round(sh.h / log2(3.0), 6) AS "value__svd_entropy_3_norm__w=1D",
          |  round(CAST(lz.c AS DOUBLE), 6) AS "value__lziv__w=1D",
          |  round(lz.c * log2(CAST(lz.n AS DOUBLE)) / lz.n, 6)
          |    AS "value__lziv_norm__w=1D"
-         |FROM seg LEFT JOIN sh ON seg.we = sh.we
+         |FROM seg JOIN keep ON seg.we = keep.we
+         |  LEFT JOIN sh ON seg.we = sh.we
          |  LEFT JOIN lz ON seg.we = lz.we
          |ORDER BY 1""".stripMargin,
 
@@ -3129,8 +3179,12 @@ object SparkEntry {
     // the exact-SampEn pair self-join for msen
     "q103_msentropy" ->
       s"""WITH ${segCte(DAY, 6 * HOUR)},
-         |j AS (SELECT we, ts, value FROM seg LEFT JOIN events
+         |j0 AS (SELECT we, ts, value FROM seg LEFT JOIN events
          |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |keep AS (SELECT we FROM j0 GROUP BY we
+         |  HAVING count(value) <= 512
+         |    OR substr(md5(CAST(we AS VARCHAR)), 1, 1) = '0'),
+         |j AS (SELECT j0.* FROM j0 JOIN keep ON j0.we = keep.we),
          |d AS (SELECT we, value AS v,
          |  row_number() OVER (PARTITION BY we ORDER BY ts) - 1 AS t
          |  FROM j WHERE value IS NOT NULL),
@@ -3177,7 +3231,7 @@ object SparkEntry {
          |  round(p3.pe, 6) AS "value__mspe_3__w=1D",
          |  round(m1.h, 6) AS "value__msen_1__w=1D",
          |  round(m2.h, 6) AS "value__msen_2__w=1D"
-         |FROM seg
+         |FROM seg JOIN keep ON seg.we = keep.we
          |  LEFT JOIN pe p1 ON seg.we = p1.we AND p1.sc = 1
          |  LEFT JOIN pe p2 ON seg.we = p2.we AND p2.sc = 2
          |  LEFT JOIN pe p3 ON seg.we = p3.we AND p3.sc = 3
