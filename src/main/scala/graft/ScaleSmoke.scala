@@ -217,6 +217,17 @@ object ScaleSmoke {
       fc.calculate(Seq(Series("value", events, "ts", "value")))
         .queryExecution.toRdd.count()
     }
+    // r12: MFCC (pre-emphasis + rfft(512) + mel bank + DCT) and catch24 —
+    // both constant-cost per window, so the replicated-window-count axis
+    // is the whole scale story, same as catch22/wavelet above
+    time(s"events x$copies mfcc+catch24 battery") {
+      import FeatureFuncs._
+      val fns = Seq(mfcc(0.04, 6), catch24Battery)
+      val fc = FeatureCollection.of(fns.map(f => FeatureDescriptor(f, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
+      fc.calculate(Seq(Series("value", events, "ts", "value")))
+        .queryExecution.toRdd.count()
+    }
     // Eckmann spectrum: the relational O(n^2)-pairs stages replicate on
     // the KEY axis like corr_dim/lyap_r; the sequential QR chain is the
     // bounded per-key fold

@@ -23,6 +23,106 @@ import graft.core._
   */
 object StreamingFeatures {
 
+  /** Per-row input to the consecutive-run state machine (key/group widened
+    * to string so one encoder serves any column type; `ts` carries the
+    * event time for the watermark, `tsUs` its exact micros).
+    */
+  case class RunIn(key: String, ts: java.sql.Timestamp, tsUs: Long,
+                           group: String, v: Double)
+
+  /** Open-run state kept per key between micro-batches. */
+  case class RunState(group: String, startUs: Long, endUs: Long,
+                              n: Long, sum: Double, mn: Double, mx: Double)
+
+  case class RunOut(key: String, group: String, startUs: Long,
+                            endUs: Long, n: Long, sum: Double, mn: Double,
+                            mx: Double, mean: Double)
+
+  /** Streaming `group_by_consecutive` (the G3 analog): consecutive rows of
+    * one `keyCol` entity sharing the same `groupCol` value form a RUN; each
+    * closed run emits one row with the run's bounds and value aggregates
+    * (n/sum/min/max/mean — the algebraic core; the batch G3 path remains
+    * the place for arbitrary feature stocks).
+    *
+    * This is the one graft operator whose streaming form genuinely needs
+    * CUSTOM KEYED STATE, so it is built on
+    * `KeyValueGroupedDataset.flatMapGroupsWithState` (append mode,
+    * event-time timeout): state per key is the single open run (bounded —
+    * independent of run length, since only the accumulators are kept), a
+    * run closes either when a later row arrives with a different group
+    * value, or when event time passes `run end + closeAfter` (the timeout —
+    * so tail runs DO emit without requiring a sentinel row). Rows inside a
+    * micro-batch are sorted by event time before folding; cross-batch
+    * disorder is bounded by the `watermark` horizon, the same contract as
+    * every Structured Streaming stateful operator. State is shuffled by
+    * `keyCol`, so entity count is the scale-out axis — the 100 TB shape.
+    *
+    * Output columns: key, group, run_start, run_end, n, sum, min, max,
+    * mean (event-time bounds as TimestampType).
+    */
+  def consecutiveRuns(df: DataFrame, tsCol: String, keyCol: String,
+                      groupCol: String, valueCol: String, watermark: String,
+                      closeAfter: TimeWin): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val inEnc: Encoder[RunIn] = Encoders.product[RunIn]
+    implicit val stEnc: Encoder[RunState] = Encoders.product[RunState]
+    implicit val outEnc: Encoder[RunOut] = Encoders.product[RunOut]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    val closeMs = closeAfter.micros / 1000L
+    val in = df.withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("key"), col(tsCol).as("ts"),
+        unix_micros(col(tsCol)).as("tsUs"),
+        col(groupCol).cast("string").as("group"),
+        col(valueCol).cast("double").as("v"))
+      .as[RunIn]
+
+    def finish(st: RunState, key: String): RunOut =
+      RunOut(key, st.group, st.startUs, st.endUs, st.n, st.sum, st.mn,
+        st.mx, st.sum / st.n)
+
+    val runs = in.groupByKey(_.key)
+      .flatMapGroupsWithState[RunState, RunOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[RunIn], state: GroupState[RunState]) =>
+          if (!rows.hasNext && state.hasTimedOut) {
+            // no row can extend this run anymore (watermark passed
+            // end + closeAfter): close it
+            val out = state.getOption.map(finish(_, key))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toIndexedSeq.sortBy(_.tsUs)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[RunOut]
+            var cur = state.getOption
+            sorted.foreach { r =>
+              cur match {
+                case Some(st) if st.group == r.group =>
+                  cur = Some(st.copy(endUs = math.max(st.endUs, r.tsUs),
+                    n = st.n + 1, sum = st.sum + r.v,
+                    mn = math.min(st.mn, r.v), mx = math.max(st.mx, r.v)))
+                case other =>
+                  other.foreach(st => closed += finish(st, key))
+                  cur = Some(RunState(r.group, r.tsUs, r.tsUs, 1L, r.v, r.v, r.v))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              // timeout must sit above the current watermark; if the run is
+              // already older than the horizon it closes on the next batch
+              state.setTimeoutTimestamp(math.max(st.endUs / 1000L + closeMs,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            closed.iterator
+          }
+      }
+    runs.select(col("key"), col("group"),
+      timestamp_micros(col("startUs")).as("run_start"),
+      timestamp_micros(col("endUs")).as("run_end"),
+      col("n"), col("sum"), col("mn").as("min"), col("mx").as("max"),
+      col("mean"))
+  }
+
   /** Rolling features on a (possibly streaming) frame. Output: one row per
     * window with the W6 `end` anchor in `tsCol` and one W10-named column per
     * function. All functions must be algebraic aggregates (the built-in

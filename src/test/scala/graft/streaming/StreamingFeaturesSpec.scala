@@ -137,6 +137,50 @@ class StreamingFeaturesSpec extends SparkSpec {
     assert(got == Seq("a b", "c d"))
   }
 
+  test("consecutive runs close on group change across batches and on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(String, Long, String, Double)]
+    val sdf = ms.toDF().select(col("_1").as("k"),
+      timestamp_micros(col("_2")).as("ts"), col("_3").as("g"),
+      col("_4").as("v"))
+    val out = StreamingFeatures.consecutiveRuns(sdf, "ts", "k", "g", "v",
+      watermark = "10 minutes", closeAfter = Win.time("1m").asInstanceOf[TimeWin])
+    val q = out.writeStream.format("memory").queryName("runs")
+      .outputMode("append").start()
+    // day-1 base: a ts equal to the INITIAL watermark (epoch 0) would be
+    // dropped as late before reaching the state machine
+    def sec(s: Long) = (86400L + s) * 1000000L
+    // batch 1: run x closes in-batch when y arrives; run y stays open
+    ms.addData(Seq(("a", sec(0), "x", 0.0), ("a", sec(60), "x", 60.0),
+      ("a", sec(120), "y", 120.0)))
+    q.processAllAvailable()
+    // batch 2: y extends ACROSS the batch boundary, then z closes it; the
+    // "wm" key only exists to advance the event-time watermark later
+    ms.addData(Seq(("a", sec(180), "y", 180.0), ("a", sec(240), "z", 240.0),
+      ("wm", sec(300), "w", 0.0)))
+    q.processAllAvailable()
+    // batches 3+4: no more "a" rows — z must close by TIMEOUT once the
+    // watermark (max event time - 10 min) passes its end + closeAfter
+    ms.addData(Seq(("wm", sec(3600), "w", 0.0)))
+    q.processAllAvailable()
+    ms.addData(Seq(("wm", sec(7200), "w", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("runs").where(col("key") === "a")
+      .select(col("group"), unix_micros(col("run_start")),
+        unix_micros(col("run_end")), col("n"), col("sum"), col("min"),
+        col("max"), col("mean"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7)))
+      .sortBy(_._2).toSeq
+    assert(rows == Seq(
+      ("x", sec(0), sec(60), 2L, 60.0, 0.0, 60.0, 30.0),
+      ("y", sec(120), sec(180), 2L, 300.0, 120.0, 180.0, 150.0),
+      ("z", sec(240), sec(240), 1L, 240.0, 240.0, 240.0, 240.0)))
+  }
+
   test("fromWallClock converts an NTZ stream to instants (strict DST)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
