@@ -102,6 +102,19 @@ object GraftFunctions {
     case x => throw new IllegalArgumentException(
       s"$fn expects a literal STRING argument, got $x")
   }
+  private def dblLit(e: Expression, fn: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: Int, _) => v.toDouble
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case x => throw new IllegalArgumentException(
+      s"$fn expects a literal DOUBLE argument, got $x")
+  }
+  private def boolLit(e: Expression, fn: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case x => throw new IllegalArgumentException(
+      s"$fn expects a literal BOOLEAN argument, got $x")
+  }
 
   /** (name, builder) for every native expression — shared by the session
     * registry and the cluster-wide extensions hook. Parameter positions
@@ -123,7 +136,45 @@ object GraftFunctions {
     ("wall_instant_micros", classOf[WallInstantMicros].getName,
       es => WallInstantMicros(es(0), strLit(es(1), "wall_instant_micros"),
         if (es.lengthCompare(3) >= 0) strLit(es(2), "wall_instant_micros")
-        else "sql")))
+        else "sql")),
+    // ---- windowed feature kernels: first arg = the window's values in
+    // TIME order as ARRAY<DOUBLE> (collect_list over a sorted window);
+    // every config arg must be a literal ----
+    ("catch22", classOf[Catch22Slice].getName,
+      es => Catch22Slice(es(0),
+        if (es.lengthCompare(2) >= 0) boolLit(es(1), "catch22") else false)),
+    ("svd_entropy", classOf[SvdEntropy].getName,
+      es => SvdEntropy(es(0), intLit(es(1), "svd_entropy"),
+        intLit(es(2), "svd_entropy"),
+        if (es.lengthCompare(4) >= 0) boolLit(es(3), "svd_entropy")
+        else false)),
+    ("lziv_complexity", classOf[LzivComplexity].getName,
+      es => LzivComplexity(es(0),
+        if (es.lengthCompare(2) >= 0) boolLit(es(1), "lziv_complexity")
+        else false)),
+    ("multiscale_perm_entropy", classOf[Mspe].getName,
+      es => Mspe(es(0), intLit(es(1), "multiscale_perm_entropy"),
+        intLit(es(2), "multiscale_perm_entropy"))),
+    ("multiscale_entropy", classOf[MseExact].getName,
+      es => MseExact(es(0), intLit(es(1), "multiscale_entropy"),
+        dblLit(es(2), "multiscale_entropy"),
+        intLit(es(3), "multiscale_entropy"))),
+    ("mfcc", classOf[MfccSlice].getName,
+      es => MfccSlice(es(0), dblLit(es(1), "mfcc"), intLit(es(2), "mfcc"))),
+    ("spectral_entropy", classOf[SpectralEntropy].getName,
+      es => SpectralEntropy(es(0),
+        if (es.lengthCompare(2) >= 0) boolLit(es(1), "spectral_entropy")
+        else false)),
+    ("welch_density_rel", classOf[WelchRel].getName,
+      es => WelchRel(es(0), intLit(es(1), "welch_density_rel"))),
+    ("spectral_shape", classOf[SpectralShape].getName,
+      es => SpectralShape(es(0), dblLit(es(1), "spectral_shape"))),
+    ("ricker_cwt", classOf[WaveletSlice].getName,
+      es => WaveletSlice(es(0),
+        es.drop(1).map(e => intLit(e, "ricker_cwt")))),
+    ("spectral_band", classOf[SpectralExtras].getName,
+      es => SpectralExtras(es(0), dblLit(es(1), "spectral_band"),
+        dblLit(es(2), "spectral_band"), dblLit(es(3), "spectral_band"))))
 
   /** Register every native expression for SQL usage in an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

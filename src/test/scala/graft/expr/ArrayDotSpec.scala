@@ -95,4 +95,31 @@ class ArrayDotSpec extends SparkSpec {
     assert(r.getSeq[String](3).length == 4)
     assert(r.getLong(4) == 1705316400000000L) // 11:00 UTC
   }
+
+  test("SQL registration: windowed feature kernels resolve and agree with the Column API") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // 64 samples of a deterministic pseudo-series, values in time order
+    val vals = (0 until 64).map(i => math.sin(i * 0.7) + 0.3 * ((i * 37 % 11) - 5))
+    Seq(Tuple1(vals)).toDF("v").createOrReplaceTempView("__fk")
+    val r = spark.sql(
+      """select catch22(v), catch22(v, true), svd_entropy(v, 3, 1),
+        |  lziv_complexity(v), multiscale_perm_entropy(v, 3, 2),
+        |  multiscale_entropy(v, 2, 0.5, 2), mfcc(v, 4.0, 6),
+        |  spectral_entropy(v, true), welch_density_rel(v, 5),
+        |  spectral_shape(v, 4.0), ricker_cwt(v, 1, 2, 3),
+        |  spectral_band(v, 4.0, 0.2, 1.0)
+        |from __fk""".stripMargin).head()
+    assert(r.getStruct(0).length == 22)
+    assert(r.getStruct(1).length == 24)
+    // catch24 = catch22 ++ (mean, sample std): its mean slot must equal
+    // the plain arithmetic mean of the inputs
+    assert(math.abs(r.getStruct(1).getDouble(22) - vals.sum / vals.length) < 1e-9)
+    assert(!r.isNullAt(2) && !r.isNullAt(3))
+    val ent = r.getDouble(7)
+    assert(ent >= 0.0 && ent <= 1.0) // normalized spectral entropy
+    assert(r.getStruct(6).length == 6) // 6 MFCC coefficients
+    // literal-typing tolerance: 0.5 parses as DECIMAL in ANSI SQL — the
+    // dblLit adapter must accept it (covered by multiscale_entropy above)
+  }
 }
