@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Writes an N×-replicated copy of a testdata scale factor as parquet — the
+  * input for full-SUITE scale probes (ScaleSmoke replicates in-memory per
+  * family; this materializes the same axes once so `Bench`/`Verify` can run
+  * ALL queries against the bigger inputs unchanged).
+  *
+  * Replication axes (same as ScaleSmoke): events are TIME-shifted per copy
+  * (window count multiplies, per-window sample count stays constant) with
+  * user_id shifted (key count multiplies); documents/embeddings are
+  * id-shifted (corpus size multiplies; the exact-dup collapse then sees
+  * 10-cliques of identical texts — the template-heavy corpus shape);
+  * lineitem/orders replicate as-is (aggregation row count multiplies); the
+  * TPC-H dimension tables copy through unchanged.
+  *
+  * Usage: runMain graft.ScaleData <srcSfDir> <outDir> [copies=10]
+  */
+object ScaleData {
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir) = args.take(2)
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def rep(df: org.apache.spark.sql.DataFrame)(
+        f: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame) =
+      (0 until copies).map(k => f(df, k)).reduce(_.unionAll(_))
+
+    val evRaw = spark.read.parquet(s"$srcDir/events.parquet")
+    val ev0 = evRaw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        evRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        evRaw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => evRaw
+    }
+    val span = ev0.agg(max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+      .head().getLong(0) + 1000000L
+    rep(ev0)((d, k) => d.select(
+      timestamp_micros(unix_micros(col("ts")) + lit(k * span)).as("ts"),
+      col("value"), col("event_type"),
+      (col("user_id") + lit(k * 1000)).as("user_id")))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    rep(spark.read.parquet(s"$srcDir/documents.parquet"))((d, k) =>
+      d.select((col("doc_id") + lit(k * 1000000)).as("doc_id"), col("text")))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    rep(spark.read.parquet(s"$srcDir/embeddings.parquet"))((d, k) =>
+      d.select((col("vec_id") + lit(k * 1000000)).as("vec_id"),
+        col("embedding"), col("label")))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    for (t <- Seq("lineitem", "orders")) {
+      val d = spark.read.parquet(s"$srcDir/$t.parquet")
+      rep(d)((x, _) => x).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    println(s"SCALEDATA wrote ${copies}x $srcDir -> $outDir")
+    spark.stop()
+  }
+}
