@@ -360,7 +360,52 @@ object Dedup {
     */
   def embedNearDups(df: DataFrame, idCol: String, embCol: String,
                     planes: Int, dims: Int, threshold: Double,
-                    probeHamming: Int = 0): DataFrame = {
+                    probeHamming: Int = 0,
+                    collapseExact: Boolean = true): DataFrame =
+    if (!collapseExact)
+      embedNearDupsCore(df, idCol, embCol, planes, dims, threshold, probeHamming)
+    else {
+      // EXACT-DUP PRE-COLLAPSE, the embedding twin of withExactCollapse:
+      // byte-identical vectors share every LSH bucket, every probe set and
+      // every cosine against every other vector, so only one representative
+      // per distinct vector enters the bucket join (the 10x-replication
+      // probe showed q32 as the one super-linear suite point — c clones of
+      // one vector cost c(c-1)/2 verified candidates without this). The
+      // collapse key is the double-cast array ITSELF (grouping on the
+      // array — no hash-collision risk); members fan back out at the end,
+      // and within-group pairs are exact dups at cosine 1.0 by definition.
+      // Zero-norm/non-finite vectors are excluded from the intra fan-out
+      // (`__nrm > 0` fails for both) — the core path equally drops them
+      // (their cosine is null/NaN, never >= threshold).
+      val emb = transform(col(embCol), c => c.cast("double"))
+      val keyed = graft.core.Pinned.checkpoint(
+        df.select(col(idCol), emb.as("__e")))
+      val reps = keyed.groupBy("__e").agg(min(col(idCol)).as("__rep"))
+      val repMap = graft.core.Pinned.checkpoint(keyed.join(reps, Seq("__e")))
+      val repRows = repMap.where(col(idCol) === col("__rep"))
+        .select(col(idCol), col("__e").as(embCol))
+      val repPairs = embedNearDupsCore(repRows, idCol, embCol, planes, dims,
+        threshold, probeHamming)
+      val cross = repPairs
+        .join(repMap.select(col("__rep").as("id_a"), col(idCol).as("__ma")),
+          Seq("id_a"))
+        .join(repMap.select(col("__rep").as("id_b"), col(idCol).as("__mb")),
+          Seq("id_b"))
+        .select(least(col("__ma"), col("__mb")).as("id_a"),
+          greatest(col("__ma"), col("__mb")).as("id_b"), col("cosine"))
+      val nrm = sqrt(graft.expr.GraftFunctions.arrayDot(col("x.__e"), col("x.__e")))
+      val intra = repMap.as("x").join(repMap.as("y"),
+          col("x.__e") === col("y.__e") &&
+            col(s"x.$idCol") < col(s"y.$idCol"))
+        .where(nrm > 0)
+        .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+          lit(1.0).as("cosine"))
+      cross.unionByName(intra)
+    }
+
+  private def embedNearDupsCore(df: DataFrame, idCol: String, embCol: String,
+                    planes: Int, dims: Int, threshold: Double,
+                    probeHamming: Int): DataFrame = {
     // Pre-cast to double and precompute each vector's norm ONCE per row —
     // inside the pair join only the dot product remains (the norms and array
     // casts would otherwise be recomputed per candidate pair).

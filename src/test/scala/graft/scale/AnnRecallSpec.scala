@@ -75,4 +75,27 @@ class AnnRecallSpec extends SparkSpec {
     assert(math.abs(r0 - exp0) <= 0.15, s"radius-0 recall $r0 vs theory $exp0")
     assert(math.abs(r1 - exp1) <= 0.15, s"radius-1 recall $r1 vs theory $exp1")
   }
+
+  test("embedNearDups exact-dup collapse is output-identical on a clone-heavy corpus") {
+    // 300 base vectors replicated 3x under shifted ids — every vector is a
+    // 3-clique of byte-identical clones, the corpus shape the collapse
+    // targets (q32's 10x-replication super-linearity)
+    val base = emb.where(col("vec_id") < 300)
+    val clones = (0 until 3).map(k =>
+      base.select((col("vec_id") + lit(k * 100000L)).as("vec_id"),
+        col("embedding"))).reduce(_.unionAll(_))
+    val planes = Ann.autoPlanes(300)
+    def pairs(collapse: Boolean): Set[(Long, Long, Double)] =
+      Dedup.embedNearDups(clones, "vec_id", "embedding", planes, dims, 0.35,
+          probeHamming = 1, collapseExact = collapse)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val withCollapse = pairs(true)
+    val raw = pairs(false)
+    assert(withCollapse == raw,
+      s"collapse changed output: only-collapsed=${(withCollapse -- raw).take(3)} " +
+        s"only-raw=${(raw -- withCollapse).take(3)}")
+    // each of the 300 3-cliques must contribute its 3 intra pairs at 1.0
+    assert(withCollapse.count(p => p._3 == 1.0 &&
+      (p._2 - p._1) % 100000L == 0 && p._1 % 100000L == p._2 % 100000L) >= 900)
+  }
 }
