@@ -222,7 +222,11 @@ object ScaleSmoke {
     // is the whole scale story, same as catch22/wavelet above
     time(s"events x$copies mfcc+catch24 battery") {
       import FeatureFuncs._
-      val fns = Seq(mfcc(0.04, 6), catch24Battery)
+      // entropyKde is the only O(n^2)-PER-WINDOW member here; replication
+      // multiplies window COUNT at constant window length, so the family
+      // still scales linearly — the per-window quadratic is the bounded
+      // kernel cost, not a join shape
+      val fns = Seq(mfcc(0.04, 6), catch24Battery, entropyKde, entropyGauss)
       val fc = FeatureCollection.of(fns.map(f => FeatureDescriptor(f, "value",
         Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
       fc.calculate(Seq(Series("value", events, "ts", "value")))

@@ -966,6 +966,22 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- tsfel probability entropies (r12: the LAST integration-surface
+    // members — reference surface: tests/test_features_integration
+    // .py:247-248; kde = Silverman-bandwidth gaussian KDE at the sample
+    // points, gauss = N(mean, std_pop²) pdf, both normalized by log2 n) --
+    "q110_entropy_kde" -> ((s, dir) => {
+      val fns = Seq(len, entropyKde, entropyGauss)
+      val fc = FeatureCollection.of(fns.map(f => FeatureDescriptor(f, "value",
+        Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
+      bigWindowSample(fc.calculate(Seq(valueSeries(s, dir)))
+        .select(unix_micros(col("ts")).as("ts_anchor"),
+          qc("value__len__w=1D").as("__n"),
+          r6("value__entropy_kde__w=1D"),
+          r6("value__entropy_gauss__w=1D")))
+        .orderBy("ts_anchor")
+    }),
+
     // ---- tsfel spectral-shape battery (r11 tranche 4: centroid, spread,
     // shape moments, decrease, rolloff, band powers — one periodogram
     // kernel; reference surface: tests/test_features_integration.py:218-283)
@@ -3237,6 +3253,61 @@ object SparkEntry {
          |  LEFT JOIN pe p3 ON seg.we = p3.we AND p3.sc = 3
          |  LEFT JOIN ms m1 ON seg.we = m1.we AND m1.sc = 1
          |  LEFT JOIN ms m2 ON seg.we = m2.we AND m2.sc = 2
+         |ORDER BY 1""".stripMargin,
+
+    // tsfel probability entropies: the kde column is the O(n^2) pairwise
+    // gaussian-sum per sample (Silverman bandwidth on sample std, self
+    // term included), the gauss column the N(mu, sd_pop^2) pdf; both
+    // normalized to probabilities then Shannon bits over log2 n. Guards
+    // mirror the kernel: n=2 -> 0, constant -> null (kde) / 0 (gauss).
+    "q110_entropy_kde" ->
+      s"""WITH ${segCte(DAY, 6 * HOUR)},
+         |j0 AS (SELECT we, ts, value FROM seg LEFT JOIN events
+         |  ON epoch_us(ts) >= ws AND epoch_us(ts) < we),
+         |keep AS (SELECT we FROM j0 GROUP BY we
+         |  HAVING count(value) <= 512
+         |    OR substr(md5(CAST(we AS VARCHAR)), 1, 1) = '0'),
+         |j AS (SELECT j0.* FROM j0 JOIN keep ON j0.we = keep.we),
+         |d AS (SELECT we, value AS v,
+         |  row_number() OVER (PARTITION BY we ORDER BY ts) AS t
+         |  FROM j WHERE value IS NOT NULL),
+         |sth AS (SELECT we, n, mu, sds, sdp,
+         |  sds * sds * pow(3.0 * n / 4.0, -0.4) AS h2 FROM
+         |  (SELECT we, count(*) AS n, avg(v) AS mu, stddev_samp(v) AS sds,
+         |     stddev_pop(v) AS sdp FROM d GROUP BY we)),
+         |pk AS (SELECT a.we, a.t,
+         |  sum(exp(-((a.v - b.v) * (a.v - b.v)) / (2.0 * s.h2))) AS p
+         |  FROM d a JOIN d b ON a.we = b.we
+         |    JOIN sth s ON a.we = s.we
+         |  WHERE s.n > 2 AND s.sds > 0
+         |  GROUP BY a.we, a.t),
+         |ptot AS (SELECT we, sum(p) AS tot FROM pk GROUP BY we),
+         |kent AS (SELECT pk.we,
+         |  -sum((p / tot) * log2(p / tot)) / log2(CAST(s.n AS DOUBLE)) AS h
+         |  FROM pk JOIN ptot ON pk.we = ptot.we JOIN sth s ON pk.we = s.we
+         |  GROUP BY pk.we, s.n),
+         |pg AS (SELECT d.we, d.t,
+         |  exp(-((d.v - s.mu) * (d.v - s.mu)) / (2.0 * s.sdp * s.sdp)) AS p
+         |  FROM d JOIN sth s ON d.we = s.we
+         |  WHERE s.n > 2 AND s.sdp > 0),
+         |gtot AS (SELECT we, sum(p) AS tot FROM pg GROUP BY we),
+         |gent AS (SELECT pg.we,
+         |  -sum((p / tot) * log2(p / tot)) / log2(CAST(s.n AS DOUBLE)) AS h
+         |  FROM pg JOIN gtot ON pg.we = gtot.we JOIN sth s ON pg.we = s.we
+         |  GROUP BY pg.we, s.n)
+         |SELECT seg.we AS ts_anchor,
+         |  round(CASE WHEN s.n IS NULL OR s.n < 2 THEN NULL
+         |    WHEN s.sds = 0 THEN NULL
+         |    WHEN s.n = 2 THEN 0.0 ELSE kent.h END, 6)
+         |    AS "value__entropy_kde__w=1D",
+         |  round(CASE WHEN s.n IS NULL OR s.n < 2 THEN NULL
+         |    WHEN s.sdp = 0 THEN 0.0
+         |    WHEN s.n = 2 THEN 0.0 ELSE gent.h END, 6)
+         |    AS "value__entropy_gauss__w=1D"
+         |FROM seg JOIN keep ON seg.we = keep.we
+         |  LEFT JOIN sth s ON seg.we = s.we
+         |  LEFT JOIN kent ON seg.we = kent.we
+         |  LEFT JOIN gent ON seg.we = gent.we
          |ORDER BY 1""".stripMargin,
 
     // pyentrp: value-frequency Shannon entropy; weighted permutation

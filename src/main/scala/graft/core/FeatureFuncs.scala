@@ -699,6 +699,21 @@ object FeatureFuncs {
     FeatureFunc(if (normalize) "lziv_norm" else "lziv",
       (idx, v) => graft.expr.LzivComplexity(sortedVals(idx, v), normalize))
 
+  /** tsfel `entropy(prob="kde")` — normalized Shannon entropy of the
+    * gaussian-KDE sample probabilities (see
+    * [[graft.expr.EntropyKernelUtil.kdeEntropy]]; reference surface:
+    * tests/test_features_integration.py:247).
+    */
+  val entropyKde: FeatureFunc = FeatureFunc("entropy_kde",
+    (idx, v) => graft.expr.KdeEntropy(sortedVals(idx, v), gauss = false))
+
+  /** tsfel `entropy(prob="gauss")` — same entropy over the N(mean, std²)
+    * pdf at the sample points (reference surface:
+    * tests/test_features_integration.py:248).
+    */
+  val entropyGauss: FeatureFunc = FeatureFunc("entropy_gauss",
+    (idx, v) => graft.expr.KdeEntropy(sortedVals(idx, v), gauss = true))
+
   /** pyentrp `multiscale_permutation_entropy`: one output per scale
     * (see [[graft.expr.EntropyKernelUtil.mspe]]).
     */
@@ -1188,7 +1203,9 @@ object FeatureFuncs {
       "linear_trend" -> linearTrend,
       "linear_trend_timewise" -> linearTrendTimewise,
       // the two parameterless battery entries (r12)
-      "catch22" -> catch22Tranche1, "catch24" -> catch24Battery)
+      "catch22" -> catch22Tranche1, "catch24" -> catch24Battery,
+      // the tsfel probability entropies (r12 — the last integration members)
+      "entropy_kde" -> entropyKde, "entropy_gauss" -> entropyGauss)
 }
 
 /** A named aggregation over a TUPLE of series — the analog of a reference

@@ -174,7 +174,11 @@ object GraftFunctions {
         es.drop(1).map(e => intLit(e, "ricker_cwt")))),
     ("spectral_band", classOf[SpectralExtras].getName,
       es => SpectralExtras(es(0), dblLit(es(1), "spectral_band"),
-        dblLit(es(2), "spectral_band"), dblLit(es(3), "spectral_band"))))
+        dblLit(es(2), "spectral_band"), dblLit(es(3), "spectral_band"))),
+    ("entropy_kde", classOf[KdeEntropy].getName,
+      es => KdeEntropy(es(0), gauss = false)),
+    ("entropy_gauss", classOf[KdeEntropy].getName,
+      es => KdeEntropy(es(0), gauss = true)))
 
   /** Register every native expression for SQL usage in an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -332,6 +332,77 @@ object EntropyKernelUtil {
     if (a == 0L || b == 0L) Double.NaN else -math.log(a.toDouble / b.toDouble)
   }
 
+  /** tsfel `entropy(prob="kde"/"gauss")` (the last members of the
+    * reference's integration surface, tests/test_features_integration
+    * .py:247-248): normalized Shannon entropy (bits over log2 n) of the
+    * per-sample probabilities from
+    *  - kde: a gaussian KDE evaluated at the sample points — Silverman
+    *    bandwidth h = s·(3n/4)^(-1/5) with sample std (ddof=1, scipy's
+    *    gaussian_kde covariance), density_i ∝ Σⱼ exp(-(xᵢ-xⱼ)²/(2h²))
+    *    including the self term (constant factors cancel under the
+    *    probability normalization — which also makes the result
+    *    scale-invariant, so tsfel's max-abs pre-scaling is a no-op here);
+    *  - gauss: the N(mean, std²) pdf at the sample points (population
+    *    std, numpy's default ddof=0).
+    * Conventions pinned per tsfel's published formulation: n == 2 → 0.0
+    * (its log2(len)==1 guard); constant window → 0.0 for gauss (its
+    * std==0 guard) and null for kde (singular KDE covariance raises).
+    */
+  def kdeEntropy(arr: ArrayData, gauss: Boolean): Any = {
+    val n = arr.numElements()
+    if (n < 2) return null
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) { x(i) = arr.getDouble(i); i += 1 }
+    var s = 0.0
+    i = 0
+    while (i < n) { s += x(i); i += 1 }
+    val mean = s / n
+    // two-pass variance: the one-pass s2/n - mean^2 form cancels
+    // catastrophically on near-constant windows (the r11 Wavelet advisory)
+    var ss = 0.0
+    i = 0
+    while (i < n) { val d = x(i) - mean; ss += d * d; i += 1 }
+    val varPop = ss / n
+    val p = new Array[Double](n)
+    if (gauss) {
+      if (varPop == 0.0) return java.lang.Double.valueOf(0.0)
+      if (n == 2) return java.lang.Double.valueOf(0.0)
+      val inv2v = 1.0 / (2.0 * varPop)
+      i = 0
+      while (i < n) {
+        val d = x(i) - mean; p(i) = math.exp(-d * d * inv2v); i += 1
+      }
+    } else {
+      val varSamp = varPop * n / (n - 1.0)
+      if (varSamp == 0.0) return null
+      if (n == 2) return java.lang.Double.valueOf(0.0)
+      val h = math.sqrt(varSamp) * math.pow(3.0 * n / 4.0, -0.2)
+      val inv2h2 = 1.0 / (2.0 * h * h)
+      i = 0
+      while (i < n) {
+        var acc = 0.0
+        var j = 0
+        while (j < n) {
+          val d = x(i) - x(j); acc += math.exp(-d * d * inv2h2); j += 1
+        }
+        p(i) = acc
+        i += 1
+      }
+    }
+    var tot = 0.0
+    i = 0
+    while (i < n) { tot += p(i); i += 1 }
+    var hEnt = 0.0
+    i = 0
+    while (i < n) {
+      val pn = p(i) / tot
+      if (pn > 0) hEnt -= pn * log2(pn)
+      i += 1
+    }
+    java.lang.Double.valueOf(hEnt / log2(n.toDouble))
+  }
+
   /** pyentrp-family `multiscale_entropy` with EXACT sample entropy:
     * coarse-grain means at scales 1..maxScale, [[sampEnExact]] per scale
     * at fixed absolute tolerance r (fixed on the ORIGINAL series, the MSE
@@ -389,6 +460,24 @@ object SvdEntropy {
   def apply(arr: Column, order: Int, delay: Int, normalize: Boolean): Column =
     ColumnBridge.column(
       SvdEntropy(ColumnBridge.expression(arr), order, delay, normalize))
+}
+
+/** Native tsfel KDE/gaussian probability entropy of an array<double>
+  * window (see [[EntropyKernelUtil.kdeEntropy]]).
+  */
+case class KdeEntropy(child: Expression, gauss: Boolean)
+  extends ArrayDoubleKernel {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String =
+    if (gauss) "entropy_gauss" else "entropy_kde"
+  override def nullSafeEval(a: Any): Any =
+    EntropyKernelUtil.kdeEntropy(a.asInstanceOf[ArrayData], gauss)
+  override protected def withNewChildInternal(newChild: Expression): KdeEntropy =
+    copy(child = newChild)
+}
+object KdeEntropy {
+  def apply(arr: Column, gauss: Boolean): Column =
+    ColumnBridge.column(KdeEntropy(ColumnBridge.expression(arr), gauss))
 }
 
 /** Native Lempel–Ziv (LZ76) complexity of the median-binarized window

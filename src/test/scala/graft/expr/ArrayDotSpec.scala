@@ -108,7 +108,8 @@ class ArrayDotSpec extends SparkSpec {
         |  multiscale_entropy(v, 2, 0.5, 2), mfcc(v, 4.0, 6),
         |  spectral_entropy(v, true), welch_density_rel(v, 5),
         |  spectral_shape(v, 4.0), ricker_cwt(v, 1, 2, 3),
-        |  spectral_band(v, 4.0, 0.2, 1.0)
+        |  spectral_band(v, 4.0, 0.2, 1.0),
+        |  entropy_kde(v), entropy_gauss(v)
         |from __fk""".stripMargin).head()
     assert(r.getStruct(0).length == 22)
     assert(r.getStruct(1).length == 24)
@@ -119,6 +120,9 @@ class ArrayDotSpec extends SparkSpec {
     val ent = r.getDouble(7)
     assert(ent >= 0.0 && ent <= 1.0) // normalized spectral entropy
     assert(r.getStruct(6).length == 6) // 6 MFCC coefficients
+    // probability entropies are normalized to [0, 1]
+    assert(r.getDouble(12) >= 0.0 && r.getDouble(12) <= 1.0)
+    assert(r.getDouble(13) >= 0.0 && r.getDouble(13) <= 1.0)
     // literal-typing tolerance: 0.5 parses as DECIMAL in ANSI SQL — the
     // dblLit adapter must accept it (covered by multiscale_entropy above)
   }
