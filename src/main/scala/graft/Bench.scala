@@ -191,14 +191,14 @@ object Bench {
     val compactCold =
       if (only.nonEmpty) jmap(timed.map(t => t.name -> t.cold))
       else jmap(slowest.map(t => t.name -> t.cold))
+    val outEnv = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    val out = if (only.isEmpty) outEnv.orElse(Some("bench_local.json")) else outEnv
     val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""sf":"$sfDir","n_queries":${timed.size},"passes":2,""" +
       s""""headline":"warm","cold_total":${r3(totalCold)},""" +
       s""""queries":$compactWarm,"queries_cold":$compactCold""" +
-      s"""$isoJson,"full_artifact":"bench_local.json"}"""
+      s"""$isoJson,"full_artifact":"${out.getOrElse("none")}"}"""
     println(compact)
-    val outEnv = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-    val out = if (only.isEmpty) outEnv.orElse(Some("bench_local.json")) else outEnv
     out.foreach { o =>
       java.nio.file.Files.write(java.nio.file.Paths.get(o),
         (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

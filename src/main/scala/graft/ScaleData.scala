@@ -30,27 +30,24 @@ object ScaleData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def rep(df: org.apache.spark.sql.DataFrame)(
         f: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame) =
       (0 until copies).map(k => f(df, k)).reduce(_.unionAll(_))
 
-    val evRaw = spark.read.parquet(s"$srcDir/events.parquet")
-    val ev0 = evRaw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        evRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        evRaw.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => evRaw
-    }
+    val ev0 = graft.core.TsCompat.readEvents(spark, s"$srcDir/events.parquet")
     val span = ev0.agg(max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
       .head().getLong(0) + 1000000L
+    // key shift derived from the DATA: a fixed constant silently merges
+    // copies once the source has that many distinct ids (sf0.1 already has
+    // 1500 users — a k*1000 shift collided users 1000+ across copies,
+    // so a third of the keys spanned two copies' time ranges (2x the
+    // windows per merged key) instead of multiplying the key count)
+    val uShift = ev0.agg(max(col("user_id"))).head().getLong(0) + 1L
     rep(ev0)((d, k) => d.select(
       timestamp_micros(unix_micros(col("ts")) + lit(k * span)).as("ts"),
       col("value"), col("event_type"),
-      (col("user_id") + lit(k * 1000)).as("user_id")))
+      (col("user_id") + lit(k * uShift)).as("user_id")))
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
     rep(spark.read.parquet(s"$srcDir/documents.parquet"))((d, k) =>

@@ -24,25 +24,18 @@ object ScaleSmoke {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "10").toInt
 
-    // same physical-type tolerance as SparkEntry.events(): nanos-as-Long
-    // (floor to micros) and TIMESTAMP_NTZ (cast to LTZ under the UTC
-    // session zone) have both shipped in driver-generated testdata
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val evRaw = spark.read.parquet(s"$dir/events.parquet")
-    val ev0 = evRaw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        evRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        evRaw.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => evRaw
-    }
+    val ev0 = TsCompat.readEvents(spark, s"$dir/events.parquet")
     val span = ev0.agg(max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
       .head().getLong(0) + 1000000L
+    // shift derived from the data: the earlier fixed k*1000 shift collided
+    // with sf0.1's 1500 distinct users, merging a third of the keys across
+    // copies (the keyed families measured ~0.67x the claimed key count,
+    // each merged key spanning two copies' time ranges)
+    val uShift = ev0.agg(max(col("user_id"))).head().getLong(0) + 1L
     val events = (0 until copies).map(k =>
       ev0.select(timestamp_micros(unix_micros(col("ts")) + lit(k * span)).as("ts"),
         col("value"), col("event_type"),
-        (col("user_id") + lit(k * 1000)).as("user_id")))
+        (col("user_id") + lit(k * uShift)).as("user_id")))
       .reduce(_.unionAll(_))
 
     val d0 = spark.read.parquet(s"$dir/documents.parquet")

@@ -32,18 +32,8 @@ object SparkEntry {
     *    session zone pinned to UTC the wall clock maps to the same epoch
     *    micros DuckDB's naive read yields — oracle-identical.
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
-    }
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.core.TsCompat.readEvents(s, s"$dir/events.parquet")
   private def valueSeries(s: SparkSession, dir: String): Series =
     Series("value", events(s, dir), "ts", "value")
 
@@ -3156,7 +3146,13 @@ object SparkEntry {
          |        * log2(s2 / (s1 + s2 + s3)) ELSE 0 END)
          |  - (CASE WHEN s3 > 0 THEN s3 / (s1 + s2 + s3)
          |        * log2(s3 / (s1 + s2 + s3)) ELSE 0 END) END AS h FROM sv),
-         |bs AS (SELECT we, max(n) AS n,
+         |bs AS (SELECT we,
+         |  -- the unrolled LCP search below resolves matches up to 16383
+         |  -- chars; fail LOUDLY (not silently-wrong) if a kept window
+         |  -- ever exceeds that
+         |  CASE WHEN max(n) > 16383
+         |       THEN error('q102 LZ76 oracle supports n <= 16383')
+         |       ELSE max(n) END AS n,
          |  string_agg(CASE WHEN v > med THEN '1' ELSE '0' END, ''
          |             ORDER BY t) AS s
          |  FROM d GROUP BY we HAVING max(n) >= 2),
@@ -3271,10 +3267,12 @@ object SparkEntry {
          |d AS (SELECT we, value AS v,
          |  row_number() OVER (PARTITION BY we ORDER BY ts) AS t
          |  FROM j WHERE value IS NOT NULL),
-         |sth AS (SELECT we, n, mu, sds, sdp,
+         |sth AS (SELECT we, n, mu, sds, sdp, bad,
          |  sds * sds * pow(3.0 * n / 4.0, -0.4) AS h2 FROM
          |  (SELECT we, count(*) AS n, avg(v) AS mu, stddev_samp(v) AS sds,
-         |     stddev_pop(v) AS sdp FROM d GROUP BY we)),
+         |     stddev_pop(v) AS sdp,
+         |     max(CASE WHEN isnan(v) OR isinf(v) THEN 1 ELSE 0 END) AS bad
+         |   FROM d GROUP BY we)),
          |pk AS (SELECT a.we, a.t,
          |  sum(exp(-((a.v - b.v) * (a.v - b.v)) / (2.0 * s.h2))) AS p
          |  FROM d a JOIN d b ON a.we = b.we
@@ -3296,11 +3294,11 @@ object SparkEntry {
          |  FROM pg JOIN gtot ON pg.we = gtot.we JOIN sth s ON pg.we = s.we
          |  GROUP BY pg.we, s.n)
          |SELECT seg.we AS ts_anchor,
-         |  round(CASE WHEN s.n IS NULL OR s.n < 2 THEN NULL
+         |  round(CASE WHEN s.n IS NULL OR s.n < 2 OR s.bad = 1 THEN NULL
          |    WHEN s.sds = 0 THEN NULL
          |    WHEN s.n = 2 THEN 0.0 ELSE kent.h END, 6)
          |    AS "value__entropy_kde__w=1D",
-         |  round(CASE WHEN s.n IS NULL OR s.n < 2 THEN NULL
+         |  round(CASE WHEN s.n IS NULL OR s.n < 2 OR s.bad = 1 THEN NULL
          |    WHEN s.sdp = 0 THEN 0.0
          |    WHEN s.n = 2 THEN 0.0 ELSE gent.h END, 6)
          |    AS "value__entropy_gauss__w=1D"

@@ -120,7 +120,37 @@ object GraftFunctions {
     * registry and the cluster-wide extensions hook. Parameter positions
     * with config semantics (k, numHashes, zone) must be literals.
     */
-  private[expr] val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+  /** (min, max) accepted argument counts per SQL name. Checked by the
+    * wrapper below so a wrong call raises a clear signature error at
+    * resolution instead of a raw IndexOutOfBounds (too few) or a silently
+    * ignored extra argument (too many — `entropy_kde(v, 5)` dropping the 5
+    * would return a wrong-but-plausible result).
+    */
+  private val arities: Map[String, (Int, Int)] = Map(
+    "array_dot" -> (2, 2), "word_shingles" -> (2, 2), "word_ngrams" -> (2, 2),
+    "simhash32" -> (1, 1), "simhash64" -> (1, 1), "minhash_slices" -> (2, 2),
+    "wall_instant_micros" -> (2, 3),
+    "catch22" -> (1, 2), "svd_entropy" -> (3, 4), "lziv_complexity" -> (1, 2),
+    "multiscale_perm_entropy" -> (3, 3), "multiscale_entropy" -> (4, 4),
+    "mfcc" -> (3, 3), "spectral_entropy" -> (1, 2),
+    "welch_density_rel" -> (2, 2), "spectral_shape" -> (2, 2),
+    "ricker_cwt" -> (2, Int.MaxValue), "spectral_band" -> (4, 4),
+    "entropy_kde" -> (1, 1), "entropy_gauss" -> (1, 1))
+
+  private def checked(n: String, b: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression = es => {
+    val (lo, hi) = arities(n)
+    if (es.lengthCompare(lo) < 0 || (hi != Int.MaxValue && es.lengthCompare(hi) > 0))
+      throw new IllegalArgumentException(
+        s"$n expects ${if (lo == hi) s"$lo" else if (hi == Int.MaxValue) s">= $lo"
+          else s"$lo to $hi"} arguments, got ${es.length}")
+    b(es)
+  }
+
+  private[expr] val all: Seq[(String, String, Seq[Expression] => Expression)] = allRaw
+    .map { case (n, c, b) => (n, c, checked(n, b)) }
+
+  private def allRaw: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("array_dot", classOf[ArrayDot].getName,
       es => ArrayDot(es(0), es(1))),
     ("word_shingles", classOf[WordShingles].getName,

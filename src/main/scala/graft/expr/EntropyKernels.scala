@@ -353,7 +353,14 @@ object EntropyKernelUtil {
     if (n < 2) return null
     val x = new Array[Double](n)
     var i = 0
-    while (i < n) { x(i) = arr.getDouble(i); i += 1 }
+    while (i < n) {
+      x(i) = arr.getDouble(i)
+      // a non-finite sample poisons every probability; without this guard
+      // the pn > 0 screen below would silently return 0.0 (a confident-
+      // looking entropy for garbage input) while the oracle propagates NaN
+      if (!java.lang.Double.isFinite(x(i))) return null
+      i += 1
+    }
     var s = 0.0
     i = 0
     while (i < n) { s += x(i); i += 1 }

@@ -397,7 +397,10 @@ object Dedup {
       val intra = repMap.as("x").join(repMap.as("y"),
           col("x.__e") === col("y.__e") &&
             col(s"x.$idCol") < col(s"y.$idCol"))
-        .where(nrm > 0)
+        // the upper bound excludes +Inf norms (overflowing or infinite
+        // vectors), whose raw-path cosine is NaN and never emits; `> 0`
+        // alone would let Inf through (NaN already fails both)
+        .where(nrm > 0 && nrm <= Double.MaxValue)
         .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
           lit(1.0).as("cosine"))
       cross.unionByName(intra)

@@ -49,9 +49,12 @@ object StreamingFeatures {
     * `KeyValueGroupedDataset.flatMapGroupsWithState` (append mode,
     * event-time timeout): state per key is the single open run (bounded —
     * independent of run length, since only the accumulators are kept), a
-    * run closes either when a later row arrives with a different group
-    * value, or when event time passes `run end + closeAfter` (the timeout —
-    * so tail runs DO emit without requiring a sentinel row). Rows inside a
+    * run closes when a later row arrives with a different group value,
+    * when a SAME-group row arrives more than `closeAfter` past the run end
+    * (the in-batch twin of the timeout rule, so output is independent of
+    * how rows land in micro-batches), or when event time passes
+    * `run end + closeAfter` (the timeout — so tail runs DO emit without
+    * requiring a sentinel row). Rows inside a
     * micro-batch are sorted by event time before folding; cross-batch
     * disorder is bounded by the `watermark` horizon, the same contract as
     * every Structured Streaming stateful operator. State is shuffled by
@@ -95,10 +98,20 @@ object StreamingFeatures {
             val sorted = rows.toIndexedSeq.sortBy(_.tsUs)
             val closed = scala.collection.mutable.ArrayBuffer.empty[RunOut]
             var cur = state.getOption
+            val closeUs = closeMs * 1000L
             sorted.foreach { r =>
               cur match {
-                case Some(st) if st.group == r.group =>
-                  cur = Some(st.copy(endUs = math.max(st.endUs, r.tsUs),
+                // extend only while the event-time gap stays within
+                // closeAfter — the SAME rule the timeout applies across
+                // batches, so output does not depend on how rows happen to
+                // be micro-batched (a same-group row after a larger gap
+                // starts a new run in both paths). Late rows (negative gap,
+                // within the watermark horizon) extend and may pull
+                // run_start back.
+                case Some(st) if st.group == r.group &&
+                    r.tsUs - st.endUs <= closeUs =>
+                  cur = Some(st.copy(startUs = math.min(st.startUs, r.tsUs),
+                    endUs = math.max(st.endUs, r.tsUs),
                     n = st.n + 1, sum = st.sum + r.v,
                     mn = math.min(st.mn, r.v), mx = math.max(st.mx, r.v)))
                 case other =>

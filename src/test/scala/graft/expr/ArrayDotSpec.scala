@@ -123,6 +123,14 @@ class ArrayDotSpec extends SparkSpec {
     // probability entropies are normalized to [0, 1]
     assert(r.getDouble(12) >= 0.0 && r.getDouble(12) <= 1.0)
     assert(r.getDouble(13) >= 0.0 && r.getDouble(13) <= 1.0)
+    // arity validation: too-few and too-many args raise a clear signature
+    // error (not IndexOutOfBounds / a silently dropped argument)
+    for (bad <- Seq("mfcc(v)", "entropy_kde(v, 5)", "spectral_band(v, 4.0)")) {
+      val e = intercept[Exception](spark.sql(s"select $bad from __fk").head())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("arguments")), s"$bad: got $e")
+    }
     // literal-typing tolerance: 0.5 parses as DECIMAL in ANSI SQL — the
     // dblLit adapter must accept it (covered by multiscale_entropy above)
   }

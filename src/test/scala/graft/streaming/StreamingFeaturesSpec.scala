@@ -181,6 +181,53 @@ class StreamingFeaturesSpec extends SparkSpec {
       ("z", sec(240), sec(240), 1L, 240.0, 240.0, 240.0, 240.0)))
   }
 
+  test("consecutive runs split on in-batch gaps and absorb late rows into bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(String, Long, String, Double)]
+    val sdf = ms.toDF().select(col("_1").as("k"),
+      timestamp_micros(col("_2")).as("ts"), col("_3").as("g"),
+      col("_4").as("v"))
+    val out = StreamingFeatures.consecutiveRuns(sdf, "ts", "k", "g", "v",
+      watermark = "30 minutes", closeAfter = Win.time("1m").asInstanceOf[TimeWin])
+    val q = out.writeStream.format("memory").queryName("runs2")
+      .outputMode("append").start()
+    def sec(s: Long) = (86400L + s) * 1000000L
+    // ONE batch: same group, but a 2h gap > closeAfter — the in-batch fold
+    // must split it exactly like the cross-batch timeout would (output must
+    // not depend on how rows happen to be micro-batched)
+    ms.addData(Seq(("a", sec(0), "x", 1.0), ("a", sec(30), "x", 2.0),
+      ("a", sec(7200), "x", 3.0), ("a", sec(7230), "y", 4.0)))
+    q.processAllAvailable()
+    // batch 2: a LATE same-group row (t=7210s, before the open y-run's
+    // start but within the 30m watermark)... different group, so y closes;
+    // and a late x-extension cannot happen (x already closed in-batch) —
+    // instead check late-row bound absorption on a fresh key
+    ms.addData(Seq(("b", sec(7300), "w", 9.0)))
+    q.processAllAvailable()
+    ms.addData(Seq(("b", sec(7250), "w", 1.0))) // late, pulls run_start back
+    q.processAllAvailable()
+    ms.addData(Seq(("b", sec(20000), "z", 0.0))) // closes b's w-run by group change
+    q.processAllAvailable()
+    q.stop()
+    val a = spark.table("runs2").where(col("key") === "a")
+      .select(col("group"), unix_micros(col("run_start")),
+        unix_micros(col("run_end")), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._2).toSeq
+    // the tail y-run also closes, by timeout, once later batches push the
+    // watermark past its end + closeAfter
+    assert(a == Seq(("x", sec(0), sec(30), 2L), ("x", sec(7200), sec(7200), 1L),
+      ("y", sec(7230), sec(7230), 1L)))
+    val b = spark.table("runs2").where(col("key") === "b" && col("group") === "w")
+      .select(unix_micros(col("run_start")), unix_micros(col("run_end")),
+        col("n"), col("sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // the late 7250s row must be INSIDE the run's bounds and aggregates
+    assert(b == Seq((sec(7250), sec(7300), 2L, 10.0)))
+  }
+
   test("fromWallClock converts an NTZ stream to instants (strict DST)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
