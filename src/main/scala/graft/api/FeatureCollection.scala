@@ -226,7 +226,10 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
       if (bothManual) Win.outputName(d.seriesNames, d.funcName, "manual")
       else d.outputName
 
-    val b: Bounds = Segmenter.bounds(used, boundMethod)
+    // lazy: bounds cost one eager min/max SCAN PER SERIES — manual-segment
+    // and pure sample-window plans never read them, and at scale a wasted
+    // full scan per series is real money
+    lazy val b: Bounds = Segmenter.bounds(used, boundMethod)
 
     val bucketFrames = buckets.toSeq.map { case ((sNames, win, strides), ds) =>
       val seriesSeq = sNames.map(byName)
@@ -343,13 +346,32 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
         ds.flatMap(expand)): _*)
     }
 
+    // one calculate() merges every bucket on ONE anchor column — series
+    // with differently-named index columns would fail the join below with
+    // an opaque USING-column error, so reject them up front
+    require(used.map(_.idxCol).distinct.lengthCompare(1) == 0,
+      s"all series in one calculate() must share the index column name; " +
+        s"got ${used.map(_.idxCol).distinct.mkString(", ")}")
     val idxName = used.head.idxCol
     val merged =
       if (manualSegs)
+        // pair by segment POSITION and anchor: identical anchors (both
+        // arrays manual, or anchor=begin) join 1:1 even when duplicated;
+        // starts-only with per-bucket window-derived END anchors produces
+        // one row PER DISTINCT ANCHOR (the reference's index-aligned
+        // merge) instead of silently keeping an arbitrary bucket's anchor
+        // for all buckets' features
         bucketFrames.reduceLeft((a, c) =>
-          a.join(c.drop(idxName), Seq("__seg_id"), "full_outer"))
+          a.join(c, Seq("__seg_id", idxName), "full_outer"))
           .drop("__seg_id")
       else
+        // KNOWN LIMITATION: this join compares double anchors computed
+        // independently per bucket. TIME-domain anchors are integer micros
+        // (exact in doubles up to 2^53) so they always align; SEQUENCE
+        // anchors with FRACTIONAL strides can differ by 1 ulp between
+        // buckets and split a logical row — use integer-valued sequence
+        // strides, or KeyedFeatures.calculateWideMulti, whose pivot groups
+        // on exact integer offsets k*stride.
         bucketFrames.reduce((a, c) => a.join(c, Seq(idxName), "full_outer"))
     val featCols = merged.columns.filterNot(_ == idxName).sorted
     // ordering is the caller's concern (every sink re-sorts anyway) — not

@@ -75,6 +75,11 @@ object KeyedFeatures {
         case Domain.Sequence => col(idxCol).cast("double")
       }).as("__idx") +: valueCols.map(col): _*)
       .where(col("__idx").isNotNull)
+      // null keys: dropped up front (the pandas-groupby convention the
+      // reference inherits). Keeping them half-way was worse: the segment
+      // groupBy emitted a null-key window table but every equi-join below
+      // dropped the null-key DATA rows, reporting phantom empty windows.
+      .where(col("__key").isNotNull)
 
     val w = window.amount
     val sts = strides.map(_.amount).distinct.sorted
@@ -209,6 +214,11 @@ object KeyedFeatures {
         case Domain.Sequence => col(idxCol).cast("double")
       }).as("__idx") +: valueCols.map(col): _*)
       .where(col("__idx").isNotNull)
+      // null keys: dropped up front (the pandas-groupby convention the
+      // reference inherits). Keeping them half-way was worse: the segment
+      // groupBy emitted a null-key window table but every equi-join below
+      // dropped the null-key DATA rows, reporting phantom empty windows.
+      .where(col("__key").isNotNull)
     val specs = windows.map { case (win, sts) =>
       (win, sts.map(_.amount).distinct.sorted)
     }
@@ -360,6 +370,11 @@ object KeyedFeatures {
         }).as("__idx") +:
         when(gOk, col(groupCol)).as("__grp") +: valueCols.map(col): _*)
       .where(col("__idx").isNotNull)
+      // null keys: dropped up front (the pandas-groupby convention the
+      // reference inherits). Keeping them half-way was worse: the segment
+      // groupBy emitted a null-key window table but every equi-join below
+      // dropped the null-key DATA rows, reporting phantom empty windows.
+      .where(col("__key").isNotNull)
     // change-flag against the last NON-NULL group value, so null-group rows
     // neither start runs nor break them; inclusive running sum = run id
     val wOrd = Window.partitionBy("__key").orderBy("__idx")

@@ -110,6 +110,8 @@ object FeatureCollectionSerde {
       toJson(fc, registry, naryRegistry))
 
   def load(path: String,
-           registry: Map[String, FeatureFunc] = FeatureFuncs.byName): FeatureCollection =
-    fromJson(java.nio.file.Files.readString(java.nio.file.Paths.get(path)), registry)
+           registry: Map[String, FeatureFunc] = FeatureFuncs.byName,
+           naryRegistry: Map[String, NaryFunc] = NaryFuncs.byName): FeatureCollection =
+    fromJson(java.nio.file.Files.readString(java.nio.file.Paths.get(path)),
+      registry, naryRegistry)
 }

@@ -277,21 +277,29 @@ object FeatureFuncs {
   def binnedEntropy(bins: Int): FeatureFunc = {
     require(bins >= 1, "binned_entropy needs >= 1 bin")
     FeatureFunc(s"binned_entropy_$bins", (idx, v) => {
-      val vals = sortedVals(idx, v)
+      // histogram counts are order-independent: plain collect (no sort) and
+      // ONE fold carrying a per-bin array counter, same shape as histCounts
+      // — the previous per-bin size(filter(vals, ...)) re-evaluated the
+      // collect chain once per bin (HOF chains get no codegen CSE)
+      val vals = collect_list(v)
       val n = count(v).cast("double") // native, O(1) reference
-      // native min/max: O(1) references inside the filter lambda (see
-      // meanCrossings scaladoc for the embedded-fold O(n²) trap)
       val mn = org.apache.spark.sql.functions.min(v)
       val mx = org.apache.spark.sql.functions.max(v)
       val binOf: Column => Column = x =>
         when(mx > mn,
           least(floor((x - mn) / (mx - mn) * lit(bins)), lit(bins - 1)).cast("int"))
           .otherwise(lit(0))
-      val counts = transform(sequence(lit(0), lit(bins - 1)),
-        b => size(filter(vals, x => binOf(x) === b)).cast("double"))
+      val counts = aggregate(vals,
+        array((0 until bins).map(_ => lit(0L)): _*),
+        (acc, x) => {
+          val b = binOf(x)
+          transform(acc, (c, i) => when(i === b, c + 1L).otherwise(c))
+        })
       when(n > 0,
-        aggregate(counts, lit(0.0), (acc, c) =>
-          acc + when(c > 0, -(c / n) * log(c / n)).otherwise(lit(0.0))))
+        aggregate(counts, lit(0.0), (acc, c0) => {
+          val c = c0.cast("double")
+          acc + when(c > 0, -(c / n) * log(c / n)).otherwise(lit(0.0))
+        }))
     })
   }
 
@@ -1205,7 +1213,11 @@ object FeatureFuncs {
       // the two parameterless battery entries (r12)
       "catch22" -> catch22Tranche1, "catch24" -> catch24Battery,
       // the tsfel probability entropies (r12 — the last integration members)
-      "entropy_kde" -> entropyKde, "entropy_gauss" -> entropyGauss)
+      "entropy_kde" -> entropyKde, "entropy_gauss" -> entropyGauss,
+      // parameterless members that had slipped through the registry
+      // (save() fail-fasts on unregistered functions, so collections using
+      // them could not be persisted at all)
+      "minmax" -> minMax, "nunique" -> nUnique)
 }
 
 /** A named aggregation over a TUPLE of series — the analog of a reference

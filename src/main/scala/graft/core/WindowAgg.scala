@@ -22,9 +22,16 @@ object WindowAgg {
   final case class Buf(var items: ArrayBuffer[(Double, Double)])
 
   private class SortedWindowAgg(fn: Seq[Double] => Double)
-      extends Aggregator[(Double, Double), Buf, Double] {
+      extends Aggregator[(Double, Option[Double]), Buf, Double] {
     def zero: Buf = Buf(ArrayBuffer.empty)
-    def reduce(b: Buf, a: (Double, Double)): Buf = { b.items += a; b }
+    // None = a null value row — SKIPPED like every built-in aggregate.
+    // (The previous primitive-Double input encoder decoded null as 0.0,
+    // silently feeding phantom zero samples into the user function and
+    // breaking robust() composition, whose NaN mask produces nulls
+    // precisely so they get dropped here.)
+    def reduce(b: Buf, a: (Double, Option[Double])): Buf = {
+      a._2.foreach(v => b.items += ((a._1, v))); b
+    }
     def merge(b1: Buf, b2: Buf): Buf = { b1.items ++= b2.items; b1 }
     def finish(b: Buf): Double =
       fn(b.items.sortBy(_._1).map(_._2).toSeq)
@@ -37,7 +44,7 @@ object WindowAgg {
     */
   def sortedWindowFunc(name: String, fn: Seq[Double] => Double): FeatureFunc = {
     val agg = udaf(new SortedWindowAgg(fn),
-      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+      Encoders.product[(Double, Option[Double])])
     FeatureFunc(name, (idx, v) => agg(idx.cast("double"), v.cast("double")))
   }
 }

@@ -48,6 +48,11 @@ object Segmenter {
   def bounds(series: Seq[Series], method: String = "inner"): Bounds = {
     val mm = series.map { s =>
       val r = s.internal.agg(min(col("__idx")), max(col("__idx"))).head()
+      // an all-null (or empty) series aggregates to null min/max; name the
+      // series instead of letting Row.getDouble NPE deep inside calculate
+      require(!r.isNullAt(0),
+        s"series '${s.name}' has no non-null indexed rows — cannot derive " +
+          "segmentation bounds")
       (r.getDouble(0), r.getDouble(1))
     }
     method match {

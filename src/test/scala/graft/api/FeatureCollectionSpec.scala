@@ -260,4 +260,15 @@ class FeatureCollectionSpec extends SparkSpec {
     // windows [0,3): 2-0=2; [1,4): 3-1=2
     assert(out.collect().map(_.getDouble(1)).toSeq == Seq(2.0, 2.0))
   }
+
+  test("A1 escape hatch skips null value rows (regression: null decoded as 0.0)") {
+    import spark.implicits._
+    val df = Seq((1.0, Some(1.0)), (2.0, None: Option[Double]), (3.0, Some(3.0)))
+      .toDF("i", "v")
+    val f = WindowAgg.sortedWindowFunc("mymin", xs => xs.min)
+    // with the old primitive-Double input encoder the null row became a
+    // phantom (2.0, 0.0) sample and min returned 0.0
+    assert(df.agg(f.agg(org.apache.spark.sql.functions.col("i"),
+      org.apache.spark.sql.functions.col("v"))).head().getDouble(0) == 1.0)
+  }
 }
