@@ -72,7 +72,9 @@ object Chunker {
 
   /** Chunk spans: `(__chunk, __sub, __start, __end, __n)` after the C2
     * duration rules — the same schema whether or not `maxDur` splits
-    * sub-chunks; `__n` is always the row count of the emitted span.
+    * sub-chunks; `__n` counts the span's NON-NULL VALUES (the q14 oracle's
+    * `count(value)` semantics) on both the whole-chunk and the sub-chunk
+    * recount paths.
     */
   def chunkSpans(s: Series, fs: Option[Double] = None,
                  gapFactor: Double = 1.5,
@@ -99,15 +101,18 @@ object Chunker {
             col("__start") + (col("__sub") + 1) * lit(md) + lit(subChunkOverlap / 2)))
           .select(col("__chunk"), col("__sub"),
             col("__sub_start").as("__start"), col("__sub_end").as("__end"))
-        // Recount rows per sub-chunk span (inclusive ends — spans are min/max
-        // stamps): chunk-equi join + range predicate.
-        val r = rows.select(col("__chunk").as("__rchunk"), col("__idx"))
+        // Recount per sub-chunk span (inclusive ends — spans are min/max
+        // stamps): chunk-equi join + range predicate. count(__v), not
+        // count(__idx): the whole-chunk path above counts non-null VALUES,
+        // and the two paths previously disagreed on null-valued rows.
+        val r = rows.select(col("__chunk").as("__rchunk"), col("__idx"),
+          col("__v"))
         subs.join(r,
             col("__chunk") === col("__rchunk") &&
               col("__idx") >= col("__start") && col("__idx") <= col("__end"),
             "left")
           .groupBy("__chunk", "__sub", "__start", "__end")
-          .agg(count(col("__idx")).as("__n"))
+          .agg(count(col("__v")).as("__n"))
     }
   }
 

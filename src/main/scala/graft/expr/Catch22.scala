@@ -648,13 +648,22 @@ object Catch22Util {
     // FC_LocalSimple_mean3_stderr: sample std (ddof=1) of the residuals of
     // a trailing-mean-3 forecast: r_i = x_{i+3} − mean(x_i, x_{i+1}, x_{i+2}).
     out(8) = timed("ls3stderr")(if (n < 5) null else {
+      // two-pass variance: the one-pass (ss - s*s/m) form cancels
+      // catastrophically when the residuals are (near-)constant — e.g. a
+      // perfectly linear window, whose mean3 residuals are all 2b — and
+      // sqrt of the tiny negative remainder returned NaN instead of 0
       val m = n - 3
-      var s = 0.0; var ss = 0.0; var t = 0
+      var s = 0.0; var t = 0
       while (t < m) {
-        val r = x(t + 3) - (x(t) + x(t + 1) + x(t + 2)) / 3.0
-        s += r; ss += r * r; t += 1
+        s += x(t + 3) - (x(t) + x(t + 1) + x(t + 2)) / 3.0; t += 1
       }
-      java.lang.Double.valueOf(math.sqrt((ss - s * s / m) / (m - 1)))
+      val mu = s / m
+      var ssd = 0.0; t = 0
+      while (t < m) {
+        val d = x(t + 3) - (x(t) + x(t + 1) + x(t + 2)) / 3.0 - mu
+        ssd += d * d; t += 1
+      }
+      java.lang.Double.valueOf(math.sqrt(ssd / (m - 1)))
     })
 
     // FC_LocalSimple_mean1_tauresrat: first-zero ACF lag of the mean-1
@@ -780,14 +789,11 @@ object Catch22Util {
     out(14) = timed("motif_hh")(if (n < 2) null else {
       val sorted = java.util.Arrays.copyOf(x, n)
       java.util.Arrays.sort(sorted)
-      def q(p: Double): Double = {
-        val pos = (n - 1) * p
-        val lo = pos.toInt
-        val frac = pos - lo
-        if (lo + 1 < n) sorted(lo) + (sorted(lo + 1) - sorted(lo)) * frac
-        else sorted(lo)
-      }
-      val q1 = q(1.0 / 3); val q2 = q(2.0 / 3)
+      // shared continuous-quantile rule: transitionMatrix3 (the other
+      // tercile-alphabet member) uses the same helper, so a convention
+      // change cannot diverge the two letter rules
+      val q1 = quantileCont(sorted, n, 1.0 / 3)
+      val q2 = quantileCont(sorted, n, 2.0 / 3)
       def letter(v: Double): Int = if (v <= q1) 0 else if (v <= q2) 1 else 2
       val counts = new Array[Long](9)
       var t = 0

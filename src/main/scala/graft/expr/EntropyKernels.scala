@@ -36,7 +36,15 @@ object EntropyKernelUtil {
     var off = 0.0
     var j = 0
     while (j < d) { var k = j + 1; while (k < d) { off += a(j)(k) * a(j)(k); k += 1 }; j += 1 }
-    while (sweep < 64 && off > 1e-28) {
+    // convergence threshold RELATIVE to the matrix scale: an absolute
+    // 1e-28 cutoff skipped every sweep for tiny-amplitude windows (Gram
+    // entries ~1e-17 from ~1e-10 signals), returning the unrotated
+    // diagonal and breaking svd_entropy's scale invariance
+    var norm2 = 0.0
+    j = 0
+    while (j < d) { var k = 0; while (k < d) { norm2 += a(j)(k) * a(j)(k); k += 1 }; j += 1 }
+    val tol = 1e-24 * math.max(norm2, java.lang.Double.MIN_NORMAL)
+    while (sweep < 64 && off > tol) {
       var p = 0
       while (p < d - 1) {
         var q = p + 1
@@ -113,6 +121,11 @@ object EntropyKernelUtil {
     */
   def svdEntropy(arr: ArrayData, order: Int, delay: Int,
                  normalize: Boolean): Any = {
+    // a negative delay passes the m >= 1 gate with m > n and then indexes
+    // x out of bounds mid-task; delay 0 makes all embedding columns
+    // identical (a meaningless rank-1 result antropy rejects)
+    require(order >= 1 && delay >= 1,
+      s"svd_entropy needs order >= 1 and delay >= 1, got ($order, $delay)")
     val n = arr.numElements()
     val m = n - (order - 1) * delay
     if (m < 1) return null

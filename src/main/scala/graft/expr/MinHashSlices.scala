@@ -32,7 +32,12 @@ object MinHashUtil {
     val n = arr.numElements()
     var e = 0
     while (e < n) {
-      val shingle = arr.getUTF8String(e).getBytes
+      // null elements contribute nothing to the set's minima (a producer
+      // like split()/collect_list can emit them; getBytes would NPE)
+      val u8 = if (arr.isNullAt(e)) null else arr.getUTF8String(e)
+      if (u8 == null) { e += 1 }
+      else {
+      val shingle = u8.getBytes
       var g = 0
       while (g < groups) {
         md.reset()
@@ -66,6 +71,7 @@ object MinHashUtil {
         g += 1
       }
       e += 1
+      }
     }
     val out = new Array[Any](numHashes)
     var i = 0

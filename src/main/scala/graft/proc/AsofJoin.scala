@@ -68,6 +68,16 @@ object AsofJoin {
 
     val leftNames = left.columns.toSet
     def outName(c: String) = if (leftNames.contains(c)) s"$c$suffix" else c
+    // a suffixed name may collide with ANOTHER right column that needed no
+    // suffix (right has both "x" and "x_r"): fail here with the pair named,
+    // not later with an AMBIGUOUS_REFERENCE far from the join
+    locally {
+      val outs = rValCols.map(outName)
+      val dups = outs.diff(outs.distinct).distinct
+      require(dups.isEmpty,
+        s"as-of join output name collision on ${dups.mkString(", ")} — " +
+          "rename the right-side column(s) or choose a different suffix")
+    }
 
     def project(df: DataFrame, chosen: Column): DataFrame =
       df.select(left.columns.toSeq.map(col) ++

@@ -18,11 +18,19 @@ object Resample {
     * valueCol) in the series' original index dtype.
     */
   private def gridUnion(s: Series, step: Double): DataFrame = {
+    require(step > 0, s"resample step must be > 0, got $step " +
+      "(step = 0 would launch a ~Long.MaxValue-row grid)")
     val spark = s.df.sparkSession
     val internal = s.internal
     val mm = internal.agg(min(col("__idx")), max(col("__idx"))).head()
+    require(!mm.isNullAt(0),
+      s"series '${s.name}' has no non-null indexed rows — cannot resample")
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
-    val nb = math.floor((hi - lo) / step).toLong + 1
+    // relative epsilon: (0.3 - 0.0) / 0.1 = 2.9999999999999996 in doubles —
+    // a bare floor would silently drop the final grid point that the doc
+    // ("inclusive of the last step at or before max") promises
+    val q = (hi - lo) / step
+    val nb = math.floor(q + 1e-9 * math.max(1.0, math.abs(q))).toLong + 1
     val grid = spark.range(nb)
       .select((lit(lo) + col("id").cast("double") * lit(step)).as("__idx"),
         lit(1).as("__tag"),

@@ -55,6 +55,22 @@ object Components {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxRounds: Int = 25,
                           driverEdgeLimit: Long = 1000000L): DataFrame = {
+    // the algorithm's least/greatest canonicalization needs a totally-
+    // ordered integral id; a silent cast of string ids would either die
+    // with CAST_INVALID_INPUT (ANSI) or null every edge out (non-ANSI) —
+    // keepRepresentatives would then silently keep ALL duplicates
+    for (c <- Seq(aCol, bCol)) {
+      import org.apache.spark.sql.types._
+      val ok = pairs.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok,
+        s"connectedComponents needs integral ids; column '$c' is " +
+          s"${pairs.schema(c).dataType.sql} — map non-numeric ids to a " +
+          "dense/long surrogate first (e.g. xxhash64 + a collision check, " +
+          "or zipWithIndex)")
+    }
     var edges = graft.core.Pinned.checkpoint(pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
