@@ -71,7 +71,9 @@ object Bench {
       org.apache.logging.log4j.Level.FATAL)
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.util.AccumulatorContext",
-      org.apache.logging.log4j.Level.ERROR)
+      // FATAL, not ERROR: the "Failed to update accumulator" message this
+      // block exists to silence is itself logged at ERROR
+      org.apache.logging.log4j.Level.FATAL)
     // Warm the JVM + codegen + parquet footers once so the first measured
     // query doesn't absorb session startup (~7 s of pure warmup otherwise —
     // whichever query happens to iterate first would be charged for it).
@@ -90,17 +92,20 @@ object Bench {
     // vector stays in the artifact as the suite-context number.
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names = if (only.isEmpty) names0 else names0.filter(only.contains)
+    // queries that threw: published as "failed":[...] in BOTH JSON outputs
+    // so an artifact with a deflated time (time-to-throw) is self-
+    // describing — previously a child-JVM failure was invisible (stderr
+    // discarded) and read as a genuine 30x suite-context blowup
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def once(name: String): (Double, Long, Long) = {
       val gc0 = gcMs(); val cg0 = cgCount()
       val t0 = System.nanoTime()
       // toRdd.count() forces full materialization of every output row
       // (a bare DataFrame.count() lets Catalyst prune the projections,
       // under-measuring compute-heavy queries).
-      // a failing query must still leave a trace (the DAGScheduler logger is
-      // raised above ERROR for the accumulator-GC noise, so this line is the
-      // only diagnostic) — and its timing would otherwise read as a speedup
       try { SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count() }
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
@@ -170,7 +175,8 @@ object Bench {
       s""","queries_isolated":$v,"insuite_over_isolated":$ratios"""
     }.getOrElse("")
 
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$totalCold,"queries_cold":$qsCold,"sf":"$sfDir","passes":2,"headline":"warm","diag":$diag$isoJson}"""
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$totalCold,"queries_cold":$qsCold,"sf":"$sfDir","passes":2,"headline":"warm","failed":$failedJson,"diag":$diag$isoJson}"""
     // The driver records only the LAST ~2000 chars of stdout and tries to
     // json-parse the bench line; once the suite passed ~90 queries the full
     // artifact line outgrew that capture, so every round since r03 recorded
@@ -196,6 +202,7 @@ object Bench {
     val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""sf":"$sfDir","n_queries":${timed.size},"passes":2,""" +
       s""""headline":"warm","cold_total":${r3(totalCold)},""" +
+      s""""failed":$failedJson,""" +
       s""""queries":$compactWarm,"queries_cold":$compactCold""" +
       s"""$isoJson,"full_artifact":"${out.getOrElse("none")}"}"""
     println(compact)
@@ -226,8 +233,18 @@ object Bench {
     pb.redirectError(ProcessBuilder.Redirect.DISCARD)
     pb.environment().remove("SPARK_GRAFT_BENCH_OUT") // child prints, never writes
     val p = pb.start()
-    val outLines = new String(p.getInputStream.readAllBytes, "UTF-8")
+    // drain stdout on its own thread: a blocking readAllBytes HERE would
+    // make the 20-minute timeout below unreachable — a hung child would
+    // hang the whole bench forever, the exact failure the timeout guards
+    val buf = new java.io.ByteArrayOutputStream()
+    val drain = new Thread(() => {
+      try p.getInputStream.transferTo(buf) catch { case _: Throwable => }
+    }, "bench-fork-drain")
+    drain.setDaemon(true)
+    drain.start()
     if (!p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)) { p.destroyForcibly(); return None }
+    drain.join(10000)
+    val outLines = buf.toString("UTF-8")
     // the JSON line is the only stdout line starting with {"metric"
     val line = outLines.linesIterator.find(_.startsWith("{\"metric\"")).getOrElse(return None)
     // minimal extraction: "queries":{"name":num,...} — names are known, so

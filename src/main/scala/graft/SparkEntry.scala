@@ -110,7 +110,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q01_roll_mean")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- smoke: plain scan + hash agg (S1) -------------------------------
     "q00_tpch_q1" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -1568,7 +1568,7 @@ object SparkEntry {
     */
   private val mfccFbankValues: String = "(0,1,0.16666666666666666),(0,2,0.3333333333333333),(0,3,0.5),(0,4,0.6666666666666666),(0,5,0.8333333333333334),(0,6,1.0),(0,7,0.8333333333333334),(0,8,0.6666666666666666),(0,9,0.5),(0,10,0.3333333333333333),(0,11,0.16666666666666666),(1,7,0.16666666666666666),(1,8,0.3333333333333333),(1,9,0.5),(1,10,0.6666666666666666),(1,11,0.8333333333333334),(1,12,1.0),(1,13,0.8333333333333334),(1,14,0.6666666666666666),(1,15,0.5),(1,16,0.3333333333333333),(1,17,0.16666666666666666),(2,13,0.16666666666666666),(2,14,0.3333333333333333),(2,15,0.5),(2,16,0.6666666666666666),(2,17,0.8333333333333334),(2,18,1.0),(2,19,0.8571428571428571),(2,20,0.7142857142857143),(2,21,0.5714285714285714),(2,22,0.42857142857142855),(2,23,0.2857142857142857),(2,24,0.14285714285714285),(3,19,0.14285714285714285),(3,20,0.2857142857142857),(3,21,0.42857142857142855),(3,22,0.5714285714285714),(3,23,0.7142857142857143),(3,24,0.8571428571428571),(3,25,1.0),(3,26,0.8333333333333334),(3,27,0.6666666666666666),(3,28,0.5),(3,29,0.3333333333333333),(3,30,0.16666666666666666),(4,26,0.16666666666666666),(4,27,0.3333333333333333),(4,28,0.5),(4,29,0.6666666666666666),(4,30,0.8333333333333334),(4,31,1.0),(4,32,0.8333333333333334),(4,33,0.6666666666666666),(4,34,0.5),(4,35,0.3333333333333333),(4,36,0.16666666666666666),(5,32,0.16666666666666666),(5,33,0.3333333333333333),(5,34,0.5),(5,35,0.6666666666666666),(5,36,0.8333333333333334),(5,37,1.0),(5,38,0.8333333333333334),(5,39,0.6666666666666666),(5,40,0.5),(5,41,0.3333333333333333),(5,42,0.16666666666666666),(6,38,0.16666666666666666),(6,39,0.3333333333333333),(6,40,0.5),(6,41,0.6666666666666666),(6,42,0.8333333333333334),(6,43,1.0),(6,44,0.8571428571428571),(6,45,0.7142857142857143),(6,46,0.5714285714285714),(6,47,0.42857142857142855),(6,48,0.2857142857142857),(6,49,0.14285714285714285),(7,44,0.14285714285714285),(7,45,0.2857142857142857),(7,46,0.42857142857142855),(7,47,0.5714285714285714),(7,48,0.7142857142857143),(7,49,0.8571428571428571),(7,50,1.0),(7,51,0.8333333333333334),(7,52,0.6666666666666666),(7,53,0.5),(7,54,0.3333333333333333),(7,55,0.16666666666666666),(8,51,0.16666666666666666),(8,52,0.3333333333333333),(8,53,0.5),(8,54,0.6666666666666666),(8,55,0.8333333333333334),(8,56,1.0),(8,57,0.8333333333333334),(8,58,0.6666666666666666),(8,59,0.5),(8,60,0.3333333333333333),(8,61,0.16666666666666666),(9,57,0.16666666666666666),(9,58,0.3333333333333333),(9,59,0.5),(9,60,0.6666666666666666),(9,61,0.8333333333333334),(9,62,1.0),(9,63,0.8333333333333334),(9,64,0.6666666666666666),(9,65,0.5),(9,66,0.3333333333333333),(9,67,0.16666666666666666),(10,63,0.16666666666666666),(10,64,0.3333333333333333),(10,65,0.5),(10,66,0.6666666666666666),(10,67,0.8333333333333334),(10,68,1.0),(10,69,0.8571428571428571),(10,70,0.7142857142857143),(10,71,0.5714285714285714),(10,72,0.42857142857142855),(10,73,0.2857142857142857),(10,74,0.14285714285714285),(11,69,0.14285714285714285),(11,70,0.2857142857142857),(11,71,0.42857142857142855),(11,72,0.5714285714285714),(11,73,0.7142857142857143),(11,74,0.8571428571428571),(11,75,1.0),(11,76,0.8333333333333334),(11,77,0.6666666666666666),(11,78,0.5),(11,79,0.3333333333333333),(11,80,0.16666666666666666),(12,76,0.16666666666666666),(12,77,0.3333333333333333),(12,78,0.5),(12,79,0.6666666666666666),(12,80,0.8333333333333334),(12,81,1.0),(12,82,0.8333333333333334),(12,83,0.6666666666666666),(12,84,0.5),(12,85,0.3333333333333333),(12,86,0.16666666666666666),(13,82,0.16666666666666666),(13,83,0.3333333333333333),(13,84,0.5),(13,85,0.6666666666666666),(13,86,0.8333333333333334),(13,87,1.0),(13,88,0.8333333333333334),(13,89,0.6666666666666666),(13,90,0.5),(13,91,0.3333333333333333),(13,92,0.16666666666666666),(14,88,0.16666666666666666),(14,89,0.3333333333333333),(14,90,0.5),(14,91,0.6666666666666666),(14,92,0.8333333333333334),(14,93,1.0),(14,94,0.8571428571428571),(14,95,0.7142857142857143),(14,96,0.5714285714285714),(14,97,0.42857142857142855),(14,98,0.2857142857142857),(14,99,0.14285714285714285),(15,94,0.14285714285714285),(15,95,0.2857142857142857),(15,96,0.42857142857142855),(15,97,0.5714285714285714),(15,98,0.7142857142857143),(15,99,0.8571428571428571),(15,100,1.0),(15,101,0.8333333333333334),(15,102,0.6666666666666666),(15,103,0.5),(15,104,0.3333333333333333),(15,105,0.16666666666666666),(16,101,0.16666666666666666),(16,102,0.3333333333333333),(16,103,0.5),(16,104,0.6666666666666666),(16,105,0.8333333333333334),(16,106,1.0),(16,107,0.8333333333333334),(16,108,0.6666666666666666),(16,109,0.5),(16,110,0.3333333333333333),(16,111,0.16666666666666666),(17,107,0.16666666666666666),(17,108,0.3333333333333333),(17,109,0.5),(17,110,0.6666666666666666),(17,111,0.8333333333333334),(17,112,1.0),(17,113,0.8333333333333334),(17,114,0.6666666666666666),(17,115,0.5),(17,116,0.3333333333333333),(17,117,0.16666666666666666),(18,113,0.16666666666666666),(18,114,0.3333333333333333),(18,115,0.5),(18,116,0.6666666666666666),(18,117,0.8333333333333334),(18,118,1.0),(18,119,0.8571428571428571),(18,120,0.7142857142857143),(18,121,0.5714285714285714),(18,122,0.42857142857142855),(18,123,0.2857142857142857),(18,124,0.14285714285714285),(19,119,0.14285714285714285),(19,120,0.2857142857142857),(19,121,0.42857142857142855),(19,122,0.5714285714285714),(19,123,0.7142857142857143),(19,124,0.8571428571428571),(19,125,1.0),(19,126,0.8333333333333334),(19,127,0.6666666666666666),(19,128,0.5),(19,129,0.3333333333333333),(19,130,0.16666666666666666),(20,126,0.16666666666666666),(20,127,0.3333333333333333),(20,128,0.5),(20,129,0.6666666666666666),(20,130,0.8333333333333334),(20,131,1.0),(20,132,0.8333333333333334),(20,133,0.6666666666666666),(20,134,0.5),(20,135,0.3333333333333333),(20,136,0.16666666666666666),(21,132,0.16666666666666666),(21,133,0.3333333333333333),(21,134,0.5),(21,135,0.6666666666666666),(21,136,0.8333333333333334),(21,137,1.0),(21,138,0.8333333333333334),(21,139,0.6666666666666666),(21,140,0.5),(21,141,0.3333333333333333),(21,142,0.16666666666666666),(22,138,0.16666666666666666),(22,139,0.3333333333333333),(22,140,0.5),(22,141,0.6666666666666666),(22,142,0.8333333333333334),(22,143,1.0),(22,144,0.8571428571428571),(22,145,0.7142857142857143),(22,146,0.5714285714285714),(22,147,0.42857142857142855),(22,148,0.2857142857142857),(22,149,0.14285714285714285),(23,144,0.14285714285714285),(23,145,0.2857142857142857),(23,146,0.42857142857142855),(23,147,0.5714285714285714),(23,148,0.7142857142857143),(23,149,0.8571428571428571),(23,150,1.0),(23,151,0.8333333333333334),(23,152,0.6666666666666666),(23,153,0.5),(23,154,0.3333333333333333),(23,155,0.16666666666666666),(24,151,0.16666666666666666),(24,152,0.3333333333333333),(24,153,0.5),(24,154,0.6666666666666666),(24,155,0.8333333333333334),(24,156,1.0),(24,157,0.8333333333333334),(24,158,0.6666666666666666),(24,159,0.5),(24,160,0.3333333333333333),(24,161,0.16666666666666666),(25,157,0.16666666666666666),(25,158,0.3333333333333333),(25,159,0.5),(25,160,0.6666666666666666),(25,161,0.8333333333333334),(25,162,1.0),(25,163,0.8333333333333334),(25,164,0.6666666666666666),(25,165,0.5),(25,166,0.3333333333333333),(25,167,0.16666666666666666),(26,163,0.16666666666666666),(26,164,0.3333333333333333),(26,165,0.5),(26,166,0.6666666666666666),(26,167,0.8333333333333334),(26,168,1.0),(26,169,0.8571428571428571),(26,170,0.7142857142857143),(26,171,0.5714285714285714),(26,172,0.42857142857142855),(26,173,0.2857142857142857),(26,174,0.14285714285714285),(27,169,0.14285714285714285),(27,170,0.2857142857142857),(27,171,0.42857142857142855),(27,172,0.5714285714285714),(27,173,0.7142857142857143),(27,174,0.8571428571428571),(27,175,1.0),(27,176,0.8333333333333334),(27,177,0.6666666666666666),(27,178,0.5),(27,179,0.3333333333333333),(27,180,0.16666666666666666),(28,176,0.16666666666666666),(28,177,0.3333333333333333),(28,178,0.5),(28,179,0.6666666666666666),(28,180,0.8333333333333334),(28,181,1.0),(28,182,0.8333333333333334),(28,183,0.6666666666666666),(28,184,0.5),(28,185,0.3333333333333333),(28,186,0.16666666666666666),(29,182,0.16666666666666666),(29,183,0.3333333333333333),(29,184,0.5),(29,185,0.6666666666666666),(29,186,0.8333333333333334),(29,187,1.0),(29,188,0.8333333333333334),(29,189,0.6666666666666666),(29,190,0.5),(29,191,0.3333333333333333),(29,192,0.16666666666666666),(30,188,0.16666666666666666),(30,189,0.3333333333333333),(30,190,0.5),(30,191,0.6666666666666666),(30,192,0.8333333333333334),(30,193,1.0),(30,194,0.8571428571428571),(30,195,0.7142857142857143),(30,196,0.5714285714285714),(30,197,0.42857142857142855),(30,198,0.2857142857142857),(30,199,0.14285714285714285),(31,194,0.14285714285714285),(31,195,0.2857142857142857),(31,196,0.42857142857142855),(31,197,0.5714285714285714),(31,198,0.7142857142857143),(31,199,0.8571428571428571),(31,200,1.0),(31,201,0.8333333333333334),(31,202,0.6666666666666666),(31,203,0.5),(31,204,0.3333333333333333),(31,205,0.16666666666666666),(32,201,0.16666666666666666),(32,202,0.3333333333333333),(32,203,0.5),(32,204,0.6666666666666666),(32,205,0.8333333333333334),(32,206,1.0),(32,207,0.8333333333333334),(32,208,0.6666666666666666),(32,209,0.5),(32,210,0.3333333333333333),(32,211,0.16666666666666666),(33,207,0.16666666666666666),(33,208,0.3333333333333333),(33,209,0.5),(33,210,0.6666666666666666),(33,211,0.8333333333333334),(33,212,1.0),(33,213,0.8333333333333334),(33,214,0.6666666666666666),(33,215,0.5),(33,216,0.3333333333333333),(33,217,0.16666666666666666),(34,213,0.16666666666666666),(34,214,0.3333333333333333),(34,215,0.5),(34,216,0.6666666666666666),(34,217,0.8333333333333334),(34,218,1.0),(34,219,0.8571428571428571),(34,220,0.7142857142857143),(34,221,0.5714285714285714),(34,222,0.42857142857142855),(34,223,0.2857142857142857),(34,224,0.14285714285714285),(35,219,0.14285714285714285),(35,220,0.2857142857142857),(35,221,0.42857142857142855),(35,222,0.5714285714285714),(35,223,0.7142857142857143),(35,224,0.8571428571428571),(35,225,1.0),(35,226,0.8333333333333334),(35,227,0.6666666666666666),(35,228,0.5),(35,229,0.3333333333333333),(35,230,0.16666666666666666),(36,226,0.16666666666666666),(36,227,0.3333333333333333),(36,228,0.5),(36,229,0.6666666666666666),(36,230,0.8333333333333334),(36,231,1.0),(36,232,0.8333333333333334),(36,233,0.6666666666666666),(36,234,0.5),(36,235,0.3333333333333333),(36,236,0.16666666666666666),(37,232,0.16666666666666666),(37,233,0.3333333333333333),(37,234,0.5),(37,235,0.6666666666666666),(37,236,0.8333333333333334),(37,237,1.0),(37,238,0.8333333333333334),(37,239,0.6666666666666666),(37,240,0.5),(37,241,0.3333333333333333),(37,242,0.16666666666666666),(38,238,0.16666666666666666),(38,239,0.3333333333333333),(38,240,0.5),(38,241,0.6666666666666666),(38,242,0.8333333333333334),(38,243,1.0),(38,244,0.8571428571428571),(38,245,0.7142857142857143),(38,246,0.5714285714285714),(38,247,0.42857142857142855),(38,248,0.2857142857142857),(38,249,0.14285714285714285),(39,244,0.14285714285714285),(39,245,0.2857142857142857),(39,246,0.42857142857142855),(39,247,0.5714285714285714),(39,248,0.7142857142857143),(39,249,0.8571428571428571),(39,250,1.0),(39,251,0.8333333333333334),(39,252,0.6666666666666666),(39,253,0.5),(39,254,0.3333333333333333),(39,255,0.16666666666666666)"
 
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     // exact-substring dedup: the oracle works on raw gram STRINGS (DuckDB
     // has no xxhash64) — results agree unless the Spark side's 64-bit gram
     // hash collides, which the operator doc accepts as its standard trade

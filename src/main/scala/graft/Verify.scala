@@ -5,6 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: graft.Verify <sfDir> <outDir> [queryName...]")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir) = args.take(2)
     // optional: names after the first two args restrict the dump (iterating
     // on one query shouldn't pay for the other 70+)
@@ -50,7 +55,13 @@ object Verify {
       val m = s"""{"declared":${planned.size},"dumped":${dumped.size},""" +
         s""""declared_names":${jarr(planned.map(_._1))},""" +
         s""""dumped_names":${jarr(dumped.toSeq)}}"""
-      Files.writeString(Paths.get(s"$outDir/manifest.json"), m)
+      // temp + ATOMIC_MOVE: a wall-cut SIGKILL landing mid-write would
+      // otherwise leave the very file that documents the cut unreadable
+      val tmp = Paths.get(s"$outDir/manifest.json.tmp")
+      Files.writeString(tmp, m)
+      Files.move(tmp, Paths.get(s"$outDir/manifest.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     writeManifest()
     // oracle_sql.json depends only on the static SparkEntry.oracleSql map —
