@@ -399,14 +399,18 @@ object EntropyKernelUtil {
       if (n == 2) return java.lang.Double.valueOf(0.0)
       val h = math.sqrt(varSamp) * math.pow(3.0 * n / 4.0, -0.2)
       val inv2h2 = 1.0 / (2.0 * h * h)
+      // the kernel matrix is symmetric: evaluate each exp once for i<j and
+      // credit both rows; the self term is exp(0) = 1 (halves the O(n^2)
+      // exp cost — the dominant cost of this member on 3.5k-sample windows)
+      i = 0
+      while (i < n) { p(i) = 1.0; i += 1 }
       i = 0
       while (i < n) {
-        var acc = 0.0
-        var j = 0
+        var j = i + 1
         while (j < n) {
-          val d = x(i) - x(j); acc += math.exp(-d * d * inv2h2); j += 1
+          val d = x(i) - x(j); val k = math.exp(-d * d * inv2h2)
+          p(i) += k; p(j) += k; j += 1
         }
-        p(i) = acc
         i += 1
       }
     }
