@@ -136,9 +136,31 @@ object Bench {
       Thread.sleep(120)
       (sec, gcIn, cgIn)
     }
+    // Child (isolated) mode may run EXTRA passes per query: a fresh JVM's
+    // second pass is codegen-cached but still JIT-COLD (C2 has seen each
+    // generated loop once), so a 2-pass child over-states plan cost by
+    // 2-3x on the heaviest queries and the in-suite/isolated ratio loses
+    // its ~1 meaning (r12: q21 ratio 0.36). With N passes the LAST pass is
+    // published as warm — by then the JIT has had N-1 runs of this query's
+    // code, matching the in-suite steady state the ratio compares against.
+    val passes =
+      if (only.nonEmpty)
+        math.max(2, sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+          .flatMap(_.toIntOption).getOrElse(2))
+      else 2
     val timed = names.map { n =>
       val (cold, gcC, cgC) = once(n)
-      val (warm, gcW, cgW) = once(n)
+      var (warm, gcW, cgW) = once(n)
+      val passSecs = scala.collection.mutable.ArrayBuffer(cold, warm)
+      var k = 2
+      while (k < passes) {
+        val r = once(n); warm = r._1; gcW = r._2; cgW = r._3
+        passSecs += r._1; k += 1
+      }
+      if (passes > 2)
+        // pass-by-pass curve for the isolation/ambient attribution; the
+        // parent's JSON-line scraper ignores non-{"metric" lines
+        println(s"""[bench-passes] $n ${passSecs.map(s => f"$s%.3f").mkString(",")}""")
       QRun(n, cold, warm, gcC, gcW, heapUsedMb(), cgC, cgW)
     }
     def jnum(f: QRun => Double) =
@@ -176,7 +198,7 @@ object Bench {
     }.getOrElse("")
 
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$totalCold,"queries_cold":$qsCold,"sf":"$sfDir","passes":2,"headline":"warm","failed":$failedJson,"diag":$diag$isoJson}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$totalCold,"queries_cold":$qsCold,"sf":"$sfDir","passes":$passes,"headline":"warm","failed":$failedJson,"diag":$diag$isoJson}"""
     // The driver records only the LAST ~2000 chars of stdout and tries to
     // json-parse the bench line; once the suite passed ~90 queries the full
     // artifact line outgrew that capture, so every round since r03 recorded
@@ -200,7 +222,7 @@ object Bench {
     val outEnv = sys.env.get("SPARK_GRAFT_BENCH_OUT")
     val out = if (only.isEmpty) outEnv.orElse(Some("bench_local.json")) else outEnv
     val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""sf":"$sfDir","n_queries":${timed.size},"passes":2,""" +
+      s""""sf":"$sfDir","n_queries":${timed.size},"passes":$passes,""" +
       s""""headline":"warm","cold_total":${r3(totalCold)},""" +
       s""""failed":$failedJson,""" +
       s""""queries":$compactWarm,"queries_cold":$compactCold""" +
@@ -232,6 +254,11 @@ object Bench {
     // fill its buffer and deadlock the child mid-suite
     pb.redirectError(ProcessBuilder.Redirect.DISCARD)
     pb.environment().remove("SPARK_GRAFT_BENCH_OUT") // child prints, never writes
+    // 4 passes: the child's published warm = pass 4, past the fresh JVM's
+    // JIT warmup (r12 showed a 2-pass child's warm at 2.8x the in-suite
+    // number purely from C2 cold-start, inverting the ratio's meaning)
+    if (!pb.environment().containsKey("SPARK_GRAFT_BENCH_PASSES"))
+      pb.environment().put("SPARK_GRAFT_BENCH_PASSES", "4")
     val p = pb.start()
     // drain stdout on its own thread: a blocking readAllBytes HERE would
     // make the 20-minute timeout below unreachable — a hung child would

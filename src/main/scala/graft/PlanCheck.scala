@@ -17,8 +17,9 @@ object PlanCheck {
     val dir = "/root/testdata/sf0.01"
     for (name <- args) {
       println(s"==== $name ====")
-      val plan = SparkEntry.queries(name)(spark, dir)
-        .queryExecution.explainString(
+      val df = SparkEntry.queries(name)(spark, dir)
+      println(s"SHAPE ${PlanAudit.render(PlanAudit.shape(df))}")
+      val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.SimpleMode)
       // print only scan lines + codegen markers
       plan.split("\n").foreach { l =>

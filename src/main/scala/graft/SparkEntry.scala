@@ -3281,7 +3281,8 @@ object SparkEntry {
          |  GROUP BY a.we, a.t),
          |ptot AS (SELECT we, sum(p) AS tot FROM pk GROUP BY we),
          |kent AS (SELECT pk.we,
-         |  -sum((p / tot) * log2(p / tot)) / log2(CAST(s.n AS DOUBLE)) AS h
+         |  -sum(CASE WHEN p > 0 THEN (p / tot) * log2(p / tot)
+         |            ELSE 0 END) / log2(CAST(s.n AS DOUBLE)) AS h
          |  FROM pk JOIN ptot ON pk.we = ptot.we JOIN sth s ON pk.we = s.we
          |  GROUP BY pk.we, s.n),
          |pg AS (SELECT d.we, d.t,
@@ -3290,7 +3291,8 @@ object SparkEntry {
          |  WHERE s.n > 2 AND s.sdp > 0),
          |gtot AS (SELECT we, sum(p) AS tot FROM pg GROUP BY we),
          |gent AS (SELECT pg.we,
-         |  -sum((p / tot) * log2(p / tot)) / log2(CAST(s.n AS DOUBLE)) AS h
+         |  -sum(CASE WHEN p > 0 THEN (p / tot) * log2(p / tot)
+         |            ELSE 0 END) / log2(CAST(s.n AS DOUBLE)) AS h
          |  FROM pg JOIN gtot ON pg.we = gtot.we JOIN sth s ON pg.we = s.we
          |  GROUP BY pg.we, s.n)
          |SELECT seg.we AS ts_anchor,

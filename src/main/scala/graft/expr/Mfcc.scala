@@ -28,7 +28,8 @@ import org.apache.spark.sql.types._
   *    `nfilt+2` equally-mel-spaced points from 0 to mel(fs/2) mapped
   *    back to Hz, bin(p) = ⌊513·hz(p)/fs⌋, filter m rising over
   *    [bin(m−1), bin(m)) and falling over [bin(m), bin(m+1)) with
-  *    slopes computed against the UNROUNDED interval ends;
+  *    slopes computed against the FLOOR-QUANTIZED interval ends —
+  *    exactly tsfel's integer-bin formulation;
   *  - log energies: fb_m = 20·log₁₀(max(Σ_k P_k·w_{mk}, ε)) with
   *    ε = 2.220446049250313e−16 (np.finfo(float).eps);
   *  - orthonormal DCT-II keeping coefficients 1..num_ceps (0th dropped):
@@ -51,10 +52,12 @@ object MfccUtil {
 
   def names(numCeps: Int): Seq[String] = (1 to numCeps).map(c => s"mfcc$c")
 
-  /** Dense mel filterbank rows [nfilt][nfft/2+1] for a sample rate. The
-    * floor-quantized bin spacing at 40 filters over 257 bins (~6.3 bins
-    * per filter edge) never collapses an interval, so the slope
-    * denominators are nonzero for any fs.
+  /** Dense mel filterbank rows [nfilt][nfft/2+1] for a sample rate. At
+    * high fs the lowest-mel intervals CAN floor-quantize to zero width;
+    * that is harmless — both fill loops skip an empty interval, leaving
+    * the filter zero there (its division is never evaluated), matching
+    * the reference's behavior. Validated against the numpy model at
+    * fs = 0.04 and fs = 4 (the two rates the queries use).
     */
   def filterbank(fs: Double): Array[Array[Double]] = {
     val highMel = 2595.0 * math.log10(1.0 + (fs / 2.0) / 700.0)

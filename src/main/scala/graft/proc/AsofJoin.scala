@@ -77,6 +77,14 @@ object AsofJoin {
       require(dups.isEmpty,
         s"as-of join output name collision on ${dups.mkString(", ")} — " +
           "rename the right-side column(s) or choose a different suffix")
+      // a SUFFIXED right name can also land on an existing LEFT column
+      // (left has both "x" and "x_r", right has "x"): every left column is
+      // projected into the output, so that too is a duplicate output column
+      val leftDups = outs.filter(leftNames.contains).distinct
+      require(leftDups.isEmpty,
+        s"as-of join output name collision with left column(s) " +
+          s"${leftDups.mkString(", ")} — rename the column(s) or choose " +
+          "a different suffix")
     }
 
     def project(df: DataFrame, chosen: Column): DataFrame =

@@ -28,7 +28,12 @@ object Resample {
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     // relative epsilon: (0.3 - 0.0) / 0.1 = 2.9999999999999996 in doubles —
     // a bare floor would silently drop the final grid point that the doc
-    // ("inclusive of the last step at or before max") promises
+    // ("inclusive of the last step at or before max") promises.
+    // Tradeoff: if (hi-lo)/step is GENUINELY (not by float error) within
+    // 1e-9 relative below an integer, the snapped final point lands up to
+    // ~1e-9*|q|*step beyond max. We accept that epsilon-bounded overshoot
+    // rather than drop legitimately aligned endpoints — an as-of carry at
+    // such a point still reads the last sample, so no value is invented.
     val q = (hi - lo) / step
     val nb = math.floor(q + 1e-9 * math.max(1.0, math.abs(q))).toLong + 1
     val grid = spark.range(nb)

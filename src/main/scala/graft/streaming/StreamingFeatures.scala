@@ -50,14 +50,19 @@ object StreamingFeatures {
     * event-time timeout): state per key is the single open run (bounded —
     * independent of run length, since only the accumulators are kept), a
     * run closes when a later row arrives with a different group value,
-    * when a SAME-group row arrives more than `closeAfter` past the run end
-    * (the in-batch twin of the timeout rule, so output is independent of
-    * how rows land in micro-batches), or when event time passes
-    * `run end + closeAfter` (the timeout — so tail runs DO emit without
-    * requiring a sentinel row). Rows inside a
+    * when a SAME-group row arrives more than `closeAfter` outside the
+    * run's known [start, end] span in EITHER direction (the in-batch twin
+    * of the timeout rule; the backward bound keeps a grossly-late row
+    * from inflating a run it cannot be consecutive with), or when event
+    * time passes `run end + closeAfter` (the timeout — so tail runs DO
+    * emit without requiring a sentinel row). Rows inside a
     * micro-batch are sorted by event time before folding; cross-batch
     * disorder is bounded by the `watermark` horizon, the same contract as
-    * every Structured Streaming stateful operator. State is shuffled by
+    * every Structured Streaming stateful operator. For IN-ORDER input the
+    * output is independent of micro-batch boundaries; for late data the
+    * append-mode emissions are a best effort — a run already closed by an
+    * interleaved late row stays closed, so a full batch replay of the
+    * same rows can merge what the stream split. State is shuffled by
     * `keyCol`, so entity count is the scale-out axis — the 100 TB shape.
     *
     * Output columns: key, group, run_start, run_end, n, sum, min, max,
@@ -103,13 +108,19 @@ object StreamingFeatures {
               cur match {
                 // extend only while the event-time gap stays within
                 // closeAfter — the SAME rule the timeout applies across
-                // batches, so output does not depend on how rows happen to
-                // be micro-batched (a same-group row after a larger gap
-                // starts a new run in both paths). Late rows (negative gap,
-                // within the watermark horizon) extend and may pull
-                // run_start back.
+                // batches (a same-group row after a larger gap starts a new
+                // run in both paths). Late rows within closeAfter of the
+                // run's known span extend it and may pull run_start back; a
+                // late row MORE than closeAfter before run_start is > the
+                // gap bound away from every known row of the run, so it
+                // starts its own run instead of silently inflating this
+                // one's span/stats. Output is micro-batch-independent for
+                // in-order data; for late data the already-emitted Append
+                // decisions can differ from a full batch replay (see
+                // scaladoc).
                 case Some(st) if st.group == r.group &&
-                    r.tsUs - st.endUs <= closeUs =>
+                    r.tsUs - st.endUs <= closeUs &&
+                    st.startUs - r.tsUs <= closeUs =>
                   cur = Some(st.copy(startUs = math.min(st.startUs, r.tsUs),
                     endUs = math.max(st.endUs, r.tsUs),
                     n = st.n + 1, sum = st.sum + r.v,

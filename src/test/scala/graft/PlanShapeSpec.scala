@@ -1,0 +1,95 @@
+package graft
+
+/** Pins the physical-plan SHAPE (shuffle-exchange count + join-strategy
+  * choice, via [[PlanAudit]]) of the most expensive bench queries — the
+  * top-10 plans of the r12 plan audit. The timing bench would eventually
+  * catch a plan regressing to an extra exchange or a broadcast join
+  * falling back to SMJ, but only as an unattributed slowdown; this turns
+  * the same regression into a named failure at the query that changed.
+  *
+  * Counts are the STATIC planner output at sf0.001 under the test session
+  * (local[4], 4 shuffle partitions — same settings PlanCheck/probes use).
+  * AQE can only improve on this shape at runtime. If a deliberate plan
+  * change moves a count, update the table here WITH the reasoning — the
+  * point is that it cannot move silently.
+  *
+  * Notes on the pinned values:
+  *  - the broadcast_nested_loop_join=1 in q12/q73/q82 is the documented
+  *    bounded-side crossJoin (one-row stats / bounds frame, broadcast);
+  *  - q21's 7 broadcast joins are the PPJoin stats/threshold sides — the
+  *    one SMJ is the candidate-verify self-join, which must shuffle;
+  *  - q72's 9 exchanges are the keyed multi-window explode + aggregate +
+  *    anchor pivot, all hash-partitioned on the entity key.
+  */
+class PlanShapeSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private val expected: Map[String, Map[String, Int]] = Map(
+    "q21_dedup_jaccard" -> Map(
+      "shuffle_exchange" -> 3, "broadcast_exchange" -> 7,
+      "reused_exchange" -> 0, "broadcast_hash_join" -> 7,
+      "sort_merge_join" -> 1, "shuffled_hash_join" -> 0,
+      "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0),
+    "q72_keyed_multiwin" -> Map(
+      "shuffle_exchange" -> 9, "broadcast_exchange" -> 2,
+      "reused_exchange" -> 0, "broadcast_hash_join" -> 2,
+      "sort_merge_join" -> 1, "shuffled_hash_join" -> 0,
+      "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0),
+    "q73_corpus_prep_fuzzy" -> Map(
+      "shuffle_exchange" -> 7, "broadcast_exchange" -> 4,
+      "reused_exchange" -> 0, "broadcast_hash_join" -> 3,
+      "sort_merge_join" -> 1, "shuffled_hash_join" -> 0,
+      "broadcast_nested_loop_join" -> 1, "cartesian_product" -> 0),
+    "q79_wav_decode" -> Map(
+      "shuffle_exchange" -> 2, "broadcast_exchange" -> 0,
+      "reused_exchange" -> 0, "broadcast_hash_join" -> 0,
+      "sort_merge_join" -> 0, "shuffled_hash_join" -> 0,
+      "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0),
+    "q89_multi_quantiles" -> Map(
+      "shuffle_exchange" -> 8, "broadcast_exchange" -> 3,
+      "reused_exchange" -> 0, "broadcast_hash_join" -> 3,
+      "sort_merge_join" -> 1, "shuffled_hash_join" -> 0,
+      "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0),
+    "q12_group_by_consecutive" -> Map(
+      "shuffle_exchange" -> 7, "broadcast_exchange" -> 2,
+      "reused_exchange" -> 0, "broadcast_hash_join" -> 1,
+      "sort_merge_join" -> 2, "shuffled_hash_join" -> 0,
+      "broadcast_nested_loop_join" -> 1, "cartesian_product" -> 0),
+    "q54_dup_clusters" -> Map(
+      "shuffle_exchange" -> 2, "broadcast_exchange" -> 1,
+      "reused_exchange" -> 0, "broadcast_hash_join" -> 1,
+      "sort_merge_join" -> 0, "shuffled_hash_join" -> 0,
+      "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0),
+    "q82_asof_join" -> Map(
+      "shuffle_exchange" -> 4, "broadcast_exchange" -> 2,
+      "reused_exchange" -> 0, "broadcast_hash_join" -> 1,
+      "sort_merge_join" -> 0, "shuffled_hash_join" -> 0,
+      "broadcast_nested_loop_join" -> 1, "cartesian_product" -> 0),
+    "q85_pack_per_split" -> Map(
+      "shuffle_exchange" -> 3, "broadcast_exchange" -> 2,
+      "reused_exchange" -> 0, "broadcast_hash_join" -> 2,
+      "sort_merge_join" -> 0, "shuffled_hash_join" -> 0,
+      "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0),
+    "q99d_mse" -> Map(
+      "shuffle_exchange" -> 3, "broadcast_exchange" -> 1,
+      "reused_exchange" -> 0, "broadcast_hash_join" -> 1,
+      "sort_merge_join" -> 0, "shuffled_hash_join" -> 0,
+      "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0))
+
+  for ((name, want) <- expected.toSeq.sortBy(_._1)) {
+    test(s"$name physical plan keeps its audited shape") {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val got = PlanAudit.shape(df)
+      assert(got == want,
+        s"\n  expected: ${PlanAudit.render(want)}\n  actual:   ${PlanAudit.render(got)}")
+    }
+  }
+
+  test("no audited plan uses a cartesian product or unplanned NL join") {
+    // redundant with the pinned maps, but states the invariant directly
+    for ((name, want) <- expected) {
+      assert(want("cartesian_product") == 0, name)
+      assert(want("broadcast_nested_loop_join") <= 1, name)
+    }
+  }
+}
