@@ -184,17 +184,27 @@ object Bench {
     // opens, inherited env) times the dedup family alone. Ratio in-suite /
     // isolated ~1 certifies the suite context added nothing this run; a
     // future blowup shows up as ratio >> 1 with the diag vectors saying why.
-    val isolated: Option[Map[String, Double]] =
+    // The artifact also carries the child's full pass curve and a system
+    // load reading, so a slow "isolated" number is attributable from the
+    // artifact alone: a curve converging to the in-suite number says JIT
+    // warmup; a flat-high curve with load >> parent-idle says ambient
+    // contention in the harness environment, not plan cost.
+    val isolated: Option[IsoResult] =
       if (only.nonEmpty || sys.env.contains("SPARK_GRAFT_BENCH_NOFORK")) None
       else forkIsolated(isolateFamily)
-    val isoJson = isolated.map { m =>
-      val v = m.toSeq.sortBy(_._1)
+    val isoJson = isolated.map { r =>
+      val v = r.warm.toSeq.sortBy(_._1)
         .map { case (k, s) => s""""$k":$s""" }.mkString("{", ",", "}")
       val ratios = isolateFamily.flatMap { n =>
-        for (i <- m.get(n); t <- timed.find(_.name == n); if i > 0)
+        for (i <- r.warm.get(n); t <- timed.find(_.name == n); if i > 0)
           yield s""""$n":${(t.warm / i * 100).round / 100.0}"""
       }.mkString("{", ",", "}")
-      s""","queries_isolated":$v,"insuite_over_isolated":$ratios"""
+      val curves = r.passes.toSeq.sortBy(_._1)
+        .map { case (k, c) => s""""$k":[$c]""" }.mkString("{", ",", "}")
+      val env = s"""{"load_before":${r.loadBefore},"load_after":${r.loadAfter},""" +
+        s""""wall_sec":${(r.wallSec * 10).round / 10.0}}"""
+      s""","queries_isolated":$v,"insuite_over_isolated":$ratios""" +
+        s""","isolated_passes":$curves,"iso_env":$env"""
     }.getOrElse("")
 
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -235,11 +245,22 @@ object Bench {
     spark.stop()
   }
 
+  /** Child-JVM isolation result: published warm vector (last pass), the
+    * full pass-by-pass curve per query, and the 1-minute system load
+    * average straddling the fork (ambient-contention evidence). */
+  private case class IsoResult(warm: Map[String, Double],
+                               passes: Map[String, String],
+                               loadBefore: Double, loadAfter: Double,
+                               wallSec: Double)
+
   /** Fork a fresh JVM running `Bench <names>` and parse its stdout JSON's
     * warm vector. Best-effort: any failure (classpath not file-based, child
     * crash, unparseable output) returns None rather than failing the bench.
     */
-  private def forkIsolated(names: Seq[String]): Option[Map[String, Double]] = try {
+  private def forkIsolated(names: Seq[String]): Option[IsoResult] = try {
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadBefore = osBean.getSystemLoadAverage
+    val tFork0 = System.nanoTime()
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
     val cp = System.getProperty("java.class.path")
@@ -284,6 +305,13 @@ object Bench {
       val window = if (qIdx >= 0 && coldIdx > qIdx) line.substring(qIdx, coldIdx) else line
       re.findFirstMatchIn(window).map(mm => n -> mm.group(1).toDouble)
     }.toMap
-    if (m.isEmpty) None else Some(m)
+    // the child's per-query pass curves ("[bench-passes] name a,b,c,d")
+    val passRe = """\[bench-passes\] (\S+) ([0-9.,Ee+-]+)""".r
+    val curves = outLines.linesIterator.collect {
+      case passRe(n, c) if names.contains(n) => n -> c
+    }.toMap
+    val wall = (System.nanoTime() - tFork0) / 1e9
+    if (m.isEmpty) None
+    else Some(IsoResult(m, curves, loadBefore, osBean.getSystemLoadAverage, wall))
   } catch { case _: Throwable => None }
 }

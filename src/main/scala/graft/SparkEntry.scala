@@ -972,6 +972,42 @@ object SparkEntry {
         .orderBy("ts_anchor")
     }),
 
+    // ---- sink: hive-partitioned shard write + read-back audit -----------
+    // The one first-class component that was spec-only until r13: write
+    // the tagged corpus through Sink.writeShards (one shuffle, bounded
+    // files per leaf, deterministic order), then READ THE LAYOUT BACK and
+    // aggregate per leaf dir. The oracle re-derives the same aggregates
+    // from the source table directly, so any row lost/duplicated/
+    // mis-partitioned by the writer breaks the hash; the files_ok column
+    // folds the bounded-file-count check into the same compare (DuckDB
+    // asserts TRUE, Spark computes it from input_file_name()).
+    "q111_sink_shards" -> ((s, dir) => {
+      val tagged = docs(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) < 8, lit("train"))
+          .otherwise(lit("val")).as("split"),
+        pmod(col("doc_id"), lit(4)).as("shard"),
+        length(col("text")).as("tlen"))
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_q111_" +
+        s"p${ProcessHandle.current().pid()}_h${dir.hashCode.toHexString}"
+      graft.scale.Sink.writeShards(tagged, out, Seq("split", "shard"),
+        Seq("doc_id"), filesPerPartition = 2)
+      s.read.parquet(out)
+        // input_file_name() is non-deterministic, so Catalyst rejects it
+        // INSIDE an aggregate — project it to a column first
+        .withColumn("__file", input_file_name())
+        .groupBy(col("split"), col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum(col("doc_id"))
+            .cast("double").as("sum_id"),
+          org.apache.spark.sql.functions.sum(col("tlen"))
+            .cast("double").as("sum_len"),
+          countDistinct(col("__file")).as("__files"))
+        .select(col("split"), col("shard"), col("n"), col("sum_id"),
+          col("sum_len"),
+          (col("__files") >= 1 && col("__files") <= 2).as("files_ok"))
+        .orderBy("split", "shard")
+    }),
+
     // ---- tsfel spectral-shape battery (r11 tranche 4: centroid, spread,
     // shape moments, decrease, rolloff, band powers — one periodogram
     // kernel; reference surface: tests/test_features_integration.py:218-283)
@@ -3309,6 +3345,18 @@ object SparkEntry {
          |  LEFT JOIN kent ON seg.we = kent.we
          |  LEFT JOIN gent ON seg.we = gent.we
          |ORDER BY 1""".stripMargin,
+
+    // sink round-trip: the aggregates are re-derived from the SOURCE table
+    // (the Spark side computes them from the files writeShards produced,
+    // so loss/duplication/mis-partitioning breaks the hash); files_ok is
+    // asserted TRUE here and computed from input_file_name() there.
+    "q111_sink_shards" ->
+      """SELECT CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'val' END AS split,
+        |  doc_id % 4 AS shard, count(*) AS n,
+        |  CAST(sum(doc_id) AS DOUBLE) AS sum_id,
+        |  CAST(sum(length(text)) AS DOUBLE) AS sum_len,
+        |  TRUE AS files_ok
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // pyentrp: value-frequency Shannon entropy; weighted permutation
     // entropy = Bandt–Pompe codes (q90's base-3 rank formula) weighted by

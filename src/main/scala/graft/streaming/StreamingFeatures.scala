@@ -181,6 +181,41 @@ object StreamingFeatures {
         names.map(n => col(s"`$n`"))): _*)
   }
 
+  /** Keyed MULTI-window streaming rolling — the streaming analog of
+    * `KeyedFeatures.calculateWideMulti` (the q72 shape: several window
+    * lengths per entity in one query). Output is LONG form: one row per
+    * (keys..., anchor, win) with one column per function (plain function
+    * names — the window length lives in the `win` column, since a single
+    * union output cannot carry per-branch W10 names).
+    *
+    * Physical shape: one windowed aggregation per (window, slide) pair,
+    * unioned — Spark runs them as parallel stateful operators over the
+    * same scan, each branch's state bounded by the watermark exactly as a
+    * single `rolling` is; state and shuffle partition on the key columns,
+    * so entity count remains the scale-out axis. (A wide pivot of the
+    * branches would need a stream-stream join on (key, anchor) — more
+    * state for no more information; consumers pivot downstream if needed.)
+    */
+  def rollingMulti(df: DataFrame, tsCol: String, valueCol: String,
+                   seriesName: String, wins: Seq[(TimeWin, TimeWin)],
+                   funcs: Seq[FeatureFunc], watermark: Option[String] = None,
+                   offset: Option[String] = None,
+                   keyCols: Seq[String] = Nil): DataFrame = {
+    require(wins.nonEmpty, "need at least one (window, slide) pair")
+    require(wins.map(_._1.render).distinct.length == wins.length,
+      "duplicate window lengths: the win label column would be ambiguous")
+    wins.map { case (w, sl) =>
+      val branch = rolling(df, tsCol, valueCol, seriesName, w, sl, funcs,
+        watermark, offset, keyCols)
+      val renames = funcs.map { f =>
+        col(s"`${Win.outputName(Seq(seriesName), f.name, w.render)}`")
+          .as(f.name)
+      }
+      branch.select(keyCols.map(col) ++ Seq(col(tsCol),
+        lit(w.render).as("win")) ++ renames: _*)
+    }.reduce(_.unionByName(_))
+  }
+
   /** Streaming exact dedup: drops rows whose normalized content key was
     * already seen within the watermark horizon — the streaming analog of
     * `Dedup.exactNormalized` (state is the key set, bounded by the

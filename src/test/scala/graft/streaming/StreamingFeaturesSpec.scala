@@ -244,4 +244,150 @@ class StreamingFeaturesSpec extends SparkSpec {
       .select(unix_micros(col("ts"))).collect().map(_.getLong(0)).toSeq
     assert(got == Seq(1705316400000000L)) // 2024-01-15T11:00:00Z
   }
+
+  // ---- batch ≡ stream differentials over REAL replayed events ------------
+  // The tests below replay /root/testdata/sf0.001/events.parquet (1000
+  // rows, 15 users, 30 days) through a MemoryStream in three chronological
+  // micro-batches and compare the streaming operators' output against the
+  // BATCH engine (KeyedFeatures) on the same input — not hand-computed
+  // values, the actual q12/q44/q72-class plans.
+
+  /** sf0.001 events as (tsUs, user, group, value), chronologically sorted. */
+  private def realEvents: Seq[(Long, Long, String, Double)] = {
+    val df = graft.core.TsCompat.readEvents(spark,
+      "/root/testdata/sf0.001/events.parquet")
+    df.select(unix_micros(col("ts")), col("user_id"), col("event_type"),
+        col("value"))
+      .where(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull && col("value").isNotNull)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+  }
+
+  /** Replay `rows` in three chronological micro-batches through `build`,
+    * collecting the append-mode output of query `name`. */
+  private def replay[T <: Product : org.apache.spark.sql.Encoder](
+      rows: Seq[T], name: String)(
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[T]
+    val out = build(ms.toDF())
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val third = (rows.length + 2) / 3
+    try rows.grouped(third).foreach { chunk =>
+      ms.addData(chunk); q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  test("consecutiveRuns ≡ batch group_by_consecutive on replayed sf0.001 events") {
+    import FeatureFuncs.{len, sum => fsum, min => fmin, max => fmax, mean => fmean}
+    import spark.implicits._
+    val rows = realEvents
+    val globalSpanOk = "43200 days" // > the 30-day span: no gap splits,
+                                    // no timeouts — runs close on group
+                                    // change only, exactly the batch rule
+    val streamed = replay(rows, "g3diff") { sdf =>
+      val df = sdf.select(timestamp_micros(col("_1")).as("ts"),
+        col("_2").as("user_id"), col("_3").as("event_type"),
+        col("_4").as("value"))
+      StreamingFeatures.consecutiveRuns(df, "ts", "user_id", "event_type",
+        "value", watermark = "0 seconds",
+        closeAfter = Win.time(globalSpanOk).asInstanceOf[TimeWin])
+    }.select(col("key"), col("group"), unix_micros(col("run_start")),
+        unix_micros(col("run_end")), col("n"), round(col("sum"), 6),
+        col("min"), col("max"), round(col("mean"), 6))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8))).toSet
+
+    // batch side: the real G3 operator on the same input
+    val bdf = rows.toDF("us", "user_id", "event_type", "value")
+      .select(timestamp_micros(col("us")).as("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val batch = graft.api.KeyedFeatures.calculateGroupByConsecutive(
+      bdf, "user_id", "ts", "event_type",
+      Seq("value" -> len, "value" -> fsum, "value" -> fmin,
+        "value" -> fmax, "value" -> fmean))
+      .select(col("user_id").cast("string"), col("event_type"),
+        unix_micros(col("__start")), unix_micros(col("__end")),
+        col("`value__len__w=manual`").cast("long"),
+        round(col("`value__sum__w=manual`"), 6),
+        col("`value__min__w=manual`"), col("`value__max__w=manual`"),
+        round(col("`value__mean__w=manual`"), 6))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8))).toSeq
+
+    // the stream can never close each key's LAST run (nothing follows it
+    // and the timeout sits beyond the final watermark) — every other run
+    // must match the batch operator exactly
+    val lastEndPerKey = batch.groupBy(_._1).view.mapValues(_.map(_._4).max).toMap
+    val expectable = batch.filterNot(b => b._4 == lastEndPerKey(b._1)).toSet
+    assert(expectable.nonEmpty && expectable.size >= 50,
+      s"differential vacuous: only ${expectable.size} closable batch runs")
+    assert(streamed == expectable,
+      s"stream-only: ${(streamed -- expectable).take(3)}\n" +
+        s"batch-only: ${(expectable -- streamed).take(3)}")
+  }
+
+  test("rollingMulti ≡ batch calculateWideMulti on replayed sf0.001 events") {
+    import FeatureFuncs.{len, mean => fmean}
+    import spark.implicits._
+    val H6 = 6L * 3600 * 1000000
+    // align each user's data anchor to the stream's epoch grid: batch
+    // windows anchor at the key's min ts, the stream grid at the epoch —
+    // shifting every row of a user by (min ts mod slide) makes the two
+    // window vocabularies coincide WITHOUT changing any window's content
+    val raw = realEvents
+    val phase = raw.groupBy(_._2).view.mapValues(_.map(_._1).min % H6).toMap
+    val rows = raw.map(t => (t._1 - phase(t._2), t._2, t._4)).sortBy(_._1)
+
+    val streamed = replay(rows, "multidiff") { sdf =>
+      val df = sdf.select(timestamp_micros(col("_1")).as("ts"),
+        col("_2").as("user_id"), col("_3").as("value"))
+      StreamingFeatures.rollingMulti(df, "ts", "value", "value",
+        Seq((Win.time("6h").asInstanceOf[TimeWin],
+             Win.time("6h").asInstanceOf[TimeWin]),
+            (Win.time("1D").asInstanceOf[TimeWin],
+             Win.time("6h").asInstanceOf[TimeWin])),
+        Seq(len, fmean), watermark = Some("0 seconds"),
+        keyCols = Seq("user_id"))
+    }.select(col("user_id"), unix_micros(col("ts")), col("win"),
+        col("len"), round(col("mean"), 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+
+    // batch side: the real q72 operator (wide) on the same shifted input,
+    // reshaped long over the two windows
+    val bdf = rows.toDF("us", "user_id", "value")
+      .select(timestamp_micros(col("us")).as("ts"), col("user_id"),
+        col("value"))
+    val wide = graft.api.KeyedFeatures.calculateWideMulti(
+      bdf, "user_id", "ts",
+      Seq((Win.time("6h"): Win) -> Seq(Win.time("6h"): Win),
+          (Win.time("1D"): Win) -> Seq(Win.time("6h"): Win)),
+      unary = Seq("value" -> len, "value" -> fmean))
+    val batch = Seq("6h", "1D").flatMap { w =>
+      wide.select(col("user_id"), unix_micros(col("ts")), lit(w),
+          col(s"`value__len__w=$w`").cast("long"),
+          round(col(s"`value__mean__w=$w`"), 6))
+        .where(col(s"`value__len__w=$w`") > 0) // the stream emits no
+          // empty-window rows (W7 is a batch-only contract)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)) ->
+          (r.getLong(3), r.getDouble(4)))
+    }
+    assert(batch.size >= 300, s"differential vacuous: ${batch.size} windows")
+    // every batch window must be present in the stream with equal values
+    // (the stream additionally emits leading/trailing PARTIAL grid windows
+    // the batch vocabulary excludes — those are its documented contract)
+    val missing = batch.filter { case (k, v) => !streamed.get(k).contains(v) }
+    assert(missing.isEmpty,
+      s"${missing.size} batch windows missing/unequal in stream; first 3: " +
+        missing.take(3).map { case (k, v) =>
+          s"$k batch=$v stream=${streamed.get(k)}" }.mkString("; "))
+  }
 }
