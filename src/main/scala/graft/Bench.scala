@@ -305,13 +305,25 @@ object Bench {
       val window = if (qIdx >= 0 && coldIdx > qIdx) line.substring(qIdx, coldIdx) else line
       re.findFirstMatchIn(window).map(mm => n -> mm.group(1).toDouble)
     }.toMap
+    // a query that THREW in the child publishes its time-to-throw — drop
+    // such names instead of letting a bogus "isolated" number masquerade
+    // as a suite-context blowup (the r12 child-failure-invisibility fix,
+    // re-applied to this parse)
+    val childFailed: Set[String] = {
+      val fIdx = line.indexOf("\"failed\":[")
+      if (fIdx < 0) Set.empty
+      else line.substring(fIdx + 10, line.indexOf(']', fIdx) max (fIdx + 10))
+        .split(',').map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSet
+    }
+    val ok = m -- childFailed
     // the child's per-query pass curves ("[bench-passes] name a,b,c,d")
     val passRe = """\[bench-passes\] (\S+) ([0-9.,Ee+-]+)""".r
     val curves = outLines.linesIterator.collect {
-      case passRe(n, c) if names.contains(n) => n -> c
+      case passRe(n, c) if ok.contains(n) => n -> c
     }.toMap
     val wall = (System.nanoTime() - tFork0) / 1e9
-    if (m.isEmpty) None
-    else Some(IsoResult(m, curves, loadBefore, osBean.getSystemLoadAverage, wall))
+    if (ok.isEmpty) None
+    else Some(IsoResult(ok, curves, loadBefore, osBean.getSystemLoadAverage, wall))
   } catch { case _: Throwable => None }
 }

@@ -35,6 +35,13 @@ object ScaleData {
         f: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame) =
       (0 until copies).map(k => f(df, k)).reduce(_.unionAll(_))
 
+    // FULL-SCHEMA fidelity: the r13 100x probe found 11 queries failing
+    // against the replicated copy because this writer used to project the
+    // tables down to the "interesting" columns — events lost event_id and
+    // props (q62/q91/...), documents lost lang/source/n_chars
+    // (q27/q57/q60/q77/...). A scale probe over a schema SUBSET silently
+    // tests a different workload; every column now carries through, with
+    // id columns shifted by data-derived strides to stay unique per copy.
     val ev0 = graft.core.TsCompat.readEvents(spark, s"$srcDir/events.parquet")
     val span = ev0.agg(max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
       .head().getLong(0) + 1000000L
@@ -44,19 +51,22 @@ object ScaleData {
     // so a third of the keys spanned two copies' time ranges (2x the
     // windows per merged key) instead of multiplying the key count)
     val uShift = ev0.agg(max(col("user_id"))).head().getLong(0) + 1L
+    val eShift = ev0.agg(max(col("event_id"))).head().getLong(0) + 1L
     rep(ev0)((d, k) => d.select(
+      (col("event_id") + lit(k * eShift)).as("event_id"),
       timestamp_micros(unix_micros(col("ts")) + lit(k * span)).as("ts"),
-      col("value"), col("event_type"),
-      (col("user_id") + lit(k * uShift)).as("user_id")))
+      (col("user_id") + lit(k * uShift)).as("user_id"),
+      col("event_type"), col("value"), col("props")))
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
-    rep(spark.read.parquet(s"$srcDir/documents.parquet"))((d, k) =>
-      d.select((col("doc_id") + lit(k * 1000000)).as("doc_id"), col("text")))
+    val doc0 = spark.read.parquet(s"$srcDir/documents.parquet")
+    val dShift = doc0.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    rep(doc0)((d, k) => d.withColumn("doc_id", col("doc_id") + lit(k * dShift)))
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
-    rep(spark.read.parquet(s"$srcDir/embeddings.parquet"))((d, k) =>
-      d.select((col("vec_id") + lit(k * 1000000)).as("vec_id"),
-        col("embedding"), col("label")))
+    val emb0 = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val vShift = emb0.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    rep(emb0)((d, k) => d.withColumn("vec_id", col("vec_id") + lit(k * vShift)))
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
     for (t <- Seq("lineitem", "orders")) {

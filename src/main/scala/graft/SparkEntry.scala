@@ -989,6 +989,10 @@ object SparkEntry {
         length(col("text")).as("tlen"))
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_q111_" +
         s"p${ProcessHandle.current().pid()}_h${dir.hashCode.toHexString}"
+      // pid-scoped (concurrent JVMs must not overwrite each other's
+      // layout mid-read) — which is exactly why it must self-clean, or
+      // every bench/verify JVM leaks one corpus copy into /tmp
+      graft.scale.Sink.deleteOnExit(out)
       graft.scale.Sink.writeShards(tagged, out, Seq("split", "shard"),
         Seq("doc_id"), filesPerPartition = 2)
       s.read.parquet(out)

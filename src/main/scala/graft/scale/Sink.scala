@@ -17,6 +17,22 @@ object Sink {
 
   import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Register `path` for recursive deletion at JVM exit (idempotent per
+    * path). For SCRATCH shard layouts only (e.g. the q111 round-trip
+    * audit) — a pid-scoped tmp dir would otherwise leak one full corpus
+    * copy per JVM across repeated bench/verify rounds until /tmp fills. */
+  def deleteOnExit(path: String): Unit =
+    if (cleanupRegistered.add(path))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val fs = f.listFiles(); if (fs != null) fs.foreach(rm); f.delete()
+        }
+        try rm(new java.io.File(path)) catch { case _: Throwable => }
+      }, s"sink-cleanup"))
+
   /** hash/xxhash64 reject MapType anywhere in the tree (map key order is
     * undefined), so the tiebreak must skip such columns recursively. */
   private def containsMap(dt: DataType): Boolean = dt match {

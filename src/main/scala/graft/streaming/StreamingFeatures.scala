@@ -50,19 +50,21 @@ object StreamingFeatures {
     * event-time timeout): state per key is the single open run (bounded —
     * independent of run length, since only the accumulators are kept), a
     * run closes when a later row arrives with a different group value,
-    * when a SAME-group row arrives more than `closeAfter` outside the
-    * run's known [start, end] span in EITHER direction (the in-batch twin
-    * of the timeout rule; the backward bound keeps a grossly-late row
-    * from inflating a run it cannot be consecutive with), or when event
-    * time passes `run end + closeAfter` (the timeout — so tail runs DO
-    * emit without requiring a sentinel row). Rows inside a
+    * when a SAME-group row arrives more than `closeAfter` past the run
+    * end (the in-batch twin of the timeout rule), or when event time
+    * passes `run end + closeAfter` (the timeout — so tail runs DO emit
+    * without requiring a sentinel row). A grossly-late straggler (more
+    * than `closeAfter` BEFORE the open run's start — it cannot be
+    * consecutive with any known row of the run) emits as its own closed
+    * singleton run and leaves the open run untouched, confining the
+    * damage of one stray row to itself. Rows inside a
     * micro-batch are sorted by event time before folding; cross-batch
     * disorder is bounded by the `watermark` horizon, the same contract as
     * every Structured Streaming stateful operator. For IN-ORDER input the
     * output is independent of micro-batch boundaries; for late data the
-    * append-mode emissions are a best effort — a run already closed by an
-    * interleaved late row stays closed, so a full batch replay of the
-    * same rows can merge what the stream split. State is shuffled by
+    * append-mode emissions are a best effort — a closed run stays closed,
+    * so a full batch replay of the same rows can merge what the stream
+    * split. State is shuffled by
     * `keyCol`, so entity count is the scale-out axis — the 100 TB shape.
     *
     * Output columns: key, group, run_start, run_end, n, sum, min, max,
@@ -106,21 +108,26 @@ object StreamingFeatures {
             val closeUs = closeMs * 1000L
             sorted.foreach { r =>
               cur match {
+                // a grossly-late straggler — more than closeAfter BEFORE
+                // the open run's start, any group — is > the gap bound
+                // away from every known row of the run: it can neither
+                // extend the run nor precede-extend it. Emit it as its own
+                // closed singleton and LEAVE THE OPEN RUN'S STATE INTACT
+                // (closing the healthy run here would fragment it into
+                // three emissions off one stray row).
+                case Some(st) if r.tsUs < st.startUs - closeUs =>
+                  closed += finish(
+                    RunState(r.group, r.tsUs, r.tsUs, 1L, r.v, r.v, r.v), key)
                 // extend only while the event-time gap stays within
                 // closeAfter — the SAME rule the timeout applies across
                 // batches (a same-group row after a larger gap starts a new
                 // run in both paths). Late rows within closeAfter of the
-                // run's known span extend it and may pull run_start back; a
-                // late row MORE than closeAfter before run_start is > the
-                // gap bound away from every known row of the run, so it
-                // starts its own run instead of silently inflating this
-                // one's span/stats. Output is micro-batch-independent for
-                // in-order data; for late data the already-emitted Append
-                // decisions can differ from a full batch replay (see
-                // scaladoc).
+                // run's known span extend it and may pull run_start back.
+                // Output is micro-batch-independent for in-order data; for
+                // late data the already-emitted Append decisions can differ
+                // from a full batch replay (see scaladoc).
                 case Some(st) if st.group == r.group &&
-                    r.tsUs - st.endUs <= closeUs &&
-                    st.startUs - r.tsUs <= closeUs =>
+                    r.tsUs - st.endUs <= closeUs =>
                   cur = Some(st.copy(startUs = math.min(st.startUs, r.tsUs),
                     endUs = math.max(st.endUs, r.tsUs),
                     n = st.n + 1, sum = st.sum + r.v,

@@ -76,20 +76,29 @@ class PlanShapeSpec extends SparkSpec {
       "sort_merge_join" -> 0, "shuffled_hash_join" -> 0,
       "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0))
 
+  // computed shapes cached by the per-query tests so the invariant test
+  // below asserts against REALITY (not the expectation table, which a
+  // future table edit could weaken)
+  private val observed =
+    scala.collection.mutable.Map.empty[String, Map[String, Int]]
+
   for ((name, want) <- expected.toSeq.sortBy(_._1)) {
     test(s"$name physical plan keeps its audited shape") {
       val df = SparkEntry.queries(name)(spark, dir)
       val got = PlanAudit.shape(df)
+      observed(name) = got
       assert(got == want,
         s"\n  expected: ${PlanAudit.render(want)}\n  actual:   ${PlanAudit.render(got)}")
     }
   }
 
+  // registered after (and so runs after) the per-query tests above
   test("no audited plan uses a cartesian product or unplanned NL join") {
-    // redundant with the pinned maps, but states the invariant directly
-    for ((name, want) <- expected) {
-      assert(want("cartesian_product") == 0, name)
-      assert(want("broadcast_nested_loop_join") <= 1, name)
+    assert(observed.size == expected.size,
+      s"only ${observed.size}/${expected.size} shapes computed")
+    for ((name, got) <- observed) {
+      assert(got("cartesian_product") == 0, name)
+      assert(got("broadcast_nested_loop_join") <= 1, name)
     }
   }
 }

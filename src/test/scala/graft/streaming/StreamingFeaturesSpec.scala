@@ -228,6 +228,39 @@ class StreamingFeaturesSpec extends SparkSpec {
     assert(b == Seq((sec(7250), sec(7300), 2L, 10.0)))
   }
 
+  test("a grossly-late straggler emits a singleton and leaves the open run intact") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(String, Long, String, Double)]
+    val sdf = ms.toDF().select(col("_1").as("k"),
+      timestamp_micros(col("_2")).as("ts"), col("_3").as("g"),
+      col("_4").as("v"))
+    val out = StreamingFeatures.consecutiveRuns(sdf, "ts", "k", "g", "v",
+      watermark = "60 minutes", closeAfter = Win.time("1m").asInstanceOf[TimeWin])
+    val q = out.writeStream.format("memory").queryName("runs3")
+      .outputMode("append").start()
+    def sec(s: Long) = (86400L + s) * 1000000L
+    ms.addData(Seq(("c", sec(7000), "x", 1.0), ("c", sec(7030), "x", 2.0)))
+    q.processAllAvailable()
+    // > closeAfter before the open run's start, within the watermark: must
+    // NOT close the run, must NOT pull its start back — its own singleton
+    ms.addData(Seq(("c", sec(5000), "x", 7.0)))
+    q.processAllAvailable()
+    // still extends the ORIGINAL run (gap exactly closeAfter from 7030)
+    ms.addData(Seq(("c", sec(7090), "x", 3.0)))
+    q.processAllAvailable()
+    ms.addData(Seq(("c", sec(20000), "y", 0.0))) // closes the x-run
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("runs3").where(col("key") === "c" && col("group") === "x")
+      .select(unix_micros(col("run_start")), unix_micros(col("run_end")),
+        col("n"), col("sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((sec(5000), sec(5000), 1L, 7.0),
+      (sec(7000), sec(7090), 3L, 6.0)))
+  }
+
   test("fromWallClock converts an NTZ stream to instants (strict DST)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -302,7 +335,7 @@ class StreamingFeaturesSpec extends SparkSpec {
         col("min"), col("max"), round(col("mean"), 6))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
-        r.getDouble(7), r.getDouble(8))).toSet
+        r.getDouble(7), r.getDouble(8))).toSeq
 
     // batch side: the real G3 operator on the same input
     val bdf = rows.toDF("us", "user_id", "event_type", "value")
@@ -326,12 +359,16 @@ class StreamingFeaturesSpec extends SparkSpec {
     // and the timeout sits beyond the final watermark) — every other run
     // must match the batch operator exactly
     val lastEndPerKey = batch.groupBy(_._1).view.mapValues(_.map(_._4).max).toMap
-    val expectable = batch.filterNot(b => b._4 == lastEndPerKey(b._1)).toSet
-    assert(expectable.nonEmpty && expectable.size >= 50,
+    val expectable = batch.filterNot(b => b._4 == lastEndPerKey(b._1))
+    assert(expectable.size >= 50,
       s"differential vacuous: only ${expectable.size} closable batch runs")
-    assert(streamed == expectable,
-      s"stream-only: ${(streamed -- expectable).take(3)}\n" +
-        s"batch-only: ${(expectable -- streamed).take(3)}")
+    // SORTED-SEQ compare, not sets: a regression that double-emits a run
+    // (e.g. finish without state.remove) must not be hidden by dedup
+    val sGot = streamed.sorted
+    val sWant = expectable.sorted
+    assert(sGot == sWant,
+      s"stream-only: ${sGot.diff(sWant).take(3)}\n" +
+        s"batch-only: ${sWant.diff(sGot).take(3)}")
   }
 
   test("rollingMulti ≡ batch calculateWideMulti on replayed sf0.001 events") {
@@ -359,7 +396,7 @@ class StreamingFeaturesSpec extends SparkSpec {
     }.select(col("user_id"), unix_micros(col("ts")), col("win"),
         col("len"), round(col("mean"), 6))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)) ->
-        (r.getLong(3), r.getDouble(4))).toMap
+        (r.getLong(3), r.getDouble(4))).toSeq
 
     // batch side: the real q72 operator (wide) on the same shifted input,
     // reshaped long over the two windows
@@ -381,13 +418,17 @@ class StreamingFeaturesSpec extends SparkSpec {
           (r.getLong(3), r.getDouble(4)))
     }
     assert(batch.size >= 300, s"differential vacuous: ${batch.size} windows")
+    // duplicate emissions must fail loudly, not be collapsed by the map
+    assert(streamed.map(_._1).distinct.size == streamed.size,
+      "stream emitted duplicate (key, anchor, win) rows")
+    val streamedMap = streamed.toMap
     // every batch window must be present in the stream with equal values
     // (the stream additionally emits leading/trailing PARTIAL grid windows
     // the batch vocabulary excludes — those are its documented contract)
-    val missing = batch.filter { case (k, v) => !streamed.get(k).contains(v) }
+    val missing = batch.filter { case (k, v) => !streamedMap.get(k).contains(v) }
     assert(missing.isEmpty,
       s"${missing.size} batch windows missing/unequal in stream; first 3: " +
         missing.take(3).map { case (k, v) =>
-          s"$k batch=$v stream=${streamed.get(k)}" }.mkString("; "))
+          s"$k batch=$v stream=${streamedMap.get(k)}" }.mkString("; "))
   }
 }
