@@ -120,7 +120,7 @@ object Bench {
       // measures ITS plan, not the eviction of accumulated storage debt
       // (observed: a stable ~3.7 s CC query reading 19.8 s under prior
       // queries' retained checkpoints)
-      graft.core.Pinned.release()
+      graft.core.Pinned.release(blocking = true)
       // ContextCleaner reclaims dead broadcast/shuffle/accumulator state
       // only when a GC collects their weak references; ~180 query-runs in
       // one JVM accumulate enough un-collected debris that the heaviest

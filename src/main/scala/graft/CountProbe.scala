@@ -19,7 +19,7 @@ object CountProbe {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).count()
       println(f"COUNTPROBE $name rows=$n%d ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      graft.core.Pinned.release()
+      graft.core.Pinned.release(blocking = true)
     }
     spark.stop()
   }

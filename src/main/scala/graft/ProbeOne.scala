@@ -16,14 +16,14 @@ object ProbeOne {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.queries("q00_tpch_q1")(spark, dir).queryExecution.toRdd.count()
-    graft.core.Pinned.release() // warmup's blocks are not run1's problem
+    graft.core.Pinned.release(blocking = true) // warmup blocks are not run1's problem
     (1 to 2).foreach { i =>
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
       println(f"PROBEONE $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
       // like every other harness: a run must not pay (or hide) its
       // predecessor's retained checkpoint debt
-      graft.core.Pinned.release()
+      graft.core.Pinned.release(blocking = true)
     }
     spark.stop()
   }

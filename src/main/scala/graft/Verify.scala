@@ -82,7 +82,7 @@ object Verify {
       writeManifest()
       // each query's result is fully written — its checkpoint blocks are
       // dead; freeing them keeps the 99-query dump at constant storage
-      graft.core.Pinned.release()
+      graft.core.Pinned.release(blocking = true)
     }
     spark.stop()
   }

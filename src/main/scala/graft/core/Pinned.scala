@@ -89,20 +89,30 @@ object Pinned {
     * and drop it from the registry. Frames checkpointed before the call must
     * not be reused after it (their lineage is truncated). Never-materialized
     * pins and other threads' pins are left intact (still tracked).
+    *
+    * `blocking = true` waits until the blocks are actually removed — for
+    * MEASUREMENT boundaries: a non-blocking release queues multi-GB block
+    * removals that then execute inside the NEXT query's run (the r13 100x
+    * probe measured big pinned-scan queries 6-9x slower on their warm
+    * repeat than cold, with 10-14 s of in-region GC, purely from the cold
+    * pass's async eviction landing in the warm pass's timed region).
+    * Operators' internal frees stay non-blocking — there the next job
+    * overlapping the eviction is throughput, not a measurement error.
     */
-  def release(): Unit = sweep(Thread.currentThread().getId)
+  def release(blocking: Boolean = false): Unit =
+    sweep(Thread.currentThread().getId, blocking)
 
   /** [[release]] across ALL owner threads — harness/session teardown only,
     * when no pipeline can still be in flight anywhere.
     */
-  def releaseAll(): Unit = sweep(-1L)
+  def releaseAll(): Unit = sweep(-1L, blocking = false)
 
-  private def sweep(owner: Long): Unit = synchronized {
+  private def sweep(owner: Long, blocking: Boolean): Unit = synchronized {
     tracked.filterInPlace { e =>
       val r = e.ref.get()
       if (r == null) false
       else if ((owner == -1L || e.owner == owner) && materialized(r)) {
-        r.unpersist(blocking = false); false
+        r.unpersist(blocking); false
       } else true
     }
   }
