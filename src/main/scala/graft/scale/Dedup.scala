@@ -493,16 +493,18 @@ object Dedup {
     * collisions. This is the classic Manku/Jain/Sarma web-dedup layout
     * (WWW'07) — the all-pairs O(n^2) Hamming scan never materializes.
     *
-    * Scale shape: one map-side signature projection, one explode to `bands`
-    * rows per doc, one shuffle on the (band, bits) key. Bucket fan-out is
-    * 2^(32/bands) per band (256 at the default 4), so comparisons within a
-    * bucket grow quadratically once the corpus far exceeds bands * 2^(32/
-    * bands) docs — fine through ~10^6-10^7 docs; at billion-doc scale use
-    * [[simhashPairs64]] (16-bit slices, 65k buckets per band) so buckets
-    * stay sub-quadratic. Raise `bands` for a larger Hamming radius; AQE
-    * splits any skewed bucket. `maxHamming = 0` short-circuits to a single
-    * equi-join on the full signature. Returns (id_a, id_b, hamming),
-    * id_a < id_b.
+    * Scale shape: one map-side signature projection, one hash-agg collapsing
+    * identical signatures (so duplicate cliques never enter the join), then
+    * one explode to `bands` rows per DISTINCT signature and one shuffle on
+    * the (band, bits) key; member pairs are generated output-linearly after
+    * the verify. Bucket fan-out is 2^(32/bands) per band (256 at the default
+    * 4), so comparisons within a bucket grow quadratically once distinct
+    * signatures far exceed bands * 2^(32/bands) — fine through ~10^6-10^7
+    * distinct signatures; at billion-doc scale use [[simhashPairs64]]
+    * (16-bit slices, 65k buckets per band) so buckets stay sub-quadratic.
+    * Raise `bands` for a larger Hamming radius; AQE splits any skewed
+    * bucket. `maxHamming = 0` skips the join entirely (within-signature
+    * pairs only). Returns (id_a, id_b, hamming), id_a < id_b.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, bands: Int = 4): DataFrame =
@@ -529,30 +531,55 @@ object Dedup {
     require(bands >= 1 && width % bands == 0, s"bands must divide $width")
     require(maxHamming >= 0 && maxHamming < bands,
       s"pigeonhole exactness needs maxHamming < bands (got $maxHamming >= $bands)")
-    if (maxHamming == 0) {
-      s.as("a").join(s.as("b"),
-        col("a.simhash") === col("b.simhash") && col(s"a.$idCol") < col(s"b.$idCol"))
-        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-          lit(0).as("hamming"))
-    } else {
+    // Signature collapse (the q21/q32 exact-collapse precedent, one level
+    // deeper): template-heavy corpora put many documents on the SAME
+    // signature, and a banded self-join over the raw rows then does
+    // clique-squared work inside every bucket (the r13 100x probe measured
+    // q76 at 517x wall for 100x docs — the only super-linear query in the
+    // suite). Distinct signatures are what banding needs; members only
+    // matter for writing the output. So: one hash-agg to (signature, sorted
+    // member ids), pair generation in two output-linear parts —
+    //   within a signature: Hamming 0 by definition, generated map-side
+    //     from the sorted array (no join, no shuffle);
+    //   across signatures: the banded equi-join + pigeonhole verify runs
+    //     on DISTINCT signatures (clique size no longer enters the join),
+    //     then each surviving signature pair fans out members x members.
+    // Pair-level distinct() is replaced by a signature-pair dedup, so the
+    // only quadratic term left is the output itself.
+    val groups = s.groupBy("simhash")
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+    val within = groups.where(size(col("__ids")) >= 2)
+      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "id_a")))
+      .select(col("id_a"), explode(
+        slice(col("__ids"), col("__i") + lit(2), size(col("__ids")))).as("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+    if (maxHamming == 0) within
+    else {
       val sliceBits = width / bands
       val mask = if (sliceBits == 64) -1L else (1L << sliceBits) - 1
       val slices = (0 until bands).map(i =>
         shiftright(col("simhash"), i * sliceBits).bitwiseAND(lit(mask)))
-      val banded = s.select(col(idCol), col("simhash"),
+      val banded = groups.select(col("simhash"), col("__ids"),
         posexplode(array(slices: _*)).as(Seq("__band", "__bits")))
       // Both join children project from the SAME banded plan, so Catalyst
       // canonicalizes them identically and reuses one shuffle exchange.
-      val left = banded.select(col(idCol).as("id_a"),
-        col("simhash").as("__sa"), col("__band"), col("__bits"))
-      val right = banded.select(col(idCol).as("id_b"),
-        col("simhash").as("__sb"), col("__band"), col("__bits"))
-      left.join(right, Seq("__band", "__bits"))
-        .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
+      val left = banded.select(col("simhash").as("__sa"),
+        col("__ids").as("__as"), col("__band"), col("__bits"))
+      val right = banded.select(col("simhash").as("__sb"),
+        col("__ids").as("__bs"), col("__band"), col("__bits"))
+      val sigPairs = left.join(right, Seq("__band", "__bits"))
+        .where(col("__sa") < col("__sb")) // canonical direction, any total order
+        .select(col("__as"), col("__bs"),
+          bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"),
+          col("__sa"), col("__sb"))
         .where(col("hamming") <= maxHamming)
-        .distinct() // a pair may agree on several bands
+        .dropDuplicates("__sa", "__sb") // a pair may agree on several bands
+      val cross = sigPairs
+        .select(explode(col("__as")).as("__x"), col("__bs"), col("hamming"))
+        .select(col("__x"), explode(col("__bs")).as("__y"), col("hamming"))
+        .select(least(col("__x"), col("__y")).as("id_a"),
+          greatest(col("__x"), col("__y")).as("id_b"), col("hamming"))
+      within.unionAll(cross)
     }
   }
 

@@ -54,6 +54,21 @@ class SimhashPairsSpec extends SparkSpec {
     assert(z == brute(df, 0))
   }
 
+  test("clone cliques: replicated corpus equals brute force, no duplicate rows") {
+    // 5 id-shifted copies -> every text is a clique of exact clones; the
+    // signature collapse must still emit each qualifying pair EXACTLY once
+    // (within-clique Hamming-0 explode + cross-signature fan-out)
+    val base = corpus(40)
+    val df = (0 until 5).map(k =>
+      base.withColumn("doc_id", col("doc_id") + lit(k * 1000L))).reduce(_ union _)
+    val rows = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exact = brute(df, 3)
+    assert(rows.length == rows.toSet.size, "pair emitted more than once")
+    assert(rows.toSet == exact)
+    assert(rows.forall { case (a, b, _) => a < b })
+  }
+
   test("plan hygiene: both banded join children reuse one shuffle exchange") {
     // at spec scale AQE broadcasts the right side (also shuffle-free); force
     // the at-scale sort-merge path to assert the exchange is built ONCE
