@@ -160,7 +160,11 @@ object Bench {
       if (passes > 2)
         // pass-by-pass curve for the isolation/ambient attribution; the
         // parent's JSON-line scraper ignores non-{"metric" lines
-        println(s"""[bench-passes] $n ${passSecs.map(s => f"$s%.3f").mkString(",")}""")
+        // Locale.ROOT: a default-locale %.3f can print a comma decimal
+        // separator, which the parent's comma-separated curve parse would
+        // silently mis-split into wrong integers
+        println(s"""[bench-passes] $n ${passSecs.map(s =>
+          "%.3f".formatLocal(java.util.Locale.ROOT, s)).mkString(",")}""")
       QRun(n, cold, warm, gcC, gcW, heapUsedMb(), cgC, cgW)
     }
     def jnum(f: QRun => Double) =
@@ -199,8 +203,15 @@ object Bench {
         for (i <- r.warm.get(n); t <- timed.find(_.name == n); if i > 0)
           yield s""""$n":${(t.warm / i * 100).round / 100.0}"""
       }.mkString("{", ",", "}")
+      // cap each published curve at its LAST 8 passes: the compact stdout
+      // line must stay under the driver's ~1.8KB tail capture even if the
+      // parent environment exports a large SPARK_GRAFT_BENCH_PASSES (the
+      // child inherits it); the tail of the curve is the attribution-
+      // relevant part (convergence toward the warm number)
       val curves = r.passes.toSeq.sortBy(_._1)
-        .map { case (k, c) => s""""$k":[$c]""" }.mkString("{", ",", "}")
+        .map { case (k, c) =>
+          s""""$k":[${c.split(',').takeRight(8).mkString(",")}]""" }
+        .mkString("{", ",", "}")
       val env = s"""{"load_before":${r.loadBefore},"load_after":${r.loadAfter},""" +
         s""""wall_sec":${(r.wallSec * 10).round / 10.0}}"""
       s""","queries_isolated":$v,"insuite_over_isolated":$ratios""" +

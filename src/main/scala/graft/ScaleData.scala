@@ -43,15 +43,18 @@ object ScaleData {
     // tests a different workload; every column now carries through, with
     // id columns shifted by data-derived strides to stay unique per copy.
     val ev0 = graft.core.TsCompat.readEvents(spark, s"$srcDir/events.parquet")
-    val span = ev0.agg(max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
-      .head().getLong(0) + 1000000L
     // key shift derived from the DATA: a fixed constant silently merges
     // copies once the source has that many distinct ids (sf0.1 already has
     // 1500 users — a k*1000 shift collided users 1000+ across copies,
     // so a third of the keys spanned two copies' time ranges (2x the
-    // windows per merged key) instead of multiplying the key count)
-    val uShift = ev0.agg(max(col("user_id"))).head().getLong(0) + 1L
-    val eShift = ev0.agg(max(col("event_id"))).head().getLong(0) + 1L
+    // windows per merged key) instead of multiplying the key count).
+    // One agg = one scan for all three bounds.
+    val evBounds = ev0.agg(
+      (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("span"),
+      max(col("user_id")).as("mu"), max(col("event_id")).as("me")).head()
+    val span = evBounds.getLong(0) + 1000000L
+    val uShift = evBounds.getLong(1) + 1L
+    val eShift = evBounds.getLong(2) + 1L
     rep(ev0)((d, k) => d.select(
       (col("event_id") + lit(k * eShift)).as("event_id"),
       timestamp_micros(unix_micros(col("ts")) + lit(k * span)).as("ts"),

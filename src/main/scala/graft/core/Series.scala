@@ -38,9 +38,18 @@ import org.apache.spark.sql.types._
   *                 numeric → SEQUENCE domain)
   * @param valueCol the value column (any dtype — datatype retention)
   * @param tz       optional IANA zone of the index (TIME domain only)
+  * @param tzAmbiguous   DST fall-back policy for a tz-declared wall-clock
+  *                      index: "raise" (reference default) | "earliest" |
+  *                      "latest" — a corpus spanning years of wall time
+  *                      WILL contain the repeated hour, so long-horizon
+  *                      pipelines must pick an offset instead of raising
+  * @param tzNonexistent DST spring-gap policy: "raise" (reference default)
+  *                      | "shift_forward" | "shift_backward"
   */
 final case class Series(name: String, df: DataFrame, idxCol: String,
-                        valueCol: String, tz: Option[String] = None) {
+                        valueCol: String, tz: Option[String] = None,
+                        tzAmbiguous: String = "raise",
+                        tzNonexistent: String = "raise") {
   require(!name.contains("|") && !name.contains("__"),
     s"series name '$name' may not contain '|' or '__'")
 
@@ -68,12 +77,14 @@ final case class Series(name: String, df: DataFrame, idxCol: String,
       case (Domain.Time, TimestampNTZType, Some(zone)) =>
         // wall time in `zone` → true epoch instant, via a native codegen'd
         // expression (one ZoneRules.getValidOffsets lookup per row). DST edge
-        // cases match the reference's strictness (pandas raises
+        // cases default to the reference's strictness (pandas raises
         // AmbiguousTimeError / NonExistentTimeError instead of guessing):
         // a spring-forward gap wall time (no valid offset) and a fall-back
         // overlap wall time (two valid offsets) both raise; silent coercion
         // would quietly put the repeated hour's rows in the wrong windows.
-        graft.expr.WallInstantMicros(col(idxCol), zone, name).cast(DoubleType)
+        // tzAmbiguous/tzNonexistent opt into the pandas escape hatches.
+        graft.expr.WallInstantMicros(col(idxCol), zone, name,
+          tzAmbiguous, tzNonexistent).cast(DoubleType)
       case (Domain.Time, _, _) =>
         unix_micros(col(idxCol).cast(TimestampType)).cast(DoubleType)
       case _ => col(idxCol).cast(DoubleType)

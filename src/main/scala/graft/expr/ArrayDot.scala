@@ -166,7 +166,11 @@ object GraftFunctions {
     ("wall_instant_micros", classOf[WallInstantMicros].getName,
       es => WallInstantMicros(es(0), strLit(es(1), "wall_instant_micros"),
         if (es.lengthCompare(3) >= 0) strLit(es(2), "wall_instant_micros")
-        else "sql")),
+        else "sql",
+        if (es.lengthCompare(4) >= 0) strLit(es(3), "wall_instant_micros")
+        else "raise",
+        if (es.lengthCompare(5) >= 0) strLit(es(4), "wall_instant_micros")
+        else "raise")),
     // ---- windowed feature kernels: first arg = the window's values in
     // TIME order as ARRAY<DOUBLE> (collect_list over a sorted window);
     // every config arg must be a literal ----

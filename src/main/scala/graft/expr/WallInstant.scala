@@ -27,21 +27,66 @@ object WallInstantUtil {
       z => DateTimeUtils.getZoneId(z).getRules)
   }
 
+  // policy codes shared with the generated code (ints, not enums, so the
+  // codegen string stays a plain static call)
+  final val Raise = 0
+  final val AmbEarliest = 1  // pandas ambiguous=True  (pre-transition offset)
+  final val AmbLatest   = 2  // pandas ambiguous=False (post-transition offset)
+  final val NonShiftForward  = 1 // pandas nonexistent='shift_forward'
+  final val NonShiftBackward = 2 // pandas nonexistent='shift_backward'
+
+  def ambCode(s: String): Int = s match {
+    case "raise" => Raise
+    case "earliest" => AmbEarliest
+    case "latest" => AmbLatest
+    case other => throw new IllegalArgumentException(
+      s"ambiguous policy must be raise|earliest|latest, got '$other'")
+  }
+  def nonCode(s: String): Int = s match {
+    case "raise" => Raise
+    case "shift_forward" => NonShiftForward
+    case "shift_backward" => NonShiftBackward
+    case other => throw new IllegalArgumentException(
+      s"nonexistent policy must be raise|shift_forward|shift_backward, got '$other'")
+  }
+
   /** Epoch micros of the instant denoted by `wallMicros` (micros since the
     * epoch *wall clock*, i.e. a TimestampNTZ physical value) in `zone`.
-    * Raises on DST-gap (nonexistent) and fall-back (ambiguous) wall times,
-    * matching pandas tz_localize(ambiguous='raise', nonexistent='raise')
-    * which the reference relies on.
+    * The default policies raise on DST-gap (nonexistent) and fall-back
+    * (ambiguous) wall times, matching pandas
+    * tz_localize(ambiguous='raise', nonexistent='raise') which the
+    * reference relies on; a corpus spanning years of wall time WILL
+    * contain both kinds (the 100x scale probe hit fall-back Sundays in
+    * 2030/2031), so the pandas escape hatches are mirrored too:
+    * ambiguous earliest/latest pick the pre-/post-transition offset, and
+    * nonexistent shift_forward/shift_backward snap a gap wall time to the
+    * first instant at/just-before the transition.
     */
-  def toInstantMicros(wallMicros: Long, zone: String, series: String): Long = {
+  def toInstantMicros(wallMicros: Long, zone: String, series: String,
+                      amb: Int, non: Int): Long = {
     val ldt = DateTimeUtils.microsToLocalDateTime(wallMicros)
-    val offsets = rules(zone).getValidOffsets(ldt)
+    val zr = rules(zone)
+    val offsets = zr.getValidOffsets(ldt)
     offsets.size() match {
       case 1 => wallMicros - offsets.get(0).getTotalSeconds * 1000000L
-      case 0 => throw new IllegalArgumentException(
-        s"series $series: nonexistent wall time (DST gap in $zone): $ldt")
-      case _ => throw new IllegalArgumentException(
-        s"series $series: ambiguous wall time (DST fall-back in $zone): $ldt")
+      case 0 => non match {
+        case NonShiftForward =>
+          // first valid instant: the transition instant itself (pandas
+          // shifts the wall clock to the gap's end; same instant)
+          zr.getTransition(ldt).getInstant.toEpochMilli * 1000L
+        case NonShiftBackward =>
+          zr.getTransition(ldt).getInstant.toEpochMilli * 1000L - 1L
+        case _ => throw new IllegalArgumentException(
+          s"series $series: nonexistent wall time (DST gap in $zone): $ldt")
+      }
+      case _ => amb match {
+        case AmbEarliest =>
+          wallMicros - offsets.get(0).getTotalSeconds * 1000000L
+        case AmbLatest =>
+          wallMicros - offsets.get(offsets.size() - 1).getTotalSeconds * 1000000L
+        case _ => throw new IllegalArgumentException(
+          s"series $series: ambiguous wall time (DST fall-back in $zone): $ldt")
+      }
     }
   }
 }
@@ -52,8 +97,14 @@ object WallInstantUtil {
   * (~33 µs/row interpreted vs ~0.5 µs/row here); stays inside whole-stage
   * codegen. Reference: strided_rolling.py:572-596 (tz-aware index handling).
   */
-case class WallInstantMicros(child: Expression, zone: String, series: String)
+case class WallInstantMicros(child: Expression, zone: String, series: String,
+                             ambiguous: String = "raise",
+                             nonexistent: String = "raise")
     extends UnaryExpression {
+
+  // validate eagerly so a bad policy string fails at plan time, not per-row
+  private val ambC = WallInstantUtil.ambCode(ambiguous)
+  private val nonC = WallInstantUtil.nonCode(nonexistent)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case TimestampNTZType => TypeCheckResult.TypeCheckSuccess
@@ -64,13 +115,14 @@ case class WallInstantMicros(child: Expression, zone: String, series: String)
   override def prettyName: String = "wall_instant_micros"
 
   override def nullSafeEval(w: Any): Any =
-    WallInstantUtil.toInstantMicros(w.asInstanceOf[Long], zone, series)
+    WallInstantUtil.toInstantMicros(w.asInstanceOf[Long], zone, series,
+      ambC, nonC)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val zoneRef = ctx.addReferenceObj("zone", zone, "java.lang.String")
     val seriesRef = ctx.addReferenceObj("series", series, "java.lang.String")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expr.WallInstantUtil.toInstantMicros($c, $zoneRef, $seriesRef);")
+      s"${ev.value} = graft.expr.WallInstantUtil.toInstantMicros($c, $zoneRef, $seriesRef, $ambC, $nonC);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): WallInstantMicros =
@@ -80,4 +132,8 @@ case class WallInstantMicros(child: Expression, zone: String, series: String)
 object WallInstantMicros {
   def apply(wall: Column, zone: String, series: String): Column =
     ColumnBridge.column(WallInstantMicros(ColumnBridge.expression(wall), zone, series))
+  def apply(wall: Column, zone: String, series: String,
+            ambiguous: String, nonexistent: String): Column =
+    ColumnBridge.column(WallInstantMicros(ColumnBridge.expression(wall), zone,
+      series, ambiguous, nonexistent))
 }

@@ -505,6 +505,15 @@ object Dedup {
     * Raise `bands` for a larger Hamming radius; AQE splits any skewed
     * bucket. `maxHamming = 0` skips the join entirely (within-signature
     * pairs only). Returns (id_a, id_b, hamming), id_a < id_b.
+    *
+    * Memory bound: the collapse holds one id array per DISTINCT signature
+    * (8 bytes x clique size in a single aggregation row), so the largest
+    * duplicate clique must fit one executor's row budget — ~10^7 clones.
+    * That is not the binding constraint: a clique past it implies k^2/2
+    * >= 5*10^13 OUTPUT pairs, infeasible for any pair-listing layout.
+    * All-pairs is a diagnostic/graph-edge surface; for corpus pruning run
+    * exact dedup first (a whale clique is byte-identical templates) or go
+    * straight to [[Components.connectedComponents]] + keepRepresentatives.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, bands: Int = 4): DataFrame =
@@ -544,8 +553,12 @@ object Dedup {
     //   across signatures: the banded equi-join + pigeonhole verify runs
     //     on DISTINCT signatures (clique size no longer enters the join),
     //     then each surviving signature pair fans out members x members.
-    // Pair-level distinct() is replaced by a signature-pair dedup, so the
-    // only quadratic term left is the output itself.
+    // Pair-level distinct() disappears entirely (first-agreeing-band
+    // emission below), so the only quadratic term left is the output
+    // itself — inherent: all-pairs over a k-clone clique IS k^2/2 rows.
+    // When only survivors are needed, feed these pairs at a saner radius
+    // into Components.connectedComponents + keepRepresentatives instead of
+    // materializing the full pair list.
     val groups = s.groupBy("simhash")
       .agg(sort_array(collect_list(col(idCol))).as("__ids"))
     val within = groups.where(size(col("__ids")) >= 2)
@@ -567,13 +580,22 @@ object Dedup {
         col("__ids").as("__as"), col("__band"), col("__bits"))
       val right = banded.select(col("simhash").as("__sb"),
         col("__ids").as("__bs"), col("__band"), col("__bits"))
+      // A pair may agree on several bands; keep it only where it agrees for
+      // the FIRST time (for every earlier band the slices differ). That is
+      // a bitwise filter evaluated inside the join stage — exactly-once
+      // emission with no dedup exchange, so the whole cross path is
+      // map-side after the single banded shuffle.
+      val firstAgreeingBand = (0 until bands - 1).map { j =>
+        val d = shiftright(col("__sa"), j * sliceBits).bitwiseAND(lit(mask)) =!=
+          shiftright(col("__sb"), j * sliceBits).bitwiseAND(lit(mask))
+        (col("__band") <= lit(j)) || d
+      }.reduceOption(_ && _).getOrElse(lit(true))
       val sigPairs = left.join(right, Seq("__band", "__bits"))
         .where(col("__sa") < col("__sb")) // canonical direction, any total order
+        .where(firstAgreeingBand)
         .select(col("__as"), col("__bs"),
-          bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"),
-          col("__sa"), col("__sb"))
+          bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
         .where(col("hamming") <= maxHamming)
-        .dropDuplicates("__sa", "__sb") // a pair may agree on several bands
       val cross = sigPairs
         .select(explode(col("__as")).as("__x"), col("__bs"), col("hamming"))
         .select(col("__x"), explode(col("__bs")).as("__y"), col("hamming"))

@@ -20,18 +20,50 @@ object Sink {
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  // ONE shutdown hook draining the whole set, registered on first use —
+  // not one thread per path (a JVM touching many scratch layouts would
+  // otherwise pile up redundant identically-named hook threads)
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val fs = f.listFiles(); if (fs != null) fs.foreach(rm); f.delete()
+      }
+      cleanupRegistered.forEach { p =>
+        try rm(new java.io.File(p)) catch { case _: Throwable => }
+      }
+    }, "sink-cleanup"))
+
   /** Register `path` for recursive deletion at JVM exit (idempotent per
     * path). For SCRATCH shard layouts only (e.g. the q111 round-trip
     * audit) — a pid-scoped tmp dir would otherwise leak one full corpus
-    * copy per JVM across repeated bench/verify rounds until /tmp fills. */
+    * copy per JVM across repeated bench/verify rounds until /tmp fills.
+    * (A SIGKILLed JVM skips hooks — pair with [[sweepDead]] so the next
+    * run removes what a killed one left behind.) */
   def deleteOnExit(path: String): Unit =
-    if (cleanupRegistered.add(path))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          val fs = f.listFiles(); if (fs != null) fs.foreach(rm); f.delete()
-        }
-        try rm(new java.io.File(path)) catch { case _: Throwable => }
-      }, s"sink-cleanup"))
+    if (cleanupRegistered.add(path)) cleanupHook
+
+  /** Remove sibling scratch layouts left by DEAD JVMs: scans `dir` for
+    * names `<prefix>p<pid>_...` and deletes those whose pid no longer
+    * names a live process (a SIGKILLed/OOM-killed JVM never ran its
+    * shutdown hook). Call before creating a layout under the same prefix. */
+  def sweepDead(dir: String, prefix: String): Unit = {
+    val fs = new java.io.File(dir).listFiles()
+    if (fs == null) return
+    val re = (java.util.regex.Pattern.quote(prefix) + """p(\d+)_.*""").r
+    def rm(x: java.io.File): Unit = {
+      val c = x.listFiles(); if (c != null) c.foreach(rm); x.delete()
+    }
+    val self = ProcessHandle.current().pid()
+    fs.foreach { f =>
+      f.getName match {
+        case re(pid) if pid.toLong != self &&
+            !ProcessHandle.of(pid.toLong)
+              .map[java.lang.Boolean](_.isAlive).orElse(false) =>
+          try rm(f) catch { case _: Throwable => }
+        case _ =>
+      }
+    }
+  }
 
   /** hash/xxhash64 reject MapType anywhere in the tree (map key order is
     * undefined), so the tiebreak must skip such columns recursively. */

@@ -56,8 +56,10 @@ object StreamingFeatures {
     * without requiring a sentinel row). A grossly-late straggler (more
     * than `closeAfter` BEFORE the open run's start — it cannot be
     * consecutive with any known row of the run) emits as its own closed
-    * singleton run and leaves the open run untouched, confining the
-    * damage of one stray row to itself. Rows inside a
+    * run and leaves the open run untouched, confining the damage of
+    * stray rows to themselves (mutually-consecutive same-group stragglers
+    * arriving in one micro-batch fold into ONE such closed run, matching
+    * what a batch replay makes of that island). Rows inside a
     * micro-batch are sorted by event time before folding; cross-batch
     * disorder is bounded by the `watermark` horizon, the same contract as
     * every Structured Streaming stateful operator. For IN-ORDER input the
@@ -106,18 +108,34 @@ object StreamingFeatures {
             val closed = scala.collection.mutable.ArrayBuffer.empty[RunOut]
             var cur = state.getOption
             val closeUs = closeMs * 1000L
+            // Grossly-late stragglers are a PREFIX of the sorted batch (the
+            // start-closeAfter threshold only moves down while the carried
+            // run extends, and once it is replaced every later row is >=
+            // the replacement's start), so mutually-consecutive stragglers
+            // can fold into one pending run, flushed closed at batch end.
+            var pendStrag: Option[RunState] = None
             sorted.foreach { r =>
               cur match {
                 // a grossly-late straggler — more than closeAfter BEFORE
                 // the open run's start, any group — is > the gap bound
                 // away from every known row of the run: it can neither
-                // extend the run nor precede-extend it. Emit it as its own
-                // closed singleton and LEAVE THE OPEN RUN'S STATE INTACT
-                // (closing the healthy run here would fragment it into
-                // three emissions off one stray row).
+                // extend the run nor precede-extend it. Fold it into the
+                // pending straggler run (same group, gap within closeAfter)
+                // or close that and start a fresh one; either way LEAVE THE
+                // OPEN RUN'S STATE INTACT (closing the healthy run here
+                // would fragment it into three emissions off one stray row).
                 case Some(st) if r.tsUs < st.startUs - closeUs =>
-                  closed += finish(
-                    RunState(r.group, r.tsUs, r.tsUs, 1L, r.v, r.v, r.v), key)
+                  pendStrag match {
+                    case Some(ps) if ps.group == r.group &&
+                        r.tsUs - ps.endUs <= closeUs =>
+                      pendStrag = Some(ps.copy(endUs = r.tsUs, n = ps.n + 1,
+                        sum = ps.sum + r.v, mn = math.min(ps.mn, r.v),
+                        mx = math.max(ps.mx, r.v)))
+                    case other =>
+                      other.foreach(ps => closed += finish(ps, key))
+                      pendStrag = Some(
+                        RunState(r.group, r.tsUs, r.tsUs, 1L, r.v, r.v, r.v))
+                  }
                 // extend only while the event-time gap stays within
                 // closeAfter — the SAME rule the timeout applies across
                 // batches (a same-group row after a larger gap starts a new
@@ -137,6 +155,7 @@ object StreamingFeatures {
                   cur = Some(RunState(r.group, r.tsUs, r.tsUs, 1L, r.v, r.v, r.v))
               }
             }
+            pendStrag.foreach(ps => closed += finish(ps, key))
             cur.foreach { st =>
               state.update(st)
               // timeout must sit above the current watermark; if the run is
@@ -243,14 +262,19 @@ object StreamingFeatures {
 
   /** Wall-clock (TimestampNTZ) stream → instant (TimestampType) stream in
     * `zone`, via the same strict-DST native expression as the batch engine
-    * (`graft.expr.WallInstantMicros` — gap/overlap wall times RAISE rather
-    * than silently landing in the wrong window). A pure per-row projection,
-    * so it composes with any streaming source before `rolling` /
-    * `chunkSessions`.
+    * (`graft.expr.WallInstantMicros` — by default gap/overlap wall times
+    * RAISE rather than silently landing in the wrong window; `ambiguous` /
+    * `nonexistent` opt into the pandas-parity policies, which an unbounded
+    * stream needs — it will cross every DST transition it runs through).
+    * A pure per-row projection, so it composes with any streaming source
+    * before `rolling` / `chunkSessions`.
     */
-  def fromWallClock(df: DataFrame, tsCol: String, zone: String): DataFrame =
+  def fromWallClock(df: DataFrame, tsCol: String, zone: String,
+                    ambiguous: String = "raise",
+                    nonexistent: String = "raise"): DataFrame =
     df.withColumn(tsCol, timestamp_micros(
-      graft.expr.WallInstantMicros(col(tsCol), zone, tsCol)))
+      graft.expr.WallInstantMicros(col(tsCol), zone, tsCol,
+        ambiguous, nonexistent)))
 
   /** Streaming gap chunking: rows separated by more than `gap` start a new
     * session — the streaming analog of Chunker C1 (the batch engine's

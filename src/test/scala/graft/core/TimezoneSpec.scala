@@ -92,6 +92,33 @@ class TimezoneSpec extends SparkSpec {
     assert(e.getMessage.contains("nonexistent wall time"))
   }
 
+  test("pandas-parity DST policies: earliest/latest, shift_forward/backward") {
+    def us(s: String) = java.time.Instant.parse(s).toEpochMilli * 1000L
+    def inst(s: Series) = s.internal.collect().map(_.getDouble(0).toLong).head
+    // fall-back 2024-10-27 (03:00 CEST -> 02:00 CET, transition 01:00Z):
+    // wall 02:30 is both 00:30Z (+02, earliest) and 01:30Z (+01, latest)
+    val amb = spark.createDataFrame(Seq(("2024-10-27 02:30:00", 1.0)))
+      .toDF("wall", "v").withColumn("wall", col("wall").cast(TimestampNTZType))
+    assert(inst(Series("v", amb, "wall", "v", tz = Some("Europe/Brussels"),
+      tzAmbiguous = "earliest")) == us("2024-10-27T00:30:00Z"))
+    assert(inst(Series("v", amb, "wall", "v", tz = Some("Europe/Brussels"),
+      tzAmbiguous = "latest")) == us("2024-10-27T01:30:00Z"))
+    // spring gap 2024-03-31 (02:00 -> 03:00, transition 01:00Z): wall 02:30
+    // never happened; forward snaps to the transition instant (wall 03:00),
+    // backward to the last instant before it (wall 01:59:59.999999)
+    val gap = spark.createDataFrame(Seq(("2024-03-31 02:30:00", 1.0)))
+      .toDF("wall", "v").withColumn("wall", col("wall").cast(TimestampNTZType))
+    assert(inst(Series("v", gap, "wall", "v", tz = Some("Europe/Brussels"),
+      tzNonexistent = "shift_forward")) == us("2024-03-31T01:00:00Z"))
+    assert(inst(Series("v", gap, "wall", "v", tz = Some("Europe/Brussels"),
+      tzNonexistent = "shift_backward")) == us("2024-03-31T01:00:00Z") - 1L)
+    // unknown policy strings fail at plan construction, not per-row
+    val e = intercept[IllegalArgumentException](
+      Series("v", amb, "wall", "v", tz = Some("Europe/Brussels"),
+        tzAmbiguous = "maybe").internal)
+    assert(e.getMessage.contains("ambiguous policy"))
+  }
+
   test("mixed timezones in one calculate are rejected") {
     val a = Series("a", dstFrame.withColumnRenamed("v", "a"), "wall", "a",
       tz = Some("Europe/Brussels"))

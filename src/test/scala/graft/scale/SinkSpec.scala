@@ -173,4 +173,27 @@ class SinkSpec extends SparkSpec {
       rm(new java.io.File(dir))
     }
   }
+
+  test("sweepDead removes dead-pid layouts, keeps live-pid and foreign dirs") {
+    val root = java.nio.file.Files.createTempDirectory("sweep").toString
+    val self = ProcessHandle.current().pid()
+    val dead = new java.io.File(s"$root/scratch_p999999999_habc")
+    val live = new java.io.File(s"$root/scratch_p${self}_habc")
+    val other = new java.io.File(s"$root/unrelated_dir")
+    Seq(dead, live, other).foreach { d =>
+      assert(d.mkdir())
+      assert(new java.io.File(d, "x.parquet").createNewFile())
+    }
+    try {
+      Sink.sweepDead(root, "scratch_")
+      assert(!dead.exists(), "dead-pid layout should be removed")
+      assert(live.exists(), "own-pid layout must survive")
+      assert(other.exists(), "non-matching names must survive")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
 }

@@ -228,7 +228,7 @@ class StreamingFeaturesSpec extends SparkSpec {
     assert(b == Seq((sec(7250), sec(7300), 2L, 10.0)))
   }
 
-  test("a grossly-late straggler emits a singleton and leaves the open run intact") {
+  test("grossly-late stragglers fold into one closed run, open run intact") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val ms = MemoryStream[(String, Long, String, Double)]
@@ -243,8 +243,10 @@ class StreamingFeaturesSpec extends SparkSpec {
     ms.addData(Seq(("c", sec(7000), "x", 1.0), ("c", sec(7030), "x", 2.0)))
     q.processAllAvailable()
     // > closeAfter before the open run's start, within the watermark: must
-    // NOT close the run, must NOT pull its start back — its own singleton
-    ms.addData(Seq(("c", sec(5000), "x", 7.0)))
+    // NOT close the run, must NOT pull its start back. The two stragglers
+    // are within closeAfter of EACH OTHER, so they fold into one closed
+    // run (what a batch replay makes of that island), not two singletons.
+    ms.addData(Seq(("c", sec(5000), "x", 7.0), ("c", sec(5030), "x", 5.0)))
     q.processAllAvailable()
     // still extends the ORIGINAL run (gap exactly closeAfter from 7030)
     ms.addData(Seq(("c", sec(7090), "x", 3.0)))
@@ -257,7 +259,7 @@ class StreamingFeaturesSpec extends SparkSpec {
         col("n"), col("sum"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .sortBy(_._1).toSeq
-    assert(got == Seq((sec(5000), sec(5000), 1L, 7.0),
+    assert(got == Seq((sec(5000), sec(5030), 2L, 12.0),
       (sec(7000), sec(7090), 3L, 6.0)))
   }
 
