@@ -38,14 +38,33 @@ object Bench {
                           gcColdMs: Long, gcWarmMs: Long, heapMb: Long,
                           cgCold: Long, cgWarm: Long)
 
+  /** Total bytes of regular files under `dir` (0 if absent). */
+  private def duBytes(dir: String): Long = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) 0L
+    else {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(p => try java.nio.file.Files.size(p)
+                        catch { case _: Throwable => 0L })
+        .sum()
+      finally s.close()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val only = args.toSeq
+    // Session-private scratch so the boundary drain below can observe (and
+    // the end of main can remove) THIS run's shuffle/spill footprint
+    // without counting neighbors sharing /tmp.
+    val localDir = s"/tmp/graft-bench-local-${ProcessHandle.current.pid}"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", localDir)
       // The whole-stage-codegen class cache is bounded at 100 entries by
       // default; a cold pass over this 116-query suite compiles ~3.2k
       // generated classes, so by the time a second pass (or the warm
@@ -134,6 +153,29 @@ object Bench {
       // boundary instead of letting it contend inside the NEXT query's
       // timed region (untimed; 116x2 boundaries ~= 28 s of wall).
       Thread.sleep(120)
+      // Size-gated shuffle-file drain: at 100x-probe scale a single query
+      // retains a multi-GB shuffle footprint past the 120 ms settle (the
+      // ProbeQ76 experiment measured 2.6 GB deleted in 1.7-2.9 s once the
+      // cleaner's weak refs are collected), and in a plain boundary that
+      // deletion lands inside the NEXT query's timed region. Poll the
+      // session-private local dir until it stops shrinking (bounded) so
+      // every measurement starts from a deterministic disk state. Gated at
+      // 256 MB: at driver scale (sf0.1) footprints are MBs and this is one
+      // stat() — zero added wall. NOTE (measured, SCALE.md round-13
+      // probe): this buys determinism of the boundary, not a variance fix
+      // — the remaining 100x run-over-run spread is page-cache/GC-timing
+      // environmental.
+      if (duBytes(localDir) > (256L << 20)) {
+        val t0 = System.nanoTime()
+        var last = duBytes(localDir)
+        var stable = 0
+        while (stable < 3 && (System.nanoTime() - t0) / 1e6 < 30000) {
+          Thread.sleep(200)
+          val now = duBytes(localDir)
+          if (now >= last - (16L << 20)) stable += 1 else stable = 0
+          last = now
+        }
+      }
       (sec, gcIn, cgIn)
     }
     // Child (isolated) mode may run EXTRA passes per query: a fresh JVM's
@@ -254,6 +296,12 @@ object Bench {
         (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     spark.stop()
+    // the scratch dir is this pid's own; Spark removes its subdirs on stop
+    // but leaves the parent we created via the conf
+    def rm(p: java.io.File): Unit = {
+      val kids = p.listFiles(); if (kids != null) kids.foreach(rm); p.delete()
+    }
+    rm(new java.io.File(localDir))
   }
 
   /** Child-JVM isolation result: published warm vector (last pass), the

@@ -17,14 +17,23 @@ object ProbeOne {
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.queries("q00_tpch_q1")(spark, dir).queryExecution.toRdd.count()
     graft.core.Pinned.release(blocking = true) // warmup blocks are not run1's problem
-    (1 to 2).foreach { i =>
+    val passes = if (args.length > 2) args(2).toInt else 2
+    (1 to passes).foreach { i =>
+      val gc0 = gcMs()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
-      println(f"PROBEONE $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"PROBEONE $name run$i $secs%.2f s gc=${gcMs() - gc0} ms")
       // like every other harness: a run must not pay (or hide) its
       // predecessor's retained checkpoint debt
       graft.core.Pinned.release(blocking = true)
     }
     spark.stop()
+  }
+
+  private def gcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
   }
 }
