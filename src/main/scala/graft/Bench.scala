@@ -38,28 +38,26 @@ object Bench {
                           gcColdMs: Long, gcWarmMs: Long, heapMb: Long,
                           cgCold: Long, cgWarm: Long)
 
-  /** Total bytes of regular files under `dir` (0 if absent). */
-  private def duBytes(dir: String): Long = {
-    val root = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.exists(root)) 0L
-    else {
-      val s = java.nio.file.Files.walk(root)
-      try s.filter(java.nio.file.Files.isRegularFile(_))
-        .mapToLong(p => try java.nio.file.Files.size(p)
-                        catch { case _: Throwable => 0L })
-        .sum()
-      finally s.close()
-    }
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val only = args.toSeq
     // Session-private scratch so the boundary drain below can observe (and
     // the end of main can remove) THIS run's shuffle/spill footprint
-    // without counting neighbors sharing /tmp.
-    val localDir = s"/tmp/graft-bench-local-${ProcessHandle.current.pid}"
+    // without counting neighbors sharing /tmp. The p<pid>_ name shape is
+    // what Sink.sweepDead matches, so a crashed/SIGKILLed bench (which
+    // never runs its shutdown hook) is cleaned up by the NEXT run instead
+    // of leaking multi-GB scratch per kill; deleteOnExit covers the
+    // normal-exit and fork-timeout-destroyForcibly-of-parent paths.
+    val localDir = s"/tmp/graft-bench-localp${ProcessHandle.current.pid}_scratch"
+    graft.scale.Sink.sweepDead("/tmp", "graft-bench-local")
+    graft.scale.Sink.deleteOnExit(localDir)
+    // spark.local.dir is IGNORED when SPARK_LOCAL_DIRS is exported (the
+    // env var wins in Utils.getConfiguredLocalDirs) — observe whichever
+    // dir Spark will actually use, else the 256 MB gate below never opens
+    // and the drain silently stops draining.
+    val observedLocal = sys.env.get("SPARK_LOCAL_DIRS")
+      .map(_.split(",")(0).trim).filter(_.nonEmpty).getOrElse(localDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -165,13 +163,13 @@ object Bench {
       // probe): this buys determinism of the boundary, not a variance fix
       // — the remaining 100x run-over-run spread is page-cache/GC-timing
       // environmental.
-      if (duBytes(localDir) > (256L << 20)) {
+      if (graft.core.Scratch.duBytes(observedLocal) > (256L << 20)) {
         val t0 = System.nanoTime()
-        var last = duBytes(localDir)
+        var last = graft.core.Scratch.duBytes(observedLocal)
         var stable = 0
         while (stable < 3 && (System.nanoTime() - t0) / 1e6 < 30000) {
           Thread.sleep(200)
-          val now = duBytes(localDir)
+          val now = graft.core.Scratch.duBytes(observedLocal)
           if (now >= last - (16L << 20)) stable += 1 else stable = 0
           last = now
         }
@@ -297,11 +295,9 @@ object Bench {
     }
     spark.stop()
     // the scratch dir is this pid's own; Spark removes its subdirs on stop
-    // but leaves the parent we created via the conf
-    def rm(p: java.io.File): Unit = {
-      val kids = p.listFiles(); if (kids != null) kids.foreach(rm); p.delete()
-    }
-    rm(new java.io.File(localDir))
+    // but leaves the parent we created via the conf (the deleteOnExit hook
+    // would also catch it — this just frees the space promptly)
+    graft.core.Scratch.rmTree(new java.io.File(localDir))
   }
 
   /** Child-JVM isolation result: published warm vector (last pass), the

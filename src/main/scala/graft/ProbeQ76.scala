@@ -30,7 +30,13 @@ object ProbeQ76 {
     val dir = if (args.length > 0) args(0) else "/tmp/scale100"
     val mode = if (args.length > 1) args(1) else "plain"
     val passes = if (args.length > 2) args(2).toInt else 3
-    val localDir = s"/tmp/probeq76-local-$mode"
+    // pid-scoped (two concurrent probes must not share a scratch dir, and
+    // a crashed probe's leftovers must not skew the next run's duBytes
+    // baseline); name shape matches Sink.sweepDead so dead probes' dirs
+    // are reaped on the next start
+    val localDir = s"/tmp/probeq76-localp${ProcessHandle.current.pid}_$mode"
+    graft.scale.Sink.sweepDead("/tmp", "probeq76-local")
+    graft.scale.Sink.deleteOnExit(localDir)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -47,17 +53,9 @@ object ProbeQ76 {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
         .map(_.getCollectionTime).sum
     }
-    def duBytes(): Long = {
-      val root = java.nio.file.Paths.get(localDir)
-      if (!java.nio.file.Files.exists(root)) 0L
-      else {
-        val s = java.nio.file.Files.walk(root)
-        try s.filter(java.nio.file.Files.isRegularFile(_))
-          .mapToLong(p => try java.nio.file.Files.size(p) catch { case _: Throwable => 0L })
-          .sum()
-        finally s.close()
-      }
-    }
+    // deletion-tolerant: the drain loop polls while the ContextCleaner is
+    // removing files (graft.core.Scratch scaladoc)
+    def duBytes(): Long = graft.core.Scratch.duBytes(localDir)
     def dirtyKb(): (Long, Long) = {
       val lines = scala.io.Source.fromFile("/proc/meminfo").getLines().toSeq
       def grab(k: String) = lines.find(_.startsWith(k))
@@ -103,10 +101,7 @@ object ProbeQ76 {
     }
     spark.stop()
     // scratch local dir is session-private; remove it so repeated probes
-    // start clean
-    def rm(p: java.io.File): Unit = {
-      val kids = p.listFiles(); if (kids != null) kids.foreach(rm); p.delete()
-    }
-    rm(new java.io.File(localDir))
+    // start clean (deleteOnExit also covers it; this frees space promptly)
+    graft.core.Scratch.rmTree(new java.io.File(localDir))
   }
 }

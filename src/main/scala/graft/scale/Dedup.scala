@@ -504,7 +504,10 @@ object Dedup {
     * (16-bit slices, 65k buckets per band) so buckets stay sub-quadratic.
     * Raise `bands` for a larger Hamming radius; AQE splits any skewed
     * bucket. `maxHamming = 0` skips the join entirely (within-signature
-    * pairs only). Returns (id_a, id_b, hamming), id_a < id_b.
+    * pairs only). Returns (id_a, id_b, hamming), id_a < id_b — never a
+    * self-pair, even for the degenerate input where one id appears on
+    * several rows (identical-text occurrences collapse; differing-text
+    * occurrences participate per-signature).
     *
     * Memory bound: the collapse holds one id array per DISTINCT signature
     * (8 bytes x clique size in a single aggregation row), so the largest
@@ -559,8 +562,16 @@ object Dedup {
     // When only survivors are needed, feed these pairs at a saner radius
     // into Components.connectedComponents + keepRepresentatives instead of
     // materializing the full pair list.
+    // array_distinct: a duplicated id (two input rows sharing idCol with
+    // identical text) must not emit a self-pair (x, x, 0) or per-occurrence
+    // duplicates of its pairs — the pre-collapse join formulation got this
+    // for free from its strict id_a < id_b predicate. A duplicated id with
+    // DIFFERING text keeps per-occurrence semantics: it lands under each of
+    // its signatures and may pair with a given neighbor once per agreeing
+    // signature pair (ids are expected unique per row; this is the
+    // documented degenerate-input behavior, not a supported shape).
     val groups = s.groupBy("simhash")
-      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .agg(array_distinct(sort_array(collect_list(col(idCol)))).as("__ids"))
     val within = groups.where(size(col("__ids")) >= 2)
       .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "id_a")))
       .select(col("id_a"), explode(
@@ -599,6 +610,9 @@ object Dedup {
       val cross = sigPairs
         .select(explode(col("__as")).as("__x"), col("__bs"), col("hamming"))
         .select(col("__x"), explode(col("__bs")).as("__y"), col("hamming"))
+        // a duplicated id carrying two DIFFERENT texts sits under two
+        // signatures; if those agree on a band it would meet itself here
+        .where(col("__x") =!= col("__y"))
         .select(least(col("__x"), col("__y")).as("id_a"),
           greatest(col("__x"), col("__y")).as("id_b"), col("hamming"))
       within.unionAll(cross)

@@ -83,6 +83,26 @@ class SimhashPairsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
+  test("duplicated ids never emit self-pairs or per-occurrence duplicates") {
+    import spark.implicits._
+    // id 7 appears twice with IDENTICAL text (must collapse to one doc) and
+    // id 9 twice with DIFFERING text (participates per-signature but must
+    // never meet itself across its own two signatures)
+    val base = corpus(30)
+    val dup7 = base.where(col("doc_id") === 7L)
+    val alt9 = Seq((9L, "spark sort merge batch line table key agg row scan"))
+      .toDF("doc_id", "text")
+    val df = base.union(dup7).union(alt9)
+    val rows = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.forall { case (a, b, _) => a < b }, "self-pair emitted")
+    // the identical-text duplicate adds NOTHING: same pair set as without it
+    val without = Dedup.simhashPairs(base.union(alt9), "doc_id", "text",
+      maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows.toSet == without)
+  }
+
   test("pigeonhole precondition rejected: maxHamming >= bands") {
     intercept[IllegalArgumentException] {
       Dedup.simhashPairs(corpus(5), "doc_id", "text", maxHamming = 4, bands = 4)
