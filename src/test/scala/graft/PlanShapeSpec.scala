@@ -2,7 +2,8 @@ package graft
 
 /** Pins the physical-plan SHAPE (shuffle-exchange count + join-strategy
   * choice, via [[PlanAudit]]) of the most expensive bench queries — the
-  * top-10 plans of the r12 plan audit. The timing bench would eventually
+  * top-10 plans of the r12 plan audit plus the four r13 additions
+  * (q76's signature-collapse rewrite, q32/q65 dedup paths, q110 kernels). The timing bench would eventually
   * catch a plan regressing to an extra exchange or a broadcast join
   * falling back to SMJ, but only as an unattributed slowdown; this turns
   * the same regression into a named failure at the query that changed.
@@ -72,6 +73,40 @@ class PlanShapeSpec extends SparkSpec {
       "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0),
     "q99d_mse" -> Map(
       "shuffle_exchange" -> 3, "broadcast_exchange" -> 1,
+      "reused_exchange" -> 0, "broadcast_hash_join" -> 1,
+      "sort_merge_join" -> 0, "shuffled_hash_join" -> 0,
+      "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0),
+    // r13 additions: plans rewritten or newly heavy this round.
+    //  - q76: the signature-collapse rewrite — the banded join's right
+    //    side is broadcastable at this SF (1 BHJ, no SMJ); within-pairs
+    //    and member fan-out are map-side; the at-scale SMJ path's
+    //    single-shuffle exchange REUSE is locked separately by
+    //    SimhashPairsSpec "plan hygiene" with broadcast disabled;
+    //  - q32: hyperplane-LSH + Hamming-1 multiprobe bucket joins after the
+    //    exact-dup pre-collapse — 6 SMJs over the probe-bucket unions is
+    //    the audited shape (each is keyed on the bucket, never all-pairs);
+    //  - q65: keep-one materializer — one hash-agg shuffle + one broadcast
+    //    join back to the corpus;
+    //  - q110: per-window KDE/gauss entropy kernels — one window-assign
+    //    agg + one stats broadcast; a second JOIN appearing here would
+    //    mean the kernel stopped being a single keyed aggregation.
+    "q76_simhash_near" -> Map(
+      "shuffle_exchange" -> 4, "broadcast_exchange" -> 1,
+      "reused_exchange" -> 0, "broadcast_hash_join" -> 1,
+      "sort_merge_join" -> 0, "shuffled_hash_join" -> 0,
+      "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0),
+    "q32_dedup_embed" -> Map(
+      "shuffle_exchange" -> 13, "broadcast_exchange" -> 0,
+      "reused_exchange" -> 0, "broadcast_hash_join" -> 0,
+      "sort_merge_join" -> 6, "shuffled_hash_join" -> 0,
+      "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0),
+    "q65_dedup_keep_one" -> Map(
+      "shuffle_exchange" -> 1, "broadcast_exchange" -> 1,
+      "reused_exchange" -> 0, "broadcast_hash_join" -> 1,
+      "sort_merge_join" -> 0, "shuffled_hash_join" -> 0,
+      "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0),
+    "q110_entropy_kde" -> Map(
+      "shuffle_exchange" -> 2, "broadcast_exchange" -> 1,
       "reused_exchange" -> 0, "broadcast_hash_join" -> 1,
       "sort_merge_join" -> 0, "shuffled_hash_join" -> 0,
       "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0))
