@@ -48,18 +48,32 @@ object ScaleSmoke {
     // read/shuffled). Legitimate 1-task stages (tiny summaries, broadcast
     // builds, final coalesce of small results) fall under the thresholds;
     // a skew-collapsed window or un-partitioned sort would not.
+    //
+    // SECOND rule (r13, learned from the q72 bounds-explode trap): a stage
+    // with FEW tasks but a huge OUTPUT — AQE coalesces an exchange whose
+    // data is tiny, then a generator (sequence+explode) amplifies it
+    // 100× inside the remaining tasks. The input-side rule above cannot
+    // see it (input was genuinely small); the signature is
+    // tasks ≤ cores/4 with >256 MB written to the next shuffle.
     val heavySingles = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val cores = spark.sparkContext.defaultParallelism
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val info = s.stageInfo
         val m = info.taskMetrics
-        if (info.numTasks == 1 && m != null) {
+        if (m == null) return
+        if (info.numTasks == 1) {
           val recs = m.inputMetrics.recordsRead + m.shuffleReadMetrics.recordsRead
           val bytes = m.inputMetrics.bytesRead + m.shuffleReadMetrics.totalBytesRead
           if (recs > 1000000L || bytes > 64L * 1024 * 1024)
             heavySingles.add(s"stage=${info.stageId} name=${info.name} " +
               s"records=$recs bytes=$bytes")
+        } else if (info.numTasks <= cores / 4 &&
+            m.shuffleWriteMetrics.bytesWritten > 256L * 1024 * 1024) {
+          heavySingles.add(s"stage=${info.stageId} name=${info.name} " +
+            s"NARROW-AMPLIFIER tasks=${info.numTasks} " +
+            s"shuffleWrite=${m.shuffleWriteMetrics.bytesWritten}")
         }
       }
     })

@@ -23,6 +23,27 @@ import graft.core._
   */
 object KeyedFeatures {
 
+  /** Re-spread the per-key bounds table at pinned width before the segment
+    * explode. The bounds aggregate OUTPUT is tiny (two doubles per key), so
+    * AQE coalesces its exchange to a couple of partitions — and then the
+    * `sequence`+`explode` segment generation amplifies each key row into
+    * its full window list INSIDE those few tasks (measured on the 100×
+    * corpus: q72's two bounds-consumer stages ran 2-way parallel, 80 s of
+    * the query's 154 s; the smoke listener missed it because its trigger
+    * is single-task stages with big INPUT, not few-task stages with big
+    * OUTPUT). ROUND-ROBIN with explicit numPartitions is the one spread
+    * the optimizer keeps: `repartition(n, $"__key")` is ELIMINATED as
+    * redundant (the agg exchange already hash-partitions by key — and then
+    * AQE coalesces that exchange anyway), while REPARTITION_BY_NUM
+    * round-robin is neither removable nor AQE-coalescible. Downstream
+    * consumers (the segments distinct / the assignment join) re-shuffle on
+    * their own keys regardless, so bounds partitioning carries no reuse
+    * value — only its WIDTH matters. The exchange moves only the tiny
+    * bounds rows.
+    */
+  private def spreadBounds(b: DataFrame): DataFrame =
+    b.repartition(b.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+
   /** Single-series sugar over [[calculateWide]].
     *
     * @param funcs   features to fuse into the single per-segment aggregate
@@ -87,6 +108,10 @@ object KeyedFeatures {
     // 1. per-key bounds
     val bounds = internal.groupBy("__key")
       .agg(min(col("__idx")).as("__s0"), max(col("__idx")).as("__e0"))
+    // spread ONLY the explode consumer — the withStart equi-join below has
+    // no amplification, so it keeps the un-widened bounds (fewer static
+    // exchanges; see spreadBounds)
+    val boundsWide = spreadBounds(bounds)
 
     // 2. per-key segment table (never driver-materialized)
     val segsPerStride = sts.map { st =>
@@ -95,7 +120,7 @@ object KeyedFeatures {
       val nb = if (includeFinalWindow)
         nb0 + when(col("__s0") + lit(st) * nb0 <= col("__e0"), 1L).otherwise(0L)
       else nb0
-      bounds.select(col("__key"), col("__s0"),
+      boundsWide.select(col("__key"), col("__s0"),
         explode(when(nb > 0, sequence(lit(0L), nb - 1))
           .otherwise(array().cast("array<bigint>"))).as("__k"))
         .select(col("__key"),
@@ -226,6 +251,8 @@ object KeyedFeatures {
     // 1. per-key bounds — ONE pass shared by every window
     val bounds = internal.groupBy("__key")
       .agg(min(col("__idx")).as("__s0"), max(col("__idx")).as("__e0"))
+    // spread ONLY the explode consumer (see the single-window path)
+    val boundsWide = spreadBounds(bounds)
 
     // 2. per-(window, stride) segment tables, tagged with the window length
     val segsPer = specs.flatMap { case (win, sts) =>
@@ -236,7 +263,7 @@ object KeyedFeatures {
         val nb = if (includeFinalWindow)
           nb0 + when(col("__s0") + lit(st) * nb0 <= col("__e0"), 1L).otherwise(0L)
         else nb0
-        bounds.select(col("__key"), col("__s0"),
+        boundsWide.select(col("__key"), col("__s0"),
           explode(when(nb > 0, sequence(lit(0L), nb - 1))
             .otherwise(array().cast("array<bigint>"))).as("__k"))
           .select(col("__key"), lit(w).as("__w"), col("__s0"),
