@@ -63,13 +63,16 @@ object ScaleSmoke {
         val info = s.stageInfo
         val m = info.taskMetrics
         if (m == null) return
-        if (info.numTasks == 1) {
-          val recs = m.inputMetrics.recordsRead + m.shuffleReadMetrics.recordsRead
-          val bytes = m.inputMetrics.bytesRead + m.shuffleReadMetrics.totalBytesRead
-          if (recs > 1000000L || bytes > 64L * 1024 * 1024)
-            heavySingles.add(s"stage=${info.stageId} name=${info.name} " +
-              s"records=$recs bytes=$bytes")
-        } else if (info.numTasks <= cores / 4 &&
+        val recs = m.inputMetrics.recordsRead + m.shuffleReadMetrics.recordsRead
+        val bytes = m.inputMetrics.bytesRead + m.shuffleReadMetrics.totalBytesRead
+        if (info.numTasks == 1 && (recs > 1000000L || bytes > 64L * 1024 * 1024))
+          heavySingles.add(s"stage=${info.stageId} name=${info.name} " +
+            s"records=$recs bytes=$bytes")
+        // else-if against the FIRED rule, not against numTasks==1: a
+        // ONE-task stage with tiny input but huge output is the worst
+        // amplifier instance and must not escape just because the
+        // input-side rule declined it
+        else if (info.numTasks <= math.max(1L, cores / 4L) &&
             m.shuffleWriteMetrics.bytesWritten > 256L * 1024 * 1024) {
           heavySingles.add(s"stage=${info.stageId} name=${info.name} " +
             s"NARROW-AMPLIFIER tasks=${info.numTasks} " +

@@ -12,7 +12,8 @@ import graft.core._
   *
   *   1. per-key bounds: one partial-aggregated `groupBy(key)` pass;
   *   2. per-key segment table: `sequence`+`explode` OVER THE BOUNDS ROWS
-  *      (no shuffle — nb segments derived per key);
+  *      (nb segments derived per key; one tiny round-robin exchange
+  *      re-widens the bounds first — see [[spreadBounds]]);
   *   3. window→row assignment: the same arithmetic k-range explode as the
   *      single-series engine, with the key's own start offset joined in;
   *   4. ONE fused `groupBy(key, segment).agg(...)`, left-joined back onto
@@ -42,7 +43,10 @@ object KeyedFeatures {
     * bounds rows.
     */
   private def spreadBounds(b: DataFrame): DataFrame =
-    b.repartition(b.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    // toIntOption: sessions may set a non-numeric value here (e.g. "auto"
+    // on AQE-managed platforms); fall back to the cluster default then
+    b.repartition(b.sparkSession.conf.get("spark.sql.shuffle.partitions")
+      .toIntOption.getOrElse(b.sparkSession.sparkContext.defaultParallelism))
 
   /** Single-series sugar over [[calculateWide]].
     *

@@ -19,8 +19,10 @@ package graft
   *    bounded-side crossJoin (one-row stats / bounds frame, broadcast);
   *  - q21's 7 broadcast joins are the PPJoin stats/threshold sides — the
   *    one SMJ is the candidate-verify self-join, which must shuffle;
-  *  - q72's 9 exchanges are the keyed multi-window explode + aggregate +
-  *    anchor pivot, all hash-partitioned on the entity key.
+  *  - q72's 16 exchanges are the keyed multi-window explode + aggregate +
+  *    anchor pivot (hash-partitioned on the entity key) plus one tiny
+  *    spreadBounds round-robin repartition per static bounds reference
+  *    (see the table entry's r13 note).
   */
 class PlanShapeSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
@@ -31,7 +33,7 @@ class PlanShapeSpec extends SparkSpec {
       "reused_exchange" -> 0, "broadcast_hash_join" -> 7,
       "sort_merge_join" -> 1, "shuffled_hash_join" -> 0,
       "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0),
-    // 9 → 17 shuffles in r13, DELIBERATE: spreadBounds round-robin
+    // 9 → 16 shuffles in r13, DELIBERATE: spreadBounds round-robin
     // repartitions the tiny per-key bounds table before the segment
     // explode (the 100× profile showed AQE coalescing the bounds exchange
     // to 2 partitions and the explode amplifying 5 MB → 571 MB inside
