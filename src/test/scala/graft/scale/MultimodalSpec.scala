@@ -122,6 +122,52 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(2).ok)
   }
 
+  test("native WAV header parse agrees with the JRE codec across formats") {
+    import spark.implicits._
+    // varied rate/channel/frame combos through the fast header path,
+    // cross-checked against AudioSystem on the SAME bytes — the two
+    // derivations must agree field-for-field (the fast path replaced the
+    // codec in decodeWav because AudioSystem serializes threads on the
+    // provider-registry lock; this pins output identity)
+    val fixtures = for {
+      rate <- Seq(8000, 16000, 24000, 44100)
+      ch <- Seq(1, 2)
+      frames <- Seq(1, 100, 4411)
+    } yield (rate, ch, frames)
+    val df = fixtures.zipWithIndex.map { case ((r, c, f), i) =>
+      (i.toLong, Multimodal.syntheticWav(r, c, f))
+    }.toDF("asset_id", "payload")
+    val got = Multimodal.decodeWav(df).collect().sortBy(_.asset_id)
+    fixtures.zipWithIndex.foreach { case ((r, c, f), i) =>
+      val o = got(i)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(
+          Multimodal.syntheticWav(r, c, f)))
+      try {
+        assert(o.ok, s"fixture $i")
+        assert(o.sample_rate == ais.getFormat.getSampleRate.toInt)
+        assert(o.channels == ais.getFormat.getChannels)
+        assert(o.frames == ais.getFrameLength, s"fixture $i frames")
+      } finally ais.close()
+    }
+    // malformed payloads (truncated header, empty) must come back
+    // ok=false — same verdict AudioSystem reaches. A LYING data-chunk
+    // size is rejected by the fast parser but accepted by the stream-based
+    // JRE fallback (it never validates declared size against actual
+    // bytes) — parity with the pre-r13 codec-only behavior is ok=true
+    // with the declared frame count.
+    val bad = Seq(
+      (100L, Multimodal.syntheticWav(8000, 1, 100).take(20)),
+      (102L, Array[Byte]())).toDF("asset_id", "payload")
+    assert(Multimodal.decodeWav(bad).collect().forall(!_.ok))
+    val lying = { val b = Multimodal.syntheticWav(8000, 1, 100)
+      b(40) = 0x10.toByte; b(41) = 0x27.toByte; b(42) = 0; b(43) = 0; b }
+    val lyRow = Multimodal.decodeWav(
+      Seq((101L, lying)).toDF("asset_id", "payload")).collect().head
+    assert(lyRow.ok && lyRow.frames == 10000 / 2,
+      "JRE-fallback parity on declared-size payloads")
+  }
+
   test("extracted fake embeddings are L2-normalized and feed Ann.cosineTopK") {
     val emb = Multimodal.extractFeaturesStub(assets, 8).toDF()
     val norms = emb.select(col("asset_id"),
