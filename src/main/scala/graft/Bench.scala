@@ -54,10 +54,17 @@ object Bench {
     graft.scale.Sink.deleteOnExit(localDir)
     // spark.local.dir is IGNORED when SPARK_LOCAL_DIRS is exported (the
     // env var wins in Utils.getConfiguredLocalDirs) — observe whichever
-    // dir Spark will actually use, else the 256 MB gate below never opens
-    // and the drain silently stops draining.
-    val observedLocal = sys.env.get("SPARK_LOCAL_DIRS")
-      .map(_.split(",")(0).trim).filter(_.nonEmpty).getOrElse(localDir)
+    // dirs Spark will actually use, else the 256 MB gate below never opens
+    // and the drain silently stops draining. ALL comma-separated entries
+    // are summed (Spark round-robins blocks across them, so watching one
+    // sees ~1/n of the footprint). When the env var is set the dirs are
+    // host-shared, not session-private — other tenants' files count too,
+    // which the artifact notes via "scratch" below.
+    val observedLocals: Seq[String] = sys.env.get("SPARK_LOCAL_DIRS")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty).getOrElse(Seq(localDir))
+    val scratchShared = sys.env.get("SPARK_LOCAL_DIRS").exists(_.trim.nonEmpty)
+    def observedDu(): Long = observedLocals.map(graft.core.Scratch.duBytes).sum
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -163,13 +170,13 @@ object Bench {
       // probe): this buys determinism of the boundary, not a variance fix
       // — the remaining 100x run-over-run spread is page-cache/GC-timing
       // environmental.
-      if (graft.core.Scratch.duBytes(observedLocal) > (256L << 20)) {
+      if (observedDu() > (256L << 20)) {
         val t0 = System.nanoTime()
-        var last = graft.core.Scratch.duBytes(observedLocal)
+        var last = observedDu()
         var stable = 0
         while (stable < 3 && (System.nanoTime() - t0) / 1e6 < 30000) {
           Thread.sleep(200)
-          val now = graft.core.Scratch.duBytes(observedLocal)
+          val now = observedDu()
           if (now >= last - (16L << 20)) stable += 1 else stable = 0
           last = now
         }
@@ -237,12 +244,30 @@ object Bench {
       if (only.nonEmpty || sys.env.contains("SPARK_GRAFT_BENCH_NOFORK")) None
       else forkIsolated(isolateFamily)
     val isoJson = isolated.map { r =>
-      val v = r.warm.toSeq.sortBy(_._1)
+      // Isolated baseline = MIN over the child's warm passes (2..N), not
+      // the last pass: the r13 driver artifact showed q54's isolated curve
+      // RISING 5.0→25.0 s as the host's 1-min load climbed past the core
+      // count mid-fork — ambient contention landing in whichever pass runs
+      // latest. Min over post-warmup passes still excludes JIT cold-start
+      // (pass 1 is dropped) but is robust to a spike hitting one pass.
+      def minWarm(n: String): Option[Double] =
+        r.passes.get(n).map(_.split(',').drop(1).map(_.toDouble).min)
+          .orElse(r.warm.get(n))
+      val v = isolateFamily.flatMap(n => minWarm(n).map(n -> _)).sortBy(_._1)
+        .map { case (k, s) => s""""$k":${(s * 1000).round / 1000.0}""" }
+        .mkString("{", ",", "}")
+      val vLast = r.warm.toSeq.sortBy(_._1)
         .map { case (k, s) => s""""$k":$s""" }.mkString("{", ",", "}")
       val ratios = isolateFamily.flatMap { n =>
-        for (i <- r.warm.get(n); t <- timed.find(_.name == n); if i > 0)
+        for (i <- minWarm(n); t <- timed.find(_.name == n); if i > 0)
           yield s""""$n":${(t.warm / i * 100).round / 100.0}"""
       }.mkString("{", ",", "}")
+      // ratio acceptance gate: with 1-min load already >= the core count
+      // BEFORE the fork, the child competes for every core and its times
+      // measure the neighbors, not the plan — the artifact says so itself
+      // instead of asking a reader to cross-reference load curves.
+      val cores = Runtime.getRuntime.availableProcessors
+      val loadOk = r.loadBefore >= 0 && r.loadBefore < cores
       // cap each published curve at its LAST 8 passes: the compact stdout
       // line must stay under the driver's ~1.8KB tail capture even if the
       // parent environment exports a large SPARK_GRAFT_BENCH_PASSES (the
@@ -253,13 +278,15 @@ object Bench {
           s""""$k":[${c.split(',').takeRight(8).mkString(",")}]""" }
         .mkString("{", ",", "}")
       val env = s"""{"load_before":${r.loadBefore},"load_after":${r.loadAfter},""" +
+        s""""cores":$cores,"load_ok":$loadOk,""" +
         s""""wall_sec":${(r.wallSec * 10).round / 10.0}}"""
-      s""","queries_isolated":$v,"insuite_over_isolated":$ratios""" +
+      s""","queries_isolated":$v,"queries_isolated_last":$vLast""" +
+        s""","insuite_over_isolated":$ratios,"ratio_valid":$loadOk""" +
         s""","isolated_passes":$curves,"iso_env":$env"""
     }.getOrElse("")
 
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$totalCold,"queries_cold":$qsCold,"sf":"$sfDir","passes":$passes,"headline":"warm","failed":$failedJson,"diag":$diag$isoJson}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$totalCold,"queries_cold":$qsCold,"sf":"$sfDir","passes":$passes,"headline":"warm","scratch":"${if (scratchShared) "shared" else "private"}","scratch_dirs":${observedLocals.size},"failed":$failedJson,"diag":$diag$isoJson}"""
     // The driver records only the LAST ~2000 chars of stdout and tries to
     // json-parse the bench line; once the suite passed ~90 queries the full
     // artifact line outgrew that capture, so every round since r03 recorded

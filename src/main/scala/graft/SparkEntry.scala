@@ -994,8 +994,18 @@ object SparkEntry {
         pmod(col("doc_id"), lit(4)).as("shard"),
         length(col("text")).as("tlen"))
       val tmpRoot = System.getProperty("java.io.tmpdir")
+      // plan-inspection tools (PlanCheck & co) set graft.plan.only: they
+      // need the PLAN, not the audit, so the layout subject shrinks to a
+      // 256-row sample under a DISTINCT path suffix — a later real run in
+      // the same JVM must not find the tiny layout's _SUCCESS and reuse it
+      val planOnly = sys.props.get("graft.plan.only").contains("1")
+      // digest, not String.hashCode: two data dirs colliding on a 32-bit
+      // hash in one JVM would silently serve each other's corpus layout
+      val dirKey = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
       val out = s"$tmpRoot/graft_sink_q111_" +
-        s"p${ProcessHandle.current().pid()}_h${dir.hashCode.toHexString}"
+        s"p${ProcessHandle.current().pid()}_h$dirKey" +
+        (if (planOnly) "_plan" else "")
       // pid-scoped (concurrent JVMs must not overwrite each other's
       // layout mid-read) — which is exactly why it must self-clean, or
       // every bench/verify JVM leaks one corpus copy into /tmp; killed
@@ -1008,8 +1018,9 @@ object SparkEntry {
       // completed layout reusable, and repeat constructions (bench warm
       // passes, plan inspection tools) must not redo a full corpus write.
       if (!new java.io.File(out, "_SUCCESS").exists())
-        graft.scale.Sink.writeShards(tagged, out, Seq("split", "shard"),
-          Seq("doc_id"), filesPerPartition = 2)
+        graft.scale.Sink.writeShards(
+          if (planOnly) tagged.limit(256) else tagged,
+          out, Seq("split", "shard"), Seq("doc_id"), filesPerPartition = 2)
       s.read.parquet(out)
         // input_file_name() is non-deterministic, so Catalyst rejects it
         // INSIDE an aggregate — project it to a column first

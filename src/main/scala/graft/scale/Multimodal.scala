@@ -431,9 +431,16 @@ object Multimodal {
       // here (→ JRE fallback) also keeps the Int offset arithmetic safe
       if (sz < 0 || sz > b.length) return None
       if (id == "fmt " && off + 8 + 16 <= b.length) {
+        // a PCM fmt chunk is at least 16 bytes; a shorter declared size
+        // means the fields below would be read from the NEXT chunk's bytes
+        if (sz < 16) return None
         val codec = u16(off + 8)
         if (codec != 1) return None // non-PCM: let the JRE providers try
-        fmt = Some((u16(off + 10), u32(off + 12).toInt, u16(off + 20)))
+        val ch = u16(off + 10); val rate = u32(off + 12).toInt
+        val ba = u16(off + 20); val bits = u16(off + 22)
+        // internal consistency AudioSystem also enforces for PCM
+        if (bits % 8 != 0 || ba != ch * (bits / 8)) return None
+        fmt = Some((ch, rate, ba))
       } else if (id == "data") {
         // size may legitimately exceed the buffer only in streamed files;
         // these payloads are complete, so clamp-and-reject keeps parity

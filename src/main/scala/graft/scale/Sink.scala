@@ -45,8 +45,19 @@ object Sink {
   /** Remove sibling scratch layouts left by DEAD JVMs: scans `dir` for
     * names `<prefix>p<pid>_...` and deletes those whose pid no longer
     * names a live process (a SIGKILLed/OOM-killed JVM never ran its
-    * shutdown hook). Call before creating a layout under the same prefix. */
-  def sweepDead(dir: String, prefix: String): Unit = {
+    * shutdown hook). Call before creating a layout under the same prefix.
+    *
+    * The pid test alone is unreliable both ways under pid recycling — a
+    * dead JVM's pid reused by ANY live process would keep its multi-GB
+    * layout alive forever, and the isAlive check races process exit. An
+    * mtime age guard bounds both: layouts younger than `minAgeMs` are
+    * never touched (a just-started sibling hasn't been misjudged), and
+    * layouts older than `maxAgeMs` are reaped even if some unrelated live
+    * process happens to wear the pid now (a bench/verify run never lives
+    * that long, so the layout is orphaned either way). */
+  def sweepDead(dir: String, prefix: String,
+                minAgeMs: Long = 60L * 1000,
+                maxAgeMs: Long = 12L * 3600 * 1000): Unit = {
     val fs = new java.io.File(dir).listFiles()
     if (fs == null) return
     val re = (java.util.regex.Pattern.quote(prefix) + """p(\d+)_.*""").r
@@ -54,12 +65,15 @@ object Sink {
       val c = x.listFiles(); if (c != null) c.foreach(rm); x.delete()
     }
     val self = ProcessHandle.current().pid()
+    val now = System.currentTimeMillis()
     fs.foreach { f =>
       f.getName match {
-        case re(pid) if pid.toLong != self &&
-            !ProcessHandle.of(pid.toLong)
-              .map[java.lang.Boolean](_.isAlive).orElse(false) =>
-          try rm(f) catch { case _: Throwable => }
+        case re(pid) if pid.toLong != self =>
+          val age = now - f.lastModified()
+          val pidDead = !ProcessHandle.of(pid.toLong)
+            .map[java.lang.Boolean](_.isAlive).orElse(false)
+          if ((pidDead && age >= minAgeMs) || age >= maxAgeMs)
+            try rm(f) catch { case _: Throwable => }
         case _ =>
       }
     }

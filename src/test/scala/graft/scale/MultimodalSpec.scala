@@ -168,6 +168,27 @@ class MultimodalSpec extends SparkSpec {
       "JRE-fallback parity on declared-size payloads")
   }
 
+  test("malformed fmt chunks take the JRE path and keep its normalized fields") {
+    import spark.implicits._
+    // fmt chunk declaring size 12 (< the 16 PCM bytes): the fast parser
+    // must decline (reading rate/blockAlign at fixed offsets would consume
+    // the next chunk's bytes) — AudioSystem accepts the file and reports
+    // the true geometry (probed: rate 8000, ba 2, frames 100), so the
+    // operator's contract is ok=true with the JRE's values, not garbage
+    val shortFmt = Multimodal.syntheticWav(8000, 1, 100)
+    shortFmt(16) = 12; shortFmt(17) = 0; shortFmt(18) = 0; shortFmt(19) = 0
+    // blockAlign 7, inconsistent with channels*bits/8 = 2: the old parser
+    // would publish frames = dataBytes/7 = 28; the JRE normalizes to 2
+    val badBa = Multimodal.syntheticWav(8000, 1, 100)
+    badBa(32) = 7; badBa(33) = 0
+    val rows = Multimodal.decodeWav(
+      Seq((1L, shortFmt), (2L, badBa)).toDF("asset_id", "payload"))
+      .collect().sortBy(_.asset_id)
+    assert(rows.forall(r => r.ok && r.sample_rate == 8000 &&
+      r.channels == 1 && r.frames == 100),
+      s"expected JRE-normalized geometry, got ${rows.mkString(";")}")
+  }
+
   test("extracted fake embeddings are L2-normalized and feed Ann.cosineTopK") {
     val emb = Multimodal.extractFeaturesStub(assets, 8).toDF()
     val norms = emb.select(col("asset_id"),

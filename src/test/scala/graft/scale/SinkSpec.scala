@@ -177,18 +177,30 @@ class SinkSpec extends SparkSpec {
   test("sweepDead removes dead-pid layouts, keeps live-pid and foreign dirs") {
     val root = java.nio.file.Files.createTempDirectory("sweep").toString
     val self = ProcessHandle.current().pid()
+    val now = System.currentTimeMillis()
     val dead = new java.io.File(s"$root/scratch_p999999999_habc")
+    val deadYoung = new java.io.File(s"$root/scratch_p999999998_habc")
     val live = new java.io.File(s"$root/scratch_p${self}_habc")
     val other = new java.io.File(s"$root/unrelated_dir")
-    Seq(dead, live, other).foreach { d =>
+    Seq(dead, deadYoung, live, other).foreach { d =>
       assert(d.mkdir())
       assert(new java.io.File(d, "x.parquet").createNewFile())
     }
+    // age the dead layout past the min-age guard (pid-recycle protection
+    // keeps sub-minute-old dirs even when the pid looks dead)
+    assert(dead.setLastModified(now - 2L * 60 * 1000))
     try {
       Sink.sweepDead(root, "scratch_")
-      assert(!dead.exists(), "dead-pid layout should be removed")
+      assert(!dead.exists(), "aged dead-pid layout should be removed")
+      assert(deadYoung.exists(),
+        "a dead-pid layout younger than the min age must survive (pid race)")
       assert(live.exists(), "own-pid layout must survive")
       assert(other.exists(), "non-matching names must survive")
+      // a layout past the max age is reaped regardless of pid liveness:
+      // no bench/verify run lives 12h, so the pid is recycled either way
+      assert(deadYoung.setLastModified(now - 13L * 3600 * 1000))
+      Sink.sweepDead(root, "scratch_")
+      assert(!deadYoung.exists(), "max-age layout should be reaped")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
