@@ -95,6 +95,37 @@ object Multimodal {
   private lazy val imageIoNoDiskCache: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
+  /** Per-thread cached ImageIO WRITERS (the q79 provider-registry lesson,
+    * applied after measuring the image path — ProbeImageIO, 32 threads ×
+    * 1500 assets): the per-record `getImageWritersByFormatName` lookup +
+    * writer construction costs 1.7× wall / 3.3× CPU at q78's asset sizes
+    * (encode per-record 0.31 s / 6.1 s CPU vs reuse 0.18 s / 1.8 s CPU),
+    * while READER reuse buys nothing (identical 0.25 s wall either way —
+    * decode is pixel-work-bound at 58% CPU fraction, not lock-bound like
+    * the audio registry's 4%), so [[readImage]]/[[decodeFrames]] keep the
+    * per-record lookup. A thread-local is the per-partition-reuse idiom
+    * that also survives task boundaries on a reused executor thread; the
+    * writer is reset() after each asset so no state crosses records. */
+  private val pngWriterTL: ThreadLocal[javax.imageio.ImageWriter] =
+    ThreadLocal.withInitial(() =>
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
+  private val gifWriterTL: ThreadLocal[javax.imageio.ImageWriter] =
+    ThreadLocal.withInitial(() =>
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next())
+
+  /** Encode one frame as PNG via the cached writer — byte-identical to
+    * `ImageIO.write(img, "png", out)` (same first registered provider,
+    * same default write param). */
+  private def writePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    imageIoNoDiskCache
+    val w = pngWriterTL.get()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try { w.setOutput(ios); w.write(img) }
+    finally { w.reset(); ios.close() } // close flushes the memory cache
+    bos.toByteArray
+  }
+
   private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
     imageIoNoDiskCache
     if (bytes == null || bytes.isEmpty) null
@@ -158,9 +189,7 @@ object Multimodal {
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
           val g = out.createGraphics()
           try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, "png", bos)
-          ResizedMeta(row.getLong(0), w, h, bos.toByteArray)
+          ResizedMeta(row.getLong(0), w, h, writePng(out))
         }
       }
     }
@@ -212,9 +241,7 @@ object Multimodal {
       gfx.setColor(new java.awt.Color(r & 0xff, g & 0xff, b & 0xff))
       gfx.fillRect(0, 0, w, h)
     } finally gfx.dispose()
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    writePng(img)
   }
 
   /** Render a documents-style table as real PNG assets with dimensions and
@@ -306,7 +333,7 @@ object Multimodal {
     */
   def syntheticGif(w: Int, h: Int, frameVals: Seq[Int]): Array[Byte] = {
     imageIoNoDiskCache
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val writer = gifWriterTL.get() // cached per thread, see pngWriterTL note
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     try {
@@ -324,7 +351,7 @@ object Multimodal {
         writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
       }
       writer.endWriteSequence()
-    } finally { ios.close(); writer.dispose() }
+    } finally { writer.reset(); ios.close() }
     bos.toByteArray
   }
 
