@@ -433,4 +433,123 @@ class StreamingFeaturesSpec extends SparkSpec {
         missing.take(3).map { case (k, v) =>
           s"$k batch=$v stream=${streamedMap.get(k)}" }.mkString("; "))
   }
+
+  // ---- late-data contract (rows arriving BEYOND the watermark) ----------
+  // The in-watermark disorder contracts are pinned above (bound absorption,
+  // grossly-late singleton islands). These three tests pin the other side:
+  // once the watermark has passed an event time, a row bearing it is
+  // DROPPED by the stateful operator — finalized windows/runs never change
+  // retroactively, and no new output row appears for the stale region.
+  // Delivery is deliberately spread across micro-batches (and one test
+  // mixes the late row into a batch with fresh rows) so the contract is
+  // exercised under shuffled batch boundaries, not just a clean tail.
+
+  private def sec(s: Long) = (86400L + s) * 1000000L
+
+  test("rolling drops rows beyond the watermark; finalized windows stand") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, Double)]
+    val sdf = ms.toDF().select(timestamp_micros(col("_1")).as("ts"),
+      col("_2").as("v"))
+    val out = StreamingFeatures.rolling(sdf, "ts", "v", "v",
+      Win.time("5m").asInstanceOf[TimeWin], Win.time("5m").asInstanceOf[TimeWin],
+      Seq(FeatureFuncs.mean, FeatureFuncs.len), watermark = Some("10 minutes"))
+    val q = out.writeStream.format("memory").queryName("lateroll")
+      .outputMode("append").start()
+    // window [0,5m): two rows
+    ms.addData(Seq((sec(0), 10.0), (sec(60), 20.0)))
+    q.processAllAvailable()
+    // advance the watermark to 4000-600 = 3400s — [0,5m) finalizes + emits
+    ms.addData(Seq((sec(4000), 1.0)))
+    q.processAllAvailable()
+    // a row for the finalized window, now BEYOND the watermark, mixed into
+    // a batch with a fresh row: must be dropped, not re-open the window
+    ms.addData(Seq((sec(30), 999.0), (sec(4060), 2.0)))
+    q.processAllAvailable()
+    // flush the tail windows too
+    ms.addData(Seq((sec(9000), 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val w0 = spark.table("lateroll")
+      .where(unix_micros(col("ts")) === sec(300))
+      .select(col("`v__mean__w=5m`"), col("`v__len__w=5m`"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    // exactly ONE emission for [0,5m), and without the late 999.0 row
+    assert(w0 == Seq((15.0, 2L)),
+      s"finalized window changed after a beyond-watermark row: $w0")
+  }
+
+  test("rollingMulti drops beyond-watermark rows in every branch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, Double)]
+    val sdf = ms.toDF().select(timestamp_micros(col("_1")).as("ts"),
+      col("_2").as("v"))
+    val out = StreamingFeatures.rollingMulti(sdf, "ts", "v", "v",
+      Seq((Win.time("5m").asInstanceOf[TimeWin],
+           Win.time("5m").asInstanceOf[TimeWin]),
+          (Win.time("10m").asInstanceOf[TimeWin],
+           Win.time("5m").asInstanceOf[TimeWin])),
+      Seq(FeatureFuncs.len), watermark = Some("10 minutes"))
+    val q = out.writeStream.format("memory").queryName("latemulti")
+      .outputMode("append").start()
+    ms.addData(Seq((sec(0), 10.0), (sec(60), 20.0)))
+    q.processAllAvailable()
+    ms.addData(Seq((sec(4000), 1.0))) // watermark → 3400s, early wins final
+    q.processAllAvailable()
+    ms.addData(Seq((sec(30), 999.0))) // beyond-watermark, alone in a batch
+    q.processAllAvailable()
+    ms.addData(Seq((sec(9000), 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    // the 5m branch's [0,5m) window and the 10m sliding branch's windows
+    // ending at 5m and 10m all cover sec(0)/sec(60): each counts exactly 2
+    val rows = spark.table("latemulti")
+      .where(unix_micros(col("ts")).isin(sec(300), sec(600)))
+      .select(col("win"), unix_micros(col("ts")), col("len"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows == Seq(("10m", sec(300), 2L), ("10m", sec(600), 2L),
+      ("5m", sec(300), 2L)),
+      s"beyond-watermark row leaked into a branch: $rows")
+  }
+
+  test("consecutiveRuns drops beyond-watermark rows; closed runs stand") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(String, Long, String, Double)]
+    val sdf = ms.toDF().select(col("_1").as("k"),
+      timestamp_micros(col("_2")).as("ts"), col("_3").as("g"),
+      col("_4").as("v"))
+    val out = StreamingFeatures.consecutiveRuns(sdf, "ts", "k", "g", "v",
+      watermark = "10 minutes", closeAfter = Win.time("1m").asInstanceOf[TimeWin])
+    val q = out.writeStream.format("memory").queryName("lateruns")
+      .outputMode("append").start()
+    // run x over [0,30s], closed in-batch by the group change to y
+    ms.addData(Seq(("a", sec(0), "x", 1.0), ("a", sec(30), "x", 2.0),
+      ("a", sec(120), "y", 5.0)))
+    q.processAllAvailable()
+    // push the watermark far past x (and y): 7200-600 = 6600s
+    ms.addData(Seq(("wm", sec(7200), "w", 0.0)))
+    q.processAllAvailable()
+    // a beyond-watermark x-extension: the operator's input filter drops it
+    // BEFORE the state machine — it must neither re-open x, nor emit a
+    // grossly-late singleton (that contract is for IN-watermark islands),
+    // nor perturb any aggregate
+    ms.addData(Seq(("a", sec(60), "x", 100.0)))
+    q.processAllAvailable()
+    ms.addData(Seq(("wm", sec(20000), "w", 0.0))) // flush tails by timeout
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("lateruns").where(col("key") === "a")
+      .select(col("group"), unix_micros(col("run_start")),
+        unix_micros(col("run_end")), col("n"), col("sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+      .sortBy(_._2).toSeq
+    assert(rows == Seq(("x", sec(0), sec(30), 2L, 3.0),
+      ("y", sec(120), sec(120), 1L, 5.0)),
+      s"beyond-watermark row changed closed-run output: $rows")
+  }
 }
