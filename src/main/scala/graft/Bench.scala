@@ -63,8 +63,16 @@ object Bench {
     val observedLocals: Seq[String] = sys.env.get("SPARK_LOCAL_DIRS")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty).getOrElse(Seq(localDir))
-    val scratchShared = sys.env.get("SPARK_LOCAL_DIRS").exists(_.trim.nonEmpty)
+    // derived from the PARSED list, not the raw env var: a degenerate
+    // SPARK_LOCAL_DIRS ("," / whitespace) falls back to the private dir
+    // and must be annotated as such
+    val scratchShared = observedLocals != Seq(localDir)
     def observedDu(): Long = observedLocals.map(graft.core.Scratch.duBytes).sum
+    // shared dirs carry other tenants' (possibly static, possibly large)
+    // files — gate the per-boundary drain on OUR footprint, i.e. growth
+    // over this baseline, or foreign bytes hold the gate open at all ~230
+    // boundaries (3+ polls × 200 ms × full tree walks each, for nothing)
+    val scratchBaseline: Long = if (scratchShared) observedDu() else 0L
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -170,7 +178,7 @@ object Bench {
       // probe): this buys determinism of the boundary, not a variance fix
       // — the remaining 100x run-over-run spread is page-cache/GC-timing
       // environmental.
-      if (observedDu() > (256L << 20)) {
+      if (observedDu() - scratchBaseline > (256L << 20)) {
         val t0 = System.nanoTime()
         var last = observedDu()
         var stable = 0
@@ -253,21 +261,25 @@ object Bench {
       def minWarm(n: String): Option[Double] =
         r.passes.get(n).map(_.split(',').drop(1).map(_.toDouble).min)
           .orElse(r.warm.get(n))
+      // (the LAST pass per query is not re-published separately: it is the
+      // final element of each isolated_passes curve, and the compact stdout
+      // line's ~1.8 KB budget is the scarce resource here)
       val v = isolateFamily.flatMap(n => minWarm(n).map(n -> _)).sortBy(_._1)
         .map { case (k, s) => s""""$k":${(s * 1000).round / 1000.0}""" }
         .mkString("{", ",", "}")
-      val vLast = r.warm.toSeq.sortBy(_._1)
-        .map { case (k, s) => s""""$k":$s""" }.mkString("{", ",", "}")
       val ratios = isolateFamily.flatMap { n =>
         for (i <- minWarm(n); t <- timed.find(_.name == n); if i > 0)
           yield s""""$n":${(t.warm / i * 100).round / 100.0}"""
       }.mkString("{", ",", "}")
-      // ratio acceptance gate: with 1-min load already >= the core count
-      // BEFORE the fork, the child competes for every core and its times
-      // measure the neighbors, not the plan — the artifact says so itself
-      // instead of asking a reader to cross-reference load curves.
+      // ratio acceptance gate: with 1-min load >= the core count at EITHER
+      // end of the fork, the child competed for every core somewhere in
+      // the run (the r13 incident was load CLIMBING mid-fork: before 22.9,
+      // after 37.9) and its times measure the neighbors, not the plan —
+      // the artifact says so itself instead of asking a reader to
+      // cross-reference load curves.
       val cores = Runtime.getRuntime.availableProcessors
-      val loadOk = r.loadBefore >= 0 && r.loadBefore < cores
+      val loadOk = r.loadBefore >= 0 && r.loadBefore < cores &&
+        r.loadAfter >= 0 && r.loadAfter < cores
       // cap each published curve at its LAST 8 passes: the compact stdout
       // line must stay under the driver's ~1.8KB tail capture even if the
       // parent environment exports a large SPARK_GRAFT_BENCH_PASSES (the
@@ -280,7 +292,7 @@ object Bench {
       val env = s"""{"load_before":${r.loadBefore},"load_after":${r.loadAfter},""" +
         s""""cores":$cores,"load_ok":$loadOk,""" +
         s""""wall_sec":${(r.wallSec * 10).round / 10.0}}"""
-      s""","queries_isolated":$v,"queries_isolated_last":$vLast""" +
+      s""","queries_isolated":$v""" +
         s""","insuite_over_isolated":$ratios,"ratio_valid":$loadOk""" +
         s""","isolated_passes":$curves,"iso_env":$env"""
     }.getOrElse("")

@@ -49,15 +49,17 @@ object Sink {
     *
     * The pid test alone is unreliable both ways under pid recycling — a
     * dead JVM's pid reused by ANY live process would keep its multi-GB
-    * layout alive forever, and the isAlive check races process exit. An
-    * mtime age guard bounds both: layouts younger than `minAgeMs` are
-    * never touched (a just-started sibling hasn't been misjudged), and
-    * layouts older than `maxAgeMs` are reaped even if some unrelated live
-    * process happens to wear the pid now (a bench/verify run never lives
-    * that long, so the layout is orphaned either way). */
+    * layout alive forever, and the isAlive check races process exit.
+    * Two guards close both holes without ever touching a LIVE owner's
+    * scratch (an age-cap alone would: a >cap run would have its active
+    * dirs reaped mid-run by any sibling sweep): layouts younger than
+    * `minAgeMs` are never touched even when the pid looks dead (the
+    * exit/start race window), and a pid that looks alive is treated as
+    * RECYCLED — hence dead — when its process STARTED after the layout
+    * already existed (the original owner must have died first; slack
+    * absorbs clock/registration skew). */
   def sweepDead(dir: String, prefix: String,
-                minAgeMs: Long = 60L * 1000,
-                maxAgeMs: Long = 12L * 3600 * 1000): Unit = {
+                minAgeMs: Long = 60L * 1000): Unit = {
     val fs = new java.io.File(dir).listFiles()
     if (fs == null) return
     val re = (java.util.regex.Pattern.quote(prefix) + """p(\d+)_.*""").r
@@ -66,13 +68,21 @@ object Sink {
     }
     val self = ProcessHandle.current().pid()
     val now = System.currentTimeMillis()
+    val slackMs = 60L * 1000
     fs.foreach { f =>
       f.getName match {
         case re(pid) if pid.toLong != self =>
           val age = now - f.lastModified()
-          val pidDead = !ProcessHandle.of(pid.toLong)
-            .map[java.lang.Boolean](_.isAlive).orElse(false)
-          if ((pidDead && age >= minAgeMs) || age >= maxAgeMs)
+          val h = ProcessHandle.of(pid.toLong)
+          val alive = h.map[java.lang.Boolean](_.isAlive).orElse(false): Boolean
+          // mtime is set at creation and only moves FORWARD on writes, so
+          // (start > mtime + slack) can only be true when the layout
+          // predates the process wearing the pid — a recycle, not the owner
+          val recycled = alive && h.flatMap(x => x.info().startInstant())
+            .map[java.lang.Boolean](st =>
+              st.toEpochMilli > f.lastModified() + slackMs)
+            .orElse(false)
+          if ((!alive || recycled) && age >= minAgeMs)
             try rm(f) catch { case _: Throwable => }
         case _ =>
       }

@@ -75,13 +75,30 @@ class NarrowAmplifierSpec extends SparkSpec {
     l
   }
 
-  /** The listener bus is async: poll until the seen-stage count is stable
-    * so a trailing heavy stage is neither missed nor leaked across tests. */
+  /** The listener bus is async: a trailing heavy stage's event can still
+    * be queued when the action returns, and a single quiet poll window is
+    * not proof of delivery (a >200 ms dispatch stall would let a flagged
+    * stage land AFTER the assertion — a false green). Drain
+    * deterministically via LiveListenerBus.waitUntilEmpty (private[spark],
+    * hence reflection — test-only code), falling back to a
+    * 3-consecutive-quiet-windows poll if the method ever moves. */
   private def drainBus(): Unit = {
-    var last = -1
-    var tries = 0
-    while (stagesSeen.get != last && tries < 40) {
-      last = stagesSeen.get; tries += 1; Thread.sleep(200)
+    val drained = try {
+      val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+        .invoke(spark.sparkContext)
+      bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .map { m => m.invoke(bus); true }
+        .getOrElse(false)
+    } catch { case _: Throwable => false }
+    if (!drained) {
+      var last = -1
+      var quiet = 0
+      var tries = 0
+      while (quiet < 3 && tries < 60) {
+        if (stagesSeen.get == last) quiet += 1 else quiet = 0
+        last = stagesSeen.get; tries += 1; Thread.sleep(200)
+      }
     }
   }
 

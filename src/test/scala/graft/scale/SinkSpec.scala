@@ -178,30 +178,39 @@ class SinkSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("sweep").toString
     val self = ProcessHandle.current().pid()
     val now = System.currentTimeMillis()
+    val old = now - 10L * 60 * 1000 // well past minAge and recycle slack
     val dead = new java.io.File(s"$root/scratch_p999999999_habc")
     val deadYoung = new java.io.File(s"$root/scratch_p999999998_habc")
     val live = new java.io.File(s"$root/scratch_p${self}_habc")
+    // pid 1 (init): alive and started at BOOT, i.e. before any layout here
+    // — a live owner-shaped pid whose layout must survive any age
+    val liveOld = new java.io.File(s"$root/scratch_p1_habc")
     val other = new java.io.File(s"$root/unrelated_dir")
-    Seq(dead, deadYoung, live, other).foreach { d =>
+    // a genuinely RECYCLED pid: a child process started NOW wearing the
+    // pid of a layout whose mtime predates it by > the slack window
+    val child = new ProcessBuilder("sleep", "30").start()
+    val recycled = new java.io.File(s"$root/scratch_p${child.pid()}_habc")
+    Seq(dead, deadYoung, live, liveOld, other, recycled).foreach { d =>
       assert(d.mkdir())
       assert(new java.io.File(d, "x.parquet").createNewFile())
     }
-    // age the dead layout past the min-age guard (pid-recycle protection
-    // keeps sub-minute-old dirs even when the pid looks dead)
-    assert(dead.setLastModified(now - 2L * 60 * 1000))
+    // age everything except deadYoung past the min-age guard
+    Seq(dead, live, liveOld, recycled).foreach(d => assert(d.setLastModified(old)))
     try {
       Sink.sweepDead(root, "scratch_")
       assert(!dead.exists(), "aged dead-pid layout should be removed")
       assert(deadYoung.exists(),
         "a dead-pid layout younger than the min age must survive (pid race)")
       assert(live.exists(), "own-pid layout must survive")
+      assert(liveOld.exists(),
+        "a live pid older than its layout is the OWNER — never reaped, " +
+          "however old the layout gets")
       assert(other.exists(), "non-matching names must survive")
-      // a layout past the max age is reaped regardless of pid liveness:
-      // no bench/verify run lives 12h, so the pid is recycled either way
-      assert(deadYoung.setLastModified(now - 13L * 3600 * 1000))
-      Sink.sweepDead(root, "scratch_")
-      assert(!deadYoung.exists(), "max-age layout should be reaped")
+      assert(!recycled.exists(),
+        "a live pid that STARTED after the layout existed is a recycle " +
+          "of the dead owner's pid — the layout is orphaned")
     } finally {
+      child.destroyForcibly()
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
       }
