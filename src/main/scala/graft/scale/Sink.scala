@@ -57,9 +57,14 @@ object Sink {
     * exit/start race window), and a pid that looks alive is treated as
     * RECYCLED — hence dead — when its process STARTED after the layout
     * already existed (the original owner must have died first; slack
-    * absorbs clock/registration skew). */
+    * absorbs clock/registration skew). One blind spot remains: a pid
+    * recycled WITHIN the slack of the layout's last write looks like the
+    * owner for the recycler's whole lifetime — `maxAgeMs` (48 h; no graft
+    * JVM lives a hundredth of that) backstops it without re-creating the
+    * live-owner-reap hazard the 12 h cap had. */
   def sweepDead(dir: String, prefix: String,
-                minAgeMs: Long = 60L * 1000): Unit = {
+                minAgeMs: Long = 60L * 1000,
+                maxAgeMs: Long = 48L * 3600 * 1000): Unit = {
     val fs = new java.io.File(dir).listFiles()
     if (fs == null) return
     val re = (java.util.regex.Pattern.quote(prefix) + """p(\d+)_.*""").r
@@ -82,7 +87,7 @@ object Sink {
             .map[java.lang.Boolean](st =>
               st.toEpochMilli > f.lastModified() + slackMs)
             .orElse(false)
-          if ((!alive || recycled) && age >= minAgeMs)
+          if (((!alive || recycled) && age >= minAgeMs) || age >= maxAgeMs)
             try rm(f) catch { case _: Throwable => }
         case _ =>
       }

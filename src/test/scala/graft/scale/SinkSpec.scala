@@ -176,41 +176,55 @@ class SinkSpec extends SparkSpec {
 
   test("sweepDead removes dead-pid layouts, keeps live-pid and foreign dirs") {
     val root = java.nio.file.Files.createTempDirectory("sweep").toString
-    val self = ProcessHandle.current().pid()
-    val now = System.currentTimeMillis()
-    val old = now - 10L * 60 * 1000 // well past minAge and recycle slack
-    val dead = new java.io.File(s"$root/scratch_p999999999_habc")
-    val deadYoung = new java.io.File(s"$root/scratch_p999999998_habc")
-    val live = new java.io.File(s"$root/scratch_p${self}_habc")
-    // pid 1 (init): alive and started at BOOT, i.e. before any layout here
-    // — a live owner-shaped pid whose layout must survive any age
-    val liveOld = new java.io.File(s"$root/scratch_p1_habc")
-    val other = new java.io.File(s"$root/unrelated_dir")
-    // a genuinely RECYCLED pid: a child process started NOW wearing the
-    // pid of a layout whose mtime predates it by > the slack window
-    val child = new ProcessBuilder("sleep", "30").start()
-    val recycled = new java.io.File(s"$root/scratch_p${child.pid()}_habc")
-    Seq(dead, deadYoung, live, liveOld, other, recycled).foreach { d =>
-      assert(d.mkdir())
-      assert(new java.io.File(d, "x.parquet").createNewFile())
-    }
-    // age everything except deadYoung past the min-age guard
-    Seq(dead, live, liveOld, recycled).foreach(d => assert(d.setLastModified(old)))
+    var child: Process = null
+    // EVERYTHING inside the try: a failed mkdir/setLastModified must still
+    // reap the sleep child and the temp tree, or the leak makes the
+    // failure self-sustaining on re-runs
     try {
+      val self = ProcessHandle.current().pid()
+      val now = System.currentTimeMillis()
+      val old = now - 10L * 60 * 1000 // well past minAge and recycle slack
+      val dead = new java.io.File(s"$root/scratch_p999999999_habc")
+      val deadYoung = new java.io.File(s"$root/scratch_p999999998_habc")
+      val live = new java.io.File(s"$root/scratch_p${self}_habc")
+      // pid 1 (init): alive; usually started before any layout here — a
+      // live owner-shaped pid whose layout must survive any age. On a
+      // freshly booted container pid 1's start can postdate a backdated
+      // mtime (it would read as recycled) — skip the case then rather
+      // than flake.
+      val p1Start = ProcessHandle.of(1L)
+        .flatMap(h => h.info().startInstant())
+        .map[Long](_.toEpochMilli).orElse(Long.MaxValue)
+      val p1IsOlder = p1Start < old - 2L * 60 * 1000
+      val liveOld = new java.io.File(s"$root/scratch_p1_habc")
+      val other = new java.io.File(s"$root/unrelated_dir")
+      // a genuinely RECYCLED pid: a child process started NOW wearing the
+      // pid of a layout whose mtime predates it by > the slack window
+      child = new ProcessBuilder("sleep", "30").start()
+      val recycled = new java.io.File(s"$root/scratch_p${child.pid()}_habc")
+      val dirs = Seq(dead, deadYoung, live, other, recycled) ++
+        (if (p1IsOlder) Seq(liveOld) else Nil)
+      dirs.foreach { d =>
+        assert(d.mkdir())
+        assert(new java.io.File(d, "x.parquet").createNewFile())
+      }
+      // age everything except deadYoung past the min-age guard
+      (dirs.toSet - deadYoung).foreach(d => assert(d.setLastModified(old)))
       Sink.sweepDead(root, "scratch_")
       assert(!dead.exists(), "aged dead-pid layout should be removed")
       assert(deadYoung.exists(),
         "a dead-pid layout younger than the min age must survive (pid race)")
       assert(live.exists(), "own-pid layout must survive")
-      assert(liveOld.exists(),
-        "a live pid older than its layout is the OWNER — never reaped, " +
-          "however old the layout gets")
+      if (p1IsOlder)
+        assert(liveOld.exists(),
+          "a live pid older than its layout is the OWNER — never reaped " +
+            "(short of the 48h orphan backstop)")
       assert(other.exists(), "non-matching names must survive")
       assert(!recycled.exists(),
         "a live pid that STARTED after the layout existed is a recycle " +
           "of the dead owner's pid — the layout is orphaned")
     } finally {
-      child.destroyForcibly()
+      if (child != null) child.destroyForcibly()
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
       }

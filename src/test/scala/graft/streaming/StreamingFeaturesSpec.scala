@@ -150,7 +150,6 @@ class StreamingFeaturesSpec extends SparkSpec {
       .outputMode("append").start()
     // day-1 base: a ts equal to the INITIAL watermark (epoch 0) would be
     // dropped as late before reaching the state machine
-    def sec(s: Long) = (86400L + s) * 1000000L
     // batch 1: run x closes in-batch when y arrives; run y stays open
     ms.addData(Seq(("a", sec(0), "x", 0.0), ("a", sec(60), "x", 60.0),
       ("a", sec(120), "y", 120.0)))
@@ -192,7 +191,6 @@ class StreamingFeaturesSpec extends SparkSpec {
       watermark = "30 minutes", closeAfter = Win.time("1m").asInstanceOf[TimeWin])
     val q = out.writeStream.format("memory").queryName("runs2")
       .outputMode("append").start()
-    def sec(s: Long) = (86400L + s) * 1000000L
     // ONE batch: same group, but a 2h gap > closeAfter — the in-batch fold
     // must split it exactly like the cross-batch timeout would (output must
     // not depend on how rows happen to be micro-batched)
@@ -239,7 +237,6 @@ class StreamingFeaturesSpec extends SparkSpec {
       watermark = "60 minutes", closeAfter = Win.time("1m").asInstanceOf[TimeWin])
     val q = out.writeStream.format("memory").queryName("runs3")
       .outputMode("append").start()
-    def sec(s: Long) = (86400L + s) * 1000000L
     ms.addData(Seq(("c", sec(7000), "x", 1.0), ("c", sec(7030), "x", 2.0)))
     q.processAllAvailable()
     // > closeAfter before the open run's start, within the watermark: must
