@@ -55,4 +55,54 @@ object PlanAudit {
   /** One-line rendering for probe output / spec failure messages. */
   def render(s: Map[String, Int]): String =
     Keys.map(k => s"$k=${s.getOrElse(k, 0)}").mkString(", ")
+
+  /** The pinned heavy-plan set: ONE definition, consumed by PlanShapeSpec
+    * (shape pinning), NarrowAmplifierSpec (test-time amplifier gate) and
+    * ProbeAmplifier (the at-scale probe) — a plan added to the audit set
+    * is then covered by all three with no silent drift. */
+  val PinnedPlans: Seq[String] = Seq(
+    "q12_group_by_consecutive", "q21_dedup_jaccard", "q32_dedup_embed",
+    "q54_dup_clusters", "q65_dedup_keep_one", "q72_keyed_multiwin",
+    "q73_corpus_prep_fuzzy", "q76_simhash_near", "q79_wav_decode",
+    "q82_asof_join", "q85_pack_per_split", "q89_multi_quantiles",
+    "q99d_mse", "q110_entropy_kde")
+
+  /** The NARROW-AMPLIFIER stage predicate (one definition for spec and
+    * probe): few tasks, multi-MB shuffle write, >16× record amplification,
+    * and the input came from a shuffle (or nothing — a generator). The
+    * record-level ratio and the shuffle-input condition are what separate
+    * the q72 class (an AQE-coalesced exchange stays narrow on any cluster)
+    * from a split-bound scan (self-heals at scale); see
+    * NarrowAmplifierSpec's scaladoc for the full derivation. */
+  def narrowAmplifier(numTasks: Int, cores: Int, inRec: Long, shRec: Long,
+                      writeBytes: Long, writeRec: Long): Boolean =
+    numTasks <= math.max(1, cores / 4) && writeBytes > (4L << 20) &&
+      writeRec > 16L * math.max(inRec + shRec, 1L) && (shRec > 0 || inRec == 0)
+
+  /** Deterministically drain the async listener bus (reflection:
+    * LiveListenerBus.waitUntilEmpty is private[spark]); falls back to a
+    * 3-consecutive-quiet-windows poll over `progress` if the method moves.
+    * A FIXED sleep is not a drain — a dispatch stall longer than it loses
+    * trailing stage events, the bug ScaleSmoke/NarrowAmplifierSpec each
+    * fixed once already. */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession,
+                       progress: () => Long): Unit = {
+    val drained = try {
+      val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+        .invoke(spark.sparkContext)
+      bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .map { m => m.invoke(bus); true }
+        .getOrElse(false)
+    } catch { case _: Throwable => false }
+    if (!drained) {
+      var last = -1L
+      var quiet = 0
+      var tries = 0
+      while (quiet < 3 && tries < 60) {
+        if (progress() == last) quiet += 1 else quiet = 0
+        last = progress(); tries += 1; Thread.sleep(200)
+      }
+    }
+  }
 }

@@ -49,9 +49,6 @@ class NarrowAmplifierSpec extends SparkSpec {
   private val flagged = new java.util.concurrent.ConcurrentLinkedQueue[Amp]()
   private val stagesSeen = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  private def floorTasks: Int =
-    math.max(1, spark.sparkContext.defaultParallelism / 4)
-
   private lazy val listener: SparkListener = {
     val l = new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
@@ -61,14 +58,13 @@ class NarrowAmplifierSpec extends SparkSpec {
         stagesSeen.incrementAndGet()
         val inRec = m.inputMetrics.recordsRead
         val shRec = m.shuffleReadMetrics.recordsRead
-        val readRec = inRec + shRec
         val write = m.shuffleWriteMetrics.bytesWritten
         val writeRec = m.shuffleWriteMetrics.recordsWritten
-        if (i.numTasks <= floorTasks && write > (4L << 20) &&
-            writeRec > 16L * math.max(readRec, 1L) &&
-            (shRec > 0 || inRec == 0))
+        // ONE predicate definition, shared with the at-scale probe
+        if (PlanAudit.narrowAmplifier(i.numTasks,
+            spark.sparkContext.defaultParallelism, inRec, shRec, write, writeRec))
           flagged.add(Amp(i.stageId, i.name.takeWhile(_ != '\n').take(80),
-            i.numTasks, readRec, write))
+            i.numTasks, inRec + shRec, write))
       }
     }
     spark.sparkContext.addSparkListener(l)
@@ -79,38 +75,11 @@ class NarrowAmplifierSpec extends SparkSpec {
     * be queued when the action returns, and a single quiet poll window is
     * not proof of delivery (a >200 ms dispatch stall would let a flagged
     * stage land AFTER the assertion — a false green). Drain
-    * deterministically via LiveListenerBus.waitUntilEmpty (private[spark],
-    * hence reflection — test-only code), falling back to a
-    * 3-consecutive-quiet-windows poll if the method ever moves. */
-  private def drainBus(): Unit = {
-    val drained = try {
-      val bus = spark.sparkContext.getClass.getMethod("listenerBus")
-        .invoke(spark.sparkContext)
-      bus.getClass.getMethods
-        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
-        .map { m => m.invoke(bus); true }
-        .getOrElse(false)
-    } catch { case _: Throwable => false }
-    if (!drained) {
-      var last = -1
-      var quiet = 0
-      var tries = 0
-      while (quiet < 3 && tries < 60) {
-        if (stagesSeen.get == last) quiet += 1 else quiet = 0
-        last = stagesSeen.get; tries += 1; Thread.sleep(200)
-      }
-    }
-  }
+    * deterministically (waitUntilEmpty via reflection, shared helper). */
+  private def drainBus(): Unit =
+    PlanAudit.drainListenerBus(spark, () => stagesSeen.get.toLong)
 
-  // the pinned-plan set from PlanShapeSpec — the audited heavy queries
-  private val pinned = Seq(
-    "q12_group_by_consecutive", "q21_dedup_jaccard", "q32_dedup_embed",
-    "q54_dup_clusters", "q65_dedup_keep_one", "q72_keyed_multiwin",
-    "q73_corpus_prep_fuzzy", "q76_simhash_near", "q79_wav_decode",
-    "q82_asof_join", "q85_pack_per_split", "q89_multi_quantiles",
-    "q99d_mse", "q110_entropy_kde")
-
-  for (name <- pinned) {
+  for (name <- PlanAudit.PinnedPlans) {
     test(s"$name runs no narrow-amplifier stage at sf0.1") {
       listener // register once (lazy)
       drainBus(); flagged.clear() // shed any prior suite's trailing events

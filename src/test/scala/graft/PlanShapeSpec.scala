@@ -139,6 +139,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("the expectation table covers exactly the shared pinned-plan set") {
+    // PlanAudit.PinnedPlans is the single source the amplifier spec and
+    // the at-scale probe iterate — a plan added to one audit surface must
+    // be added to all of them, and this assertion is where the drift fails
+    assert(expected.keySet == PlanAudit.PinnedPlans.toSet,
+      s"table-only: ${expected.keySet -- PlanAudit.PinnedPlans.toSet}; " +
+        s"pinned-only: ${PlanAudit.PinnedPlans.toSet -- expected.keySet}")
+  }
+
   // registered after (and so runs after) the per-query tests above
   test("no audited plan uses a cartesian product or unplanned NL join") {
     // assume, not assert: a filtered run (testOnly -- -z q76) computes a
