@@ -79,6 +79,13 @@ object PlanAudit {
     numTasks <= math.max(1, cores / 4) && writeBytes > (4L << 20) &&
       writeRec > 16L * math.max(inRec + shRec, 1L) && (shRec > 0 || inRec == 0)
 
+  /** The ABSOLUTE few-task rule (ScaleSmoke's r13 listener, also applied
+    * by ProbeAmplifier): few tasks carrying >256 MB of shuffle write is a
+    * serialization point regardless of how it arose. One definition, so a
+    * threshold recalibration cannot leave one consumer gating stale. */
+  def absoluteNarrow(numTasks: Int, cores: Int, writeBytes: Long): Boolean =
+    numTasks <= math.max(1, cores / 4) && writeBytes > (256L << 20)
+
   /** Deterministically drain the async listener bus (reflection:
     * LiveListenerBus.waitUntilEmpty is private[spark]); falls back to a
     * 3-consecutive-quiet-windows poll over `progress` if the method moves.
@@ -100,8 +107,12 @@ object PlanAudit {
       var quiet = 0
       var tries = 0
       while (quiet < 3 && tries < 60) {
-        if (progress() == last) quiet += 1 else quiet = 0
-        last = progress(); tries += 1; Thread.sleep(200)
+        // ONE read per window: reading twice would let an event arriving
+        // between the reads count the window as quiet AND hide the change
+        // from the next comparison
+        val now = progress()
+        if (now == last) quiet += 1 else quiet = 0
+        last = now; tries += 1; Thread.sleep(200)
       }
     }
   }

@@ -39,8 +39,7 @@ object ProbeAmplifier {
         val shRec = m.shuffleReadMetrics.recordsRead
         val write = m.shuffleWriteMetrics.bytesWritten
         val wRec = m.shuffleWriteMetrics.recordsWritten
-        val absolute = i.numTasks <= math.max(1, cores / 4) &&
-          write > (256L << 20)
+        val absolute = PlanAudit.absoluteNarrow(i.numTasks, cores, write)
         val amplify = PlanAudit.narrowAmplifier(
           i.numTasks, cores, inRec, shRec, write, wRec)
         if (absolute || amplify)

@@ -72,8 +72,8 @@ object ScaleSmoke {
         // ONE-task stage with tiny input but huge output is the worst
         // amplifier instance and must not escape just because the
         // input-side rule declined it
-        else if (info.numTasks <= math.max(1L, cores / 4L) &&
-            m.shuffleWriteMetrics.bytesWritten > 256L * 1024 * 1024) {
+        else if (PlanAudit.absoluteNarrow(info.numTasks, cores,
+            m.shuffleWriteMetrics.bytesWritten)) {
           heavySingles.add(s"stage=${info.stageId} name=${info.name} " +
             s"NARROW-AMPLIFIER tasks=${info.numTasks} " +
             s"shuffleWrite=${m.shuffleWriteMetrics.bytesWritten}")

@@ -84,6 +84,12 @@ class NarrowAmplifierSpec extends SparkSpec {
       listener // register once (lazy)
       drainBus(); flagged.clear() // shed any prior suite's trailing events
       SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+      // free this query's checkpoint blocks before the next heavy test:
+      // 14 heavy queries back-to-back in the shared test JVM otherwise
+      // accumulate exactly the retained-storage debt Bench's boundary
+      // (and ProbeAmplifier) release — observed there as a 3.7 s query
+      // reading 19.8 s under prior queries' checkpoints
+      graft.core.Pinned.release(blocking = true)
       drainBus()
       val hits = { import scala.jdk.CollectionConverters._; flagged.asScala.toSeq }
       assert(hits.isEmpty, hits.map(a =>
