@@ -76,6 +76,13 @@ object Bench {
     // its files mid-run would otherwise leave the baseline inflated and
     // hold the gate CLOSED over our own multi-GB footprint.
     var scratchBaseline: Long = if (scratchShared) observedDu() else 0L
+    // rebase bookkeeping (see the drain block): a rebase silently widens
+    // the gate's blind spot, so it must be (a) confirmed by CONSECUTIVE
+    // no-delete drains, not one — our own retained shuffle can
+    // legitimately be uncollected at a single boundary — and (b) counted
+    // into the artifact so an inert gate is visible in the record
+    var noDeleteDrains = 0
+    var scratchRebases = 0
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -193,12 +200,20 @@ object Bench {
           if (now >= last - (16L << 20)) stable += 1 else stable = 0
           last = now
         }
-        // a drain that deleted nothing means the excess over baseline is
-        // FOREIGN growth (a co-tenant writing into the shared dirs), not
-        // our retained shuffle — rebase so the remaining ~230 boundaries
-        // don't re-poll over the same bytes
-        if (scratchShared && last > duNow - (32L << 20))
-          scratchBaseline = math.max(scratchBaseline, last - (128L << 20))
+        // a drain that deleted nothing SUGGESTS the excess over baseline
+        // is foreign growth (a co-tenant writing into the shared dirs) —
+        // but one no-delete drain can also be our own shuffle whose weak
+        // refs simply weren't collected yet, so require two CONSECUTIVE
+        // no-delete drains before rebasing (by the second boundary the
+        // cleaner has had two GC + settle windows), and count rebases
+        // into the artifact so a ratcheted-inert gate is self-describing
+        if (scratchShared && last > duNow - (32L << 20)) {
+          noDeleteDrains += 1
+          if (noDeleteDrains >= 2) {
+            scratchBaseline = math.max(scratchBaseline, last - (128L << 20))
+            scratchRebases += 1
+          }
+        } else noDeleteDrains = 0
       }
       (sec, gcIn, cgIn)
     }
@@ -250,6 +265,59 @@ object Bench {
     val total = timed.map(_.warm).sum
     val totalCold = timed.map(_.cold).sum
 
+    // --- per-query min-of-warm + executor-CPU-time vectors (slow list) ---
+    // Three EXTRA in-suite passes per slow-list query publish, per name,
+    // the MIN wall over all four warm passes and the MIN summed
+    // executorCpuTime over the extra passes. Min-of-warm is robust to an
+    // ambient spike landing in any one pass (the q72 pattern: three rounds
+    // of a single warm cell reading 20-40% over its committed structural
+    // value purely from boundary timing), and CPU time is wall-independent
+    // — contention inflates wall, not CPU — so a high-wall/flat-CPU cell
+    // is attributable to ambient load from the artifact alone.
+    val slowN = 12
+    val slowest = timed.sortBy(-_.warm).take(slowN)
+    val (minWarmVec, cpuVec): (Seq[(String, Double)], Seq[(String, Double)]) =
+      if (only.nonEmpty) (Nil, Nil)
+      else {
+        val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
+        val taskEvents = new java.util.concurrent.atomic.AtomicLong(0)
+        val cpuL = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            taskEvents.incrementAndGet()
+            if (e.taskMetrics != null) cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+          }
+        }
+        spark.sparkContext.addSparkListener(cpuL)
+        val rows = slowest.filterNot(t => failed.contains(t.name)).map { t =>
+          var minWall = t.warm
+          var minCpu = Double.MaxValue
+          var k = 0
+          while (k < 3) {
+            // the bus is async: drain BEFORE resetting the CPU counter so
+            // a prior query's trailing task-end events can't leak into
+            // this pass's sum, and AFTER the run so this pass's trailing
+            // events are counted before the read
+            PlanAudit.drainListenerBus(spark, () => taskEvents.get)
+            cpuNs.set(0)
+            val (sec, _, _) = once(t.name) // full boundary hygiene inside
+            PlanAudit.drainListenerBus(spark, () => taskEvents.get)
+            minWall = math.min(minWall, sec)
+            minCpu = math.min(minCpu, cpuNs.get / 1e9)
+            k += 1
+          }
+          (t.name -> minWall,
+            t.name -> (if (minCpu == Double.MaxValue) 0.0 else minCpu))
+        }
+        spark.sparkContext.removeSparkListener(cpuL)
+        (rows.map(_._1), rows.map(_._2))
+      }
+    def jvec(xs: Seq[(String, Double)]) =
+      xs.map { case (k, v) => s""""$k":${(v * 1000).round / 1000.0}""" }
+        .mkString("{", ",", "}")
+    val minwarmJson = jvec(minWarmVec)
+    val cpuJson = jvec(cpuVec)
+
     // Forked-JVM isolation pass: a fresh child JVM (same classpath + module
     // opens, inherited env) times the dedup family alone. Ratio in-suite /
     // isolated ~1 certifies the suite context added nothing this run; a
@@ -269,14 +337,24 @@ object Bench {
       // count mid-fork — ambient contention landing in whichever pass runs
       // latest. Min over post-warmup passes still excludes JIT cold-start
       // (pass 1 is dropped) but is robust to a spike hitting one pass.
-      // toDoubleOption + minOption: the child's stdout is drained on a
-      // racing thread, so a torn/truncated [bench-passes] line can match
-      // the curve regex with zero parseable post-warmup entries — that
-      // must fall back to the parsed warm value, not throw in main after
-      // the whole suite already ran (losing both JSON artifacts)
+      // Torn-line guard: the child's stdout is drained on a racing thread,
+      // so a truncated [bench-passes] line can still parse token-wise —
+      // "25.0" torn to "2" or "5." goes through toDoubleOption and would
+      // publish a bogus LOW isolated min, inflating insuite_over_isolated.
+      // The child prints each pass as Locale.ROOT %.3f, so a healthy curve
+      // has EXACTLY childPasses tokens all shaped \d+.\d{3}; anything else
+      // falls back to the parsed warm value (never throws in main after
+      // the whole suite already ran — that would lose both JSON artifacts)
+      val childPasses = math.max(2, sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+        .flatMap(_.toIntOption).getOrElse(4)) // 4 = forkIsolated's default
       def minWarm(n: String): Option[Double] =
         r.passes.get(n)
-          .flatMap(_.split(',').drop(1).flatMap(_.toDoubleOption).minOption)
+          .flatMap { c =>
+            val toks = c.split(',')
+            if (toks.length < childPasses ||
+                !toks.forall(_.matches("""\d+\.\d{3}"""))) None
+            else toks.drop(1).flatMap(_.toDoubleOption).minOption
+          }
           .orElse(r.warm.get(n))
       // (the LAST pass per query is not re-published separately: it is the
       // final element of each isolated_passes curve, and the compact stdout
@@ -321,7 +399,7 @@ object Bench {
     }.getOrElse("")
 
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$totalCold,"queries_cold":$qsCold,"sf":"$sfDir","passes":$passes,"headline":"warm","scratch":"${if (scratchShared) "shared" else "private"}","scratch_dirs":${observedLocals.size},"failed":$failedJson,"diag":$diag$isoJson}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$totalCold,"queries_cold":$qsCold,"sf":"$sfDir","passes":$passes,"headline":"warm","scratch":"${if (scratchShared) "shared" else "private"}","scratch_dirs":${observedLocals.size},"scratch_rebases":$scratchRebases,"queries_minwarm":$minwarmJson,"queries_cpu":$cpuJson,"failed":$failedJson,"diag":$diag$isoJson}"""
     // The driver records only the LAST ~2000 chars of stdout and tries to
     // json-parse the bench line; once the suite passed ~90 queries the full
     // artifact line outgrew that capture, so every round since r03 recorded
@@ -332,8 +410,6 @@ object Bench {
     def r3(d: Double) = (d * 1000).round / 1000.0
     def jmap(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
-    val slowN = 12
-    val slowest = timed.sortBy(-_.warm).take(slowN)
     // child-mode runs (<= a handful of named queries) publish ALL of them —
     // forkIsolated's parent-side regex reads the warm vector from this line
     val compactWarm =
@@ -344,11 +420,21 @@ object Bench {
       else jmap(slowest.map(t => t.name -> t.cold))
     val outEnv = sys.env.get("SPARK_GRAFT_BENCH_OUT")
     val out = if (only.isEmpty) outEnv.orElse(Some("bench_local.json")) else outEnv
+    // Full-suite mode trades the compact line's queries_cold vector (still
+    // in the file artifact) for queries_minwarm + queries_cpu: the driver
+    // records only the last ~2000 stdout chars, and the min-of-warm/CPU
+    // vectors are the ones that settle ambient-vs-structural attribution
+    // from the driver artifact alone. Child mode keeps queries_cold — the
+    // parent's forkIsolated parse uses it as the warm-window delimiter.
+    val compactVecs =
+      if (only.nonEmpty) s""""queries":$compactWarm,"queries_cold":$compactCold"""
+      else s""""queries":$compactWarm,"queries_minwarm":$minwarmJson,""" +
+        s""""queries_cpu":$cpuJson"""
     val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""sf":"$sfDir","n_queries":${timed.size},"passes":$passes,""" +
       s""""headline":"warm","cold_total":${r3(totalCold)},""" +
       s""""failed":$failedJson,""" +
-      s""""queries":$compactWarm,"queries_cold":$compactCold""" +
+      compactVecs +
       s"""$isoJson,"full_artifact":"${out.getOrElse("none")}"}"""
     println(compact)
     out.foreach { o =>

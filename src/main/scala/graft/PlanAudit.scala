@@ -91,9 +91,16 @@ object PlanAudit {
     * 3-consecutive-quiet-windows poll over `progress` if the method moves.
     * A FIXED sleep is not a drain — a dispatch stall longer than it loses
     * trailing stage events, the bug ScaleSmoke/NarrowAmplifierSpec each
-    * fixed once already. */
+    * fixed once already.
+    *
+    * Returns true when the bus is PROVEN drained (waitUntilEmpty returned,
+    * or the poll saw 3 quiet windows) and false when the fallback poll
+    * timed out (60 tries × 200 ms) with events possibly still in flight —
+    * a caller reading flags after a false return may be reading them
+    * before trailing stage events landed, so the amplifier spec/probe
+    * must FAIL on false rather than proceed as if drained. */
   def drainListenerBus(spark: org.apache.spark.sql.SparkSession,
-                       progress: () => Long): Unit = {
+                       progress: () => Long): Boolean = {
     val drained = try {
       val bus = spark.sparkContext.getClass.getMethod("listenerBus")
         .invoke(spark.sparkContext)
@@ -102,7 +109,8 @@ object PlanAudit {
         .map { m => m.invoke(bus); true }
         .getOrElse(false)
     } catch { case _: Throwable => false }
-    if (!drained) {
+    if (drained) true
+    else {
       var last = -1L
       var quiet = 0
       var tries = 0
@@ -114,6 +122,7 @@ object PlanAudit {
         if (now == last) quiet += 1 else quiet = 0
         last = now; tries += 1; Thread.sleep(200)
       }
+      quiet >= 3
     }
   }
 }

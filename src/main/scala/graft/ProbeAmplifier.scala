@@ -57,7 +57,13 @@ object ProbeAmplifier {
         failed += 1
         println(s"AMPPROBE $name FAILED ${e.getClass.getSimpleName}") }
       val secs = (System.nanoTime() - t0) / 1e9
-      PlanAudit.drainListenerBus(spark, () => seen.get)
+      // a timed-out drain = flags possibly read before trailing events
+      // landed — count it as a failure so the summary (and the probe's
+      // non-zero exit) can't read as clean on an undrained bus
+      if (!PlanAudit.drainListenerBus(spark, () => seen.get)) {
+        failed += 1
+        println(s"AMPPROBE $name DRAIN-TIMEOUT (bus not proven empty)")
+      }
       import scala.jdk.CollectionConverters._
       val f = flags.asScala.toSeq; flags.clear()
       totalFlags += f.size

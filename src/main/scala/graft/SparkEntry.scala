@@ -18,6 +18,11 @@ object SparkEntry {
   import FeatureFuncs._
 
   private val DAY = 86400000000L
+
+  /** Unique memory-sink names for the streaming replay queries: Bench and
+    * Verify construct/run the same query several times in one JVM, and two
+    * active streams may not share a sink view name. */
+  private val streamSinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
   private val HOUR = 3600000000L
 
   /** Load `events`, tolerating the timestamp physical types the generator
@@ -1036,6 +1041,93 @@ object SparkEntry {
           col("sum_len"),
           (col("__files") >= 1 && col("__files") <= 2).as("files_ok"))
         .orderBy("split", "shard")
+    }),
+
+    // ---- STREAMING under the oracle gate: deterministic MemoryStream
+    // replays of the sf events through the Structured Streaming operators,
+    // checked against the same DuckDB oracle that checks the batch engine.
+    // The spec differentials (StreamingFeaturesSpec) prove batch≡stream on
+    // crafted edge cases; these two route the proof through the driver's
+    // signal of record on real data. The driver-side collect is the replay
+    // HARNESS, not the operator (MemoryStream is driver-fed by contract);
+    // the operators themselves are watermark-bounded and key-partitioned —
+    // at scale the same plans read from Kafka/file streams.
+    //
+    // q112: keyed tumbling 1D rolling (len, mean) per user via
+    // StreamingFeatures.rolling — epoch-aligned grid (the streaming-native
+    // anchor, see the module scaladoc), complete-mode memory sink so every
+    // window the data touched is emitted deterministically.
+    "q112_streaming_rolling" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")), col("value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._2).toSeq
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Double)]
+      ms.addData(rows)
+      val sdf = ms.toDF().select(col("_1").as("user_id"),
+        timestamp_micros(col("_2")).as("ts"), col("_3").as("value"))
+      val out = graft.streaming.StreamingFeatures.rolling(sdf, "ts", "value",
+        "value", Win.time("1D"), Win.time("1D"), Seq(len, mean),
+        keyCols = Seq("user_id"))
+      val qn = "q112_roll_sink_" + streamSinkSeq.incrementAndGet()
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.table(qn).select(col("user_id"),
+        unix_micros(col("ts")).as("ts_anchor"),
+        col("`value__len__w=1D`").as("len_1d"),
+        round(col("`value__mean__w=1D`"), 6).as("mean_1d"))
+        .orderBy("user_id", "ts_anchor")
+    }),
+
+    // q113: per-user consecutive event_type runs via
+    // StreamingFeatures.consecutiveRuns (flatMapGroupsWithState). One
+    // sentinel row per user past its max ts closes each tail run through
+    // the ordinary group-change rule (a bounded replay cannot wait for
+    // wall-clock watermark advancement); closeAfter is wider than the
+    // data's whole span so no run splits on intra-run gaps — making the
+    // stream's output exactly the batch gaps-and-islands the oracle
+    // computes.
+    "q113_streaming_runs" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")), col("event_type"),
+          col("value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        .sortBy(_._2).toSeq
+      val sentinels = rows.groupBy(_._1).map { case (u, rs) =>
+        (u, rs.map(_._2).max + 60000000L, "__close", 0.0)
+      }.toSeq
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String, Double)]
+      ms.addData((rows ++ sentinels).sortBy(_._2))
+      val sdf = ms.toDF().select(col("_1").as("user_id"),
+        timestamp_micros(col("_2")).as("ts"), col("_3").as("event_type"),
+        col("_4").as("value"))
+      val out = graft.streaming.StreamingFeatures.consecutiveRuns(sdf, "ts",
+        "user_id", "event_type", "value", watermark = "10 minutes",
+        closeAfter = Win.time("3650D"))
+      val qn = "q113_runs_sink_" + streamSinkSeq.incrementAndGet()
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.table(qn).where(col("group") =!= "__close")
+        .select(col("key").cast("long").as("user_id"),
+          col("group").as("etype"),
+          unix_micros(col("run_start")).as("run_start"),
+          unix_micros(col("run_end")).as("run_end"),
+          col("n"), round(col("sum"), 6).as("sum_v"), col("min").as("min_v"),
+          col("max").as("max_v"), round(col("mean"), 6).as("mean_v"))
+        .orderBy("user_id", "run_start")
     }),
 
     // ---- tsfel spectral-shape battery (r11 tranche 4: centroid, spread,
@@ -3387,6 +3479,31 @@ object SparkEntry {
         |  CAST(sum(length(text)) AS DOUBLE) AS sum_len,
         |  TRUE AS files_ok
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // streaming rolling replay: epoch-aligned tumbling 1D windows per user
+    // (the stream grid) — each window the data touches appears exactly
+    // once, anchored at window END, matching complete-mode window() output
+    "q112_streaming_rolling" ->
+      s"""SELECT CAST(user_id AS BIGINT) AS user_id,
+         |  (epoch_us(ts) // $DAY) * $DAY + $DAY AS ts_anchor,
+         |  count(value) AS len_1d, round(avg(value), 6) AS mean_1d
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // streaming consecutive-runs replay: classic gaps-and-islands — the
+    // batch ground truth the stream's state machine must reproduce
+    "q113_streaming_runs" ->
+      """WITH o AS (SELECT user_id, ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts)
+        |  - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts)
+        |    AS isl
+        |  FROM events)
+        |SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS etype,
+        |  epoch_us(min(ts)) AS run_start, epoch_us(max(ts)) AS run_end,
+        |  count(*) AS n, round(sum(value), 6) AS sum_v,
+        |  min(value) AS min_v, max(value) AS max_v,
+        |  round(avg(value), 6) AS mean_v
+        |FROM o GROUP BY user_id, event_type, isl
+        |ORDER BY user_id, run_start""".stripMargin,
 
     // pyentrp: value-frequency Shannon entropy; weighted permutation
     // entropy = Bandt–Pompe codes (q90's base-3 rank formula) weighted by

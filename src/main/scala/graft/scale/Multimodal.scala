@@ -106,24 +106,47 @@ object Multimodal {
     * per-record lookup. A thread-local is the per-partition-reuse idiom
     * that also survives task boundaries on a reused executor thread; the
     * writer is reset() after each asset so no state crosses records. */
-  private val pngWriterTL: ThreadLocal[javax.imageio.ImageWriter] =
-    ThreadLocal.withInitial(() =>
-      javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
-  private val gifWriterTL: ThreadLocal[javax.imageio.ImageWriter] =
-    ThreadLocal.withInitial(() =>
-      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next())
+  /** The cached-writer path is byte-identical to `ImageIO.write` ONLY
+    * under the stock JRE provider set: `ImageIO.write` selects a writer by
+    * ImageTypeSpecifier, while this cache takes the FIRST registered
+    * writer for the format name. A third-party ImageIO plugin on the
+    * classpath (e.g. TwelveMonkeys) would silently change encoded bytes or
+    * pick a writer unable to encode the frame type — so the cache holds a
+    * writer only when its provider is the JRE one (`com.sun.imageio.*`);
+    * callers fall back to the per-call registry path otherwise. */
+  private def jreWriter(format: String): Option[javax.imageio.ImageWriter] = {
+    val it = javax.imageio.ImageIO.getImageWritersByFormatName(format)
+    if (!it.hasNext) None
+    else {
+      val w = it.next()
+      val prov = w.getOriginatingProvider
+      if (prov != null &&
+          prov.getClass.getName.startsWith("com.sun.imageio.")) Some(w)
+      else None
+    }
+  }
+  private val pngWriterTL: ThreadLocal[Option[javax.imageio.ImageWriter]] =
+    ThreadLocal.withInitial(() => jreWriter("png"))
+  private val gifWriterTL: ThreadLocal[Option[javax.imageio.ImageWriter]] =
+    ThreadLocal.withInitial(() => jreWriter("gif"))
 
   /** Encode one frame as PNG via the cached writer — byte-identical to
     * `ImageIO.write(img, "png", out)` (same first registered provider,
     * same default write param). */
   private def writePng(img: java.awt.image.BufferedImage): Array[Byte] = {
     imageIoNoDiskCache
-    val w = pngWriterTL.get()
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    try { w.setOutput(ios); w.write(img) }
-    finally { w.reset(); ios.close() } // close flushes the memory cache
-    bos.toByteArray
+    pngWriterTL.get() match {
+      case Some(w) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        try { w.setOutput(ios); w.write(img) }
+        finally { w.reset(); ios.close() } // close flushes the memory cache
+        bos.toByteArray
+      case None => // non-JRE provider set: type-aware selection, no reuse
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+    }
   }
 
   private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
@@ -333,7 +356,13 @@ object Multimodal {
     */
   def syntheticGif(w: Int, h: Int, frameVals: Seq[Int]): Array[Byte] = {
     imageIoNoDiskCache
-    val writer = gifWriterTL.get() // cached per thread, see pngWriterTL note
+    // cached per thread (see pngWriterTL note); a non-JRE provider set
+    // falls back to a fresh per-call writer — same bytes as pre-cache
+    val (writer, cached) = gifWriterTL.get() match {
+      case Some(w) => (w, true)
+      case None =>
+        (javax.imageio.ImageIO.getImageWritersByFormatName("gif").next(), false)
+    }
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     try {
@@ -351,7 +380,10 @@ object Multimodal {
         writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
       }
       writer.endWriteSequence()
-    } finally { writer.reset(); ios.close() }
+    } finally {
+      if (cached) writer.reset() else writer.dispose()
+      ios.close()
+    }
     bos.toByteArray
   }
 

@@ -80,14 +80,23 @@ object Sink {
           val age = now - f.lastModified()
           val h = ProcessHandle.of(pid.toLong)
           val alive = h.map[java.lang.Boolean](_.isAlive).orElse(false): Boolean
+          val startMs: Option[Long] =
+            if (!alive) None
+            else h.flatMap(x => x.info().startInstant())
+              .map[Option[Long]](st => Some(st.toEpochMilli))
+              .orElse(None)
           // mtime is set at creation and only moves FORWARD on writes, so
           // (start > mtime + slack) can only be true when the layout
           // predates the process wearing the pid — a recycle, not the owner
-          val recycled = alive && h.flatMap(x => x.info().startInstant())
-            .map[java.lang.Boolean](st =>
-              st.toEpochMilli > f.lastModified() + slackMs)
-            .orElse(false)
-          if (((!alive || recycled) && age >= minAgeMs) || age >= maxAgeMs)
+          val recycled = startMs.exists(_ > f.lastModified() + slackMs)
+          // ...and the converse (alive, start PREDATES the layout) is the
+          // proven-owner case: the maxAge backstop must not reap a
+          // legitimately long-lived owner mid-read — the backstop exists
+          // only for the recycled-within-slack blind spot, where startMs
+          // cannot distinguish recycler from owner
+          val provenOwner = startMs.exists(_ <= f.lastModified() + slackMs)
+          if (((!alive || recycled) && age >= minAgeMs) ||
+              (age >= maxAgeMs && !provenOwner))
             try rm(f) catch { case _: Throwable => }
         case _ =>
       }

@@ -77,7 +77,11 @@ class NarrowAmplifierSpec extends SparkSpec {
     * stage land AFTER the assertion — a false green). Drain
     * deterministically (waitUntilEmpty via reflection, shared helper). */
   private def drainBus(): Unit =
-    PlanAudit.drainListenerBus(spark, () => stagesSeen.get.toLong)
+    // a timed-out drain means trailing stage events may still be in
+    // flight — reading `flagged` then is the exact false-green the
+    // deterministic drain exists to prevent, so it fails the test
+    assert(PlanAudit.drainListenerBus(spark, () => stagesSeen.get.toLong),
+      "listener bus failed to drain within 12 s — flags unreadable")
 
   for (name <- PlanAudit.PinnedPlans) {
     test(s"$name runs no narrow-amplifier stage at sf0.1") {
