@@ -317,6 +317,14 @@ object Bench {
         .mkString("{", ",", "}")
     val minwarmJson = jvec(minWarmVec)
     val cpuJson = jvec(cpuVec)
+    // MEASURED structural total: the warm headline with each slow-list
+    // cell replaced by its min-of-warm. Retires the r14 practice of
+    // deriving the structural 100× number by SUBTRACTING documented
+    // ambient inversions in SCALE.md — the artifact now carries the
+    // number directly, from the same run.
+    val minwarmMap = minWarmVec.toMap
+    val structuralTotal =
+      timed.map(t => minwarmMap.getOrElse(t.name, t.warm)).sum
 
     // Forked-JVM isolation pass: a fresh child JVM (same classpath + module
     // opens, inherited env) times the dedup family alone. Ratio in-suite /
@@ -399,7 +407,7 @@ object Bench {
     }.getOrElse("")
 
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$totalCold,"queries_cold":$qsCold,"sf":"$sfDir","passes":$passes,"headline":"warm","scratch":"${if (scratchShared) "shared" else "private"}","scratch_dirs":${observedLocals.size},"scratch_rebases":$scratchRebases,"queries_minwarm":$minwarmJson,"queries_cpu":$cpuJson,"failed":$failedJson,"diag":$diag$isoJson}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$totalCold,"queries_cold":$qsCold,"sf":"$sfDir","passes":$passes,"headline":"warm","scratch":"${if (scratchShared) "shared" else "private"}","scratch_dirs":${observedLocals.size},"scratch_rebases":$scratchRebases,"structural_total":$structuralTotal,"queries_minwarm":$minwarmJson,"queries_cpu":$cpuJson,"failed":$failedJson,"diag":$diag$isoJson}"""
     // The driver records only the LAST ~2000 chars of stdout and tries to
     // json-parse the bench line; once the suite passed ~90 queries the full
     // artifact line outgrew that capture, so every round since r03 recorded
@@ -428,7 +436,8 @@ object Bench {
     // parent's forkIsolated parse uses it as the warm-window delimiter.
     val compactVecs =
       if (only.nonEmpty) s""""queries":$compactWarm,"queries_cold":$compactCold"""
-      else s""""queries":$compactWarm,"queries_minwarm":$minwarmJson,""" +
+      else s""""structural_total":${r3(structuralTotal)},""" +
+        s""""queries":$compactWarm,"queries_minwarm":$minwarmJson,""" +
         s""""queries_cpu":$cpuJson"""
     val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""sf":"$sfDir","n_queries":${timed.size},"passes":$passes,""" +

@@ -414,23 +414,6 @@ object FeatureFuncs {
       },
       acc => acc.getField("s") + f(acc.getField("run")))
 
-  /** Stable-argsort pattern code of an m-tuple (Bandt–Pompe): rank_i =
-    * #{j : t_j < t_i, or t_j == t_i with j < i} (numpy argsort tie rule),
-    * code = Σ rank_i · m^(m−1−i). Fixed m² comparisons per tuple, all on
-    * the lambda's own element — nothing window-sized inside the lambda.
-    */
-  private def permCode(t: Column, m: Int): Column = {
-    val e = (1 to m).map(j => element_at(t, j))
-    val ranks = (0 until m).map { i =>
-      (0 until m).filter(_ != i).map { j =>
-        val lt = if (j < i) e(j) <= e(i) else e(j) < e(i)
-        when(lt, 1L).otherwise(0L)
-      }.reduce(_ + _)
-    }
-    ranks.zipWithIndex.map { case (r, i) =>
-      r * math.pow(m, m - 1 - i).toLong }.reduce(_ + _)
-  }
-
   /** Bandt–Pompe permutation entropy, delay 1 (antropy `perm_entropy`,
     * integrations.py's most-used entropy): each `order`-tuple of the
     * index-sorted window maps to its stable-argsort pattern; the feature is
@@ -448,20 +431,10 @@ object FeatureFuncs {
     require(order >= 2 && order <= 6,
       "permutation entropy order must be in [2, 6]")
     val name = s"perm_entropy_$order" + (if (normalize) "_norm" else "")
-    val logFact = math.log((2 to order).map(_.toDouble).product) / math.log(2.0)
-    FeatureFunc(name, (idx, v) => {
-      val vals = sortedVals(idx, v)
-      val codes = transform(templates(vals, order, count(v)), t => permCode(t, order))
-      // pattern count from the NATIVE count aggregate, not size(codes):
-      // the HOF chain sits outside whole-stage codegen, so every reference
-      // to a derived array re-evaluates collect → tuple → sort in full
-      val bigN = greatest(count(v) - lit(order - 1), lit(0L)).cast("double")
-      val s = runSum(array_sort(codes), "bigint",
-        run => when(run > 1, run.cast("double") * log2(run.cast("double")))
-          .otherwise(lit(0.0)))
-      val h = log2(bigN) - s / bigN
-      when(bigN > 0, if (normalize) h / lit(logFact) else h)
-    })
+    // native kernel (see the weightedPermutationEntropy note — the HOF
+    // tuple/sort/fold chain is per-element-allocating and uncodegenable)
+    FeatureFunc(name, (idx, v) =>
+      graft.expr.PermEntropyK(sortedVals(idx, v), order, normalize))
   }
 
   /** Binned sample-entropy APPROXIMATION, −ln(A/B): A/B count template
@@ -960,16 +933,14 @@ object FeatureFuncs {
     * equal-value runs of the sorted window ([[runSum]], one fold). A
     * constant window gives 0; NULL on empty windows.
     */
-  val shannonEntropy: FeatureFunc = FeatureFunc("shannon_entropy", (idx, v) => {
-    val n = count(v).cast("double") // native, O(1) reference
-    val s = runSum(array_sort(sortedVals(idx, v)), "double",
-      run => when(run > 1, run.cast("double") * log2(run.cast("double")))
-        .otherwise(lit(0.0)))
-    when(n > 0, log2(n) - s / n)
-  })
+  val shannonEntropy: FeatureFunc = FeatureFunc("shannon_entropy", (idx, v) =>
+    // native kernel (primitive sort + run count) — the Catalyst chain
+    // (array_sort + struct-accumulator fold) allocated per element and
+    // was one of the 100× profile's two slowest kernels (q101)
+    graft.expr.ShannonFreq(sortedVals(idx, v)))
 
   /** pyentrp `weighted_permutation_entropy` (delay 1): Bandt–Pompe
-    * patterns ([[permCode]] stable tie rule) weighted by each tuple's
+    * patterns (stable argsort tie rule) weighted by each tuple's
     * POPULATION variance; H = log2(W) − Σ w_p·log2(w_p)/W over per-pattern
     * weight sums w_p, W = Σ weights, optionally normalized by
     * log2(order!). NULL when the window is shorter than `order` or
@@ -977,53 +948,18 @@ object FeatureFuncs {
     * 0/0). Documented deviation: observed patterns whose weight sum is 0
     * contribute 0 (pyentrp propagates 0·log2(0) = nan).
     *
-    * Same fold discipline as [[permutationEntropy]]: tuple → (code,
-    * weight) structs, sort, one [[runWeightSum]] pass; the only window-
-    * sized chain references sit OUTSIDE lambda bodies.
+    * Computed by the native [[graft.expr.Wpe]] kernel (direct-indexed
+    * primitive weight table, one pass, no sort) — the r14 Catalyst-HOF
+    * version (tuple → struct → array_sort → struct-accumulator fold)
+    * allocated a struct per element per step and was the 100× profile's
+    * slowest kernel (q101: 30.9 s isolated minimum).
     */
   def weightedPermutationEntropy(order: Int = 2,
                                  normalize: Boolean = false): FeatureFunc = {
     require(order >= 2 && order <= 6, "wpe order must be in [2, 6]")
     val name = s"wpe_$order" + (if (normalize) "_norm" else "")
-    val logFact = math.log((2 to order).map(_.toDouble).product) / math.log(2.0)
-    FeatureFunc(name, (idx, v) => {
-      val vals = sortedVals(idx, v)
-      val coded = transform(templates(vals, order, count(v)), t => {
-        val es = (1 to order).map(j => element_at(t, j))
-        val mu = es.reduce(_ + _) / lit(order.toDouble)
-        val va = es.map(e => (e - mu) * (e - mu)).reduce(_ + _) /
-          lit(order.toDouble)
-        struct(permCode(t, order).as("c"), va.as("w"))
-      })
-      val sorted = array_sort(coded)
-      // ONE fold carrying (prev, run-weight, Σ w·log2 w, total W), with the
-      // entropy computed inside the FINISH lambda — the whole
-      // collect→tuple→code→sort chain is referenced exactly once (HOF
-      // chains get no codegen CSE: a second reference re-evaluates the
-      // chain per window; measured ~1.9× on q101)
-      val f: Column => Column =
-        w => when(w > 0, w * log2(w)).otherwise(lit(0.0))
-      val h = aggregate(sorted,
-        struct(lit(null).cast("bigint").as("prev"), lit(0.0).as("run"),
-          lit(0.0).as("s"), lit(0.0).as("tot")),
-        (acc, e) => {
-          val same = acc.getField("prev").isNotNull &&
-            acc.getField("prev") === e.getField("c")
-          struct(e.getField("c").as("prev"),
-            when(same, acc.getField("run") + e.getField("w"))
-              .otherwise(e.getField("w")).as("run"),
-            when(same, acc.getField("s"))
-              .otherwise(acc.getField("s") + f(acc.getField("run"))).as("s"),
-            (acc.getField("tot") + e.getField("w")).as("tot")
-          )
-        },
-        acc => {
-          val s = acc.getField("s") + f(acc.getField("run"))
-          val tot = acc.getField("tot")
-          when(tot > 0, log2(tot) - s / tot)
-        })
-      when(count(v) >= order, if (normalize) h / lit(logFact) else h)
-    })
+    FeatureFunc(name, (idx, v) =>
+      graft.expr.Wpe(sortedVals(idx, v), order, normalize))
   }
 
   // ---- tsfel temporal/statistical stock completion (r11 tranche 4) --------

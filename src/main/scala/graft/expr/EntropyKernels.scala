@@ -457,6 +457,121 @@ object EntropyKernelUtil {
     }
     new GenericInternalRow(out)
   }
+
+  /** pyentrp `weighted_permutation_entropy` (delay 1) over the
+    * index-ordered window — the native twin of the r14 Catalyst-HOF fold
+    * in FeatureFuncs (same contract: Bandt–Pompe codes with the stable
+    * argsort tie rule, weighted by per-tuple POPULATION variance;
+    * H = log2(W) − Σ w·log2(w)/W; null when n < order or total weight 0;
+    * zero-weight observed patterns contribute 0). Replaces the
+    * sort-of-structs + per-element struct-allocating fold (the 100×
+    * profile's slowest kernel) with one primitive pass: codes are
+    * direct-indexed into a double[order^order] (≤ 46656 for order 6), so
+    * there is no sort, no boxing, and no allocation past the two arrays.
+    */
+  def wpe(arr: ArrayData, order: Int, normalize: Boolean): Any = {
+    val n = arr.numElements()
+    if (n < order) return null
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) { x(i) = arr.getDouble(i); i += 1 }
+    var codeSpace = 1
+    i = 0
+    while (i < order) { codeSpace *= order; i += 1 }
+    val w = new Array[Double](codeSpace)
+    var tot = 0.0
+    val m = n - order + 1
+    var t = 0
+    while (t < m) {
+      var mu = 0.0
+      var j = 0
+      while (j < order) { mu += x(t + j); j += 1 }
+      mu /= order
+      var va = 0.0
+      j = 0
+      while (j < order) { val d = x(t + j) - mu; va += d * d; j += 1 }
+      va /= order
+      var code = 0
+      i = 0
+      while (i < order) {
+        var rank = 0
+        j = 0
+        while (j < order) {
+          if (j != i) {
+            val lt =
+              if (j < i) x(t + j) <= x(t + i)
+              else x(t + j) < x(t + i)
+            if (lt) rank += 1
+          }
+          j += 1
+        }
+        code = code * order + rank
+        i += 1
+      }
+      w(code) += va
+      tot += va
+      t += 1
+    }
+    if (!(tot > 0)) return null // constant window (0 weight) — pyentrp's 0/0
+    var h = 0.0
+    i = 0
+    while (i < codeSpace) {
+      val wi = w(i)
+      if (wi > 0) h += wi * log2(wi)
+      i += 1
+    }
+    var logFact = 0.0
+    i = 2
+    while (i <= order) { logFact += log2(i.toDouble); i += 1 }
+    val res = log2(tot) - h / tot
+    java.lang.Double.valueOf(if (normalize) res / logFact else res)
+  }
+
+  /** antropy `perm_entropy` over the index-ordered window — ArrayData
+    * shim over [[permEntropy]] with the normalize option (same null
+    * contract as the Catalyst version it replaces: null when the window
+    * has fewer than `order` samples).
+    */
+  def permEntropyArr(arr: ArrayData, order: Int, normalize: Boolean): Any = {
+    val n = arr.numElements()
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) { x(i) = arr.getDouble(i); i += 1 }
+    val h = permEntropy(x, n, order)
+    if (h.isNaN) return null
+    var logFact = 0.0
+    i = 2
+    while (i <= order) { logFact += log2(i.toDouble); i += 1 }
+    java.lang.Double.valueOf(if (normalize) h / logFact else h)
+  }
+
+  /** pyentrp `shannon_entropy`: value-frequency Shannon entropy in bits —
+    * native twin of the array_sort + run-fold Catalyst chain (q101's
+    * second kernel). Sorts a primitive copy and counts equal-value runs;
+    * primitive `==` groups −0.0 with 0.0 exactly as Spark's `===` does
+    * (Arrays.sort keeps them adjacent, so the run stays contiguous).
+    * Null for an empty window.
+    */
+  def shannonFreq(arr: ArrayData): Any = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) { x(i) = arr.getDouble(i); i += 1 }
+    java.util.Arrays.sort(x)
+    var h = 0.0
+    var run = 1
+    i = 1
+    while (i <= n) {
+      if (i < n && x(i) == x(i - 1)) run += 1
+      else {
+        if (run > 1) h += run * log2(run.toDouble)
+        run = 1
+      }
+      i += 1
+    }
+    java.lang.Double.valueOf(log2(n.toDouble) - h / n)
+  }
 }
 
 private[expr] trait ArrayDoubleKernel extends UnaryExpression with CodegenFallback {
@@ -556,4 +671,51 @@ case class MseExact(child: Expression, m: Int, r: Double, maxScale: Int)
 object MseExact {
   def apply(arr: Column, m: Int, r: Double, maxScale: Int): Column =
     ColumnBridge.column(MseExact(ColumnBridge.expression(arr), m, r, maxScale))
+}
+
+/** Native weighted permutation entropy (see [[EntropyKernelUtil.wpe]]). */
+case class Wpe(child: Expression, order: Int, normalize: Boolean)
+  extends ArrayDoubleKernel {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "wpe"
+  override def nullSafeEval(a: Any): Any =
+    EntropyKernelUtil.wpe(a.asInstanceOf[ArrayData], order, normalize)
+  override protected def withNewChildInternal(newChild: Expression): Wpe =
+    copy(child = newChild)
+}
+object Wpe {
+  def apply(arr: Column, order: Int, normalize: Boolean): Column =
+    ColumnBridge.column(Wpe(ColumnBridge.expression(arr), order, normalize))
+}
+
+/** Native permutation entropy (see [[EntropyKernelUtil.permEntropyArr]]). */
+case class PermEntropyK(child: Expression, order: Int, normalize: Boolean)
+  extends ArrayDoubleKernel {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "perm_entropy"
+  override def nullSafeEval(a: Any): Any =
+    EntropyKernelUtil.permEntropyArr(a.asInstanceOf[ArrayData], order, normalize)
+  override protected def withNewChildInternal(newChild: Expression): PermEntropyK =
+    copy(child = newChild)
+}
+object PermEntropyK {
+  def apply(arr: Column, order: Int, normalize: Boolean): Column =
+    ColumnBridge.column(
+      PermEntropyK(ColumnBridge.expression(arr), order, normalize))
+}
+
+/** Native value-frequency Shannon entropy (see
+  * [[EntropyKernelUtil.shannonFreq]]).
+  */
+case class ShannonFreq(child: Expression) extends ArrayDoubleKernel {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "shannon_freq"
+  override def nullSafeEval(a: Any): Any =
+    EntropyKernelUtil.shannonFreq(a.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(newChild: Expression): ShannonFreq =
+    copy(child = newChild)
+}
+object ShannonFreq {
+  def apply(arr: Column): Column =
+    ColumnBridge.column(ShannonFreq(ColumnBridge.expression(arr)))
 }

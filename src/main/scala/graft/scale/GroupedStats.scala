@@ -103,9 +103,15 @@ object GroupedStats {
     val gsReserved = Set("__gs_rk", "__gs_k", "__gs_c", "__gs_v", "__gs_p")
     (keyCol +: valCols).foreach(c => require(!gsReserved.contains(c),
       s"$c is reserved by exactQuantilesMulti"))
-    // unpivot: (key, metric-name, value) — one row per non-null metric value
-    val pairs = array(valCols.map(c =>
-      struct(lit(c).as("__gs_c"), col(c).cast("double").as("__gs_v"))): _*)
+    // unpivot: (key, metric-INDEX, value) — one row per non-null metric
+    // value. The metric rides as a compile-time int index, not its name:
+    // the composite key below is the sort/shuffle key of keyedRank's
+    // range exchange over n·k rows, and at 100× lineitem scale a 15-byte
+    // metric-name string per row is both the bulk of the shuffle bytes
+    // and a per-comparison string compare inside the sort — the r14 100×
+    // profile attributed q89's cost to exactly that sort I/O.
+    val pairs = array(valCols.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("__gs_c"), col(c).cast("double").as("__gs_v")) }: _*)
     val long0 = df.select(col(keyCol), explode(pairs).as("__gs_p"))
       .select(col(keyCol), col("__gs_p.__gs_c").as("__gs_c"),
         col("__gs_p.__gs_v").as("__gs_v"))
@@ -117,10 +123,11 @@ object GroupedStats {
     val ranked = graft.core.Scan.keyedRank(long0, "__gs_k", "__gs_v", "__rk", "__n")
     val v = col("__gs_v")
     val metric = col("__gs_k").getField("__gs_c")
-    val aggs = for { c <- valCols; (label, q) <- quantiles } yield {
+    val aggs = for { (c, i) <- valCols.zipWithIndex; (label, q) <- quantiles }
+    yield {
       val pos = lit(1.0) + (col("__n") - 1.0) * lit(q)
       val lo = floor(pos); val hi = ceil(pos); val frac = pos - lo
-      val isC = metric === lit(c)
+      val isC = metric === lit(i)
       val vLo = max(when(isC && col("__rk") === lo, v))
       val vHi = max(when(isC && col("__rk") === hi, v))
       (vLo * (lit(1.0) - max(when(isC && col("__rk") === lo, frac))) +
