@@ -454,19 +454,14 @@ object FeatureFuncs {
     */
   private def sampEnImpl(name: String, m: Int,
                          width: (Column, Column) => Column): FeatureFunc =
-    FeatureFunc(name, (idx, v) => {
-      val w = width(idx, v)
-      val vals = sortedVals(idx, v)
-      val bins = transform(vals, x => floor(x / w).cast("long"))
-      def pairs(mm: Int): Column =
-        runSum(array_sort(templates(bins, mm, count(v))), "array<bigint>",
-          run => (run * (run - lit(1L))).cast("double") / lit(2.0))
-      // −ln(A/B) = ln B − ln A, and ln(0) is NULL in Spark, so zero counts
-      // null out with each template pipeline referenced exactly ONCE (an
-      // A > 0 && B > 0 guard would re-evaluate both sorts per reference —
-      // HOF chains get no codegen CSE)
-      when(w > 0, log(pairs(m)) - log(pairs(m + 1)))
-    })
+    // native kernel (index-sorted templates, no per-template arrays) —
+    // the quantize → m-tuple-array → array_sort → run-fold Catalyst chain
+    // allocated an array per template and a struct per fold step (the
+    // q90/q94 100× cost); width stays a Column so the absolute, rFactor·σ
+    // and carried-width-column variants all route through unchanged
+    FeatureFunc(name, (idx, v) =>
+      graft.expr.SampenBinned(sortedVals(idx, v),
+        width(idx, v).cast("double"), m))
 
   /** Population variance of an array column in ONE fold: accumulate
     * (n, Σx, Σx²), finish (Σx² − (Σx)²/n)/n; NULL on empty input. The
@@ -578,26 +573,10 @@ object FeatureFuncs {
     */
   private def apEnImpl(name: String, m: Int,
                        width: (Column, Column) => Column): FeatureFunc =
-    FeatureFunc(name, (idx, v) => {
-      val w = width(idx, v)
-      val vals = sortedVals(idx, v)
-      val bins = transform(vals, x => floor(x / w).cast("long"))
-      def phi(mm: Int): Column = {
-        // template count from the NATIVE count aggregate (see
-        // permutationEntropy): size(sorted) would re-run the sort pipeline
-        // per reference
-        val n = greatest(count(v) - lit(mm - 1), lit(0L)).cast("double")
-        val s = runSum(array_sort(templates(bins, mm, count(v))), "array<bigint>",
-          run => when(run > 1, run.cast("double") * log(run.cast("double")))
-            .otherwise(lit(0.0)))
-        when(n > 0, s / n - log(n))
-      }
-      // p1 − p2 null-propagates, so no isNotNull guards: each φ pipeline
-      // (collect → quantize → templates → sort → fold) is referenced ONCE
-      // — HOF chains sit outside whole-stage codegen, so every extra
-      // reference re-evaluates the whole chain (measured 6.5 → ~4 s)
-      when(w > 0, phi(m) - phi(m + 1))
-    })
+    // native kernel — see the sampEnImpl note (same machinery, φ fold)
+    FeatureFunc(name, (idx, v) =>
+      graft.expr.ApenBinned(sortedVals(idx, v),
+        width(idx, v).cast("double"), m))
 
   /** [[apEnImpl]] with tolerance r = rFactor · σ_pop (antropy default). */
   def approxEntropy(m: Int = 2, rFactor: Double = 0.2): FeatureFunc = {

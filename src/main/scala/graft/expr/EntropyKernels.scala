@@ -3,7 +3,7 @@ package graft.expr
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
@@ -545,6 +545,96 @@ object EntropyKernelUtil {
     java.lang.Double.valueOf(if (normalize) h / logFact else h)
   }
 
+  // ---- binned ApEn/SampEn core (native twin of the quantize → m-tuple →
+  // sort → run-fold Catalyst machinery in FeatureFuncs.{apEnImpl,
+  // sampEnImpl}; same same-cell match relaxation, same null contract) ----
+
+  /** Lexicographic compare of the mm-length bin templates starting at
+    * `a` and `b`. */
+  private def cmpTpl(bins: Array[Long], mm: Int, a: Int, b: Int): Int = {
+    var k = 0
+    while (k < mm) {
+      val d = java.lang.Long.compare(bins(a + k), bins(b + k))
+      if (d != 0) return d
+      k += 1
+    }
+    0
+  }
+
+  /** Σ f(run) over equal-template runs of the mm-length templates of
+    * `bins` (template count N = bins.length − mm + 1; 0 when N ≤ 0).
+    * Template START indices are sorted lexicographically — no per-template
+    * array materializes.
+    */
+  private def templateRunFold(bins: Array[Long], mm: Int)
+                             (f: Long => Double): Double = {
+    val nT = bins.length - mm + 1
+    if (nT <= 0) return 0.0
+    val idx = new Array[Integer](nT)
+    var i = 0
+    while (i < nT) { idx(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(idx, (a: Integer, b: Integer) =>
+      cmpTpl(bins, mm, a.intValue(), b.intValue()))
+    var s = 0.0
+    var run = 1L
+    i = 1
+    while (i <= nT) {
+      if (i < nT && cmpTpl(bins, mm, idx(i - 1).intValue(), idx(i).intValue()) == 0)
+        run += 1
+      else {
+        s += f(run)
+        run = 1
+      }
+      i += 1
+    }
+    s
+  }
+
+  private def binsOf(arr: ArrayData, w: Double): Array[Long] = {
+    val n = arr.numElements()
+    val b = new Array[Long](n)
+    var i = 0
+    while (i < n) { b(i) = math.floor(arr.getDouble(i) / w).toLong; i += 1 }
+    b
+  }
+
+  /** Binned approximate entropy φ(m) − φ(m+1) with
+    * φ(mm) = (Σ_runs c·ln c)/N − ln N over quantization-cell template
+    * codes (cell = floor(x/w)) — see FeatureFuncs.apEnImpl for the
+    * algorithm contract. Null when w ≤ 0 or the window is shorter than
+    * m+1 (either φ undefined), exactly the Column version's null cases.
+    */
+  def apenBinned(arr: ArrayData, w: Double, m: Int): Any = {
+    if (!(w > 0)) return null
+    val bins = binsOf(arr, w)
+    def phi(mm: Int): Double = {
+      val nT = bins.length - mm + 1
+      if (nT <= 0) return Double.NaN
+      val s = templateRunFold(bins, mm)(c =>
+        if (c > 1) c * math.log(c.toDouble) else 0.0)
+      s / nT - math.log(nT.toDouble)
+    }
+    val r = phi(m) - phi(m + 1)
+    if (r.isNaN) null else java.lang.Double.valueOf(r)
+  }
+
+  /** Binned sample entropy ln B − ln A (= −ln(A/B)) with B/A the
+    * same-cell template-pair counts at lengths m / m+1 — see
+    * FeatureFuncs.sampEnImpl. Null when w ≤ 0 or either count is 0
+    * (Spark's ln(0) → NULL convention, which the Column version relied
+    * on).
+    */
+  def sampenBinned(arr: ArrayData, w: Double, m: Int): Any = {
+    if (!(w > 0)) return null
+    val bins = binsOf(arr, w)
+    def pairs(mm: Int): Double =
+      templateRunFold(bins, mm)(c => c.toDouble * (c - 1) / 2.0)
+    val b = pairs(m)
+    val a = pairs(m + 1)
+    if (b <= 0 || a <= 0) return null
+    java.lang.Double.valueOf(math.log(b) - math.log(a))
+  }
+
   /** pyentrp `shannon_entropy`: value-frequency Shannon entropy in bits —
     * native twin of the array_sort + run-fold Catalyst chain (q101's
     * second kernel). Sorts a primitive copy and counts equal-value runs;
@@ -718,4 +808,57 @@ case class ShannonFreq(child: Expression) extends ArrayDoubleKernel {
 object ShannonFreq {
   def apply(arr: Column): Column =
     ColumnBridge.column(ShannonFreq(ColumnBridge.expression(arr)))
+}
+
+private[expr] trait ArrayWidthKernel extends BinaryExpression
+    with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, double), got (${l.sql}, ${r.sql})")
+    }
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+}
+
+/** Native binned approximate entropy (see
+  * [[EntropyKernelUtil.apenBinned]]); `right` is the quantization width
+  * (any per-window scalar: an absolute tolerance, rFactor·σ, a carried
+  * width column).
+  */
+case class ApenBinned(left: Expression, right: Expression, m: Int)
+  extends ArrayWidthKernel {
+  override def prettyName: String = "apen_binned"
+  override def nullSafeEval(a: Any, w: Any): Any =
+    EntropyKernelUtil.apenBinned(a.asInstanceOf[ArrayData],
+      w.asInstanceOf[Double], m)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ApenBinned =
+    copy(left = newLeft, right = newRight)
+}
+object ApenBinned {
+  def apply(arr: Column, w: Column, m: Int): Column =
+    ColumnBridge.column(ApenBinned(ColumnBridge.expression(arr),
+      ColumnBridge.expression(w), m))
+}
+
+/** Native binned sample entropy (see
+  * [[EntropyKernelUtil.sampenBinned]]); width as [[ApenBinned]].
+  */
+case class SampenBinned(left: Expression, right: Expression, m: Int)
+  extends ArrayWidthKernel {
+  override def prettyName: String = "sampen_binned"
+  override def nullSafeEval(a: Any, w: Any): Any =
+    EntropyKernelUtil.sampenBinned(a.asInstanceOf[ArrayData],
+      w.asInstanceOf[Double], m)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SampenBinned =
+    copy(left = newLeft, right = newRight)
+}
+object SampenBinned {
+  def apply(arr: Column, w: Column, m: Int): Column =
+    ColumnBridge.column(SampenBinned(ColumnBridge.expression(arr),
+      ColumnBridge.expression(w), m))
 }
