@@ -289,11 +289,12 @@ object Bench {
           }
         }
         spark.sparkContext.addSparkListener(cpuL)
-        val rows = slowest.filterNot(t => failed.contains(t.name)).map { t =>
+        val rows = slowest.filterNot(t => failed.contains(t.name)).flatMap { t =>
           var minWall = t.warm
           var minCpu = Double.MaxValue
           var k = 0
-          while (k < 3) {
+          var broke = false
+          while (k < 3 && !broke) {
             // the bus is async: drain BEFORE resetting the CPU counter so
             // a prior query's trailing task-end events can't leak into
             // this pass's sum, and AFTER the run so this pass's trailing
@@ -302,21 +303,28 @@ object Bench {
             cpuNs.set(0)
             val (sec, _, _) = once(t.name) // full boundary hygiene inside
             PlanAudit.drainListenerBus(spark, () => taskEvents.get)
-            minWall = math.min(minWall, sec)
-            minCpu = math.min(minCpu, cpuNs.get / 1e9)
+            // a pass that THREW returns its time-to-throw — taking that
+            // min would silently deflate the cell and structural_total;
+            // drop the whole cell instead (the name lands in failed:[...],
+            // which is the honest record)
+            if (failed.contains(t.name)) broke = true
+            else {
+              minWall = math.min(minWall, sec)
+              minCpu = math.min(minCpu, cpuNs.get / 1e9)
+            }
             k += 1
           }
-          (t.name -> minWall,
-            t.name -> (if (minCpu == Double.MaxValue) 0.0 else minCpu))
+          if (broke || minCpu == Double.MaxValue) None
+          else Some((t.name -> minWall, t.name -> minCpu))
         }
         spark.sparkContext.removeSparkListener(cpuL)
         (rows.map(_._1), rows.map(_._2))
       }
-    def jvec(xs: Seq[(String, Double)]) =
-      xs.map { case (k, v) => s""""$k":${(v * 1000).round / 1000.0}""" }
-        .mkString("{", ",", "}")
-    val minwarmJson = jvec(minWarmVec)
-    val cpuJson = jvec(cpuVec)
+    def r3(d: Double) = (d * 1000).round / 1000.0
+    def jmap(xs: Seq[(String, Double)]) =
+      xs.map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
+    val minwarmJson = jmap(minWarmVec)
+    val cpuJson = jmap(cpuVec)
     // MEASURED structural total: the warm headline with each slow-list
     // cell replaced by its min-of-warm. Retires the r14 practice of
     // deriving the structural 100× number by SUBTRACTING documented
@@ -415,9 +423,6 @@ object Bench {
     // therefore gets a COMPACT line (headline totals, the N slowest warm
     // queries, the isolation ratios — guaranteed < 1800 chars); the complete
     // per-query + diag artifact goes to the file only.
-    def r3(d: Double) = (d * 1000).round / 1000.0
-    def jmap(xs: Seq[(String, Double)]) =
-      xs.map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
     // child-mode runs (<= a handful of named queries) publish ALL of them —
     // forkIsolated's parent-side regex reads the warm vector from this line
     val compactWarm =
@@ -429,16 +434,20 @@ object Bench {
     val outEnv = sys.env.get("SPARK_GRAFT_BENCH_OUT")
     val out = if (only.isEmpty) outEnv.orElse(Some("bench_local.json")) else outEnv
     // Full-suite mode trades the compact line's queries_cold vector (still
-    // in the file artifact) for queries_minwarm + queries_cpu: the driver
-    // records only the last ~2000 stdout chars, and the min-of-warm/CPU
-    // vectors are the ones that settle ambient-vs-structural attribution
-    // from the driver artifact alone. Child mode keeps queries_cold — the
-    // parent's forkIsolated parse uses it as the warm-window delimiter.
+    // in the file artifact) for queries_minwarm + structural_total: the
+    // driver records only the last ~2000 stdout chars, and min-of-warm is
+    // the vector that settles ambient-vs-structural attribution from the
+    // driver artifact alone. queries_cpu lives in the FILE artifact only —
+    // with it inline, the line was sized within ~130 B of the capture edge
+    // (r14 measured 1,417 B with the iso fields; +cpu would reach ~1,810),
+    // and a single failed:[...] entry or a longer slow-list name would tip
+    // it over and the driver would record parsed:null. Child mode keeps
+    // queries_cold — forkIsolated's parse uses it as the warm-window
+    // delimiter.
     val compactVecs =
       if (only.nonEmpty) s""""queries":$compactWarm,"queries_cold":$compactCold"""
       else s""""structural_total":${r3(structuralTotal)},""" +
-        s""""queries":$compactWarm,"queries_minwarm":$minwarmJson,""" +
-        s""""queries_cpu":$cpuJson"""
+        s""""queries":$compactWarm,"queries_minwarm":$minwarmJson"""
     val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""sf":"$sfDir","n_queries":${timed.size},"passes":$passes,""" +
       s""""headline":"warm","cold_total":${r3(totalCold)},""" +

@@ -19,10 +19,6 @@ object SparkEntry {
 
   private val DAY = 86400000000L
 
-  /** Unique memory-sink names for the streaming replay queries: Bench and
-    * Verify construct/run the same query several times in one JVM, and two
-    * active streams may not share a sink view name. */
-  private val streamSinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
   private val HOUR = 3600000000L
 
   /** Load `events`, tolerating the timestamp physical types the generator
@@ -1057,22 +1053,40 @@ object SparkEntry {
     // StreamingFeatures.rolling — epoch-aligned grid (the streaming-native
     // anchor, see the module scaladoc), complete-mode memory sink so every
     // window the data touched is emitted deterministically.
+    //
+    // Replay volume bound (the big-window-sampling precedent, mirrored in
+    // the oracle): a MemoryStream replay is driver-fed and a complete-mode
+    // memory sink is driver-held BY CONTRACT, so at replication scale the
+    // harness (not the operator) becomes the memory axis — the first 100×
+    // run OOMed a 48 g driver on the unfiltered 10M-row feed. The
+    // `user_id % 4 = 0` filter keeps the replay deterministic and the
+    // oracle twin applies the SAME predicate; the operator's own scale
+    // path is a real stream source, not this harness. Feeding in ≤100k-row
+    // blocks keeps any single MemoryStream block task-sized (one 10M-row
+    // block shipped a 467 MB task).
     "q112_streaming_rolling" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val rows = events(s, dir)
+        .where(pmod(col("user_id"), lit(4)) === 0)
         .select(col("user_id"), unix_micros(col("ts")), col("value"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .sortBy(_._2).toSeq
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long, Double)]
-      ms.addData(rows)
+      rows.grouped(100000).foreach(b => ms.addData(b))
       val sdf = ms.toDF().select(col("_1").as("user_id"),
         timestamp_micros(col("_2")).as("ts"), col("_3").as("value"))
       val out = graft.streaming.StreamingFeatures.rolling(sdf, "ts", "value",
         "value", Win.time("1D"), Win.time("1D"), Seq(len, mean),
         keyCols = Seq("user_id"))
-      val qn = "q112_roll_sink_" + streamSinkSeq.incrementAndGet()
+      // FIXED sink name: runs are sequential within a JVM (the stream is
+      // stopped before this function returns), and re-registering replaces
+      // the previous run's temp view — a unique name per call would pin
+      // every pass's complete-mode result set in driver heap for the JVM's
+      // lifetime. The returned frame resolves the view at construction, so
+      // a later replacement does not mutate an already-returned result.
+      val qn = "q112_roll_sink"
       val q = out.writeStream.format("memory").queryName(qn)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1096,7 +1110,11 @@ object SparkEntry {
     "q113_streaming_runs" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // same deterministic replay bound + block-sized feed as q112; rows
+      // arrive globally ts-sorted, so multi-block batching introduces no
+      // late data (each batch's minimum exceeds the prior watermark)
       val rows = events(s, dir)
+        .where(pmod(col("user_id"), lit(4)) === 0)
         .select(col("user_id"), unix_micros(col("ts")), col("event_type"),
           col("value"))
         .collect()
@@ -1107,14 +1125,15 @@ object SparkEntry {
       }.toSeq
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long, String, Double)]
-      ms.addData((rows ++ sentinels).sortBy(_._2))
+      (rows ++ sentinels).sortBy(_._2).grouped(100000)
+        .foreach(b => ms.addData(b))
       val sdf = ms.toDF().select(col("_1").as("user_id"),
         timestamp_micros(col("_2")).as("ts"), col("_3").as("event_type"),
         col("_4").as("value"))
       val out = graft.streaming.StreamingFeatures.consecutiveRuns(sdf, "ts",
         "user_id", "event_type", "value", watermark = "10 minutes",
         closeAfter = Win.time("3650D"))
-      val qn = "q113_runs_sink_" + streamSinkSeq.incrementAndGet()
+      val qn = "q113_runs_sink" // fixed name — see the q112 retention note
       val q = out.writeStream.format("memory").queryName(qn)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -3487,7 +3506,8 @@ object SparkEntry {
       s"""SELECT CAST(user_id AS BIGINT) AS user_id,
          |  (epoch_us(ts) // $DAY) * $DAY + $DAY AS ts_anchor,
          |  count(value) AS len_1d, round(avg(value), 6) AS mean_1d
-         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+         |FROM events WHERE user_id % 4 = 0
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // streaming consecutive-runs replay: classic gaps-and-islands — the
     // batch ground truth the stream's state machine must reproduce
@@ -3496,7 +3516,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts)
         |  - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts)
         |    AS isl
-        |  FROM events)
+        |  FROM events WHERE user_id % 4 = 0)
         |SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS etype,
         |  epoch_us(min(ts)) AS run_start, epoch_us(max(ts)) AS run_end,
         |  count(*) AS n, round(sum(value), 6) AS sum_v,

@@ -394,25 +394,6 @@ object FeatureFuncs {
       zip_with(acc, slice(vals, lit(i), len), (arr, x) => concat(arr, array(x))))
   }
 
-  /** Σ f(runLength) over the equal-value runs of the SORTED array — the
-    * shared frequency fold for the entropy stock. One linear pass carrying
-    * (prev, run, acc); `f` must satisfy f(0) = 0 (the first element's
-    * dummy flush). `elemType` is the array element's SQL type (the null
-    * init for `prev`).
-    */
-  private def runSum(sorted: Column, elemType: String,
-                     f: Column => Column): Column =
-    aggregate(sorted,
-      struct(lit(null).cast(elemType).as("prev"), lit(0L).as("run"),
-        lit(0.0).as("s")),
-      (acc, c) => {
-        val same = acc.getField("prev").isNotNull && acc.getField("prev") === c
-        struct(c.as("prev"),
-          when(same, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
-          when(same, acc.getField("s"))
-            .otherwise(acc.getField("s") + f(acc.getField("run"))).as("s"))
-      },
-      acc => acc.getField("s") + f(acc.getField("run")))
 
   /** Bandt–Pompe permutation entropy, delay 1 (antropy `perm_entropy`,
     * integrations.py's most-used entropy): each `order`-tuple of the
@@ -447,8 +428,9 @@ object FeatureFuncs {
     * sliding positions). NULL when width ≤ 0 (constant window under the
     * std-factor variant) or either count is 0.
     *
-    * Scale shape: quantize → m-tuples via [[templates]] → sort → [[runSum]]
-    * of C(run, 2), twice (m and m+1) — O(n log n) per window, one fused
+    * Scale shape: quantize → lexicographically index-sorted templates →
+    * run-fold of C(run, 2), twice (m and m+1), inside the native
+    * [[graft.expr.SampenBinned]] kernel — O(n log n) per window, one fused
     * aggregate, no pairwise O(n²) loop (the reason the exact Chebyshev
     * SampEn is NOT offered as a distributed aggregate).
     */
@@ -909,8 +891,9 @@ object FeatureFuncs {
 
   /** pyentrp `shannon_entropy`: Shannon entropy (bits) of the VALUE
     * frequency distribution — H = log2(n) − Σ c·log2(c)/n over the
-    * equal-value runs of the sorted window ([[runSum]], one fold). A
-    * constant window gives 0; NULL on empty windows.
+    * equal-value runs of the sorted window
+    * ([[graft.expr.EntropyKernelUtil.shannonFreq]]). A constant window
+    * gives 0; NULL on empty windows.
     */
   val shannonEntropy: FeatureFunc = FeatureFunc("shannon_entropy", (idx, v) =>
     // native kernel (primitive sort + run count) — the Catalyst chain

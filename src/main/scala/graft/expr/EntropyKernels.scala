@@ -25,6 +25,16 @@ import org.apache.spark.sql.types._
   * definition), which is why the relational stock keeps the O(n log n)
   * binned approximation ([[graft.core.FeatureFuncs.sampleEntropyApprox]])
   * as the default and offers this kernel for exact-parity needs.
+  *
+  * NaN convention (r15, when these kernels replaced the Catalyst-HOF
+  * folds): NaN inputs follow JAVA comparison semantics — NaN compares
+  * false under &lt;/&lt;= and unequal to itself under primitive `==` — where
+  * the replaced Column versions followed Spark SQL's NaN-greatest /
+  * NaN-equals-NaN ordering. For NaN-bearing windows the two therefore
+  * disagree (e.g. shannonFreq counts each NaN as its own run); neither
+  * behavior is the reference's (numpy propagates NaN through sorts
+  * unpredictably), NaN windows are outside the oracle contract, and the
+  * robust wrapper (A5) remains the supported route for NaN data.
   */
 object EntropyKernelUtil {
 

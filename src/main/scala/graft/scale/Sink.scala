@@ -89,12 +89,13 @@ object Sink {
           // (start > mtime + slack) can only be true when the layout
           // predates the process wearing the pid — a recycle, not the owner
           val recycled = startMs.exists(_ > f.lastModified() + slackMs)
-          // ...and the converse (alive, start PREDATES the layout) is the
-          // proven-owner case: the maxAge backstop must not reap a
-          // legitimately long-lived owner mid-read — the backstop exists
-          // only for the recycled-within-slack blind spot, where startMs
-          // cannot distinguish recycler from owner
-          val provenOwner = startMs.exists(_ <= f.lastModified() + slackMs)
+          // ...and the converse (alive, start STRICTLY predates the layout
+          // — no slack here) is the proven-owner case: the maxAge backstop
+          // must not reap a legitimately long-lived owner mid-read. A pid
+          // whose start falls INSIDE the slack window stays un-proven:
+          // that window is exactly the recycled-within-slack blind spot
+          // the backstop exists for, so it must keep firing there.
+          val provenOwner = startMs.exists(_ <= f.lastModified())
           if (((!alive || recycled) && age >= minAgeMs) ||
               (age >= maxAgeMs && !provenOwner))
             try rm(f) catch { case _: Throwable => }

@@ -146,14 +146,37 @@ class DifferentialSpec extends SparkSpec {
     if (r.isNullAt(0)) None else Some(r.getDouble(0))
   }
 
-  test("kernel MSPE at scale 1 equals the relational permutation entropy") {
-    // two INDEPENDENT implementations of Bandt-Pompe PE: the HOF
-    // templates/permCode/runSum pipeline vs the native array kernel
+  /** Independent Bandt–Pompe PE reference for the differential below:
+    * stable argsort via Scala sortBy (value, index) — a different
+    * formulation from the kernel's pairwise rank counting, so a tie-rule
+    * or code-packing bug in EntropyKernelUtil.permEntropy cannot cancel
+    * out (permutationEntropy and multiscalePermEntropy both route to that
+    * ONE primitive since r15, so kernel-vs-kernel would be vacuous). */
+  private def refPermEntropy(xs: Seq[Double], order: Int): Double = {
+    val codes = xs.sliding(order).map { w =>
+      val perm = w.zipWithIndex.sortBy { case (v, i) => (v, i) }.map(_._2)
+      val rank = new Array[Int](order)
+      perm.zipWithIndex.foreach { case (idx, pos) => rank(idx) = pos }
+      rank.mkString(",")
+    }.toSeq
+    val n = codes.length.toDouble
+    codes.groupBy(identity).values
+      .map(g => { val p = g.size / n; -p * math.log(p) / math.log(2.0) }).sum
+  }
+
+  test("kernel permutation entropy matches an independent argsort reference") {
     val rnd = new scala.util.Random(23)
     val xs = Seq.fill(300)(rnd.nextGaussian() * 20)
-    val hof = aggOne(permutationEntropy(3), xs).get
-    val ker = aggOne(multiscalePermEntropy(3, 2), xs, Some("mspe_1")).get
-    assert(math.abs(hof - ker) < 1e-9)
+    assert(math.abs(aggOne(permutationEntropy(3), xs).get -
+      refPermEntropy(xs, 3)) < 1e-9)
+    // tie-heavy case (quantized values): exercises the stable tie rule,
+    // which a no-tie gaussian stream never touches
+    val ys = Seq.fill(300)(rnd.nextInt(4).toDouble)
+    assert(math.abs(aggOne(permutationEntropy(3), ys).get -
+      refPermEntropy(ys, 3)) < 1e-9)
+    // MSPE at scale 1 must agree with the same reference (shared kernel)
+    assert(math.abs(aggOne(multiscalePermEntropy(3, 2), ys, Some("mspe_1")).get -
+      refPermEntropy(ys, 3)) < 1e-9)
   }
 
   test("lziv on an alternating window matches the hand LZ76 count") {
