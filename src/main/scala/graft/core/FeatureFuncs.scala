@@ -1038,18 +1038,12 @@ object FeatureFuncs {
     */
   def neighbourhoodPeaks(nn: Int): FeatureFunc = {
     require(nn >= 1 && nn <= 16, "neighbourhood radius must be in [1, 16]")
-    FeatureFunc(s"neighbourhood_peaks_$nn", (idx, v) => {
-      val w = 2 * nn + 1
-      val tups = templates(sortedVals(idx, v), w, count(v))
-      aggregate(
-        transform(tups, t => {
-          val mid = element_at(t, nn + 1)
-          val isPeak = ((1 to w).filter(_ != nn + 1)
-            .map(j => mid > element_at(t, j)): Seq[Column]).reduce(_ && _)
-          when(isPeak, 1L).otherwise(0L)
-        }),
-        lit(0L), (acc, x) => acc + x)
-    }, emptyValue = Some(lit(0L)))
+    // native kernel — the Catalyst form built a (2n+1)-element tuple
+    // array per position (11 slices + zip_with concat at n = 5), the
+    // dominant q100 cost in the 100× profile
+    FeatureFunc(s"neighbourhood_peaks_$nn", (idx, v) =>
+      graft.expr.NeighbourhoodPeaksK(sortedVals(idx, v), nn),
+      emptyValue = Some(lit(0L)))
   }
 
   /** tsfel `hist(nbins)`: per-bin counts over `bins` equal-width bins
@@ -1061,29 +1055,12 @@ object FeatureFuncs {
   def histCounts(bins: Int): FeatureFunc = {
     require(bins >= 1 && bins <= 64, "hist bins must be in [1, 64]")
     val names = (1 to bins).map(b => s"hist$b")
-    FeatureFunc(s"hist$bins", (idx, v) => {
-      // counts are order-independent: plain collect (no sort), and ONE fold
-      // carrying a per-bin array counter — the previous per-bin
-      // size(filter(vals, ...)) re-evaluated the collect chain once per bin
-      // (HOF chains get no codegen CSE; up to 64 chain evals per window)
-      val vals = collect_list(v)
-      val mn = org.apache.spark.sql.functions.min(v)
-      val mx = org.apache.spark.sql.functions.max(v)
-      val binOf: Column => Column = x =>
-        when(mx > mn,
-          least(floor((x - mn) / (mx - mn) * lit(bins)), lit(bins - 1))
-            .cast("int"))
-          .otherwise(lit(0))
-      aggregate(vals,
-        array((0 until bins).map(_ => lit(0L)): _*),
-        (acc, x) => {
-          val b = binOf(x)
-          transform(acc, (c, i) => when(i === b, c + 1L).otherwise(c))
-        },
-        acc => struct(names.zipWithIndex.map { case (nm, b) =>
-          element_at(acc, b + 1).as(nm)
-        }: _*))
-    }, outputNames = Some(names))
+    // native kernel — counts are order-independent, so plain collect (no
+    // sort); the Catalyst fold rebuilt the per-bin counter ARRAY once per
+    // element (transform inside aggregate)
+    FeatureFunc(s"hist$bins", (_, v) =>
+      graft.expr.HistCountsK(collect_list(v), bins),
+      outputNames = Some(names))
   }
 
   val byName: scala.collection.immutable.Map[String, FeatureFunc] =
