@@ -299,10 +299,10 @@ object Bench {
             // a prior query's trailing task-end events can't leak into
             // this pass's sum, and AFTER the run so this pass's trailing
             // events are counted before the read
-            PlanAudit.drainListenerBus(spark, () => taskEvents.get)
+            val drainedPre = PlanAudit.drainListenerBus(spark, () => taskEvents.get)
             cpuNs.set(0)
             val (sec, _, _) = once(t.name) // full boundary hygiene inside
-            PlanAudit.drainListenerBus(spark, () => taskEvents.get)
+            val drainedPost = PlanAudit.drainListenerBus(spark, () => taskEvents.get)
             // a pass that THREW returns its time-to-throw — taking that
             // min would silently deflate the cell and structural_total;
             // drop the whole cell instead (the name lands in failed:[...],
@@ -310,15 +310,24 @@ object Bench {
             if (failed.contains(t.name)) broke = true
             else {
               minWall = math.min(minWall, sec)
-              minCpu = math.min(minCpu, cpuNs.get / 1e9)
+              // a timed-out drain on EITHER side means this pass's CPU sum
+              // may be missing trailing task-end events (understated) or
+              // carrying a prior pass's (overstated) — the same undrained-
+              // read hazard the probe/spec fail on; skip the CPU sample
+              // (wall is listener-independent and stays)
+              if (drainedPre && drainedPost)
+                minCpu = math.min(minCpu, cpuNs.get / 1e9)
             }
             k += 1
           }
-          if (broke || minCpu == Double.MaxValue) None
-          else Some((t.name -> minWall, t.name -> minCpu))
+          // minwarm survives even if every CPU sample was drain-skipped —
+          // wall needs no listener; only the cpu cell goes missing
+          if (broke) None
+          else Some((t.name -> minWall,
+            if (minCpu == Double.MaxValue) None else Some(t.name -> minCpu)))
         }
         spark.sparkContext.removeSparkListener(cpuL)
-        (rows.map(_._1), rows.map(_._2))
+        (rows.map(_._1), rows.flatMap(_._2))
       }
     def r3(d: Double) = (d * 1000).round / 1000.0
     def jmap(xs: Seq[(String, Double)]) =

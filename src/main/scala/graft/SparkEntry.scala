@@ -1119,13 +1119,16 @@ object SparkEntry {
           col("value"))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
-        .sortBy(_._2).toSeq
+        .sortBy(r => (r._2, r._3)).toSeq
       val sentinels = rows.groupBy(_._1).map { case (u, rs) =>
         (u, rs.map(_._2).max + 60000000L, "__close", 0.0)
       }.toSeq
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long, String, Double)]
-      (rows ++ sentinels).sortBy(_._2).grouped(100000)
+      // event_type tiebreaker on the replay sort matches the operator's
+      // internal (ts, group) tie order and the oracle's ORDER BY ts,
+      // event_type — duplicate (user, ts) pairs split islands identically
+      (rows ++ sentinels).sortBy(r => (r._2, r._3)).grouped(100000)
         .foreach(b => ms.addData(b))
       val sdf = ms.toDF().select(col("_1").as("user_id"),
         timestamp_micros(col("_2")).as("ts"), col("_3").as("event_type"),
@@ -3513,8 +3516,9 @@ object SparkEntry {
     // batch ground truth the stream's state machine must reproduce
     "q113_streaming_runs" ->
       """WITH o AS (SELECT user_id, ts, event_type, value,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts)
-        |  - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts)
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_type)
+        |  - row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_type)
         |    AS isl
         |  FROM events WHERE user_id % 4 = 0)
         |SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS etype,

@@ -379,22 +379,6 @@ object FeatureFuncs {
   // tsflex/features/integrations.py:15-337, exercised by
   // tests/test_features_integration.py:360-430) ------------------------------
 
-  /** m-length sliding tuples of `vals` (delay 1) as array elements:
-    * [[v1..vm], [v2..vm+1], ...] — built from m SLICES zipped pairwise, so
-    * the collected window array is never referenced inside a lambda body
-    * (the [[numberPeaks1]] O(n²) re-evaluation trap). Empty when the window
-    * is shorter than m.
-    */
-  private def templates(vals: Column, m: Int, n: Column): Column = {
-    // n = the array length as a NATIVE aggregate: size(vals) inside the m
-    // slice-length arguments would re-evaluate the whole chain per slice
-    val len = greatest(n - lit((m - 1).toLong), lit(0L)).cast("int")
-    val first = transform(slice(vals, lit(1), len), x => array(x))
-    (2 to m).foldLeft(first)((acc, i) =>
-      zip_with(acc, slice(vals, lit(i), len), (arr, x) => concat(arr, array(x))))
-  }
-
-
   /** Bandt–Pompe permutation entropy, delay 1 (antropy `perm_entropy`,
     * integrations.py's most-used entropy): each `order`-tuple of the
     * index-sorted window maps to its stable-argsort pattern; the feature is
@@ -1033,8 +1017,8 @@ object FeatureFuncs {
 
   /** tsfel `neighbourhood_peaks(n)`: count of samples strictly greater
     * than ALL 2n neighbours within ±n positions (boundary samples have no
-    * full neighbourhood and never count). (2n+1)-tuples via [[templates]];
-    * the comparison fan touches only the lambda's own tuple.
+    * full neighbourhood and never count). One primitive pass over the
+    * index-sorted window inside [[graft.expr.NeighbourhoodPeaksK]].
     */
   def neighbourhoodPeaks(nn: Int): FeatureFunc = {
     require(nn >= 1 && nn <= 16, "neighbourhood radius must be in [1, 16]")

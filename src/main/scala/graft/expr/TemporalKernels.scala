@@ -47,6 +47,10 @@ object TemporalKernelUtil {
     * [min, max], right-inclusive last bin (np.histogram); a constant
     * window (min == max) puts all samples in bin 1 (the documented
     * deviation of the Column version); an empty window is all zeros.
+    * NaN samples are SKIPPED — they matched no bin in the replaced
+    * Column form (floor(NaN) → null), and they already never moved
+    * min/max here (NaN comparisons are false); an all-NaN window is
+    * therefore all zeros, like an empty one.
     */
   def histCounts(arr: ArrayData, bins: Int): InternalRowLike = {
     val n = arr.numElements()
@@ -64,12 +68,14 @@ object TemporalKernelUtil {
       }
       i = 0
       while (i < n) {
-        val b =
-          if (mx > mn) {
-            val raw = math.floor((x(i) - mn) / (mx - mn) * bins).toInt
-            if (raw > bins - 1) bins - 1 else raw
-          } else 0
-        counts(b) += 1
+        if (!java.lang.Double.isNaN(x(i))) {
+          val b =
+            if (mx > mn) {
+              val raw = math.floor((x(i) - mn) / (mx - mn) * bins).toInt
+              if (raw > bins - 1) bins - 1 else raw
+            } else 0
+          counts(b) += 1
+        }
         i += 1
       }
     }

@@ -144,7 +144,13 @@ object Multimodal {
         bos.toByteArray
       case None => // non-JRE provider set: type-aware selection, no reuse
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        // ImageIO.write returns false when NO registered writer accepts
+        // the image — silently returning the empty buffer would encode
+        // zero-byte "frames"; fail loudly instead (the JRE-writer branch
+        // throws from w.write in the same situation)
+        if (!javax.imageio.ImageIO.write(img, "png", bos))
+          throw new javax.imageio.IIOException(
+            s"no registered PNG writer accepts image type ${img.getType}")
         bos.toByteArray
     }
   }

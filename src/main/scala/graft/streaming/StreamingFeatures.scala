@@ -104,7 +104,12 @@ object StreamingFeatures {
             state.remove()
             out.iterator
           } else {
-            val sorted = rows.toIndexedSeq.sortBy(_.tsUs)
+            // (tsUs, group) — the group tiebreaker makes run splitting
+            // deterministic for equal-ts rows: the iterator order of a
+            // shuffled micro-batch is arbitrary, so sorting by tsUs alone
+            // would split equal-ts different-group islands differently
+            // run-to-run (and against any batch oracle)
+            val sorted = rows.toIndexedSeq.sortBy(r => (r.tsUs, r.group))
             val closed = scala.collection.mutable.ArrayBuffer.empty[RunOut]
             var cur = state.getOption
             val closeUs = closeMs * 1000L
