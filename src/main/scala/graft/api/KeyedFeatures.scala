@@ -48,6 +48,26 @@ object KeyedFeatures {
     b.repartition(b.sparkSession.conf.get("spark.sql.shuffle.partitions")
       .toIntOption.getOrElse(b.sparkSession.sparkContext.defaultParallelism))
 
+  // ---- packed (spec, k) decode — the segment/assignment fan-outs are
+  // native kernels emitting `specIdx << 56 | k` longs (AssignKernels.scala:
+  // one primitive array per row instead of per-spec boxed struct arrays +
+  // array_distinct, and no segment-table distinct() shuffle); the spec's
+  // static (w, st) come back via a literal when-chain, so the decoded
+  // (w, koff, seg_start) doubles are computed by the exact same IEEE ops
+  // as the replaced Column forms ------------------------------------------
+
+  private def unpackIdx(p: Column): Column =
+    shiftrightunsigned(p, graft.expr.AssignKernelUtil.KBits).cast("int")
+  private def unpackK(p: Column): Column =
+    p.bitwiseAND(lit(graft.expr.AssignKernelUtil.KMask)).cast("double")
+  /** vals(i) as a literal when-chain (≤255 static specs — no array lookup,
+    * stays in whole-stage codegen as comparisons + constants). */
+  private def pick(i: Column, vals: Seq[Double]): Column =
+    if (vals.distinct.lengthCompare(1) == 0) lit(vals.head)
+    else vals.zipWithIndex.tail.foldLeft(when(i === 0, lit(vals.head))) {
+      case (acc, (v, j)) => acc.when(i === j, lit(v))
+    }
+
   /** Single-series sugar over [[calculateWide]].
     *
     * @param funcs   features to fuse into the single per-segment aggregate
@@ -117,43 +137,31 @@ object KeyedFeatures {
     // exchanges; see spreadBounds)
     val boundsWide = spreadBounds(bounds)
 
-    // 2. per-key segment table (never driver-materialized)
-    val segsPerStride = sts.map { st =>
-      val nb0 = greatest(floor((col("__e0") - col("__s0") - lit(w)) / lit(st))
-        .cast("long") + 1, lit(0L))
-      val nb = if (includeFinalWindow)
-        nb0 + when(col("__s0") + lit(st) * nb0 <= col("__e0"), 1L).otherwise(0L)
-      else nb0
-      boundsWide.select(col("__key"), col("__s0"),
-        explode(when(nb > 0, sequence(lit(0L), nb - 1))
-          .otherwise(array().cast("array<bigint>"))).as("__k"))
-        .select(col("__key"),
-          (col("__s0") + col("__k").cast("double") * lit(st)).as("__seg_start"))
-    }
-    var segs = segsPerStride.reduce(_.unionAll(_))
-    if (sts.length > 1) segs = segs.distinct()
-    val segments = segs.select(col("__key"), col("__seg_start"),
-      (col("__seg_start") + lit(w)).as("__seg_end"))
+    // 2. per-key segment table (never driver-materialized) — one packed
+    // kernel explode; in-kernel dedup replaces the multi-stride distinct()
+    val wsFlat = Seq.fill(sts.length)(w)
+    val segments = boundsWide.select(col("__key"), col("__s0"),
+        explode(graft.expr.SegmentsPacked(col("__s0"), col("__e0"),
+          wsFlat, sts, includeFinalWindow, dedupOnKoff = false)).as("__p"))
+      .select(col("__key"),
+        (col("__s0") + unpackK(col("__p")) * pick(unpackIdx(col("__p")), sts))
+          .as("__seg_start"))
+      .select(col("__key"), col("__seg_start"),
+        (col("__seg_start") + lit(w)).as("__seg_end"))
 
-    // 3. arithmetic assignment with the key's own start offset
+    // 3. arithmetic assignment with the key's own start offset — the same
+    // packed kernel shape (k ranges [kmin, kmax] instead of [0, nb))
     val withStart = internal.join(bounds.select(col("__key"), col("__s0")), Seq("__key"))
-    val t = col("__idx")
-    val arrays: Seq[Column] = sts.map { st =>
-      val kmin = greatest(lit(0L),
-        (floor((t - col("__s0") - lit(w)) / lit(st)) + 1).cast("long"))
-      val kmax = floor((t - col("__s0")) / lit(st)).cast("long")
-      when(kmax >= kmin,
-        transform(sequence(kmin, kmax),
-          k => col("__s0") + k.cast("double") * lit(st)))
-        .otherwise(array().cast("array<double>"))
-    }
-    val all = if (arrays.length == 1) arrays.head
-              else array_distinct(concat(arrays: _*))
     // starts past the key's own segment range (tail rows) must not invent
     // segments — semi-constrain via the join with the segment table below
     val assigned = withStart.select(
-      col("__key") +: col("__idx") +: valueCols.map(col) :+
-        explode(all).as("__seg_start"): _*)
+      col("__key") +: col("__idx") +: col("__s0") +: valueCols.map(col) :+
+        explode(graft.expr.AssignPacked(col("__idx"), col("__s0"),
+          wsFlat, sts)).as("__p"): _*)
+      .select(col("__key") +:
+        (col("__s0") + unpackK(col("__p")) * pick(unpackIdx(col("__p")), sts))
+          .as("__seg_start") +:
+        col("__idx") +: valueCols.map(col): _*)
       .join(segments, Seq("__key", "__seg_start"))
 
     // 4. one fused aggregate; empty windows restored by the left join
@@ -258,50 +266,36 @@ object KeyedFeatures {
     // spread ONLY the explode consumer (see the single-window path)
     val boundsWide = spreadBounds(bounds)
 
-    // 2. per-(window, stride) segment tables, tagged with the window length
-    val segsPer = specs.flatMap { case (win, sts) =>
-      val w = win.amount
-      sts.map { st =>
-        val nb0 = greatest(floor((col("__e0") - col("__s0") - lit(w)) / lit(st))
-          .cast("long") + 1, lit(0L))
-        val nb = if (includeFinalWindow)
-          nb0 + when(col("__s0") + lit(st) * nb0 <= col("__e0"), 1L).otherwise(0L)
-        else nb0
-        boundsWide.select(col("__key"), col("__s0"),
-          explode(when(nb > 0, sequence(lit(0L), nb - 1))
-            .otherwise(array().cast("array<bigint>"))).as("__k"))
-          .select(col("__key"), lit(w).as("__w"), col("__s0"),
-            (col("__k").cast("double") * lit(st)).as("__koff"),
-            (col("__s0") + col("__k").cast("double") * lit(st)).as("__seg_start"))
-      }
+    // 2. per-key segment grid across every (window, stride) spec — one
+    // packed kernel explode tagged with the window length; in-kernel
+    // (w, koff) dedup replaces the per-spec union + full-table distinct()
+    // shuffle of the previous formulation
+    val specW = specs.flatMap { case (win, ss) => ss.map(_ => win.amount) }
+    val specSt = specs.flatMap { case (_, ss) => ss }
+    val segments = {
+      val si = unpackIdx(col("__p"))
+      val koff = unpackK(col("__p")) * pick(si, specSt)
+      boundsWide.select(col("__key"), col("__s0"),
+          explode(graft.expr.SegmentsPacked(col("__s0"), col("__e0"),
+            specW, specSt, includeFinalWindow, dedupOnKoff = true)).as("__p"))
+        .select(col("__key"), pick(si, specW).as("__w"), col("__s0"),
+          koff.as("__koff"), (col("__s0") + koff).as("__seg_start"))
     }
-    val segments = segsPer.reduce(_.unionAll(_)).distinct()
 
-    // 3. one assignment explode over (window, seg_start) pairs
+    // 3. one assignment explode over packed (window, seg_start) pairs
     val withStart = internal.join(bounds.select(col("__key"), col("__s0")), Seq("__key"))
-    val t = col("__idx")
-    val arrays: Seq[Column] = specs.flatMap { case (win, sts) =>
-      val w = win.amount
-      sts.map { st =>
-        val kmin = greatest(lit(0L),
-          (floor((t - col("__s0") - lit(w)) / lit(st)) + 1).cast("long"))
-        val kmax = floor((t - col("__s0")) / lit(st)).cast("long")
-        when(kmax >= kmin,
-          transform(sequence(kmin, kmax),
-            k => struct(lit(w).as("w"),
-              (col("__s0") + k.cast("double") * lit(st)).as("s"))))
-          .otherwise(array().cast("array<struct<w:double,s:double>>"))
-      }
+    val assigned = {
+      val si = unpackIdx(col("__p"))
+      withStart.select(
+        col("__key") +: col("__idx") +: col("__s0") +: valueCols.map(col) :+
+          explode(graft.expr.AssignPacked(col("__idx"), col("__s0"),
+            specW, specSt)).as("__p"): _*)
+        .select(col("__key") +: pick(si, specW).as("__w") +:
+          (col("__s0") + unpackK(col("__p")) * pick(si, specSt))
+            .as("__seg_start") +:
+          col("__idx") +: valueCols.map(col): _*)
+        .join(segments, Seq("__key", "__w", "__seg_start"))
     }
-    val all = if (arrays.lengthCompare(1) == 0) arrays.head
-              else array_distinct(concat(arrays: _*))
-    val assigned = withStart.select(
-      col("__key") +: col("__idx") +: valueCols.map(col) :+
-        explode(all).as("__ws"): _*)
-      .select(col("__key") +: col("__ws").getField("w").as("__w") +:
-        col("__ws").getField("s").as("__seg_start") +:
-        col("__idx") +: valueCols.map(col): _*)
-      .join(segments, Seq("__key", "__w", "__seg_start"))
 
     // 4. ONE fused aggregate across all windows, empties restored per window
     case class Feat(base: String, fname: String, empty: Option[Column],

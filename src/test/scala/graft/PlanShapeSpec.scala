@@ -33,18 +33,16 @@ class PlanShapeSpec extends SparkSpec {
       "reused_exchange" -> 0, "broadcast_hash_join" -> 7,
       "sort_merge_join" -> 1, "shuffled_hash_join" -> 0,
       "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0),
-    // 9 → 16 shuffles in r13, DELIBERATE: spreadBounds round-robin
-    // repartitions the tiny per-key bounds table before the segment
-    // explode (the 100× profile showed AQE coalescing the bounds exchange
-    // to 2 partitions and the explode amplifying 5 MB → 571 MB inside
-    // those 2 tasks — 80 s of the query's 154 s nearly serial). The +7 is
-    // one repartition node per STATIC occurrence of the bounds subtree in
-    // the segment tables and their W7 empties-join copies (the withStart
-    // equi-join keeps un-widened bounds — no amplification there); at
-    // runtime AQE stage reuse collapses identical ones and the exchange
-    // moves only bounds rows. Post-fix profile: no stage under 12× par.
+    // 9 → 16 shuffles in r13 (spreadBounds round-robin per static bounds
+    // reference — see git history), 16 → 10 in r16: the packed segment
+    // kernel (AssignKernels.scala) generates the whole multi-spec grid in
+    // ONE explode with in-kernel (w, koff) dedup, deleting the per-spec
+    // union's 6 extra static bounds/spreadBounds subtrees AND the segment
+    // table's full distinct() shuffle. The remaining 10 are the entity-key
+    // aggregate/join/pivot exchanges plus the (now two) spreadBounds
+    // round-robins protecting the explode consumers from AQE coalescing.
     "q72_keyed_multiwin" -> Map(
-      "shuffle_exchange" -> 16, "broadcast_exchange" -> 2,
+      "shuffle_exchange" -> 10, "broadcast_exchange" -> 2,
       "reused_exchange" -> 0, "broadcast_hash_join" -> 2,
       "sort_merge_join" -> 1, "shuffled_hash_join" -> 0,
       "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0),
