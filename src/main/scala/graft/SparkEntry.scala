@@ -1119,10 +1119,19 @@ object SparkEntry {
           col("value"))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
-        .sortBy(r => (r._2, r._3)).toSeq
-      val sentinels = rows.groupBy(_._1).map { case (u, rs) =>
-        (u, rs.map(_._2).max + 60000000L, "__close", 0.0)
-      }.toSeq
+        .toSeq // unsorted here — the single replay sort happens below, after
+               // the sentinels join the feed (a pre-sort would be re-done)
+      // per-user max ts as ONE fold over the collected rows — the previous
+      // groupBy(_._1) materialized every user's full row vector a second
+      // time in driver heap just to take a max (at 100× replay scale the
+      // harness is the memory axis, so the fold matters)
+      val maxTs = new scala.collection.mutable.HashMap[Long, Long]
+      rows.foreach { r =>
+        val m = maxTs.getOrElse(r._1, Long.MinValue)
+        if (r._2 > m) maxTs(r._1) = r._2
+      }
+      val sentinels = maxTs.iterator
+        .map { case (u, t) => (u, t + 60000000L, "__close", 0.0) }.toSeq
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long, String, Double)]
       // event_type tiebreaker on the replay sort matches the operator's

@@ -189,36 +189,62 @@ object Scan {
     */
   def keyedRank(df: DataFrame, keyCol: String, orderCol: String,
                 rankCol: String, countCol: String,
-                broadcastLimit: Long = 4000000L): DataFrame = {
+                broadcastLimit: Long = 4000000L): DataFrame =
+    keyedRankMulti(df, Seq(keyCol), orderCol, rankCol, countCol,
+      broadcastLimit)
+
+  /** [[keyedRank]] under a COMPOSITE key of several FLAT columns. The
+    * single-column form forces composite callers to pack a struct — and a
+    * nested struct key rides every one of the n exchanged rows as a
+    * pointer + nested-row blob in the UnsafeRow layout (~2-3× the bytes of
+    * the flat fields) and adds an interpreted hop to every range-boundary /
+    * window-sort comparison. At the multi-metric quantile scale (n·k rows
+    * through the range exchange) the key bytes ARE the exchange volume, so
+    * the composite key stays flat all the way through the sort, the
+    * summary and the stitch joins, which simply AND one null-safe equality
+    * per key column.
+    */
+  def keyedRankMulti(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                     rankCol: String, countCol: String,
+                     broadcastLimit: Long = 4000000L): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
     pinnedOrder(df) // validate: untagged __pid is reserved-name collision
     val p = pinPartitions(
-      df.drop("__pid").repartitionByRange(col(keyCol), col(orderCol)),
-      Seq(keyCol, orderCol))
-    val w = Window.partitionBy("__pid", keyCol).orderBy(orderCol)
+      df.drop("__pid").repartitionByRange((keyCols :+ orderCol).map(col): _*),
+      keyCols :+ orderCol)
+    val w = Window.partitionBy(("__pid" +: keyCols).map(col): _*)
+      .orderBy(orderCol)
     val local = p.withColumn("__loc", row_number().over(w).cast("long"))
     val perPid = Pinned.checkpoint(
-      p.groupBy(col("__pid"), col(keyCol)).agg(count(lit(1)).as("__tot")))
+      p.groupBy(("__pid" +: keyCols).map(col): _*)
+        .agg(count(lit(1)).as("__tot")))
     val hint: DataFrame => DataFrame =
       if (perPid.count() <= broadcastLimit) broadcast(_) else identity
-    val b = perPid.select(col("__pid").as("b___pid"),
-      col(keyCol).as("b___key"), col("__tot").as("b___tot"))
+    def renamed(prefix: String): Seq[Column] =
+      keyCols.zipWithIndex.map { case (k, i) => col(k).as(s"${prefix}$i") }
+    def eqTo(prefix: String): Column =
+      keyCols.zipWithIndex.map { case (k, i) => col(s"${prefix}$i") <=> col(k) }
+        .reduce(_ && _)
+    val b = perPid.select(col("__pid").as("b___pid") +:
+      renamed("b___key") :+ col("__tot").as("b___tot"): _*)
     // every key equality in the stitch is NULL-SAFE (<=>): a NULL key is a
     // legal group (SQL GROUP BY convention) and plain EqualTo would silently
     // drop its rows at the inner stitch joins; <=> is still an equi-join
     // key for broadcast/sort-merge, so the plan shape is unchanged
     val offsets = perPid
-      .join(b, col("b___key") <=> col(keyCol) && col("b___pid") < col("__pid"), "left")
-      .groupBy(col("__pid"), col(keyCol))
+      .join(b, eqTo("b___key") && col("b___pid") < col("__pid"), "left")
+      .groupBy(("__pid" +: keyCols).map(col): _*)
       .agg(coalesce(sum(col("b___tot")), lit(0L)).as("__off"))
-      .select(col("__pid").as("o___pid"), col(keyCol).as("o___key"),
-        col("__off"))
-    val totals = perPid.groupBy(col(keyCol)).agg(sum(col("__tot")).as(countCol))
-      .withColumnRenamed(keyCol, "t___key")
-    local.join(hint(offsets),
-        col("__pid") === col("o___pid") && col(keyCol) <=> col("o___key"))
-      .join(hint(totals), col(keyCol) <=> col("t___key"))
+      .select(col("__pid").as("o___pid") +: renamed("o___key") :+
+        col("__off"): _*)
+    val totals = perPid.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__tot")).as(countCol))
+      .select(renamed("t___key") :+ col(countCol): _*)
+    local.join(hint(offsets), col("__pid") === col("o___pid") && eqTo("o___key"))
+      .join(hint(totals), eqTo("t___key"))
       .withColumn(rankCol, col("__loc") + col("__off"))
-      .drop("__loc", "__off", "__pid", "o___pid", "o___key", "t___key")
+      .drop(Seq("__loc", "__off", "__pid", "o___pid") ++
+        keyCols.indices.flatMap(i => Seq(s"o___key$i", s"t___key$i")): _*)
   }
 
   /** Running (inclusive) sum of `flagCol` WITHIN each `keyCol` group in

@@ -649,8 +649,15 @@ object EntropyKernelUtil {
     * native twin of the array_sort + run-fold Catalyst chain (q101's
     * second kernel). Sorts a primitive copy and counts equal-value runs;
     * primitive `==` groups −0.0 with 0.0 exactly as Spark's `===` does
-    * (Arrays.sort keeps them adjacent, so the run stays contiguous).
-    * Null for an empty window.
+    * (Arrays.sort keeps them adjacent, so the run stays contiguous), and
+    * NaN samples are grouped into ONE run — Spark's ordering/equality
+    * treats NaN = NaN (the replaced Column fold inherited that), and
+    * Arrays.sort puts all NaNs adjacent at the end, so the explicit
+    * isNaN-pair check keeps the run contiguous where primitive `==`
+    * (NaN != NaN) would have split each NaN into its own singleton run.
+    * (pyentrp itself hashes floats, where every NaN IS its own value —
+    * NaN windows are outside the oracle contract; we pin the Spark/Column
+    * convention, see KernelDegenerateSpec.) Null for an empty window.
     */
   def shannonFreq(arr: ArrayData): Any = {
     val n = arr.numElements()
@@ -663,7 +670,9 @@ object EntropyKernelUtil {
     var run = 1
     i = 1
     while (i <= n) {
-      if (i < n && x(i) == x(i - 1)) run += 1
+      if (i < n && (x(i) == x(i - 1) ||
+          (java.lang.Double.isNaN(x(i)) && java.lang.Double.isNaN(x(i - 1)))))
+        run += 1
       else {
         if (run > 1) h += run * log2(run.toDouble)
         run = 1

@@ -79,7 +79,7 @@ object GroupedStats {
     *
     * Scale shape: the metrics are unpivoted to long form (one scan of the
     * input, k rows per input row) and ranked under the composite key
-    * (key, metric) in a SINGLE `keyedRank` pass — one range exchange over
+    * (key, metric) in a SINGLE `keyedRankMulti` pass — one range exchange over
     * n·k rows, not k exchanges of n rows, and the hot-key property is
     * preserved (a billion-row key still spans many tasks per metric). The
     * final pivot back to wide is a map-side-combining hash aggregate over
@@ -97,10 +97,10 @@ object GroupedStats {
       "quantile labels must be unique (they become output column names)")
     quantiles.foreach { case (_, q) =>
       require(q >= 0.0 && q <= 1.0, s"quantile $q outside [0, 1]") }
-    // the unpivot introduces __gs_k/__gs_c/__gs_v/__gs_p internally — a
-    // caller column with one of those names would fail later with an
-    // opaque ambiguous-attribute error instead of this contract message
-    val gsReserved = Set("__gs_rk", "__gs_k", "__gs_c", "__gs_v", "__gs_p")
+    // the unpivot introduces __gs_c/__gs_v/__gs_p internally — a caller
+    // column with one of those names would fail later with an opaque
+    // ambiguous-attribute error instead of this contract message
+    val gsReserved = Set("__gs_rk", "__gs_c", "__gs_v", "__gs_p")
     (keyCol +: valCols).foreach(c => require(!gsReserved.contains(c),
       s"$c is reserved by exactQuantilesMulti"))
     // unpivot: (key, metric-INDEX, value) — one row per non-null metric
@@ -109,20 +109,24 @@ object GroupedStats {
     // range exchange over n·k rows, and at 100× lineitem scale a 15-byte
     // metric-name string per row is both the bulk of the shuffle bytes
     // and a per-comparison string compare inside the sort — the r14 100×
-    // profile attributed q89's cost to exactly that sort I/O.
+    // profile attributed q89's cost to exactly that sort I/O. The (key,
+    // metricIdx) pair rides as TWO FLAT columns through keyedRankMulti
+    // (r16): the earlier struct(key, idx) packing paid a pointer +
+    // nested-UnsafeRow blob per exchanged row and an interpreted ordering
+    // hop per sort comparison; flat fields keep the exchange key at
+    // field-width and the comparisons codegen'd. NULL keyCol rows still
+    // group/join with themselves — every stitch equality inside
+    // keyedRankMulti is null-safe (<=>).
     val pairs = array(valCols.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("__gs_c"), col(c).cast("double").as("__gs_v")) }: _*)
     val long0 = df.select(col(keyCol), explode(pairs).as("__gs_p"))
       .select(col(keyCol), col("__gs_p.__gs_c").as("__gs_c"),
         col("__gs_p.__gs_v").as("__gs_v"))
       .where(col("__gs_v").isNotNull)
-      // composite key: struct equality is value-based, so a NULL keyCol
-      // field still groups/joins with itself inside keyedRank's stitch
-      .withColumn("__gs_k", struct(col(keyCol), col("__gs_c")))
-      .select("__gs_k", "__gs_v")
-    val ranked = graft.core.Scan.keyedRank(long0, "__gs_k", "__gs_v", "__rk", "__n")
+    val ranked = graft.core.Scan.keyedRankMulti(
+      long0, Seq(keyCol, "__gs_c"), "__gs_v", "__rk", "__n")
     val v = col("__gs_v")
-    val metric = col("__gs_k").getField("__gs_c")
+    val metric = col("__gs_c")
     val aggs = for { (c, i) <- valCols.zipWithIndex; (label, q) <- quantiles }
     yield {
       val pos = lit(1.0) + (col("__n") - 1.0) * lit(q)
@@ -139,7 +143,7 @@ object GroupedStats {
       col("__rk") === floor(pos) || col("__rk") === ceil(pos)
     }.reduce(_ || _)
     val quantsByKey = ranked.where(needed)
-      .groupBy(col("__gs_k").getField(keyCol).as(keyCol))
+      .groupBy(col(keyCol))
       .agg(aggs.head, aggs.tail: _*)
     val keys = df.select(col(keyCol)).distinct()
     keys.join(quantsByKey.withColumnRenamed(keyCol, "__gs_rk"),

@@ -229,4 +229,35 @@ class ScanSpec extends SparkSpec {
       .toMap
     assert(got == expect)
   }
+
+  test("keyedRankMulti: flat composite key, NULLs in either key column") {
+    // the composite (key1, key2) stays two FLAT columns through the range
+    // exchange (no struct packing); every stitch equality is null-safe, so
+    // a NULL in either key column is a legal group that keeps its own rows.
+    // Oracle = driver-computed within-(key1, key2) rank over the order col.
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val rows = (0 until 30000).map { i =>
+      val k1 = if (rng.nextInt(10) == 0) null else s"k${rng.nextInt(3)}"
+      val k2 = if (rng.nextInt(10) == 0) null.asInstanceOf[java.lang.Integer]
+               else java.lang.Integer.valueOf(rng.nextInt(4))
+      (k1, k2, f"${rng.nextLong().abs}%020d", i.toLong)
+    }
+    val df = rows.toDF("key1", "key2", "ord", "payload")
+    val expect = rows.groupBy(r => (r._1, r._2)).flatMap { case (_, g) =>
+      g.sortBy(_._3).zipWithIndex.map { case ((k1, k2, o, _), r) =>
+        (k1, k2, o) -> ((r + 1).toLong, g.size.toLong) }
+    }.toMap
+    for (limit <- Seq(4000000L, 1L)) { // broadcast stitch AND shuffled stitch
+      val got = Scan.keyedRankMulti(df, Seq("key1", "key2"), "ord", "rk", "n",
+          broadcastLimit = limit)
+        .select("key1", "key2", "ord", "rk", "n").collect()
+        .map(r => (r.getString(0),
+          if (r.isNullAt(1)) null.asInstanceOf[java.lang.Integer]
+          else java.lang.Integer.valueOf(r.getInt(1)), r.getString(2)) ->
+          ((r.getLong(3), r.getLong(4))))
+        .toMap
+      assert(got == expect, s"broadcastLimit=$limit diverged from the oracle")
+    }
+  }
 }
