@@ -149,20 +149,23 @@ object KeyedFeatures {
       .select(col("__key"), col("__seg_start"),
         (col("__seg_start") + lit(w)).as("__seg_end"))
 
-    // 3. arithmetic assignment with the key's own start offset — the same
-    // packed kernel shape (k ranges [kmin, kmax] instead of [0, nb))
-    val withStart = internal.join(bounds.select(col("__key"), col("__s0")), Seq("__key"))
-    // starts past the key's own segment range (tail rows) must not invent
-    // segments — semi-constrain via the join with the segment table below
+    // 3. arithmetic assignment with the key's own bounds — the same packed
+    // kernel shape (k ranges [kmin, min(kmax, nb-1)] instead of [0, nb)).
+    // The in-kernel grid clamp (e0 rides along) replaces the
+    // join-with-segments filter the plan used to carry: starts past the
+    // key's own grid are never emitted, so the fused aggregate below runs
+    // DIRECTLY on the explode — map-side partial aggregation collapses the
+    // fan-out before its one exchange, where the join shape shuffled and
+    // sorted every (row × window) pair at full width first.
+    val withStart = internal.join(bounds, Seq("__key"))
     val assigned = withStart.select(
       col("__key") +: col("__idx") +: col("__s0") +: valueCols.map(col) :+
         explode(graft.expr.AssignPacked(col("__idx"), col("__s0"),
-          wsFlat, sts)).as("__p"): _*)
+          col("__e0"), wsFlat, sts, includeFinalWindow)).as("__p"): _*)
       .select(col("__key") +:
         (col("__s0") + unpackK(col("__p")) * pick(unpackIdx(col("__p")), sts))
           .as("__seg_start") +:
         col("__idx") +: valueCols.map(col): _*)
-      .join(segments, Seq("__key", "__seg_start"))
 
     // 4. one fused aggregate; empty windows restored by the left join
     val winR = window.render
@@ -282,19 +285,23 @@ object KeyedFeatures {
           koff.as("__koff"), (col("__s0") + koff).as("__seg_start"))
     }
 
-    // 3. one assignment explode over packed (window, seg_start) pairs
-    val withStart = internal.join(bounds.select(col("__key"), col("__s0")), Seq("__key"))
+    // 3. one assignment explode over packed (window, seg_start) pairs —
+    // grid-clamped in-kernel (e0 rides along), so the out-of-grid starts
+    // the plan used to discard with a join against the segment table are
+    // never emitted and the fused aggregate below runs directly on the
+    // explode with map-side partial aggregation (see calculateWide's
+    // step-3 note)
+    val withStart = internal.join(bounds, Seq("__key"))
     val assigned = {
       val si = unpackIdx(col("__p"))
       withStart.select(
         col("__key") +: col("__idx") +: col("__s0") +: valueCols.map(col) :+
           explode(graft.expr.AssignPacked(col("__idx"), col("__s0"),
-            specW, specSt)).as("__p"): _*)
+            col("__e0"), specW, specSt, includeFinalWindow)).as("__p"): _*)
         .select(col("__key") +: pick(si, specW).as("__w") +:
           (col("__s0") + unpackK(col("__p")) * pick(si, specSt))
             .as("__seg_start") +:
           col("__idx") +: valueCols.map(col): _*)
-        .join(segments, Seq("__key", "__w", "__seg_start"))
     }
 
     // 4. ONE fused aggregate across all windows, empties restored per window

@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
@@ -13,8 +13,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * arithmetic, applied per entity):
   *
   *   - ASSIGNMENT: every data row joins the (window, stride) segments that
-  *     contain it — k in [kmin, kmax] per spec (strided_rolling's half-open
-  *     [start, start+window) membership solved for the segment counter k);
+  *     contain it — k in [kmin, min(kmax, nb-1)] per spec (strided_rolling's
+  *     half-open [start, start+window) membership solved for the segment
+  *     counter k, clamped to the key's own grid so no join is needed to
+  *     discard out-of-grid starts);
   *   - SEGMENTS: every key emits its own segment grid — k in [0, nb) per
   *     spec.
   *
@@ -51,22 +53,37 @@ object AssignKernelUtil {
   }
 
   /** Packed (spec, k) pairs of the segments CONTAINING index `t` for a key
-    * whose range starts at `s0`: k in [kmin, kmax] per spec, kmin =
-    * max(0, floor((t-s0-w)/st)+1), kmax = floor((t-s0)/st). With more than
-    * one spec, pairs are deduped on the exact (w, s0 + k·st) doubles —
-    * matching `array_distinct` over the replaced struct(w, s) elements
-    * (single-spec plans skipped the distinct, so the kernel does too).
-    * First-spec-wins: the survivor's packed (spec, k) decodes to the same
-    * (w, s) doubles the loser would have.
+    * whose range is [s0, e0]: k in [kmin, min(kmax, nb-1)] per spec, kmin =
+    * max(0, floor((t-s0-w)/st)+1), kmax = floor((t-s0)/st), nb the key's own
+    * grid size ([[segments]]' per-spec bound, includeFinal included). The
+    * GRID CLAMP is what lets the callers drop their
+    * assignment-join-segments filter: the replaced plan emitted unclamped
+    * pairs and inner-joined the segment table to discard starts past the
+    * key's grid — an exchange + sort of the full fan-out BEFORE any
+    * aggregation. Clamped, every emitted pair is a grid member by
+    * construction, so the per-segment aggregate runs directly on the
+    * explode with map-side partial aggregation and the fan-out is never
+    * shuffled at full row width.
+    *
+    * With more than one spec, pairs are deduped on the exact
+    * (w, s0 + k·st) doubles — matching `array_distinct` over the replaced
+    * struct(w, s) elements (single-spec plans skipped the distinct, so the
+    * kernel does too). First-spec-wins among the VALID (in-grid) pairs:
+    * value-identical to the replaced emit-all-then-filter plan, because a
+    * dedup survivor that the grid filter would have discarded implies an
+    * in-grid loser with the SAME (w, s) doubles, which the clamped kernel
+    * then emits instead (and both decode to those shared doubles).
     */
-  def assign(t: Double, s0: Double,
-             ws: Array[Double], sts: Array[Double]): ArrayData = {
+  def assign(t: Double, s0: Double, e0: Double,
+             ws: Array[Double], sts: Array[Double],
+             includeFinal: Boolean): ArrayData = {
     val n = ws.length
     var total = 0L
     var i = 0
     while (i < n) {
       val kmin = math.max(0L, floorL((t - s0 - ws(i)) / sts(i)) + 1L)
-      val kmax = floorL((t - s0) / sts(i))
+      val kmax = math.min(floorL((t - s0) / sts(i)),
+        nbOf(s0, e0, ws(i), sts(i), includeFinal) - 1L)
       if (kmax >= kmin) total += checkK(kmax) - kmin + 1L
       i += 1
     }
@@ -83,7 +100,8 @@ object AssignKernelUtil {
     while (i < n) {
       val w = ws(i); val st = sts(i)
       var k = math.max(0L, floorL((t - s0 - w) / st) + 1L)
-      val kmax = floorL((t - s0) / st)
+      val kmax = math.min(floorL((t - s0) / st),
+        nbOf(s0, e0, w, st, includeFinal) - 1L)
       while (k <= kmax) {
         var dup = false
         var s = 0.0
@@ -169,12 +187,19 @@ object AssignKernelUtil {
 
   private def nbOf(s0: Double, e0: Double, w: Double, st: Double,
                    includeFinal: Boolean): Long = {
-    val nb0 = math.max(floorL((e0 - s0 - w) / st) + 1L, 0L)
-    if (includeFinal && s0 + st * nb0 <= e0) nb0 + 1L else nb0
+    // floorL saturates at Long.MaxValue for astronomically fine strides —
+    // the naive +1 then WRAPS negative and max(…, 0) turns the overflow
+    // into a silently EMPTY grid, skipping the 2^56 checkK guard both here
+    // (segments) and in assign's kmax clamp; saturate instead so checkK
+    // stays loud
+    val f = floorL((e0 - s0 - w) / st)
+    val nb0 = if (f == Long.MaxValue) Long.MaxValue else math.max(f + 1L, 0L)
+    if (nb0 != Long.MaxValue && includeFinal && s0 + st * nb0 <= e0) nb0 + 1L
+    else nb0
   }
 }
 
-private[expr] trait PackedPairKernel extends BinaryExpression {
+private[expr] trait PackedPairKernel { self: Expression =>
   def ws: Seq[Double]
   def sts: Seq[Double]
   require(ws.length == sts.length && ws.nonEmpty, "ws/sts must align")
@@ -185,30 +210,36 @@ private[expr] trait PackedPairKernel extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 }
 
-/** Row→segments assignment as packed (spec, k) longs — see
-  * [[AssignKernelUtil.assign]]. Children: (idx, s0) doubles. */
-case class AssignPacked(left: Expression, right: Expression,
-                        ws: Seq[Double], sts: Seq[Double])
-  extends PackedPairKernel {
+/** Row→segments assignment as packed (spec, k) longs, grid-clamped — see
+  * [[AssignKernelUtil.assign]]. Children: (idx, s0, e0) doubles. */
+case class AssignPacked(first: Expression, second: Expression,
+                        third: Expression,
+                        ws: Seq[Double], sts: Seq[Double],
+                        includeFinal: Boolean)
+  extends TernaryExpression with PackedPairKernel {
   override def prettyName: String = "assign_packed"
-  override def nullSafeEval(t: Any, s0: Any): Any =
+  override def nullSafeEval(t: Any, s0: Any, e0: Any): Any =
     AssignKernelUtil.assign(t.asInstanceOf[Double], s0.asInstanceOf[Double],
-      wsArr, stsArr)
+      e0.asInstanceOf[Double], wsArr, stsArr, includeFinal)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (t, s0) => {
+    nullSafeCodeGen(ctx, ev, (t, s0, e0) => {
       val wsRef = ctx.addReferenceObj("assignWs", wsArr, "double[]")
       val stsRef = ctx.addReferenceObj("assignSts", stsArr, "double[]")
-      s"${ev.value} = graft.expr.AssignKernelUtil.assign($t, $s0, $wsRef, $stsRef);"
+      s"${ev.value} = graft.expr.AssignKernelUtil.assign($t, $s0, $e0, " +
+        s"$wsRef, $stsRef, $includeFinal);"
     })
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): AssignPacked =
-    copy(left = newLeft, right = newRight)
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): AssignPacked =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 object AssignPacked {
-  def apply(idx: Column, s0: Column,
-            ws: Seq[Double], sts: Seq[Double]): Column =
+  def apply(idx: Column, s0: Column, e0: Column,
+            ws: Seq[Double], sts: Seq[Double],
+            includeFinal: Boolean): Column =
     ColumnBridge.column(AssignPacked(ColumnBridge.expression(idx),
-      ColumnBridge.expression(s0), ws, sts))
+      ColumnBridge.expression(s0), ColumnBridge.expression(e0), ws, sts,
+      includeFinal))
 }
 
 /** Per-key segment grid as packed (spec, k) longs — see
@@ -216,7 +247,7 @@ object AssignPacked {
 case class SegmentsPacked(left: Expression, right: Expression,
                           ws: Seq[Double], sts: Seq[Double],
                           includeFinal: Boolean, dedupOnKoff: Boolean)
-  extends PackedPairKernel {
+  extends BinaryExpression with PackedPairKernel {
   override def prettyName: String = "segments_packed"
   override def nullSafeEval(s0: Any, e0: Any): Any =
     AssignKernelUtil.segments(s0.asInstanceOf[Double], e0.asInstanceOf[Double],

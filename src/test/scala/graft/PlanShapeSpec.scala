@@ -19,10 +19,10 @@ package graft
   *    bounded-side crossJoin (one-row stats / bounds frame, broadcast);
   *  - q21's 7 broadcast joins are the PPJoin stats/threshold sides — the
   *    one SMJ is the candidate-verify self-join, which must shuffle;
-  *  - q72's 16 exchanges are the keyed multi-window explode + aggregate +
-  *    anchor pivot (hash-partitioned on the entity key) plus one tiny
-  *    spreadBounds round-robin repartition per static bounds reference
-  *    (see the table entry's r13 note).
+  *  - q72's 6 exchanges are the keyed multi-window explode + aggregate +
+  *    anchor pivot (hash-partitioned on the entity key) plus the two tiny
+  *    spreadBounds round-robin repartitions protecting the explode
+  *    consumers (see the table entry's r13/r16 notes).
   */
 class PlanShapeSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
@@ -34,17 +34,23 @@ class PlanShapeSpec extends SparkSpec {
       "sort_merge_join" -> 1, "shuffled_hash_join" -> 0,
       "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0),
     // 9 → 16 shuffles in r13 (spreadBounds round-robin per static bounds
-    // reference — see git history), 16 → 10 in r16: the packed segment
-    // kernel (AssignKernels.scala) generates the whole multi-spec grid in
-    // ONE explode with in-kernel (w, koff) dedup, deleting the per-spec
-    // union's 6 extra static bounds/spreadBounds subtrees AND the segment
-    // table's full distinct() shuffle. The remaining 10 are the entity-key
-    // aggregate/join/pivot exchanges plus the (now two) spreadBounds
-    // round-robins protecting the explode consumers from AQE coalescing.
+    // reference — see git history), 16 → 10 in r16 tranche 1: the packed
+    // segment kernel (AssignKernels.scala) generates the whole multi-spec
+    // grid in ONE explode with in-kernel (w, koff) dedup, deleting the
+    // per-spec union's 6 extra static bounds/spreadBounds subtrees AND the
+    // segment table's full distinct() shuffle. 10 → 6 in r16 tranche 2:
+    // the GRID CLAMP (e0 into AssignPacked) deletes the
+    // assignment-join-segments filter — the fan-out's SMJ (the plan's only
+    // sort of the row×window pairs at full width) is gone, the fused
+    // aggregate runs directly on the explode with map-side partials, and
+    // the W7 left join rides the aggregate's partitioning. The remaining 6
+    // are the entity-key aggregate/join/pivot exchanges plus the two
+    // spreadBounds round-robins protecting the explode consumers from AQE
+    // coalescing.
     "q72_keyed_multiwin" -> Map(
-      "shuffle_exchange" -> 10, "broadcast_exchange" -> 2,
+      "shuffle_exchange" -> 6, "broadcast_exchange" -> 2,
       "reused_exchange" -> 0, "broadcast_hash_join" -> 2,
-      "sort_merge_join" -> 1, "shuffled_hash_join" -> 0,
+      "sort_merge_join" -> 0, "shuffled_hash_join" -> 0,
       "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0),
     "q73_corpus_prep_fuzzy" -> Map(
       "shuffle_exchange" -> 7, "broadcast_exchange" -> 4,

@@ -58,42 +58,76 @@ class AssignKernelsSpec extends SparkSpec {
     Seq.fill(n)(r.nextDouble() * 40 - 5)
   }
 
-  test("assign ≡ old transform/sequence/array_distinct form (multi-spec)") {
-    import spark.implicits._
-    val ws = Seq(6.0, 6.0, 3.0)
-    val sts = Seq(2.0, 3.0, 1.5)
-    // s0 fixed per group; t sweeps dense + negative + exact-boundary values
-    val ts = randDoubles(300, 7L) ++ Seq(0.0, 2.0, 3.0, 6.0, 6.000000001,
-      -1.0, 11.999999999, 12.0)
-    val df = ts.toDF("t").withColumn("s0", lit(0.0))
-    val got = df.select(col("t"),
-        explode(AssignPacked(col("t"), col("s0"), ws, sts)).as("p"))
-      .select(col("t"), decode(col("p"), ws, sts, lit(0.0))._1.as("w"),
-        decode(col("p"), ws, sts, lit(0.0))._2.as("s"))
-      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
-      .toSeq.sorted
-    val want = df.select(col("t"),
-        explode(oldAssign(col("t"), col("s0"), ws, sts)).as("x"))
-      .select(col("t"), col("x.w"), col("x.s"))
-      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
-      .toSeq.sorted
-    assert(got == want)
+  /** Value-level grid membership the replaced plan enforced with its
+    * assignment-join-segments filter: the distinct (w, s) starts across
+    * every spec's oldSegments grid. */
+  private def oldGrid(s0: Column, e0: Column, ws: Seq[Double],
+                      sts: Seq[Double], includeFinal: Boolean) = {
+    import org.apache.spark.sql.DataFrame
+    def one(base: DataFrame, w: Double, st: Double): DataFrame =
+      base.select(col("t"),
+          explode(oldSegments(s0, e0, w, st, includeFinal)).as("k"))
+        .select(col("t"), lit(w).as("gw"),
+          (s0 + col("k").cast("double") * lit(st)).as("gs"))
+    (base: DataFrame) => ws.zip(sts).map { case (w, st) => one(base, w, st) }
+      .reduce(_ unionAll _).select("t", "gw", "gs").distinct()
   }
 
-  test("assign ≡ old form: single spec skips dedup identically") {
+  test("assign ≡ old transform form JOINED to the grid (multi-spec, clamp)") {
+    import spark.implicits._
+    for (includeFinal <- Seq(false, true)) {
+      val ws = Seq(6.0, 6.0, 3.0)
+      val sts = Seq(2.0, 3.0, 1.5)
+      // s0/e0 fixed per group; e0 = 12 makes the clamp bite (unclamped kmax
+      // runs past the grid for every t near the tail); t sweeps dense +
+      // negative + exact-boundary + past-the-end values
+      val ts = randDoubles(300, 7L) ++ Seq(0.0, 2.0, 3.0, 6.0, 6.000000001,
+        -1.0, 11.999999999, 12.0, 13.5)
+      val df = ts.toDF("t").withColumn("s0", lit(0.0))
+        .withColumn("e0", lit(12.0))
+      val got = df.select(col("t"),
+          explode(AssignPacked(col("t"), col("s0"), col("e0"), ws, sts,
+            includeFinal)).as("p"))
+        .select(col("t"), decode(col("p"), ws, sts, lit(0.0))._1.as("w"),
+          decode(col("p"), ws, sts, lit(0.0))._2.as("s"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+        .toSeq.sorted
+      // the REPLACED PLAN: unclamped pairs, then an inner join discarding
+      // (w, s) starts outside the key's own value-level segment grid
+      val pairs = df.select(col("t"),
+          explode(oldAssign(col("t"), col("s0"), ws, sts)).as("x"))
+        .select(col("t"), col("x.w"), col("x.s"))
+      val grid = oldGrid(lit(0.0), lit(12.0), ws, sts, includeFinal)(df)
+      val want = pairs.join(grid,
+          pairs("t") === grid("t") && col("w") === col("gw") &&
+            col("s") === col("gs"))
+        .select(pairs("t"), col("w"), col("s"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+        .toSeq.sorted
+      assert(want.nonEmpty && got == want, s"includeFinal=$includeFinal")
+    }
+  }
+
+  test("assign ≡ old form joined to the grid: single spec skips dedup") {
     import spark.implicits._
     val ws = Seq(4.0); val sts = Seq(1.0)
     val df = (randDoubles(100, 11L) ++ Seq(Double.NaN)).toDF("t")
-      .withColumn("s0", lit(2.5))
+      .withColumn("s0", lit(2.5)).withColumn("e0", lit(20.0))
     val got = df.select(col("t"), col("s0"),
-        explode(AssignPacked(col("t"), col("s0"), ws, sts)).as("p"))
+        explode(AssignPacked(col("t"), col("s0"), col("e0"), ws, sts,
+          includeFinal = false)).as("p"))
       .select(col("t"), decode(col("p"), ws, sts, col("s0"))._2.as("s"))
       .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq.sorted
-    val want = df.select(col("t"),
+    val pairs = df.select(col("t"),
         explode(oldAssign(col("t"), col("s0"), ws, sts)).as("x"))
-      .select(col("t"), col("x.s"))
+      .select(col("t"), col("x.w"), col("x.s"))
+    val grid = oldGrid(lit(2.5), lit(20.0), ws, sts, includeFinal = false)(df)
+    val want = pairs.join(grid,
+        pairs("t") === grid("t") && col("w") === col("gw") &&
+          col("s") === col("gs"))
+      .select(pairs("t"), col("s"))
       .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq.sorted
-    assert(got == want)
+    assert(want.nonEmpty && got == want)
     // NaN t emits nothing in both forms
     assert(!got.exists(_._1.isNaN))
   }
@@ -158,8 +192,8 @@ class AssignKernelsSpec extends SparkSpec {
     val e = intercept[org.apache.spark.SparkException] {
       import spark.implicits._
       Seq(1e18).toDF("t").withColumn("s0", lit(0.0))
-        .select(explode(AssignPacked(col("t"), col("s0"),
-          Seq(2.0), Seq(1e-9))).as("p"))
+        .select(explode(AssignPacked(col("t"), col("s0"), lit(2e18),
+          Seq(2.0), Seq(1e-9), includeFinal = false)).as("p"))
         .collect()
     }
     assert(e.getMessage.contains("2^56") ||
