@@ -208,6 +208,11 @@ object Scan {
                      rankCol: String, countCol: String,
                      broadcastLimit: Long = 4000000L): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
+    // __loc/__off/__tot ride unqualified through withColumn/agg below — a
+    // caller column with one of those names would be silently REPLACED
+    // (withColumn semantics), corrupting data instead of failing loudly
+    Seq("__loc", "__off", "__tot").foreach(r =>
+      require(!df.columns.contains(r), s"$r is reserved by keyedRank"))
     pinnedOrder(df) // validate: untagged __pid is reserved-name collision
     val p = pinPartitions(
       df.drop("__pid").repartitionByRange((keyCols :+ orderCol).map(col): _*),
