@@ -128,16 +128,10 @@ object FeatureFuncs {
     val pairs = array_sort(collect_list(
       when(v.isNotNull, struct(idx.as("i"), v.as("v")))))
     val vals = transform(pairs, p => p.getField("v"))
-    // native-count slice lengths (size(vals) would re-evaluate the
-    // collect+sort chain per reference); <2-sample windows short-circuit
-    // to 0 (a single sample has no successive differences)
-    val m = greatest(count(v) - 1, lit(0L)).cast("int")
+    // <2-sample windows short-circuit to 0 (a single sample has no
+    // successive differences); the fold is a TemporalFoldK primitive pass
     when(count(v) <= 1, lit(0.0)).otherwise(
-      aggregate(
-        zip_with(slice(vals, lit(1), m),
-                 slice(vals, lit(2), m),
-                 (a, b) => abs(b - a)),
-        lit(0.0), (acc, x) => acc + x))
+      graft.expr.TemporalFoldK(vals, graft.expr.TemporalFoldK.ABS_DIFF_SUM))
   }, emptyValue = Some(lit(0.0)))
 
   /** Slope of the least-squares line of value against index. */
@@ -211,42 +205,27 @@ object FeatureFuncs {
   /** tsfresh `number_crossing_m`: count of index-consecutive pairs strictly
     * straddling `m` (np.diff(x > m) != 0 — touching `m` is not a crossing).
     */
-  def crossings(m: Double): FeatureFunc = FeatureFunc(s"crossings_$m", (idx, v) => {
-    val vals = sortedVals(idx, v)
-    val above = transform(vals, x => (x > lit(m)).cast("int"))
-    val len = greatest(count(v) - 1, lit(0L)).cast("int") // native, O(1)
+  def crossings(m: Double): FeatureFunc = FeatureFunc(s"crossings_$m", (idx, v) =>
     when(count(v) <= 1, lit(0L)).otherwise(
-      aggregate(
-        zip_with(slice(above, lit(1), len),
-                 slice(above, lit(2), len),
-                 (a, b) => when(a =!= b, 1L).otherwise(0L)),
-        lit(0L), (acc, x) => acc + x))
-  }, emptyValue = Some(lit(0L)))
+      graft.expr.CrossingsK(sortedVals(idx, v), lit(m))),
+    emptyValue = Some(lit(0L)))
 
   /** seglearn `zero_crossings` equivalent: crossings of 0. */
   val zeroCrossings: FeatureFunc = crossings(0.0).as("zero_crossings")
 
   /** seglearn `mean_crossings`: crossings of the window's own mean.
     *
-    * The mean is the NATIVE `avg` aggregate, not an array fold: an
-    * aggregate sub-expression is evaluated once per window and referenced
-    * O(1) inside the lambda, whereas a fold expression EMBEDDED in a lambda
-    * is re-evaluated per element — O(n²) per window, observed as a stalled
-    * single core on 3k-row windows at sf0.1 (same rule applied to
-    * [[autocorr]] and [[binnedEntropy]] below).
+    * The mean is the NATIVE `avg` aggregate, evaluated once per window and
+    * passed to the kernel as its scalar child (same rule as [[autocorr]]
+    * and [[ratioBeyondRSigma]]); the crossing count itself is one
+    * [[graft.expr.CrossingsK]] primitive pass with Spark's NaN-greatest
+    * `>` semantics — the r16 kernels replaced this stock's Catalyst HOF
+    * chains (a boxed element per fold step).
     */
-  val meanCrossings: FeatureFunc = FeatureFunc("mean_crossings", (idx, v) => {
-    val vals = sortedVals(idx, v)
-    val mu = avg(v)
-    val above = transform(vals, x => (x > mu).cast("int"))
-    val len = greatest(count(v) - 1, lit(0L)).cast("int") // native, O(1)
+  val meanCrossings: FeatureFunc = FeatureFunc("mean_crossings", (idx, v) =>
     when(count(v) <= 1, lit(0L)).otherwise(
-      aggregate(
-        zip_with(slice(above, lit(1), len),
-                 slice(above, lit(2), len),
-                 (a, b) => when(a =!= b, 1L).otherwise(0L)),
-        lit(0L), (acc, x) => acc + x))
-  }, emptyValue = Some(lit(0L)))
+      graft.expr.CrossingsK(sortedVals(idx, v), avg(v))),
+    emptyValue = Some(lit(0L)))
 
   /** tsfresh `autocorrelation` at `lag`:
     * Σ_{t≤n−lag} (x_t − μ)(x_{t+lag} − μ) / ((n − lag) · σ²_pop), index-ordered;
@@ -255,17 +234,11 @@ object FeatureFuncs {
   def autocorr(lag: Int): FeatureFunc = {
     require(lag >= 1, "autocorrelation lag must be >= 1")
     FeatureFunc(s"autocorr_$lag", (idx, v) => {
-      val vals = sortedVals(idx, v)
-      val n = count(v) // native (size(vals) re-evaluates the chain per ref)
-      // native aggregates: referenced O(1) inside the zip_with lambda (an
-      // array fold embedded there would re-run per element — O(n²))
-      val mu = avg(v)
+      val n = count(v) // native
+      // mean and variance stay NATIVE aggregates (one eval per window);
+      // the lagged-product fold is a primitive kernel pass
       val varp = var_pop(v)
-      val m = greatest(n - lit(lag.toLong), lit(0L)).cast("int")
-      val cov = aggregate(
-        zip_with(slice(vals, lit(1), m), slice(vals, lit(1 + lag), m),
-          (a, b) => (a - mu) * (b - mu)),
-        lit(0.0), (acc, x) => acc + x) / m.cast("double")
+      val cov = graft.expr.AutocorrCovK(sortedVals(idx, v), avg(v), lag)
       when(n > lit(lag) && varp > 0, cov / varp)
     })
   }
@@ -276,102 +249,51 @@ object FeatureFuncs {
     */
   def binnedEntropy(bins: Int): FeatureFunc = {
     require(bins >= 1, "binned_entropy needs >= 1 bin")
-    FeatureFunc(s"binned_entropy_$bins", (idx, v) => {
-      // histogram counts are order-independent: plain collect (no sort) and
-      // ONE fold carrying a per-bin array counter, same shape as histCounts
-      // — the previous per-bin size(filter(vals, ...)) re-evaluated the
-      // collect chain once per bin (HOF chains get no codegen CSE)
-      val vals = collect_list(v)
-      val n = count(v).cast("double") // native, O(1) reference
-      val mn = org.apache.spark.sql.functions.min(v)
-      val mx = org.apache.spark.sql.functions.max(v)
-      val binOf: Column => Column = x =>
-        when(mx > mn,
-          least(floor((x - mn) / (mx - mn) * lit(bins)), lit(bins - 1)).cast("int"))
-          .otherwise(lit(0))
-      val counts = aggregate(vals,
-        array((0 until bins).map(_ => lit(0L)): _*),
-        (acc, x) => {
-          val b = binOf(x)
-          transform(acc, (c, i) => when(i === b, c + 1L).otherwise(c))
-        })
-      when(n > 0,
-        aggregate(counts, lit(0.0), (acc, c0) => {
-          val c = c0.cast("double")
-          acc + when(c > 0, -(c / n) * log(c / n)).otherwise(lit(0.0))
-        }))
-    })
+    FeatureFunc(s"binned_entropy_$bins", (idx, v) =>
+      // histogram counts are order-independent: plain collect (no sort),
+      // then ONE primitive kernel pass computes min/max, the per-bin
+      // counts and the entropy — the previous Catalyst fold rebuilt the
+      // per-bin counter ARRAY once per element (the HistCountsK problem)
+      when(count(v) > 0,
+        graft.expr.BinnedEntropyK(collect_list(v.cast("double")), bins)))
   }
 
   /** tsfresh `cid_ce` (complexity-invariant distance, unnormalized):
     * sqrt(Σ (x_{t+1} − x_t)²) over the index-sorted window; NULL for
     * windows shorter than 2.
     */
-  val cidCe: FeatureFunc = FeatureFunc("cid_ce", (idx, v) => {
-    val vals = sortedVals(idx, v)
-    val n = count(v) // native
-    val m = greatest(n - 1, lit(0L)).cast("int")
-    when(n >= 2, sqrt(aggregate(
-      zip_with(slice(vals, lit(1), m), slice(vals, lit(2), m),
-        (a, b) => (b - a) * (b - a)),
-      lit(0.0), (acc, x) => acc + x)))
-  })
+  val cidCe: FeatureFunc = FeatureFunc("cid_ce", (idx, v) =>
+    when(count(v) >= 2, sqrt(graft.expr.TemporalFoldK(sortedVals(idx, v),
+      graft.expr.TemporalFoldK.SUM_SQ_DIFF))))
 
   /** tsfresh `number_peaks` with support 1: strict local maxima (greater
-    * than BOTH immediate neighbors, boundaries excluded). Every reference
-    * to the window array sits OUTSIDE the lambdas — an `element_at(vals, i)`
-    * inside a per-element lambda re-evaluates the whole collect+sort per
-    * element (no CSE across lambda bodies; see [[meanCrossings]]), which
-    * turned this aggregate O(n² log n) and stalled q80 for ~2 min at sf0.1.
+    * than BOTH immediate neighbors, boundaries excluded).
     */
-  val numberPeaks1: FeatureFunc = FeatureFunc("number_peaks_1", (idx, v) => {
-    val vals = sortedVals(idx, v)
-    val n = count(v) // native
-    val m2 = greatest(n - 2, lit(0L)).cast("int")
-    val mid = slice(vals, lit(2), m2)
-    val gtPrev = zip_with(mid, slice(vals, lit(1), m2),
-      (m, p) => (m > p).cast("int"))
-    val gtNext = zip_with(mid, slice(vals, lit(3), m2),
-      (m, x) => (m > x).cast("int"))
-    when(n >= 3, aggregate(
-      zip_with(gtPrev, gtNext,
-        (a, b) => when(a === 1 && b === 1, 1L).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)).otherwise(lit(0L))
-  }, emptyValue = Some(lit(0L)))
+  val numberPeaks1: FeatureFunc = FeatureFunc("number_peaks_1", (idx, v) =>
+    // number_peaks at support 1 IS neighbourhood_peaks(1): strictly
+    // greater than both immediate neighbours, boundaries excluded —
+    // served by the same primitive kernel (Java NaN comparisons; NaN
+    // windows are outside the oracle contract, see the module note)
+    graft.expr.NeighbourhoodPeaksK(sortedVals(idx, v), 1),
+    emptyValue = Some(lit(0L)))
 
   /** tsfresh `longest_strike_above_mean`: length of the longest run of
-    * consecutive (index-ordered) values strictly above the window mean.
-    * One linear fold carrying (best, current-run); the mean is the native
-    * aggregate referenced O(1) inside the lambda (see [[meanCrossings]]).
+    * consecutive (index-ordered) values strictly above the window mean
+    * (native avg as the kernel's scalar child, see [[meanCrossings]]).
     */
   val longestStrikeAboveMean: FeatureFunc =
-    FeatureFunc("longest_strike_above_mean", (idx, v) => {
-      val vals = sortedVals(idx, v)
-      val mu = avg(v)
-      aggregate(vals,
-        struct(lit(0L).as("best"), lit(0L).as("cur")),
-        (acc, x) => {
-          val cur2 = when(x > mu, acc.getField("cur") + 1L).otherwise(lit(0L))
-          struct(greatest(acc.getField("best"), cur2).as("best"),
-            cur2.as("cur"))
-        },
-        acc => acc.getField("best"))
-    }, emptyValue = Some(lit(0L)))
+    FeatureFunc("longest_strike_above_mean", (idx, v) =>
+      graft.expr.LongestStrikeK(sortedVals(idx, v), avg(v)),
+      emptyValue = Some(lit(0L)))
 
   /** tsfresh `ratio_beyond_r_sigma`: fraction of window values with
     * |x − μ| > r·σ_pop; NULL on empty windows.
     */
   def ratioBeyondRSigma(r: Int): FeatureFunc = {
     require(r >= 1, "sigma multiple must be >= 1")
-    FeatureFunc(s"beyond_${r}sigma", (idx, v) => {
-      val vals = sortedVals(idx, v)
-      val mu = avg(v)
-      val sd = stddev_pop(v)
-      val n = count(v) // native (size(vals) re-evaluates the chain)
-      when(n > 0,
-        size(filter(vals, x => abs(x - mu) > lit(r.toDouble) * sd))
-          .cast("double") / n.cast("double"))
-    })
+    FeatureFunc(s"beyond_${r}sigma", (idx, v) =>
+      when(count(v) > 0, graft.expr.RatioBeyondK(sortedVals(idx, v),
+        avg(v), stddev_pop(v), r.toDouble)))
   }
 
   // ---- entropy tranche (the reference integration surface's antropy /
@@ -916,35 +838,15 @@ object FeatureFuncs {
   // aggregate on the slice/zip_with machinery above — the window array is
   // never referenced inside a lambda body (the [[numberPeaks1]] trap).
 
-  /** First differences of the index-sorted window, shared by the diff
-    * stock below. Empty for windows shorter than 2.
+  /** tsfel `mean_abs_diff`: mean of |Δx| over the index-sorted window —
+    * one [[graft.expr.TemporalFoldK]] primitive pass (np.mean of an empty
+    * diff → NULL for n < 2). The r16 kernels replace the former
+    * transform/zip_with/aggregate HOF chains of this diff stock — a boxed
+    * element per fold step, the q100 100× residual after the r15 kernels.
     */
-  private def sortedDiffs(idx: Column, v: Column): Column =
-    arrDiffs(sortedVals(idx, v), lenMinus(v, 1))
-
-  /** Linear-interpolated median of an array column (np.median: mean of the
-    * two middle order statistics for even length). `n` must be the array's
-    * length as a NATIVE aggregate (count-derived) so the sorted chain is
-    * referenced only by the 1–2 element_at probes — every extra reference
-    * re-evaluates the whole HOF chain per window (see [[meanCrossings]]).
-    */
-  private def arrMedian(a: Column, n: Column): Column = {
-    val s = array_sort(a)
-    val h = floor(n / lit(2.0)).cast("int") // ⌊n/2⌋ (Spark `/` is double)
-    when(n >= 1,
-      when(n % 2 === 1, element_at(s, h + 1))
-        .otherwise((element_at(s, h) + element_at(s, h + 1)) / 2.0))
-  }
-
-  /** tsfel `mean_abs_diff`: mean of |Δx| — [[absDiffSum]] over the native
-    * count (np.mean of an empty diff → NULL for n < 2).
-    */
-  val meanAbsDiff: FeatureFunc = FeatureFunc("mean_abs_diff", (idx, v) => {
-    val d = transform(sortedDiffs(idx, v), x => abs(x))
-    val n = count(v)
-    when(n >= 2, aggregate(d, lit(0.0), (acc, x) => acc + x)
-      / (n - 1).cast("double"))
-  })
+  val meanAbsDiff: FeatureFunc = FeatureFunc("mean_abs_diff", (idx, v) =>
+    when(count(v) >= 2, graft.expr.TemporalFoldK(sortedVals(idx, v),
+      graft.expr.TemporalFoldK.MEAN_ABS_DIFF)))
 
   /** tsfel `mean_diff`: mean of Δx = (xₙ − x₁)/(n − 1) — the telescoping
     * closed form, three NATIVE aggregates, no array at all.
@@ -954,24 +856,24 @@ object FeatureFuncs {
     when(n >= 2, (max_by(v, idx) - min_by(v, idx)) / (n - 1).cast("double"))
   })
 
-  /** tsfel `median_abs_diff` / `median_diff`: median of (|Δx| / Δx). The
-    * diff-array length is count(v) − 1, a native aggregate — so the diff
-    * chain is only referenced by the median's element probes.
+  /** tsfel `median_abs_diff` / `median_diff`: np.median of (|Δx| / Δx) —
+    * one primitive pass + one primitive diff sort (Arrays.sort matches
+    * Spark's array_sort double ordering: NaN last, −0.0 before 0.0);
+    * null when the window has no diffs (n < 2).
     */
   val medianAbsDiff: FeatureFunc = FeatureFunc("median_abs_diff",
-    (idx, v) => arrMedian(transform(sortedDiffs(idx, v), x => abs(x)),
-      greatest(count(v) - 1, lit(0L)).cast("int")))
+    (idx, v) => when(count(v) >= 2, graft.expr.TemporalFoldK(
+      sortedVals(idx, v), graft.expr.TemporalFoldK.MEDIAN_ABS_DIFF)))
   val medianDiff: FeatureFunc = FeatureFunc("median_diff",
-    (idx, v) => arrMedian(sortedDiffs(idx, v),
-      greatest(count(v) - 1, lit(0L)).cast("int")))
+    (idx, v) => when(count(v) >= 2, graft.expr.TemporalFoldK(
+      sortedVals(idx, v), graft.expr.TemporalFoldK.MEDIAN_DIFF)))
 
   /** tsfel `distance`: total curve length Σ √(1 + Δx²) (unit index step);
     * 0.0 for singleton windows (np.sum of an empty diff).
     */
   val curveDistance: FeatureFunc = FeatureFunc("distance", (idx, v) =>
-    when(count(v) >= 1,
-      aggregate(sortedDiffs(idx, v), lit(0.0),
-        (acc, d) => acc + sqrt(lit(1.0) + d * d))),
+    when(count(v) >= 1, graft.expr.TemporalFoldK(sortedVals(idx, v),
+      graft.expr.TemporalFoldK.DISTANCE)),
     emptyValue = None)
 
   /** tsfel `pk_pk_distance`: |max − min| — two native aggregates. */
@@ -986,16 +888,9 @@ object FeatureFuncs {
     */
   def aucFs(fs: Double): FeatureFunc = {
     require(fs > 0, "auc sampling rate must be > 0")
-    FeatureFunc(s"auc_fs$fs", (idx, v) => {
-      val vals = sortedVals(idx, v)
-      // native-count slice length: size(vals) inside the slice args would
-      // re-evaluate the collect+sort chain per reference
-      val m = greatest(count(v) - 1, lit(0L)).cast("int")
-      when(count(v) >= 1, aggregate(
-        zip_with(slice(vals, lit(1), m), slice(vals, lit(2), m),
-          (a, b) => abs(a + b)),
-        lit(0.0), (acc, x) => acc + x) * lit(0.5 / fs))
-    })
+    FeatureFunc(s"auc_fs$fs", (idx, v) =>
+      when(count(v) >= 1, graft.expr.TemporalFoldK(sortedVals(idx, v),
+        graft.expr.TemporalFoldK.AUC, fs)))
   }
 
   /** tsfel `calc_centroid` at sampling rate `fs`: energy-weighted time
@@ -1005,11 +900,12 @@ object FeatureFuncs {
   def calcCentroid(fs: Double): FeatureFunc = {
     require(fs > 0, "centroid sampling rate must be > 0")
     FeatureFunc(s"centroid_fs$fs", (idx, v) => {
-      val vals = sortedVals(idx, v)
-      // 2-arg transform gives the element's position — no element_at
-      val num = aggregate(
-        transform(vals, (x, i) => i.cast("double") * x * x),
-        lit(0.0), (acc, x) => acc + x) / lit(fs)
+      // numerator in-kernel (position-weighted energy over the sorted
+      // window, same left-to-right order the transform/fold chain used);
+      // denominator stays the NATIVE sum(v²) aggregate so the replaced
+      // form's exact summation orders are both preserved
+      val num = graft.expr.TemporalFoldK(sortedVals(idx, v),
+        graft.expr.TemporalFoldK.CENTROID_NUM, fs)
       val den = org.apache.spark.sql.functions.sum(v * v) // native, O(1) ref
       when(count(v) >= 1, when(den > 0, num / den).otherwise(lit(0.0)))
     })

@@ -1,7 +1,9 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -84,6 +86,206 @@ object TemporalKernelUtil {
     while (b < bins) { out(b) = counts(b); b += 1 }
     new GenericInternalRow(out)
   }
+  /** One-pass diff/trapezoid folds — see [[TemporalFoldK]] for the mode
+    * contract. Returns java.lang.Double or null.
+    */
+  def temporalFold(arr: ArrayData, mode: Int, fs: Double): Any = {
+    val n = arr.numElements()
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) { x(i) = arr.getDouble(i); i += 1 }
+    mode match {
+      case 0 => // MEAN_ABS_DIFF
+        if (n < 2) return null
+        var s = 0.0
+        i = 1
+        while (i < n) { s += math.abs(x(i) - x(i - 1)); i += 1 }
+        java.lang.Double.valueOf(s / (n - 1).toDouble)
+      case 1 | 2 => // MEDIAN_ABS_DIFF / MEDIAN_DIFF
+        val m = n - 1
+        if (m < 1) return null
+        val d = new Array[Double](m)
+        i = 0
+        while (i < m) {
+          d(i) = if (mode == 1) math.abs(x(i + 1) - x(i)) else x(i + 1) - x(i)
+          i += 1
+        }
+        java.util.Arrays.sort(d)
+        val h = m / 2
+        java.lang.Double.valueOf(
+          if (m % 2 == 1) d(h) else (d(h - 1) + d(h)) / 2.0)
+      case 3 => // DISTANCE
+        var s = 0.0
+        i = 1
+        while (i < n) {
+          val dd = x(i) - x(i - 1)
+          s += math.sqrt(1.0 + dd * dd)
+          i += 1
+        }
+        java.lang.Double.valueOf(s)
+      case 4 => // AUC
+        var s = 0.0
+        i = 1
+        while (i < n) { s += math.abs(x(i - 1) + x(i)); i += 1 }
+        java.lang.Double.valueOf(s * (0.5 / fs))
+      case 5 => // CENTROID_NUM
+        var s = 0.0
+        i = 0
+        while (i < n) { s += i.toDouble * x(i) * x(i); i += 1 }
+        java.lang.Double.valueOf(s / fs)
+      case 6 => // ABS_DIFF_SUM
+        var s = 0.0
+        i = 1
+        while (i < n) { s += math.abs(x(i) - x(i - 1)); i += 1 }
+        java.lang.Double.valueOf(s)
+      case 7 => // SUM_SQ_DIFF
+        var s = 0.0
+        i = 1
+        while (i < n) {
+          val dd = x(i) - x(i - 1)
+          s += dd * dd
+          i += 1
+        }
+        java.lang.Double.valueOf(s)
+    }
+  }
+  /** Spark SQL's double comparison for `>`: NaN is GREATER than every
+    * non-NaN and equal to itself. The kernels below replace Column forms
+    * whose comparisons inherited that ordering, so Java's NaN-always-false
+    * primitive compare would silently diverge on NaN windows — each use
+    * site is differential-pinned against the replaced form, NaN windows
+    * included (contrast [[neighbourhoodPeaks]], which deliberately keeps
+    * Java semantics — documented in the module note).
+    */
+  private def gtSpark(a: Double, b: Double): Boolean =
+    if (java.lang.Double.isNaN(a)) !java.lang.Double.isNaN(b)
+    else if (java.lang.Double.isNaN(b)) false
+    else a > b
+
+  /** tsfresh `number_crossing_m` core: count of consecutive pairs of the
+    * index-sorted window strictly straddling `thr` (touching is not a
+    * crossing). 0 for windows shorter than 2.
+    */
+  def crossings(arr: ArrayData, thr: Double): Long = {
+    val n = arr.numElements()
+    if (n <= 1) return 0L
+    var c = 0L
+    var prev = gtSpark(arr.getDouble(0), thr)
+    var i = 1
+    while (i < n) {
+      val cur = gtSpark(arr.getDouble(i), thr)
+      if (cur != prev) c += 1
+      prev = cur
+      i += 1
+    }
+    c
+  }
+
+  /** tsfresh `autocorrelation` numerator: Σ_{t<n−lag} (x_t−μ)(x_{t+lag}−μ)
+    * / (n−lag), left-to-right (μ is the caller's NATIVE avg aggregate).
+    * (n−lag) ≤ 0 gives 0.0/0 = NaN — exactly the replaced fold over empty
+    * slices divided by a zero count (the caller's n > lag guard discards
+    * it either way).
+    */
+  def autocorrCov(arr: ArrayData, mu: Double, lag: Int): Double = {
+    val n = arr.numElements()
+    val m = math.max(n - lag, 0)
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      s += (arr.getDouble(i) - mu) * (arr.getDouble(i + lag) - mu)
+      i += 1
+    }
+    s / m.toDouble
+  }
+
+  /** tsfresh `binned_entropy` (nats): Shannon entropy of the histogram
+    * over `bins` equal-width bins spanning [min, max] of the window
+    * itself; a window without a positive range (constant, or NaN-poisoned
+    * min/max under Spark's NaN-greatest ordering) puts every sample in
+    * bin 1, giving entropy 0 — matching the replaced Column chain's
+    * `when(mx > mn, …).otherwise(0)` bin rule and floor(NaN)→0 cast.
+    */
+  def binnedEntropy(arr: ArrayData, bins: Int): Double = {
+    val n = arr.numElements()
+    if (n == 0) return 0.0
+    val x = new Array[Double](n)
+    var i = 0
+    // Spark's min/max aggregates use the same NaN-greatest ordering:
+    // max picks NaN when any sample is NaN, min only when all are
+    var mn = x(0)
+    var mx = x(0)
+    i = 0
+    while (i < n) {
+      x(i) = arr.getDouble(i)
+      if (i == 0) { mn = x(i); mx = x(i) }
+      else {
+        if (gtSpark(mn, x(i))) mn = x(i)
+        if (gtSpark(x(i), mx)) mx = x(i)
+      }
+      i += 1
+    }
+    val counts = new Array[Long](bins)
+    val ranged = gtSpark(mx, mn)
+    i = 0
+    while (i < n) {
+      val b =
+        if (!ranged) 0
+        else {
+          val raw = math.floor((x(i) - mn) / (mx - mn) * bins).toLong
+          if (raw > bins - 1) bins - 1 else raw.toInt
+        }
+      counts(b) += 1
+      i += 1
+    }
+    var h = 0.0
+    var b = 0
+    val nd = n.toDouble
+    while (b < bins) {
+      val c = counts(b).toDouble
+      // StrictMath.log: Spark's ln expression delegates there, and
+      // Math.log's platform intrinsic can differ by 1 ulp — observed as a
+      // differential-spec failure against the replaced Column chain
+      if (c > 0) h += -(c / nd) * java.lang.StrictMath.log(c / nd)
+      b += 1
+    }
+    h
+  }
+
+  /** tsfresh `longest_strike_above_mean` core: longest run of consecutive
+    * index-sorted values strictly above `mu` (the caller's native avg).
+    */
+  def longestStrike(arr: ArrayData, mu: Double): Long = {
+    val n = arr.numElements()
+    var best = 0L
+    var cur = 0L
+    var i = 0
+    while (i < n) {
+      cur = if (gtSpark(arr.getDouble(i), mu)) cur + 1 else 0L
+      if (cur > best) best = cur
+      i += 1
+    }
+    best
+  }
+
+  /** tsfresh `ratio_beyond_r_sigma` core: fraction of samples with
+    * |x − μ| > r·σ (μ, σ the caller's native aggregates; the r·σ product
+    * is computed here with the same IEEE multiply the Column form used).
+    * NaN samples count as beyond (|NaN − μ| = NaN sorts above every
+    * finite bound under Spark's ordering).
+    */
+  def ratioBeyond(arr: ArrayData, mu: Double, sd: Double, r: Double): Double = {
+    val n = arr.numElements()
+    val bound = r * sd
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (gtSpark(math.abs(arr.getDouble(i) - mu), bound)) c += 1
+      i += 1
+    }
+    c.toDouble / n.toDouble
+  }
+
   type InternalRowLike = org.apache.spark.sql.catalyst.InternalRow
 }
 
@@ -121,4 +323,180 @@ case class HistCountsK(child: Expression, bins: Int)
 object HistCountsK {
   def apply(arr: Column, bins: Int): Column =
     ColumnBridge.column(HistCountsK(ColumnBridge.expression(arr), bins))
+}
+
+/** One-pass primitive folds over the index-sorted window — the r16 native
+  * twins of the remaining tsfel diff/trapezoid Catalyst HOF chains in
+  * FeatureFuncs (`transform`/`zip_with`/`aggregate` allocate a boxed
+  * element per step, and `array_sort` over a boxed diff array paid an
+  * interpreted comparator per compare — the q100 100× profile's residual
+  * after the r15 kernels). Each mode reproduces the replaced Column
+  * chain's IEEE operations in the same order (differential-pinned in
+  * TemporalFoldSpec):
+  *
+  *  - MEAN_ABS_DIFF: Σ|Δ| left-to-right / (n−1); null for n < 2.
+  *  - MEDIAN_ABS_DIFF / MEDIAN_DIFF: np.median of (|Δ| / Δ) — sort the
+  *    primitive diff array (Arrays.sort places NaN last and −0.0 before
+  *    0.0, exactly Spark's array_sort double ordering) and take the
+  *    middle element (odd) or the mean of the two middle elements (even);
+  *    null when the window has no diffs (n < 2).
+  *  - DISTANCE: Σ √(1 + Δ²) left-to-right; 0.0 when there are no diffs.
+  *  - AUC(fs): Σ |xᵢ + xᵢ₊₁| left-to-right, × (0.5 / fs) — the same
+  *    constant the Column form multiplied once at the end; 0.0 when there
+  *    are no pairs.
+  *  - CENTROID_NUM(fs): Σ i·xᵢ² (0-based position, left-to-right) / fs —
+  *    the NUMERATOR only: the energy denominator stays the native
+  *    sum(v²) aggregate outside the kernel, so the replaced form's exact
+  *    summation orders are both preserved.
+  *  - ABS_DIFF_SUM: Σ|Δ| left-to-right; 0.0 when there are no diffs.
+  *  - SUM_SQ_DIFF: Σ Δ² left-to-right (tsfresh cid_ce's radicand — the
+  *    caller applies the sqrt); 0.0 when there are no diffs.
+  */
+object TemporalFoldK {
+  val MEAN_ABS_DIFF = 0
+  val MEDIAN_ABS_DIFF = 1
+  val MEDIAN_DIFF = 2
+  val DISTANCE = 3
+  val AUC = 4
+  val CENTROID_NUM = 5
+  val ABS_DIFF_SUM = 6
+  val SUM_SQ_DIFF = 7
+
+  def apply(arr: Column, mode: Int, fs: Double = 1.0): Column =
+    ColumnBridge.column(TemporalFoldK(ColumnBridge.expression(arr), mode, fs))
+}
+
+case class TemporalFoldK(child: Expression, mode: Int, fs: Double)
+  extends ArrayDoubleKernel {
+  require(mode >= 0 && mode <= 7, s"unknown temporal-fold mode $mode")
+  require(fs > 0, "sampling rate must be > 0")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "temporal_fold"
+  override def nullSafeEval(a: Any): Any =
+    TemporalKernelUtil.temporalFold(a.asInstanceOf[ArrayData], mode, fs)
+  override protected def withNewChildInternal(
+      newChild: Expression): TemporalFoldK = copy(child = newChild)
+}
+
+/** (array<double>, double) kernel base — array child plus one scalar the
+  * caller computes as a NATIVE aggregate (mean / threshold), the
+  * EntropyKernels ArrayWidthKernel shape. */
+private[expr] trait ArrayScalarKernel extends BinaryExpression
+    with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, double), got (${l.sql}, ${r.sql})")
+    }
+  override def nullable: Boolean = true
+}
+
+/** Threshold-crossing count (see [[TemporalKernelUtil.crossings]]) —
+  * serves both tsfresh `number_crossing_m` (literal threshold) and
+  * seglearn `mean_crossings` (native avg as the scalar child). */
+case class CrossingsK(left: Expression, right: Expression)
+  extends ArrayScalarKernel {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "crossings"
+  override def nullSafeEval(a: Any, thr: Any): Any =
+    TemporalKernelUtil.crossings(a.asInstanceOf[ArrayData],
+      thr.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CrossingsK =
+    copy(left = newLeft, right = newRight)
+}
+object CrossingsK {
+  def apply(arr: Column, thr: Column): Column =
+    ColumnBridge.column(CrossingsK(ColumnBridge.expression(arr),
+      ColumnBridge.expression(thr)))
+}
+
+/** Autocorrelation numerator (see [[TemporalKernelUtil.autocorrCov]]);
+  * the caller divides by its native var_pop under the n > lag guard. */
+case class AutocorrCovK(left: Expression, right: Expression, lag: Int)
+  extends ArrayScalarKernel {
+  require(lag >= 1, "lag must be >= 1")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "autocorr_cov"
+  override def nullSafeEval(a: Any, mu: Any): Any =
+    java.lang.Double.valueOf(TemporalKernelUtil.autocorrCov(
+      a.asInstanceOf[ArrayData], mu.asInstanceOf[Double], lag))
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AutocorrCovK =
+    copy(left = newLeft, right = newRight)
+}
+object AutocorrCovK {
+  def apply(arr: Column, mu: Column, lag: Int): Column =
+    ColumnBridge.column(AutocorrCovK(ColumnBridge.expression(arr),
+      ColumnBridge.expression(mu), lag))
+}
+
+/** tsfresh binned entropy (see [[TemporalKernelUtil.binnedEntropy]]). */
+case class BinnedEntropyK(child: Expression, bins: Int)
+  extends ArrayDoubleKernel {
+  require(bins >= 1, "binned_entropy needs >= 1 bin")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "binned_entropy"
+  override def nullSafeEval(a: Any): Any =
+    java.lang.Double.valueOf(TemporalKernelUtil.binnedEntropy(
+      a.asInstanceOf[ArrayData], bins))
+  override protected def withNewChildInternal(
+      newChild: Expression): BinnedEntropyK = copy(child = newChild)
+}
+object BinnedEntropyK {
+  def apply(arr: Column, bins: Int): Column =
+    ColumnBridge.column(BinnedEntropyK(ColumnBridge.expression(arr), bins))
+}
+
+/** Longest strictly-above-scalar run (see
+  * [[TemporalKernelUtil.longestStrike]]). */
+case class LongestStrikeK(left: Expression, right: Expression)
+  extends ArrayScalarKernel {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "longest_strike"
+  override def nullSafeEval(a: Any, mu: Any): Any =
+    TemporalKernelUtil.longestStrike(a.asInstanceOf[ArrayData],
+      mu.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongestStrikeK =
+    copy(left = newLeft, right = newRight)
+}
+object LongestStrikeK {
+  def apply(arr: Column, mu: Column): Column =
+    ColumnBridge.column(LongestStrikeK(ColumnBridge.expression(arr),
+      ColumnBridge.expression(mu)))
+}
+
+/** |x − μ| > r·σ fraction (see [[TemporalKernelUtil.ratioBeyond]]);
+  * children: (array, μ, σ) with μ/σ the caller's native aggregates. */
+case class RatioBeyondK(first: Expression, second: Expression,
+                        third: Expression, r: Double)
+  extends TernaryExpression with CodegenFallback {
+  require(r >= 1, "sigma multiple must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType, DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, double, double), " +
+          s"got (${a.sql}, ${b.sql}, ${c.sql})")
+    }
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "ratio_beyond_sigma"
+  override def nullSafeEval(a: Any, mu: Any, sd: Any): Any =
+    java.lang.Double.valueOf(TemporalKernelUtil.ratioBeyond(
+      a.asInstanceOf[ArrayData], mu.asInstanceOf[Double],
+      sd.asInstanceOf[Double], r))
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): RatioBeyondK =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+object RatioBeyondK {
+  def apply(arr: Column, mu: Column, sd: Column, r: Double): Column =
+    ColumnBridge.column(RatioBeyondK(ColumnBridge.expression(arr),
+      ColumnBridge.expression(mu), ColumnBridge.expression(sd), r))
 }
