@@ -13,7 +13,13 @@ import scala.jdk.CollectionConverters._
   *    ratio alongside the in-suite vectors. The artifact therefore carries,
   *    for every run, the evidence needed to attribute a blowup: per-query GC
   *    time, post-GC heap, and codegen-compilation counts (the three JVM-
-  *    lifecycle suspects diagnosed in SCALE.md "Suite-context variance").
+  *    lifecycle suspects diagnosed in SCALE.md "Suite-context variance"),
+  *    plus — r17 — per-boundary system-load samples (load_mean/load_max),
+  *    the suite's executor-CPU totals (cpu_total + queries_cpu_warm, wall-
+  *    independent so sustained host noise is attributable against a
+  *    committed idle-box artifact), and a load-GATED third warm pass over
+  *    the whole suite feeding the structural line when the samples say the
+  *    host was elevated (extra_pass:true).
   *  - `runMain graft.Bench <name>...`: isolated-child mode — times ONLY the
   *    named queries with the same 2-pass protocol and prints the same JSON
   *    line (no fork, no file write unless SPARK_GRAFT_BENCH_OUT is set).
@@ -36,7 +42,7 @@ object Bench {
 
   private case class QRun(name: String, cold: Double, warm: Double,
                           gcColdMs: Long, gcWarmMs: Long, heapMb: Long,
-                          cgCold: Long, cgWarm: Long)
+                          cgCold: Long, cgWarm: Long, cpuWarm: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -139,6 +145,15 @@ object Bench {
     // describing — previously a child-JVM failure was invisible (stderr
     // discarded) and read as a genuine 30x suite-context blowup
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // Ambient-load record, one 1-minute load-average sample per query
+    // boundary (r16: the driver artifact's warm headline inflated 1.21×
+    // UNIFORMLY — including code-untouched queries — on host neighbor
+    // noise, and two warm passes plus a 12-query min-warm list could not
+    // settle sustained elevation). The samples (a) publish load_mean /
+    // load_max so a noisy run self-describes, and (b) gate the extra
+    // structural pass below.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     def once(name: String): (Double, Long, Long) = {
       val gc0 = gcMs(); val cg0 = cgCount()
       val t0 = System.nanoTime()
@@ -215,6 +230,8 @@ object Bench {
           }
         } else noDeleteDrains = 0
       }
+      val la = osBean.getSystemLoadAverage
+      if (la >= 0) loadSamples += la
       (sec, gcIn, cgIn)
     }
     // Child (isolated) mode may run EXTRA passes per query: a fresh JVM's
@@ -229,13 +246,34 @@ object Bench {
         math.max(2, sys.env.get("SPARK_GRAFT_BENCH_PASSES")
           .flatMap(_.toIntOption).getOrElse(2))
       else 2
+    // Always-on executor-CPU accounting for the WHOLE suite: the per-query
+    // warm CPU seconds (last pass) plus the run's cpu_total. CPU time is
+    // wall-independent — ambient contention inflates wall, not CPU — so a
+    // run whose wall total inflated over a committed idle-box artifact
+    // while cpu_total stayed flat self-attributes the gap to host noise
+    // from the two artifacts alone (the r16 regression's missing evidence).
+    // Per-query cells are APPROXIMATE (the listener bus is async and query
+    // boundaries don't drain it — a trailing task-end can credit the next
+    // query), but the sum is conserved; the strict-drain protocol stays on
+    // the slow-list queries_cpu vector below.
+    val cpuAllNs = new java.util.concurrent.atomic.AtomicLong(0)
+    val cpuAllL = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) cpuAllNs.addAndGet(e.taskMetrics.executorCpuTime)
+    }
+    spark.sparkContext.addSparkListener(cpuAllL)
     val timed = names.map { n =>
       val (cold, gcC, cgC) = once(n)
+      var c1 = cpuAllNs.get
       var (warm, gcW, cgW) = once(n)
+      var cpuW = (cpuAllNs.get - c1) / 1e9
       val passSecs = scala.collection.mutable.ArrayBuffer(cold, warm)
       var k = 2
       while (k < passes) {
+        c1 = cpuAllNs.get
         val r = once(n); warm = r._1; gcW = r._2; cgW = r._3
+        cpuW = (cpuAllNs.get - c1) / 1e9
         passSecs += r._1; k += 1
       }
       if (passes > 2)
@@ -246,7 +284,7 @@ object Bench {
         // silently mis-split into wrong integers
         println(s"""[bench-passes] $n ${passSecs.map(s =>
           "%.3f".formatLocal(java.util.Locale.ROOT, s)).mkString(",")}""")
-      QRun(n, cold, warm, gcC, gcW, heapUsedMb(), cgC, cgW)
+      QRun(n, cold, warm, gcC, gcW, heapUsedMb(), cgC, cgW, cpuW)
     }
     def jnum(f: QRun => Double) =
       timed.map(t => "\"" + t.name + "\":" + f(t)).mkString("{", ",", "}")
@@ -264,6 +302,31 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = timed.map(_.warm).sum
     val totalCold = timed.map(_.cold).sum
+    val cpuTotalWarm = timed.map(_.cpuWarm).sum
+
+    // Load-gated extra structural pass (r17 hardening): when the run's own
+    // boundary load samples say the host was ELEVATED during the measured
+    // passes (mean past the same cores/2-floored-at-6 calibration as the
+    // fork gate below), every query gets ONE more warm pass and the
+    // structural line takes the per-query min over all of them. Two warm
+    // passes + a 12-query min-warm list settle ambient SPIKES but not
+    // sustained neighbor load (the r16 artifact regressed 18% with uniform
+    // 1.21× inflation across code-untouched queries); the extra suite pass
+    // costs wall only on runs that are already compromised, and the
+    // artifact records it via "extra_pass".
+    val coresN = Runtime.getRuntime.availableProcessors
+    val loadMean =
+      if (loadSamples.isEmpty) -1.0 else loadSamples.sum / loadSamples.size
+    val loadMax = if (loadSamples.isEmpty) -1.0 else loadSamples.max
+    val extraPass = only.isEmpty && loadMean > math.max(coresN / 2.0, 6.0)
+    val warm3: Map[String, Double] =
+      if (!extraPass) Map.empty
+      else {
+        val m = names.filterNot(failed.contains).map(n => n -> once(n)._1)
+        // a pass that threw publishes time-to-throw — drop it (the name is
+        // in failed:[...], the honest record) rather than deflate the min
+        m.filterNot { case (n, _) => failed.contains(n) }.toMap
+      }
 
     // --- per-query min-of-warm + executor-CPU-time vectors (slow list) ---
     // Three EXTRA in-suite passes per slow-list query publish, per name,
@@ -341,7 +404,10 @@ object Bench {
     // number directly, from the same run.
     val minwarmMap = minWarmVec.toMap
     val structuralTotal =
-      timed.map(t => minwarmMap.getOrElse(t.name, t.warm)).sum
+      timed.map { t =>
+        math.min(minwarmMap.getOrElse(t.name, t.warm),
+          warm3.getOrElse(t.name, Double.MaxValue))
+      }.sum
 
     // Forked-JVM isolation pass: a fresh child JVM (same classpath + module
     // opens, inherited env) times the dedup family alone. Ratio in-suite /
@@ -424,7 +490,11 @@ object Bench {
     }.getOrElse("")
 
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$totalCold,"queries_cold":$qsCold,"sf":"$sfDir","passes":$passes,"headline":"warm","scratch":"${if (scratchShared) "shared" else "private"}","scratch_dirs":${observedLocals.size},"scratch_rebases":$scratchRebases,"structural_total":$structuralTotal,"queries_minwarm":$minwarmJson,"queries_cpu":$cpuJson,"failed":$failedJson,"diag":$diag$isoJson}"""
+    val warm3Json = jmap(warm3.toSeq.sortBy(_._1))
+    val cpuWarmAllJson = jmap(timed.map(t => t.name -> t.cpuWarm))
+    val loadJson = s""""load_mean":${r3(loadMean)},"load_max":${r3(loadMax)},""" +
+      s""""extra_pass":$extraPass,"cpu_total":${r3(cpuTotalWarm)}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$totalCold,"queries_cold":$qsCold,"sf":"$sfDir","passes":$passes,"headline":"warm","scratch":"${if (scratchShared) "shared" else "private"}","scratch_dirs":${observedLocals.size},"scratch_rebases":$scratchRebases,"structural_total":$structuralTotal,"queries_minwarm":$minwarmJson,"queries_cpu":$cpuJson,"queries_cpu_warm":$cpuWarmAllJson,"queries_warm3":$warm3Json,$loadJson,"failed":$failedJson,"diag":$diag$isoJson}"""
     // The driver records only the LAST ~2000 chars of stdout and tries to
     // json-parse the bench line; once the suite passed ~90 queries the full
     // artifact line outgrew that capture, so every round since r03 recorded
@@ -453,9 +523,15 @@ object Bench {
     // it over and the driver would record parsed:null. Child mode keeps
     // queries_cold — forkIsolated's parse uses it as the warm-window
     // delimiter.
+    // the compact line carries the four ambient-attribution scalars (the
+    // r17 hardening: load_mean/load_max say whether the host was elevated,
+    // cpu_total is the wall-independent number a committed idle-box run
+    // can be reconciled against, extra_pass records whether the structural
+    // line got its load-gated third pass) — ~90 bytes, inside the ~1.8 KB
+    // driver capture with the r14-measured margin
     val compactVecs =
       if (only.nonEmpty) s""""queries":$compactWarm,"queries_cold":$compactCold"""
-      else s""""structural_total":${r3(structuralTotal)},""" +
+      else s""""structural_total":${r3(structuralTotal)},$loadJson,""" +
         s""""queries":$compactWarm,"queries_minwarm":$minwarmJson"""
     val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""sf":"$sfDir","n_queries":${timed.size},"passes":$passes,""" +

@@ -73,6 +73,47 @@ object SparkEntry {
     df.where(col("__n") <= 512 || sampled).drop("__n")
   }
 
+  /** Shared MemoryStream replay feed for the streaming oracle queries
+    * (q112/q113): ONE driver-side collect of the bounded `user_id % 4 = 0`
+    * events slice, the optional per-user close sentinels (one fold, no
+    * per-user row-vector materialization), and ONE (ts, event_type) sort —
+    * the same tie order for BOTH queries, matching the operators' internal
+    * (ts, group) ordering and the oracles' ORDER BY ts, event_type. r16
+    * documented q112 sorting by ts only as a latent trap for any
+    * order-sensitive operator later added to its harness; the shared
+    * builder removes the asymmetry. The collect is the replay HARNESS, not
+    * the operator (MemoryStream is driver-fed by contract); at scale the
+    * same plans read from real stream sources. Rows arrive globally
+    * ts-sorted, so block-sized feeding introduces no late data (each
+    * batch's minimum exceeds the prior watermark).
+    */
+  private def replayFeed(s: SparkSession, dir: String,
+      withSentinels: Boolean): Seq[(Long, Long, String, Double)] = {
+    val rows = events(s, dir)
+      .where(pmod(col("user_id"), lit(4)) === 0)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_type"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSeq
+    val all =
+      if (!withSentinels) rows
+      else {
+        // per-user max ts as ONE fold over the collected rows (at 100×
+        // replay scale the harness is the memory axis); the sentinel's
+        // "__close" group closes each tail run through the ordinary
+        // group-change rule
+        val maxTs = new scala.collection.mutable.HashMap[Long, Long]
+        rows.foreach { r =>
+          val m = maxTs.getOrElse(r._1, Long.MinValue)
+          if (r._2 > m) maxTs(r._1) = r._2
+        }
+        rows ++ maxTs.iterator
+          .map { case (u, t) => (u, t + 60000000L, "__close", 0.0) }
+      }
+    all.sortBy(r => (r._2, r._3))
+  }
+
   /** Unrolled binary search for q102's phrase-level LZ76 recursion: a
     * chain of LATERAL scalars m0..m13 accumulating the longest m with a
     * match starting before position l (strpos haystack truncated to
@@ -711,9 +752,15 @@ object SparkEntry {
       // across the session's cores before the encode/decode stages (a real
       // corpus arrives in many files; one parquet file here = one task)
       val par = s.sparkContext.defaultParallelism
-      Multimodal.decodeImage(
+      // pin the decoded metadata before the contracted ORDER BY: the range
+      // partitioner's boundary-sampling pass otherwise re-executes the
+      // whole encode+decode subtree (the q78 100× stage probe showed two
+      // full-width decode stages of ~10 s each), while the pinned result
+      // is a few MB of skinny rows — decode runs once, the sort samples
+      // the materialized blocks
+      graft.core.Pinned.checkpoint(Multimodal.decodeImage(
         Multimodal.imagesFromDocs(docs(s, dir).repartition(par),
-          "doc_id", "text")).toDF()
+          "doc_id", "text")).toDF())
         .select(col("asset_id"), col("width"), col("height"),
           col("channels").cast("long").as("channels"),
           round(col("mean_r"), 6).as("mean_r"),
@@ -725,9 +772,10 @@ object SparkEntry {
     // ---- multimodal: REAL multi-frame decode (animated GIF, stride 2) -----
     "q78_gif_frames" -> ((s, dir) => {
       val par = s.sparkContext.defaultParallelism
-      Multimodal.decodeFrames(
+      // pinned before the ORDER BY for the same single-decode reason as q70
+      graft.core.Pinned.checkpoint(Multimodal.decodeFrames(
         Multimodal.gifsFromDocs(docs(s, dir).repartition(par),
-          "doc_id", "text"), 2).toDF()
+          "doc_id", "text"), 2).toDF())
         .select(col("asset_id"), col("frame_index"), col("width"),
           col("height"), round(col("mean_lum"), 6).as("mean_lum"))
         .orderBy("asset_id", "frame_index")
@@ -1067,16 +1115,16 @@ object SparkEntry {
     "q112_streaming_rolling" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = events(s, dir)
-        .where(pmod(col("user_id"), lit(4)) === 0)
-        .select(col("user_id"), unix_micros(col("ts")), col("value"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-        .sortBy(_._2).toSeq
       val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Long, Double)]
-      rows.grouped(100000).foreach(b => ms.addData(b))
+        .MemoryStream[(Long, Long, String, Double)]
+      replayFeed(s, dir, withSentinels = false)
+        .grouped(100000).foreach(b => ms.addData(b))
+      // event_type rides along only as the shared replay's tie order (the
+      // rolling members len/mean are order-insensitive within a timestamp,
+      // so the tiebreaker cannot change this query's values — it removes
+      // the r16-documented q112/q113 sort asymmetry)
       val sdf = ms.toDF().select(col("_1").as("user_id"),
-        timestamp_micros(col("_2")).as("ts"), col("_3").as("value"))
+        timestamp_micros(col("_2")).as("ts"), col("_4").as("value"))
       val out = graft.streaming.StreamingFeatures.rolling(sdf, "ts", "value",
         "value", Win.time("1D"), Win.time("1D"), Seq(len, mean),
         keyCols = Seq("user_id"))
@@ -1110,35 +1158,12 @@ object SparkEntry {
     "q113_streaming_runs" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      // same deterministic replay bound + block-sized feed as q112; rows
-      // arrive globally ts-sorted, so multi-block batching introduces no
-      // late data (each batch's minimum exceeds the prior watermark)
-      val rows = events(s, dir)
-        .where(pmod(col("user_id"), lit(4)) === 0)
-        .select(col("user_id"), unix_micros(col("ts")), col("event_type"),
-          col("value"))
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
-        .toSeq // unsorted here — the single replay sort happens below, after
-               // the sentinels join the feed (a pre-sort would be re-done)
-      // per-user max ts as ONE fold over the collected rows — the previous
-      // groupBy(_._1) materialized every user's full row vector a second
-      // time in driver heap just to take a max (at 100× replay scale the
-      // harness is the memory axis, so the fold matters)
-      val maxTs = new scala.collection.mutable.HashMap[Long, Long]
-      rows.foreach { r =>
-        val m = maxTs.getOrElse(r._1, Long.MinValue)
-        if (r._2 > m) maxTs(r._1) = r._2
-      }
-      val sentinels = maxTs.iterator
-        .map { case (u, t) => (u, t + 60000000L, "__close", 0.0) }.toSeq
+      // same shared replay as q112, sentinels on: one collect, one
+      // (ts, event_type)-sorted feed — see [[replayFeed]]
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long, String, Double)]
-      // event_type tiebreaker on the replay sort matches the operator's
-      // internal (ts, group) tie order and the oracle's ORDER BY ts,
-      // event_type — duplicate (user, ts) pairs split islands identically
-      (rows ++ sentinels).sortBy(r => (r._2, r._3)).grouped(100000)
-        .foreach(b => ms.addData(b))
+      replayFeed(s, dir, withSentinels = true)
+        .grouped(100000).foreach(b => ms.addData(b))
       val sdf = ms.toDF().select(col("_1").as("user_id"),
         timestamp_micros(col("_2")).as("ts"), col("_3").as("event_type"),
         col("_4").as("value"))

@@ -213,6 +213,11 @@ object Scan {
     // (withColumn semantics), corrupting data instead of failing loudly
     Seq("__loc", "__off", "__tot").foreach(r =>
       require(!df.columns.contains(r), s"$r is reserved by keyedRank"))
+    // same loud-failure rule for the OUTPUT names: withColumn(rankCol)
+    // would silently REPLACE an existing caller column (r17 sweep)
+    Seq(rankCol, countCol).foreach(r =>
+      require(!df.columns.contains(r),
+        s"output column $r already exists on the input"))
     pinnedOrder(df) // validate: untagged __pid is reserved-name collision
     val p = pinPartitions(
       df.drop("__pid").repartitionByRange((keyCols :+ orderCol).map(col): _*),

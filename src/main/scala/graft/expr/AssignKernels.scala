@@ -46,6 +46,47 @@ object AssignKernelUtil {
 
   private def floorL(d: Double): Long = math.floor(d).toLong
 
+  /** Emission-count threshold above which the in-loop dedup switches from
+    * the linear scan over prior entries (O(m²) across a row's fan-out — the
+    * r16 advisory's quadratic cliff with many specs and fine strides) to
+    * the open-addressing probe below. Under it the scan's constant wins:
+    * real plans carry 2–4 specs and single-digit fan-outs. */
+  private val LinearDedupMax = 64
+
+  /** Open-addressing set over (w, d) double pairs under IEEE `==` equality
+    * (so -0.0 and 0.0 collapse to one canonical key, exactly as the linear
+    * scan's `==` treats them). NaN coordinates must never be inserted —
+    * callers bypass the set for them, because `==` makes NaN equal to
+    * nothing while the bit-canonical probe would unify NaNs. Power-of-two
+    * table at ≤50% load, linear probing; sized once from the caller's exact
+    * emission bound, so there is no rehash path. */
+  private final class PairSet(expected: Int) {
+    private val cap: Int = {
+      var c = 8
+      val want = math.min(expected.toLong * 2L, 1L << 30)
+      while (c < want) c <<= 1
+      c
+    }
+    private val mask = cap - 1
+    private val wb = new Array[Long](cap)
+    private val db = new Array[Long](cap)
+    private val used = new Array[Boolean](cap)
+
+    /** True when (w, d) was absent (and is now inserted). */
+    def add(w: Double, d: Double): Boolean = {
+      val wl = java.lang.Double.doubleToRawLongBits(if (w == 0.0) 0.0 else w)
+      val dl = java.lang.Double.doubleToRawLongBits(if (d == 0.0) 0.0 else d)
+      var h = (java.lang.Long.hashCode(wl * -7046029254386353131L) ^
+        java.lang.Long.hashCode(dl * -4417276706812531889L)) & mask
+      while (used(h)) {
+        if (wb(h) == wl && db(h) == dl) return false
+        h = (h + 1) & mask
+      }
+      used(h) = true; wb(h) = wl; db(h) = dl
+      true
+    }
+  }
+
   private def checkK(k: Long): Long = {
     if (k > KMask) throw new IllegalStateException(
       s"segment counter $k exceeds 2^$KBits — stride too fine for the span")
@@ -93,8 +134,10 @@ object AssignKernelUtil {
     val cap = total.toInt
     val packed = new Array[Long](cap)
     val dedup = n > 1
-    val wArr = if (dedup) new Array[Double](cap) else null
-    val sArr = if (dedup) new Array[Double](cap) else null
+    val hashed = if (dedup && cap > LinearDedupMax) new PairSet(cap) else null
+    val linear = dedup && hashed == null
+    val wArr = if (linear) new Array[Double](cap) else null
+    val sArr = if (linear) new Array[Double](cap) else null
     var m = 0
     i = 0
     while (i < n) {
@@ -107,15 +150,22 @@ object AssignKernelUtil {
         var s = 0.0
         if (dedup) {
           s = s0 + k * st
-          var j = 0
-          while (!dup && j < m) {
-            // only an equal-w entry can collide in struct(w, s) equality
-            if (wArr(j) == w && sArr(j) == s) dup = true
-            j += 1
+          if (hashed != null) {
+            // NaN bypasses the set: `==` equates NaN to nothing, so a NaN
+            // coordinate is always emitted and never inserted (the probe's
+            // bit key would otherwise unify NaNs the scan kept distinct)
+            if (w == w && s == s) dup = !hashed.add(w, s)
+          } else {
+            var j = 0
+            while (!dup && j < m) {
+              // only an equal-w entry can collide in struct(w, s) equality
+              if (wArr(j) == w && sArr(j) == s) dup = true
+              j += 1
+            }
           }
         }
         if (!dup) {
-          if (dedup) { wArr(m) = w; sArr(m) = s }
+          if (linear) { wArr(m) = w; sArr(m) = s }
           packed(m) = (i.toLong << KBits) | k
           m += 1
         }
@@ -153,8 +203,10 @@ object AssignKernelUtil {
     val cap = total.toInt
     val packed = new Array[Long](cap)
     val dedup = dedupOnKoff || n > 1
-    val wArr = if (dedup) new Array[Double](cap) else null
-    val dArr = if (dedup) new Array[Double](cap) else null
+    val hashed = if (dedup && cap > LinearDedupMax) new PairSet(cap) else null
+    val linear = dedup && hashed == null
+    val wArr = if (linear) new Array[Double](cap) else null
+    val dArr = if (linear) new Array[Double](cap) else null
     var m = 0
     i = 0
     while (i < n) {
@@ -166,14 +218,19 @@ object AssignKernelUtil {
         var d = 0.0
         if (dedup) {
           d = if (dedupOnKoff) k * st else s0 + k * st
-          var j = 0
-          while (!dup && j < m) {
-            if (wArr(j) == w && dArr(j) == d) dup = true
-            j += 1
+          if (hashed != null) {
+            // NaN bypass — same contract as [[assign]]'s probe
+            if (w == w && d == d) dup = !hashed.add(w, d)
+          } else {
+            var j = 0
+            while (!dup && j < m) {
+              if (wArr(j) == w && dArr(j) == d) dup = true
+              j += 1
+            }
           }
         }
         if (!dup) {
-          if (dedup) { wArr(m) = w; dArr(m) = d }
+          if (linear) { wArr(m) = w; dArr(m) = d }
           packed(m) = (i.toLong << KBits) | k
           m += 1
         }

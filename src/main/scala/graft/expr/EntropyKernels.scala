@@ -409,16 +409,30 @@ object EntropyKernelUtil {
       if (n == 2) return java.lang.Double.valueOf(0.0)
       val h = math.sqrt(varSamp) * math.pow(3.0 * n / 4.0, -0.2)
       val inv2h2 = 1.0 / (2.0 * h * h)
-      // the kernel matrix is symmetric: evaluate each exp once for i<j and
+      // The kernel matrix is symmetric: evaluate each exp once for i<j and
       // credit both rows; the self term is exp(0) = 1 (halves the O(n^2)
-      // exp cost — the dominant cost of this member on 3.5k-sample windows)
+      // exp cost — the dominant cost of this member on big windows).
+      // Entropy is a symmetric function of the probability MULTISET, so the
+      // samples can be sorted first: the per-row densities come out in
+      // sorted-position order instead of input order, which changes nothing
+      // downstream. On the sorted array the inner loop early-terminates at
+      // the first gap > 8.6h: every p accumulator carries the self term
+      // (>= 1.0, ulp >= 2^-52) before any pair term lands, and
+      // exp(-(8.6)^2/2) = 8.7e-17 < 2^-53, so each dropped term would have
+      // been absorbed to an exact no-op by round-to-nearest anyway — the
+      // truncation only skips adds that could not change any bit. (The
+      // sorted accumulation ORDER does reorder the float sums vs the r15
+      // unsorted loop — last-ulp drift, inside every consumer's tolerance.)
+      java.util.Arrays.sort(x, 0, n)
+      val cut = 8.6 * h
       i = 0
       while (i < n) { p(i) = 1.0; i += 1 }
       i = 0
       while (i < n) {
+        val xi = x(i)
         var j = i + 1
-        while (j < n) {
-          val d = x(i) - x(j); val k = math.exp(-d * d * inv2h2)
+        while (j < n && x(j) - xi <= cut) {
+          val d = xi - x(j); val k = math.exp(-d * d * inv2h2)
           p(i) += k; p(j) += k; j += 1
         }
         i += 1

@@ -141,6 +141,27 @@ object SpectralShapeUtil {
 object WelchRelUtil {
   def names(nCoef: Int): Seq[String] = (0 until nCoef).map(k => s"welch_rel_$k")
 
+  // One trig table per segment length: cosT(i) = cos(2π·i/m). The DFT
+  // argument 2π·k·t/m only ever needs the reduced index (k·t) mod m, so the
+  // per-(k,t) math.cos/math.sin pair in the hot loop (the q105 100× CPU
+  // profile: nseg·kMax·m·2 trig calls per WINDOW) collapses to two array
+  // reads; the reduced-argument table is also the numerically better value
+  // (no rounding in the 2π·k·t/m product for large k·t). m = min(256, n) is
+  // bounded, so the cache never exceeds 253 entries of ≤ 2×256 doubles.
+  private val trigCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Double], Array[Double])]()
+  private def trigFor(m: Int): (Array[Double], Array[Double]) =
+    trigCache.computeIfAbsent(m, mm => {
+      val c = new Array[Double](mm)
+      val s = new Array[Double](mm)
+      var i = 0
+      while (i < mm) {
+        val a = 2.0 * math.Pi * i / mm
+        c(i) = math.cos(a); s(i) = math.sin(a); i += 1
+      }
+      (c, s)
+    })
+
   def compute(arr: ArrayData, nCoef: Int): Any = {
     val n = arr.numElements()
     if (n < 4) return null
@@ -150,16 +171,21 @@ object WelchRelUtil {
     val m = math.min(256, n)
     val step = m - m / 2
     val nseg = (n - m) / step + 1
+    val (cosT, sinT) = trigFor(m)
     val w = new Array[Double](m)
     var u = 0.0
     var t = 0
     while (t < m) {
-      w(t) = 0.5 - 0.5 * math.cos(2.0 * math.Pi * t / m)
+      // Hann from the same table: cosT(t) IS cos(2π·t/m)
+      w(t) = 0.5 - 0.5 * cosT(t)
       u += w(t) * w(t)
       t += 1
     }
     val kMax = math.min(nCoef, m / 2 + 1)
     val sumP = new Array[Double](kMax)
+    // detrended+windowed segment, built ONCE per segment instead of being
+    // recomputed inside every coefficient's inner loop (kMax× redundant)
+    val y = new Array[Double](m)
     var s = 0
     while (s < nseg) {
       val o = s * step
@@ -167,16 +193,18 @@ object WelchRelUtil {
       t = 0
       while (t < m) { mu += x(o + t); t += 1 }
       mu /= m
+      t = 0
+      while (t < m) { y(t) = (x(o + t) - mu) * w(t); t += 1 }
       var k = 0
       while (k < kMax) {
         var re = 0.0
         var im = 0.0
+        var idx = 0 // (k·t) mod m, maintained by stepping (k < m always)
         t = 0
         while (t < m) {
-          val y = (x(o + t) - mu) * w(t)
-          val arg = 2.0 * math.Pi * k * t / m
-          re += y * math.cos(arg)
-          im += y * math.sin(arg)
+          re += y(t) * cosT(idx)
+          im += y(t) * sinT(idx)
+          idx += k; if (idx >= m) idx -= m
           t += 1
         }
         sumP(k) += re * re + im * im

@@ -107,7 +107,14 @@ object TemporalKernelUtil {
         val d = new Array[Double](m)
         i = 0
         while (i < m) {
-          d(i) = if (mode == 1) math.abs(x(i + 1) - x(i)) else x(i + 1) - x(i)
+          val dd = if (mode == 1) math.abs(x(i + 1) - x(i)) else x(i + 1) - x(i)
+          // normalize −0.0 → 0.0 BEFORE sorting (r16 advisory): Arrays.sort's
+          // total order places −0.0 strictly before 0.0 while array_sort
+          // treats them as equal with stable order, so a mixed-zero diff
+          // array could median to −0.0 where the replaced chain gave 0.0 (or
+          // vice versa). Normalized, the median's zero sign is deterministic
+          // (+0.0) and numerically identical either way.
+          d(i) = if (dd == 0.0) 0.0 else dd
           i += 1
         }
         java.util.Arrays.sort(d)
@@ -335,11 +342,15 @@ object HistCountsK {
   * TemporalFoldSpec):
   *
   *  - MEAN_ABS_DIFF: Σ|Δ| left-to-right / (n−1); null for n < 2.
-  *  - MEDIAN_ABS_DIFF / MEDIAN_DIFF: np.median of (|Δ| / Δ) — sort the
-  *    primitive diff array (Arrays.sort places NaN last and −0.0 before
-  *    0.0, exactly Spark's array_sort double ordering) and take the
-  *    middle element (odd) or the mean of the two middle elements (even);
-  *    null when the window has no diffs (n < 2).
+  *  - MEDIAN_ABS_DIFF / MEDIAN_DIFF: np.median of (|Δ| / Δ) — diffs with
+  *    −0.0 normalized to 0.0, then sorted as a primitive array (Arrays.sort
+  *    places NaN last like Spark's array_sort; the zero normalization is
+  *    needed because Arrays.sort orders −0.0 strictly before 0.0 while
+  *    array_sort treats them as equal with stable order — normalized, the
+  *    median is numerically identical to the replaced chain's and its zero
+  *    sign is deterministically +0.0, r16 advisory); middle element (odd)
+  *    or mean of the two middle elements (even); null when the window has
+  *    no diffs (n < 2).
   *  - DISTANCE: Σ √(1 + Δ²) left-to-right; 0.0 when there are no diffs.
   *  - AUC(fs): Σ |xᵢ + xᵢ₊₁| left-to-right, × (0.5 / fs) — the same
   *    constant the Column form multiplied once at the end; 0.0 when there

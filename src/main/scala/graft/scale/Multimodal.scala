@@ -180,19 +180,23 @@ object Multimodal {
         val img = readImage(bytes)
         if (img == null) ImageMeta(id, ok = false, 0L, 0L, 0, 0, 0, 0, bytes.length.toLong)
         else {
+          // bulk getRGB: the per-pixel accessor routes every call through
+          // getDataElements, which ALLOCATES a transfer array per pixel on
+          // indexed/byte rasters — at corpus scale the decode stage spent
+          // more wall in GC than pixels (q78 100× probe: 40% CPU fraction).
+          // The bulk call converts the whole frame through one reused
+          // buffer; the ARGB ints (and so the sums) are identical.
+          val w = img.getWidth; val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
           var (sr, sg, sb) = (0L, 0L, 0L)
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val rgb = img.getRGB(x, y)
-              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-              x += 1
-            }
-            y += 1
+          var i = 0
+          while (i < px.length) {
+            val rgb = px(i)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            i += 1
           }
-          val n = img.getWidth.toLong * img.getHeight
-          ImageMeta(id, ok = true, img.getWidth.toLong, img.getHeight.toLong,
+          val n = w.toLong * h
+          ImageMeta(id, ok = true, w.toLong, h.toLong,
             img.getColorModel.getNumComponents,
             sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, bytes.length.toLong)
         }
@@ -331,20 +335,18 @@ object Multimodal {
               val n = reader.getNumImages(true)
               (0 until n by stride).map { i =>
                 val img = reader.read(i)
+                // bulk getRGB — see [[decodeImage]]'s allocation note
+                val w = img.getWidth; val h = img.getHeight
+                val px = img.getRGB(0, 0, w, h, null, 0, w)
                 var s = 0L
-                var y = 0
-                while (y < img.getHeight) {
-                  var x = 0
-                  while (x < img.getWidth) {
-                    val rgb = img.getRGB(x, y)
-                    s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-                    x += 1
-                  }
-                  y += 1
+                var j = 0
+                while (j < px.length) {
+                  val rgb = px(j)
+                  s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                  j += 1
                 }
-                val np = img.getWidth.toLong * img.getHeight
-                FrameMeta(id, i, ok = true, img.getWidth, img.getHeight,
-                  s.toDouble / (3.0 * np))
+                val np = w.toLong * h
+                FrameMeta(id, i, ok = true, w, h, s.toDouble / (3.0 * np))
               }
             } finally { reader.dispose(); iis.close() }
           }

@@ -188,6 +188,72 @@ class AssignKernelsSpec extends SparkSpec {
     }
   }
 
+  test("assign hash-dedup path (fan-out past the linear threshold) ≡ old " +
+    "form joined to the grid") {
+    import spark.implicits._
+    // Three specs, two identical and fine strides: mid-grid rows emit ~160
+    // packed candidates — past the kernel's 64-entry linear→hash switch —
+    // while edge rows stay small, so one differential covers BOTH dedup
+    // implementations against the replaced Column plan (the r16 advisory's
+    // quadratic-scan replacement).
+    for (includeFinal <- Seq(false, true)) {
+      val ws = Seq(40.0, 40.0, 20.0)
+      val sts = Seq(0.5, 0.5, 0.25)
+      val ts = randDoubles(60, 23L).map(_ * 2) ++
+        Seq(0.0, 0.25, 30.0, 59.75, 60.0, 61.0, -1.0)
+      val df = ts.toDF("t").withColumn("s0", lit(0.0))
+        .withColumn("e0", lit(60.0))
+      val got = df.select(col("t"),
+          explode(AssignPacked(col("t"), col("s0"), col("e0"), ws, sts,
+            includeFinal)).as("p"))
+        .select(col("t"), decode(col("p"), ws, sts, lit(0.0))._1.as("w"),
+          decode(col("p"), ws, sts, lit(0.0))._2.as("s"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+        .toSeq.sorted
+      val pairs = df.select(col("t"),
+          explode(oldAssign(col("t"), col("s0"), ws, sts)).as("x"))
+        .select(col("t"), col("x.w"), col("x.s"))
+      val grid = oldGrid(lit(0.0), lit(60.0), ws, sts, includeFinal)(df)
+      val want = pairs.join(grid,
+          pairs("t") === grid("t") && col("w") === col("gw") &&
+            col("s") === col("gs"))
+        .select(pairs("t"), col("w"), col("s"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+        .toSeq.sorted
+      assert(want.length > 64 && got == want, s"includeFinal=$includeFinal")
+    }
+  }
+
+  test("segments hash-dedup path (grid past the linear threshold) ≡ old " +
+    "sequence + distinct") {
+    import spark.implicits._
+    // fine strides: per-key grids of 100-300 candidates drive the hash
+    // probe; the duplicated (w, st) spec forces real dedup hits through it
+    val ws = Seq(6.0, 6.0, 3.0)
+    val sts = Seq(0.1, 0.1, 0.05)
+    val bounds = Seq((0.0, 17.0), (-4.5, 8.25), (0.0, 6.0))
+      .toDF("s0", "e0")
+    val want = ws.zip(sts).map { case (w, st) =>
+      bounds.select(col("s0"), col("e0"),
+          explode(oldSegments(col("s0"), col("e0"), w, st,
+            includeFinal = false)).as("k"))
+        .select(col("s0"), col("e0"), lit(w).as("w"),
+          (col("k").cast("double") * lit(st)).as("koff"))
+    }.reduce(_ unionAll _).distinct()
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toSeq.sorted
+    val si = shiftrightunsigned(col("p"), KB).cast("int")
+    val got = bounds.select(col("s0"), col("e0"),
+        explode(SegmentsPacked(col("s0"), col("e0"), ws, sts,
+          includeFinal = false, dedupOnKoff = true)).as("p"))
+      .select(col("s0"), col("e0"), pick(si, ws).as("w"),
+        (col("p").bitwiseAND(lit(KM)).cast("double") * pick(si, sts))
+          .as("koff"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toSeq.sorted
+    assert(want.length > 64 && got == want)
+  }
+
   test("packed k guard: counter past 2^56 throws instead of corrupting") {
     val e = intercept[org.apache.spark.SparkException] {
       import spark.implicits._
