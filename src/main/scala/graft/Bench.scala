@@ -14,12 +14,15 @@ import scala.jdk.CollectionConverters._
   *    for every run, the evidence needed to attribute a blowup: per-query GC
   *    time, post-GC heap, and codegen-compilation counts (the three JVM-
   *    lifecycle suspects diagnosed in SCALE.md "Suite-context variance"),
-  *    plus — r17 — per-boundary system-load samples (load_mean/load_max),
-  *    the suite's executor-CPU totals (cpu_total + queries_cpu_warm, wall-
-  *    independent so sustained host noise is attributable against a
-  *    committed idle-box artifact), and a load-GATED third warm pass over
-  *    the whole suite feeding the structural line when the samples say the
-  *    host was elevated (extra_pass:true).
+  *    plus — r17 — per-boundary system-load samples (load_mean/load_max,
+  *    descriptive), the suite's executor-CPU totals (cpu_total +
+  *    queries_cpu_warm, wall-independent so sustained host noise is
+  *    attributable against a committed idle-box artifact), the FOREIGN
+  *    CPU fraction over the measured passes (whole-host /proc/stat
+  *    busy+steal minus this JVM's process CPU — self-load cancels), and a
+  *    foreign-CPU-GATED third warm pass over the whole suite feeding the
+  *    structural line when neighbors burned >10% of the box
+  *    (extra_pass:true).
   *  - `runMain graft.Bench <name>...`: isolated-child mode — times ONLY the
   *    named queries with the same 2-pass protocol and prints the same JSON
   *    line (no fork, no file write unless SPARK_GRAFT_BENCH_OUT is set).
@@ -145,15 +148,41 @@ object Bench {
     // describing — previously a child-JVM failure was invisible (stderr
     // discarded) and read as a genuine 30x suite-context blowup
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    // Ambient-load record, one 1-minute load-average sample per query
-    // boundary (r16: the driver artifact's warm headline inflated 1.21×
-    // UNIFORMLY — including code-untouched queries — on host neighbor
-    // noise, and two warm passes plus a 12-query min-warm list could not
-    // settle sustained elevation). The samples (a) publish load_mean /
-    // load_max so a noisy run self-describes, and (b) gate the extra
-    // structural pass below.
+    // Ambient-noise record (r16: the driver artifact's warm headline
+    // inflated 1.21× UNIFORMLY — including code-untouched queries — on
+    // host neighbor noise, and two warm passes plus a 12-query min-warm
+    // list could not settle sustained elevation).
+    //
+    //  - one 1-minute load-average sample per query boundary
+    //    (load_mean/load_max): descriptive only — a 32-wide suite's OWN
+    //    bursts dominate the 1-minute average, so load cannot gate
+    //    anything without tripping on self-load;
+    //  - FOREIGN CPU, the gating signal: /proc/stat whole-host busy+steal
+    //    jiffies minus THIS JVM's process CPU over the measured passes.
+    //    Self-load cancels exactly (our own burn is subtracted), hypervisor
+    //    steal is included — the two components of "the box was not ours".
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def hostBusySteal(): (Double, Double) = try {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      // cpu  user nice system idle iowait irq softirq steal [guest ...]
+      val t = line.trim.split("\\s+").drop(1).map(_.toDouble)
+      val idle = t(3) + (if (t.length > 4) t(4) else 0.0)
+      val steal = if (t.length > 7) t(7) else 0.0
+      // guest/guest_nice (fields 8/9) are already folded into user/nice by
+      // the kernel — summing the first 8 fields avoids double-counting
+      val total = t.take(8).sum
+      val hz = 100.0 // USER_HZ is 100 on every mainstream linux
+      ((total - idle) / hz, steal / hz)
+    } catch { case _: Throwable => (-1.0, -1.0) }
+    def procCpuSec(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case o: com.sun.management.OperatingSystemMXBean =>
+          val ns = o.getProcessCpuTime
+          if (ns < 0) -1.0 else ns / 1e9
+        case _ => -1.0
+      }
     def once(name: String): (Double, Long, Long) = {
       val gc0 = gcMs(); val cg0 = cgCount()
       val t0 = System.nanoTime()
@@ -263,6 +292,9 @@ object Bench {
         if (e.taskMetrics != null) cpuAllNs.addAndGet(e.taskMetrics.executorCpuTime)
     }
     spark.sparkContext.addSparkListener(cpuAllL)
+    val (busy0, steal0) = hostBusySteal()
+    val proc0 = procCpuSec()
+    val wall0 = System.nanoTime()
     val timed = names.map { n =>
       val (cold, gcC, cgC) = once(n)
       var c1 = cpuAllNs.get
@@ -304,21 +336,35 @@ object Bench {
     val totalCold = timed.map(_.cold).sum
     val cpuTotalWarm = timed.map(_.cpuWarm).sum
 
-    // Load-gated extra structural pass (r17 hardening): when the run's own
-    // boundary load samples say the host was ELEVATED during the measured
-    // passes (mean past the same cores/2-floored-at-6 calibration as the
-    // fork gate below), every query gets ONE more warm pass and the
-    // structural line takes the per-query min over all of them. Two warm
-    // passes + a 12-query min-warm list settle ambient SPIKES but not
-    // sustained neighbor load (the r16 artifact regressed 18% with uniform
-    // 1.21× inflation across code-untouched queries); the extra suite pass
-    // costs wall only on runs that are already compromised, and the
-    // artifact records it via "extra_pass".
+    // Foreign-CPU-gated extra structural pass (r17 hardening): when
+    // neighbors burned more than 10% of the box's CPU during the measured
+    // passes, every query gets ONE more warm pass and the structural line
+    // takes the per-query min over all of them. Two warm passes + a
+    // 12-query min-warm list settle ambient SPIKES but not sustained
+    // neighbor load (the r16 artifact regressed 18% with uniform 1.21×
+    // inflation across code-untouched queries while its 1-min load read a
+    // harmless 4.3 — whole-host minus self CPU is the signal that episode
+    // actually moves); the extra suite pass costs wall only on runs that
+    // are already compromised, and the artifact records it via
+    // "extra_pass" + "foreign_frac".
     val coresN = Runtime.getRuntime.availableProcessors
     val loadMean =
       if (loadSamples.isEmpty) -1.0 else loadSamples.sum / loadSamples.size
     val loadMax = if (loadSamples.isEmpty) -1.0 else loadSamples.max
-    val extraPass = only.isEmpty && loadMean > math.max(coresN / 2.0, 6.0)
+    val wallDelta = (System.nanoTime() - wall0) / 1e9
+    val (busy1, steal1) = hostBusySteal()
+    val proc1 = procCpuSec()
+    val measurable = busy0 >= 0 && busy1 >= 0 && proc0 >= 0 && proc1 >= 0
+    // steal is not part of busy (it is time the host WANTED to run but the
+    // hypervisor gave elsewhere) — count it into the foreign burn
+    val foreignCpu =
+      if (!measurable) -1.0
+      else math.max(0.0, (busy1 - busy0) - (proc1 - proc0)) +
+        math.max(0.0, steal1 - steal0)
+    val foreignFrac =
+      if (!measurable || wallDelta <= 0) -1.0
+      else foreignCpu / (coresN * wallDelta)
+    val extraPass = only.isEmpty && measurable && foreignFrac > 0.10
     val warm3: Map[String, Double] =
       if (!extraPass) Map.empty
       else {
@@ -493,6 +539,8 @@ object Bench {
     val warm3Json = jmap(warm3.toSeq.sortBy(_._1))
     val cpuWarmAllJson = jmap(timed.map(t => t.name -> t.cpuWarm))
     val loadJson = s""""load_mean":${r3(loadMean)},"load_max":${r3(loadMax)},""" +
+      s""""foreign_frac":${r3(foreignFrac)},"steal_cpu":${r3(
+        if (measurable) math.max(0.0, steal1 - steal0) else -1.0)},""" +
       s""""extra_pass":$extraPass,"cpu_total":${r3(cpuTotalWarm)}"""
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$totalCold,"queries_cold":$qsCold,"sf":"$sfDir","passes":$passes,"headline":"warm","scratch":"${if (scratchShared) "shared" else "private"}","scratch_dirs":${observedLocals.size},"scratch_rebases":$scratchRebases,"structural_total":$structuralTotal,"queries_minwarm":$minwarmJson,"queries_cpu":$cpuJson,"queries_cpu_warm":$cpuWarmAllJson,"queries_warm3":$warm3Json,$loadJson,"failed":$failedJson,"diag":$diag$isoJson}"""
     // The driver records only the LAST ~2000 chars of stdout and tries to

@@ -320,38 +320,79 @@ object EntropyKernelUtil {
 
   /** Exact Richman–Moorman sample entropy of `x[0 until len]`: −ln(A/B)
     * with B/A the counts of ordered template pairs (i < j) of length
-    * m/m+1 within Chebyshev distance r. O(n²·(m+1)) pair scan with early
-    * exit — the definition's cost, deliberately per-window. NaN when
-    * either count is 0 or len ≤ m+1.
+    * m/m+1 within Chebyshev distance r. NaN when either count is 0 or
+    * len ≤ m+1.
+    *
+    * A and B are INTEGER counts of pairs satisfying exact float
+    * comparisons, so any enumeration that visits the same pair set is
+    * bit-identical output — which licenses the banded counter below
+    * (r17): template starts sorted by their FIRST coordinate, a
+    * two-pointer band keeping only |x_i − x_j| ≤ r candidates, remaining
+    * coordinates checked per candidate. The replaced full scan paid
+    * (n−m)²/2 first-coordinate compares regardless of r (the q103 100×
+    * profile's cost); the band pays n log n + (surviving pairs)·m. A
+    * non-finite sample or tolerance falls back to the scan: the band's
+    * total-order walk would diverge from the scan's NaN-compares-false
+    * semantics (abs(NaN) > r is FALSE, so the scan treats NaN diffs as
+    * matches — preserved verbatim in the fallback).
     */
   def sampEnExact(x: Array[Double], len: Int, m: Int, r: Double): Double = {
     if (len <= m + 1) return Double.NaN
-    var a = 0L
-    var b = 0L
+    var finite = java.lang.Double.isFinite(r)
     var i = 0
-    while (i < len - m) {
-      var j = i + 1
-      while (j < len - m) {
-        // Chebyshev over the m-template, early exit
-        var k = 0
-        var ok = true
-        while (ok && k < m) {
-          if (math.abs(x(i + k) - x(j + k)) > r) ok = false
-          k += 1
-        }
-        if (ok) {
-          b += 1
-          // extendable to m+1 only when both (i+m, j+m) are in range
-          if (i + m < len && j + m < len &&
-              math.abs(x(i + m) - x(j + m)) <= r) a += 1
-        }
-        j += 1
-      }
+    while (finite && i < len) {
+      if (!java.lang.Double.isFinite(x(i))) finite = false
       i += 1
     }
-    // B counts pairs of m-templates over positions 0..len-m-1 (the
-    // standard convention: both template sets share the first n-m
-    // positions so A/B is a true conditional probability)
+    val nT = len - m // template starts 0..nT−1 (the shared-positions
+                     // convention: A/B is a true conditional probability)
+    var a = 0L
+    var b = 0L
+    if (!finite || nT < 64) {
+      // full scan — the replaced form, verbatim (also the small-n path:
+      // below ~64 templates the sort/alloc overhead beats the savings)
+      i = 0
+      while (i < nT) {
+        var j = i + 1
+        while (j < nT) {
+          var k = 0
+          var ok = true
+          while (ok && k < m) {
+            if (math.abs(x(i + k) - x(j + k)) > r) ok = false
+            k += 1
+          }
+          if (ok) {
+            b += 1
+            if (math.abs(x(i + m) - x(j + m)) <= r) a += 1
+          }
+          j += 1
+        }
+        i += 1
+      }
+    } else {
+      val ord = Array.range(0, nT).sortBy(x(_))
+      var p = 0
+      while (p < nT) {
+        val ip = ord(p)
+        val xp = x(ip)
+        var q = p + 1
+        while (q < nT && x(ord(q)) - xp <= r) {
+          val iq = ord(q)
+          var k = 1
+          var ok = true
+          while (ok && k < m) {
+            if (math.abs(x(ip + k) - x(iq + k)) > r) ok = false
+            k += 1
+          }
+          if (ok) {
+            b += 1
+            if (math.abs(x(ip + m) - x(iq + m)) <= r) a += 1
+          }
+          q += 1
+        }
+        p += 1
+      }
+    }
     if (a == 0L || b == 0L) Double.NaN else -math.log(a.toDouble / b.toDouble)
   }
 

@@ -63,6 +63,45 @@ class EntropyKernelsSpec extends AnyFunSuite {
       val exp = naive(x, 2, 2.5)
       assert((got.isNaN && exp.isNaN) || math.abs(got - exp) < 1e-12)
     }
+    // past the 64-template switch the banded counter runs (r17): counts
+    // are integers, so the result must be BIT-identical to the naive scan
+    for (t <- 1 to 10) {
+      val n = 80 + t * 17
+      val x = Array.fill(n)(rnd.nextDouble() * 10)
+      for (m <- Seq(1, 2, 3); r <- Seq(0.4, 2.5)) {
+        val got = sampEnExact(x, n, m, r)
+        val exp = naive(x, m, r)
+        assert((got.isNaN && exp.isNaN) ||
+          java.lang.Double.doubleToLongBits(got) ==
+            java.lang.Double.doubleToLongBits(exp), s"n=$n m=$m r=$r")
+      }
+    }
+    // duplicate-heavy values (band full of ties) stay exact
+    val dup = Array.tabulate(120)(i => (i % 5).toDouble)
+    assert(java.lang.Double.doubleToLongBits(sampEnExact(dup, 120, 2, 1.0)) ==
+      java.lang.Double.doubleToLongBits(naive(dup, 2, 1.0)))
+    // a NaN sample routes to the scan fallback, whose NaN semantics are
+    // ASYMMETRIC by the kernel's long-standing contract: the B template
+    // check is `!(abs > r)` (NaN diff = match) while the A extension is
+    // `abs <= r` (NaN diff = no match) — the spec-local `naive` above uses
+    // `<= r` throughout and is deliberately NOT the expectation here
+    def kernelNaN(x: Array[Double], m: Int, r: Double): Double = {
+      val nT = x.length - m
+      var a = 0L; var b = 0L
+      for (i <- 0 until nT; j <- i + 1 until nT)
+        if ((0 until m).forall(k => !(math.abs(x(i + k) - x(j + k)) > r))) {
+          b += 1
+          if (math.abs(x(i + m) - x(j + m)) <= r) a += 1
+        }
+      if (a == 0 || b == 0) Double.NaN else -math.log(a.toDouble / b)
+    }
+    val withNaN = Array.fill(100)(rnd.nextDouble() * 10)
+    withNaN(37) = Double.NaN
+    val gotN = sampEnExact(withNaN, 100, 2, 2.5)
+    val expN = kernelNaN(withNaN, 2, 2.5)
+    assert((gotN.isNaN && expN.isNaN) ||
+      java.lang.Double.doubleToLongBits(gotN) ==
+        java.lang.Double.doubleToLongBits(expN))
   }
 
   test("svd entropy: degenerate windows give 0 or null") {
