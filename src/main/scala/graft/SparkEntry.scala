@@ -61,17 +61,23 @@ object SparkEntry {
     * window of <= 512 samples — ALL windows at sf0.001/sf0.01, so the
     * driver's correctness gate keeps full coverage — plus a 1/16 md5
     * sample of larger ones, so the builder's sf0.1 oracle replay costs
-    * seconds instead of ~45 min of DuckDB grind. The ENGINE computes all
-    * windows and filters its OUTPUT (the Spark kernels are cheap); the
-    * oracle applies the same predicate EARLY, before its quadratic CTEs.
-    * The md5 operand is the anchor's decimal string on both engines.
+    * seconds instead of ~45 min of DuckDB grind. The md5 operand is the
+    * anchor's decimal string on both engines.
+    *
+    * r17: BOTH engines now apply the predicate EARLY. The oracle filters
+    * before its quadratic CTEs (as always); the Spark side passes this
+    * rule as `calculate(windowKeep = ...)`, which prunes unkept segments
+    * before the fused aggregation. The r16 stance — "the ENGINE computes
+    * all windows and filters its OUTPUT (the Spark kernels are cheap)" —
+    * was measured FALSE at 100×: every window paid the super-linear
+    * kernel (q110's pair loop alone ~700 s CPU) and the output filter
+    * then discarded 15/16 of it. At sf0.001/sf0.01 no window exceeds 512
+    * samples, so the correctness gate still covers every window.
     */
-  private def bigWindowSample(df: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val h = md5(col("ts_anchor").cast("string").cast("binary"))
-    val sampled = substring(h, 1, 1) === "0"
-    df.where(col("__n") <= 512 || sampled).drop("__n")
-  }
+  private val bigWindowKeep: (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+    (n, ts) => n <= lit(512) ||
+      substring(md5(unix_micros(ts).cast("string").cast("binary")), 1, 1) === "0"
 
   /** Shared MemoryStream replay feed for the streaming oracle queries
     * (q112/q113): ONE driver-side collect of the bounded `user_id % 4 = 0`
@@ -982,13 +988,12 @@ object SparkEntry {
         lzivComplexity(), lzivComplexity(normalize = true))
       val fc = FeatureCollection.of(fns.map(f => FeatureDescriptor(f, "value",
         Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
-      bigWindowSample(fc.calculate(Seq(valueSeries(s, dir)))
+      fc.calculate(Seq(valueSeries(s, dir)), windowKeep = Some(bigWindowKeep))
         .select(unix_micros(col("ts")).as("ts_anchor"),
-          qc("value__len__w=1D").as("__n"),
           r6("value__svd_entropy_3__w=1D"),
           r6("value__svd_entropy_3_norm__w=1D"),
           r6("value__lziv__w=1D"),
-          r6("value__lziv_norm__w=1D")))
+          r6("value__lziv_norm__w=1D"))
         .orderBy("ts_anchor")
     }),
 
@@ -1000,14 +1005,13 @@ object SparkEntry {
         multiscaleEntropyExact(2, 10.0, 2))
       val fc = FeatureCollection.of(fns.map(f => FeatureDescriptor(f, "value",
         Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
-      bigWindowSample(fc.calculate(Seq(valueSeries(s, dir)))
+      fc.calculate(Seq(valueSeries(s, dir)), windowKeep = Some(bigWindowKeep))
         .select(unix_micros(col("ts")).as("ts_anchor"),
-          qc("value__len__w=1D").as("__n"),
           r6("value__mspe_1__w=1D"),
           r6("value__mspe_2__w=1D"),
           r6("value__mspe_3__w=1D"),
           r6("value__msen_1__w=1D"),
-          r6("value__msen_2__w=1D")))
+          r6("value__msen_2__w=1D"))
         .orderBy("ts_anchor")
     }),
 
@@ -1019,11 +1023,10 @@ object SparkEntry {
       val fns = Seq(len, entropyKde, entropyGauss)
       val fc = FeatureCollection.of(fns.map(f => FeatureDescriptor(f, "value",
         Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
-      bigWindowSample(fc.calculate(Seq(valueSeries(s, dir)))
+      fc.calculate(Seq(valueSeries(s, dir)), windowKeep = Some(bigWindowKeep))
         .select(unix_micros(col("ts")).as("ts_anchor"),
-          qc("value__len__w=1D").as("__n"),
           r6("value__entropy_kde__w=1D"),
-          r6("value__entropy_gauss__w=1D")))
+          r6("value__entropy_gauss__w=1D"))
         .orderBy("ts_anchor")
     }),
 
@@ -1246,9 +1249,8 @@ object SparkEntry {
         ecdfPercCount(0.2), ecdfPercCount(0.8))
       val fc = FeatureCollection.of(fns.map(f => FeatureDescriptor(f, "value",
         Some(Win.time("1D")), Some(Seq(Win.time("6h"))))))
-      bigWindowSample(fc.calculate(Seq(valueSeries(s, dir)))
+      fc.calculate(Seq(valueSeries(s, dir)), windowKeep = Some(bigWindowKeep))
         .select(Seq(unix_micros(col("ts")).as("ts_anchor"),
-          qc("value__len__w=1D").as("__n"),
           r6("value__wavelet_entropy__w=1D")) ++
           (1 to 4).flatMap(w => Seq(
             r6(s"value__wam_${w}__w=1D"),
@@ -1257,7 +1259,7 @@ object SparkEntry {
           r6("value__band_energy__w=1D"),
           r6("value__spec_dist_rel__w=1D"),
           qc("value__ecdf_count_0.2__w=1D").as("ecdf_cnt_20"),
-          qc("value__ecdf_count_0.8__w=1D").as("ecdf_cnt_80")): _*))
+          qc("value__ecdf_count_0.8__w=1D").as("ecdf_cnt_80")): _*)
         .orderBy("ts_anchor")
     }),
 

@@ -188,6 +188,21 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
     * @param windowIdx         output anchor: "begin" | "middle" | "end" (W6)
     * @param includeFinalWindow W1 final-window rule
     * @param boundMethod       "inner" | "inner-outer" | "outer" (P3)
+    * @param windowKeep        window-level sampling gate: given
+    *                          (sampleCount, anchor) builds a predicate;
+    *                          windows failing it are PRUNED BEFORE the
+    *                          feature aggregation and emit no output row.
+    *                          For super-linear per-window members
+    *                          (O(n²) pair scans, CWT convolutions) this is
+    *                          the engine-side mirror of an oracle's early
+    *                          keep-CTE: a cheap count-only pass per segment,
+    *                          a distributed filter over the SEGMENTS frame
+    *                          (never a driver collect), and a broadcast
+    *                          left-semi prune of the assigned rows, so
+    *                          unkept windows never pay the collect buffers
+    *                          or the kernel. Output rows, values and names
+    *                          are identical to calculating everything and
+    *                          filtering afterwards.
     */
   def calculate(
       data: Seq[Series],
@@ -196,7 +211,11 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
       segmentEndIdxs: Option[Seq[Double]] = None,
       windowIdx: String = "end",
       includeFinalWindow: Boolean = false,
-      boundMethod: String = "inner"): DataFrame = {
+      boundMethod: String = "inner",
+      windowKeep: Option[(Column, Column) => Column] = None): DataFrame = {
+    require(windowKeep.isEmpty || (segmentStartIdxs.isEmpty &&
+      segmentEndIdxs.isEmpty),
+      "windowKeep is not supported with manual segments")
     require(segmentStartIdxs.isEmpty && segmentEndIdxs.isEmpty || strideOverride.isEmpty,
       "cannot pass both segment indexes and a stride (M4)")
     val byName = data.map(s => s.name -> s).toMap
@@ -298,12 +317,34 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
           (parts.reduce((a, c) => a.join(c, Seq("__seg_id", "__idx"))),
             seriesSeq.indices.map(i => col(s"__v$i")))
         }
+      // Window-level sampling gate: count rows per segment (cheap map-side
+      // partial agg), filter the SEGMENTS frame on (count, anchor) — fully
+      // distributed, window-count-linear, no driver collect — then prune
+      // the assigned rows with a broadcast left-semi join so unkept windows
+      // reach neither the collect_list buffers nor the per-window kernels.
+      // The kept-segments frame is pinned: it feeds both the semi-join and
+      // the W7 left join, and re-deriving it would re-run the count pass.
+      val (assignedG, segsG) = windowKeep match {
+        case Some(keep) =>
+          require(seriesSeq.lengthCompare(1) == 0 && !posToIdx,
+            "windowKeep supports single-series time/sequence windows only")
+          val cnt = assigned.groupBy("__seg_id")
+            .agg(count(valueCols.head).as("__wn"))
+          val anchorC = series.restoreIdx(Segmenter.anchor(windowIdx))
+          val kept = Pinned.checkpoint(
+            plan.segments.join(cnt, Seq("__seg_id"), "left")
+              .where(keep(coalesce(col("__wn"), lit(0L)), anchorC))
+              .drop("__wn"))
+          (assigned.join(broadcast(kept.select("__seg_id")),
+            Seq("__seg_id"), "left_semi"), kept)
+        case None => (assigned, plan.segments)
+      }
       val aggCols = ds.map(d =>
         d.aggOver(col("__idx"), valueCols).as(nameOf(d)))
-      val agged = assigned.groupBy("__seg_id").agg(aggCols.head, aggCols.tail: _*)
+      val agged = assignedG.groupBy("__seg_id").agg(aggCols.head, aggCols.tail: _*)
 
       // W7: segments with zero rows still emit a row (left join, never inner).
-      var joined = plan.segments.join(agged, Seq("__seg_id"), "left")
+      var joined = segsG.join(agged, Seq("__seg_id"), "left")
       ds.foreach { d =>
         d.emptyValue.foreach { ev =>
           joined = joined.withColumn(nameOf(d), coalesce(qc(nameOf(d)), ev))

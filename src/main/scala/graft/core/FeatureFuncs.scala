@@ -613,23 +613,15 @@ object FeatureFuncs {
     */
   def indexMassQuantile(q: Double): FeatureFunc = {
     require(q > 0 && q < 1, "mass quantile must be in (0, 1)")
+    // r17: the struct-accumulator HOF fold (3 boxed fields rebuilt per
+    // element, and q105 runs three of these per window) moved to the
+    // primitive prefix-sum kernel; the |v| total stays a NATIVE sum
+    // aggregate child, so the q·s threshold — and therefore the hit
+    // index — is bit-identical to the replaced fold
     FeatureFunc(s"index_mass_q$q", (idx, v) => {
       val vals = sortedVals(idx, v)
       val s = org.apache.spark.sql.functions.sum(abs(v))
-      val n = count(v)
-      val fold = aggregate(vals,
-        struct(lit(0L).as("i"), lit(0.0).as("cum"),
-          lit(null).cast("double").as("ans")),
-        (acc, x) => {
-          val cum2 = acc.getField("cum") + abs(x)
-          val i2 = acc.getField("i") + 1L
-          val hit = acc.getField("ans").isNull && cum2 >= lit(q) * s
-          struct(i2.as("i"), cum2.as("cum"),
-            when(hit, i2.cast("double") / n.cast("double"))
-              .otherwise(acc.getField("ans")).as("ans"))
-        },
-        acc => acc.getField("ans"))
-      when(s > 0, fold)
+      when(s > 0, graft.expr.IndexMassK(vals, s, q))
     })
   }
 
@@ -648,8 +640,11 @@ object FeatureFuncs {
       val n = count(v).cast("double")
       val sv = org.apache.spark.sql.functions.sum(v)
       val svv = org.apache.spark.sql.functions.sum(v * v)
-      val stv = aggregate(transform(vals, (x, i) => i.cast("double") * x),
-        lit(0.0), (a, b) => a + b)
+      // r17: Σt·v as a primitive left-to-right pass (bit-identical order
+      // to the replaced transform+aggregate, minus its per-window boxed
+      // product array)
+      val stv = graft.expr.TemporalFoldK(vals,
+        graft.expr.TemporalFoldK.IDX_DOT)
       val st = n * (n - 1) / 2.0
       val stt = (n - 1) * n * (lit(2.0) * n - 1) / 6.0
       val sxx = stt - st * st / n
@@ -681,31 +676,24 @@ object FeatureFuncs {
       val tmin = org.apache.spark.sql.functions.min(idx)
       val n = count(v).cast("double")
       val sv = org.apache.spark.sql.functions.sum(v)
-      // ONE fold carrying (Σt, Σt², Σt·v) with slope/intercept computed in
-      // the FINISH lambda — the collect→sort chain is referenced exactly
-      // once (HOF chains get no codegen CSE; each extra reference
-      // re-evaluates the chain per window, measured ~1.9× on q101)
-      aggregate(pairs,
-        struct(lit(0.0).as("st"), lit(0.0).as("stt"), lit(0.0).as("stv")),
-        (a, p) => {
-          val t = (p.getField("i") - tmin) / lit(3600000000.0)
-          struct(
-            (a.getField("st") + t).as("st"),
-            (a.getField("stt") + t * t).as("stt"),
-            (a.getField("stv") + t * p.getField("v")).as("stv"))
-        },
-        a => {
-          val st = a.getField("st")
-          val stt = a.getField("stt")
-          val stv = a.getField("stv")
-          val sxx = stt - st * st / n
-          val sxy = stv - st * sv / n
-          val slope = sxy / sxx
-          val icept = (sv - slope * st) / n
-          struct(
-            when(n >= 2 && sxx > 0, slope).as("ltt_slope"),
-            when(n >= 2 && sxx > 0, icept).as("ltt_intercept"))
-        })
+      // r17: the (Σt, Σt², Σt·v) struct-fold moved to the primitive
+      // LttFoldK pass (bit-identical accumulation order; tmin stays the
+      // native min aggregate child). The OLS finish reads the kernel's
+      // struct via getField — LttFoldK carries no lambda, so codegen
+      // subexpression elimination merges the references (the old HOF fold
+      // was kept single-reference precisely because LAMBDA chains get no
+      // CSE; a plain expression does).
+      val a = graft.expr.LttFoldK(pairs, tmin)
+      val st = a.getField("st")
+      val stt = a.getField("stt")
+      val stv = a.getField("stv")
+      val sxx = stt - st * st / n
+      val sxy = stv - st * sv / n
+      val slope = sxy / sxx
+      val icept = (sv - slope * st) / n
+      struct(
+        when(n >= 2 && sxx > 0, slope).as("ltt_slope"),
+        when(n >= 2 && sxx > 0, icept).as("ltt_intercept"))
     }, outputNames = Some(outs))
   }
 

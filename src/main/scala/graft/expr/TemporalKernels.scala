@@ -1,6 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -154,7 +155,69 @@ object TemporalKernelUtil {
           i += 1
         }
         java.lang.Double.valueOf(s)
+      case 8 => // IDX_DOT: Σ position·value left-to-right — linear_trend's
+        // Σt·v (the only fold of that member; replaced an aggregate-HOF
+        // whose transform allocated a second boxed array per window).
+        // Empty array → 0.0, like aggregate(transform(...), 0.0, +).
+        var s = 0.0
+        i = 0
+        while (i < n) { s += i.toDouble * x(i); i += 1 }
+        java.lang.Double.valueOf(s)
     }
+  }
+
+  /** tsfresh `index_mass_quantile(q)`: walk the index-sorted |v| prefix
+    * sums; first position whose cumulative mass reaches q·total (the
+    * total stays the CALLER's native sum(abs(v)) aggregate, so the
+    * threshold is bit-identical to the replaced struct-accumulator fold)
+    * → (i+1)/n. No position reaches it (NaN-poisoned cum, or q·total a
+    * hair above the final prefix sum) → null, the fold's ans-stays-null
+    * branch. The caller keeps its `when(s > 0, …)` outer guard.
+    */
+  def indexMass(arr: ArrayData, s: Double, q: Double): Any = {
+    val n = arr.numElements()
+    val thr = q * s
+    var cum = 0.0
+    var i = 0
+    while (i < n) {
+      cum += math.abs(arr.getDouble(i))
+      // the hit test is SPARK's `>=` (NaN greatest, NaN == NaN), not
+      // Java's: a NaN-poisoned total makes thr NaN, and the replaced fold
+      // still hits at the first NaN prefix sum (cum NaN >= thr NaN) — the
+      // caller's `when(s > 0, …)` guard does NOT screen NaN out because
+      // Spark's NaN > 0 is TRUE
+      val ge =
+        if (java.lang.Double.isNaN(cum)) true
+        else if (java.lang.Double.isNaN(thr)) false
+        else cum >= thr
+      if (ge)
+        return java.lang.Double.valueOf((i + 1).toDouble / n.toDouble)
+      i += 1
+    }
+    null
+  }
+
+  /** tsfresh `linear_trend_timewise`'s single fold: (Σt, Σt², Σt·v) over
+    * the index-sorted (i, v) pairs with t = (i − tmin)/3 600 000 000 (µs →
+    * hours), accumulated left-to-right in exactly the replaced
+    * struct-fold's order — bit-identical sums; the OLS finish stays in the
+    * caller's Column form.
+    */
+  def lttFold(pairs: ArrayData, tmin: Double): InternalRow = {
+    val n = pairs.numElements()
+    var st = 0.0
+    var stt = 0.0
+    var stv = 0.0
+    var i = 0
+    while (i < n) {
+      val p = pairs.getStruct(i, 2)
+      val t = (p.getDouble(0) - tmin) / 3600000000.0
+      st += t
+      stt += t * t
+      stv += t * p.getDouble(1)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](st, stt, stv))
   }
   /** Spark SQL's double comparison for `>`: NaN is GREATER than every
     * non-NaN and equal to itself. The kernels below replace Column forms
@@ -372,6 +435,7 @@ object TemporalFoldK {
   val CENTROID_NUM = 5
   val ABS_DIFF_SUM = 6
   val SUM_SQ_DIFF = 7
+  val IDX_DOT = 8
 
   def apply(arr: Column, mode: Int, fs: Double = 1.0): Column =
     ColumnBridge.column(TemporalFoldK(ColumnBridge.expression(arr), mode, fs))
@@ -379,7 +443,7 @@ object TemporalFoldK {
 
 case class TemporalFoldK(child: Expression, mode: Int, fs: Double)
   extends ArrayDoubleKernel {
-  require(mode >= 0 && mode <= 7, s"unknown temporal-fold mode $mode")
+  require(mode >= 0 && mode <= 8, s"unknown temporal-fold mode $mode")
   require(fs > 0, "sampling rate must be > 0")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "temporal_fold"
@@ -510,4 +574,56 @@ object RatioBeyondK {
   def apply(arr: Column, mu: Column, sd: Column, r: Double): Column =
     ColumnBridge.column(RatioBeyondK(ColumnBridge.expression(arr),
       ColumnBridge.expression(mu), ColumnBridge.expression(sd), r))
+}
+
+/** Prefix-mass quantile position (see [[TemporalKernelUtil.indexMass]]);
+  * the scalar child is the caller's native sum(abs(v)) aggregate. */
+case class IndexMassK(left: Expression, right: Expression, q: Double)
+  extends ArrayScalarKernel {
+  require(q > 0 && q < 1, "mass quantile must be in (0, 1)")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "index_mass_quantile"
+  override def nullSafeEval(a: Any, s: Any): Any =
+    TemporalKernelUtil.indexMass(a.asInstanceOf[ArrayData],
+      s.asInstanceOf[Double], q)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IndexMassK =
+    copy(left = newLeft, right = newRight)
+}
+object IndexMassK {
+  def apply(arr: Column, s: Column, q: Double): Column =
+    ColumnBridge.column(IndexMassK(ColumnBridge.expression(arr),
+      ColumnBridge.expression(s), q))
+}
+
+/** linear_trend_timewise's (Σt, Σt², Σt·v) fold over sorted (i, v) pairs
+  * (see [[TemporalKernelUtil.lttFold]]); tmin is the caller's native
+  * min(idx) aggregate. */
+case class LttFoldK(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StructType(fs), _), DoubleType)
+          if fs.length == 2 && fs.forall(_.dataType == DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<struct<double,double>>, double), " +
+          s"got (${l.sql}, ${r.sql})")
+    }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("st", DoubleType), StructField("stt", DoubleType),
+    StructField("stv", DoubleType)))
+  override def prettyName: String = "ltt_fold"
+  override def nullSafeEval(a: Any, tmin: Any): Any =
+    TemporalKernelUtil.lttFold(a.asInstanceOf[ArrayData],
+      tmin.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LttFoldK =
+    copy(left = newLeft, right = newRight)
+}
+object LttFoldK {
+  def apply(pairs: Column, tmin: Column): Column =
+    ColumnBridge.column(LttFoldK(ColumnBridge.expression(pairs),
+      ColumnBridge.expression(tmin)))
 }

@@ -104,8 +104,11 @@ class PlanShapeSpec extends SparkSpec {
     //  - q65: keep-one materializer — one hash-agg shuffle + one broadcast
     //    join back to the corpus;
     //  - q110: per-window KDE/gauss entropy kernels — one window-assign
-    //    agg + one stats broadcast; a second JOIN appearing here would
-    //    mean the kernel stopped being a single keyed aggregation.
+    //    agg + one stats broadcast, plus (r17) the windowKeep gate's
+    //    broadcast left-semi prune of the assigned rows (the second
+    //    broadcast+BHJ pair): unkept big windows never reach the
+    //    collect buffers or the O(n²) kernel. A SHUFFLE appearing beyond
+    //    the two audited ones would mean the gate stopped broadcasting.
     "q76_simhash_near" -> Map(
       "shuffle_exchange" -> 4, "broadcast_exchange" -> 1,
       "reused_exchange" -> 0, "broadcast_hash_join" -> 1,
@@ -122,8 +125,8 @@ class PlanShapeSpec extends SparkSpec {
       "sort_merge_join" -> 0, "shuffled_hash_join" -> 0,
       "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0),
     "q110_entropy_kde" -> Map(
-      "shuffle_exchange" -> 2, "broadcast_exchange" -> 1,
-      "reused_exchange" -> 0, "broadcast_hash_join" -> 1,
+      "shuffle_exchange" -> 2, "broadcast_exchange" -> 2,
+      "reused_exchange" -> 0, "broadcast_hash_join" -> 2,
       "sort_merge_join" -> 0, "shuffled_hash_join" -> 0,
       "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0))
 

@@ -271,4 +271,55 @@ class FeatureCollectionSpec extends SparkSpec {
     assert(df.agg(f.agg(org.apache.spark.sql.functions.col("i"),
       org.apache.spark.sql.functions.col("v"))).head().getDouble(0) == 1.0)
   }
+
+  test("windowKeep: gated calculate == ungated + post-filter (row-identical)") {
+    import spark.implicits._
+    // 40 samples, window 10 stride 3 — mixed window sizes incl. the W1
+    // partial tail windows; keep rule = "count odd or anchor % 4 == 0"
+    // (arbitrary: exercises both the count operand and the anchor operand)
+    val df = (0L until 40L).map(i => (i, math.sin(i * 0.7) * 5)).toDF("idx", "s")
+    val ser = Series("s", df, "idx", "s")
+    val fns = Seq(len, mean, absDiffSum)
+    val fc = FeatureCollection.of(fns.map(f =>
+      FeatureDescriptor(f, "s", Some(Win.seq(10L)), Some(Seq(Win.seq(3L))))))
+    val keep = (n: org.apache.spark.sql.Column, anchor: org.apache.spark.sql.Column) =>
+      n % 2 === 1 || anchor % 4 === 0
+    val gated = fc.calculate(Seq(ser), windowKeep = Some(keep))
+    val manual = fc.calculate(Seq(ser))
+      .where(col("s__len__w=10") % 2 === 1 || col("idx") % 4 === 0)
+    assert(gated.columns.toSeq == manual.columns.toSeq)
+    val a = gated.orderBy("idx").collect().toSeq
+    val b = manual.orderBy("idx").collect().toSeq
+    assert(a == b, s"gated:\n${a.mkString("\n")}\nmanual:\n${b.mkString("\n")}")
+    // and the gate really dropped something (the differential is not vacuous)
+    assert(a.nonEmpty && fc.calculate(Seq(ser)).count() > a.size)
+  }
+
+  test("windowKeep: empty windows count as 0 and pass an n<=k keep rule (W7)") {
+    import spark.implicits._
+    // values clustered at the start; late stride windows are EMPTY — the
+    // count pass has no row for them, the gate must coalesce to 0, keep
+    // them under n <= 3, and W7 still emits their empty-value rows
+    val df = Seq((0L, 1.0), (1L, 2.0), (2L, 3.0), (30L, 4.0)).toDF("idx", "s")
+    val ser = Series("s", df, "idx", "s")
+    val fc = FeatureCollection(
+      FeatureDescriptor(len, "s", Some(Win.seq(5L)), Some(Seq(Win.seq(5L)))))
+    val keep = (n: org.apache.spark.sql.Column,
+        _: org.apache.spark.sql.Column) => n <= 3
+    val gated = fc.calculate(Seq(ser), windowKeep = Some(keep))
+    val manual = fc.calculate(Seq(ser)).where(col("s__len__w=5") <= 3)
+    assert(gated.orderBy("idx").collect().toSeq ==
+      manual.orderBy("idx").collect().toSeq)
+    // the middle windows are empty (len 0) and present
+    assert(gated.where(col("s__len__w=5") === 0).count() >= 1)
+  }
+
+  test("windowKeep rejects manual segments loudly") {
+    val fc = FeatureCollection(
+      FeatureDescriptor(len, "dummy", None, None))
+    val e = intercept[IllegalArgumentException](fc.calculate(Seq(tinySeries),
+      segmentStartIdxs = Some(Seq(0.0)), segmentEndIdxs = Some(Seq(3.0)),
+      windowKeep = Some((n, _) => n > 0)))
+    assert(e.getMessage.contains("windowKeep"))
+  }
 }

@@ -302,4 +302,70 @@ class TemporalFoldSpec extends SparkSpec {
     assert(java.lang.Double.isNaN(f(nz, MEDIAN_ABS_DIFF)
       .asInstanceOf[java.lang.Double].doubleValue())) // middle of [3,NaN,NaN]
   }
+
+  // ---- the replaced q105 Column forms, verbatim (r17 kernels) -------------
+
+  test("IDX_DOT / IndexMassK / LttFoldK ≡ their replaced q105 folds, bit-for-bit") {
+    import spark.implicits._
+    val df = windows.toDF("w").withColumn("n", size(col("w")).cast("long"))
+    val vals = col("w")
+
+    // linear_trend's Σt·v: transform + aggregate, verbatim
+    val oldIdxDot = aggregate(transform(vals, (x, i) => i.cast("double") * x),
+      lit(0.0), (a, b) => a + b)
+    // index_mass_quantile's struct fold, verbatim; s shared by both sides
+    // so the q·s threshold is identical by construction (in the member, s
+    // is the native sum(abs(v)) aggregate passed as the kernel child)
+    val s = aggregate(vals, lit(0.0), (a, b) => a + abs(b))
+    def oldMass(q: Double): Column = {
+      val fold = aggregate(vals,
+        struct(lit(0L).as("i"), lit(0.0).as("cum"),
+          lit(null).cast("double").as("ans")),
+        (acc, x) => {
+          val cum2 = acc.getField("cum") + abs(x)
+          val i2 = acc.getField("i") + 1L
+          val hit = acc.getField("ans").isNull && cum2 >= lit(q) * s
+          struct(i2.as("i"), cum2.as("cum"),
+            when(hit, i2.cast("double") / col("n").cast("double"))
+              .otherwise(acc.getField("ans")).as("ans"))
+        },
+        acc => acc.getField("ans"))
+      when(s > 0, fold)
+    }
+    // linear_trend_timewise's (Σt, Σt², Σt·v) fold, verbatim — irregular
+    // micro-timestamps t_i = (7i+1)·1e6 so the µs→h division is exercised
+    val pairs = transform(vals, (x, i) =>
+      struct(((i * 7 + 1).cast("double") * 1e6).as("i"), x.as("v")))
+    val tmin = element_at(pairs, 1).getField("i")
+    val oldLtt = aggregate(pairs,
+      struct(lit(0.0).as("st"), lit(0.0).as("stt"), lit(0.0).as("stv")),
+      (a, p) => {
+        val t = (p.getField("i") - tmin) / lit(3600000000.0)
+        struct(
+          (a.getField("st") + t).as("st"),
+          (a.getField("stt") + t * t).as("stt"),
+          (a.getField("stv") + t * p.getField("v")).as("stv"))
+      })
+
+    val rows = df.select(
+      TemporalFoldK(vals, IDX_DOT).as("kd"), oldIdxDot.as("od"),
+      // the member guards both forms with when(s > 0, …) — compare as used
+      when(s > 0, IndexMassK(vals, s, 0.15)).as("k15"), oldMass(0.15).as("o15"),
+      when(s > 0, IndexMassK(vals, s, 0.5)).as("k50"), oldMass(0.5).as("o50"),
+      when(s > 0, IndexMassK(vals, s, 0.75)).as("k75"), oldMass(0.75).as("o75"),
+      LttFoldK(pairs, tmin).as("kl"), oldLtt.as("ol"),
+      vals.as("w")).collect()
+    def d(r: org.apache.spark.sql.Row, i: Int): java.lang.Double =
+      if (r.isNullAt(i)) null else java.lang.Double.valueOf(r.getDouble(i))
+    rows.foreach { r =>
+      for ((a, b, what) <- Seq((0, 1, "idx_dot"), (2, 3, "mass_0.15"),
+          (4, 5, "mass_0.5"), (6, 7, "mass_0.75")))
+        assert(bits(d(r, a)) == bits(d(r, b)),
+          s"$what diverged on ${r.getSeq[Double](10)}: ${d(r, a)} vs ${d(r, b)}")
+      val kl = r.getStruct(8); val ol = r.getStruct(9)
+      for (f <- 0 until 3)
+        assert(bits(kl.getDouble(f)) == bits(ol.getDouble(f)),
+          s"ltt field $f diverged on ${r.getSeq[Double](10)}")
+    }
+  }
 }
