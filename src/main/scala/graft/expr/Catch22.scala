@@ -520,16 +520,49 @@ object Catch22Util {
     }
     val acmax = math.ceil(n / 3.0).toInt
     val ac = new Array[Double](acmax + 2) // 1-based lag; [0] unused
+    // r17: the truncated-Pearson ACF used one O(n−τ) pass PER LAG — an
+    // O(n²/3) scan that profiled as ~40% of the whole catch24 battery on
+    // q109's 3.3k-sample windows. Same statistics, near-linear:
+    //  - prefix sums give every lag's a-side sums in the SAME left-to-right
+    //    order the replaced loop used (sa/saa bit-identical) and the b-side
+    //    as whole-minus-prefix complements (one extra rounding);
+    //  - Σ yᵢ·yᵢ₊τ for ALL lags is one zero-padded FFT autocorrelation
+    //    (~1e-13 relative vs the direct sum).
+    // The per-lag r values therefore move at ulp scale, exactly as the
+    // DuckDB oracle's own arbitrary-order SUMs already do vs the replaced
+    // loop; the output is an integer lag whose peak margins dwarf both.
+    val ps = new Array[Double](n + 1)
+    val pss = new Array[Double](n + 1)
+    var pi = 0
+    while (pi < n) {
+      val v = ySub(pi)
+      ps(pi + 1) = ps(pi) + v
+      pss(pi + 1) = pss(pi) + v * v
+      pi += 1
+    }
+    var m2 = 1
+    while (m2 < n + acmax + 1) m2 <<= 1 // pad past acmax: no circular wrap
+    val fr = new Array[Double](m2)
+    val fi = new Array[Double](m2)
+    System.arraycopy(ySub, 0, fr, 0, n)
+    Fft.radix2(fr, fi)
+    var q = 0
+    while (q < m2) {
+      val pw = fr(q) * fr(q) + fi(q) * fi(q)
+      fr(q) = pw; fi(q) = 0.0
+      q += 1
+    }
+    // inverse of a REAL spectrum: IFFT(X) = conj(FFT(conj(X)))/m2 and X is
+    // real, so the forward transform's real part over m2 IS the autocorr
+    Fft.radix2(fr, fi)
     var tau = 1
     while (tau <= acmax) {
       val m = n - tau
-      var sa = 0.0; var sb = 0.0; var saa = 0.0; var sbb = 0.0; var sab = 0.0
-      var i = 0
-      while (i < m) {
-        val a = ySub(i); val b = ySub(i + tau)
-        sa += a; sb += b; saa += a * a; sbb += b * b; sab += a * b
-        i += 1
-      }
+      val sa = ps(m)
+      val saa = pss(m)
+      val sb = ps(n) - ps(tau)
+      val sbb = pss(n) - pss(tau)
+      val sab = fr(tau) / m2
       val cov = sab - sa * sb / m
       val va = saa - sa * sa / m
       val vb = sbb - sb * sb / m
