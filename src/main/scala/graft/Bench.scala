@@ -292,6 +292,37 @@ object Bench {
         if (e.taskMetrics != null) cpuAllNs.addAndGet(e.taskMetrics.executorCpuTime)
     }
     spark.sparkContext.addSparkListener(cpuAllL)
+    // Memory-bandwidth self-calibration (r17): the round's neighbor storm
+    // inflated executor CPU-TIME 1.3-2.7x with steal at ~1.5% — bandwidth/
+    // SMT contention is invisible to busy-minus-self AND steal. A fixed
+    // single-thread 256 MB sweep before and after the measured passes
+    // publishes the direct signal (GB/s): a low or before/after-divergent
+    // pair attributes CPU-cell inflation to the host from the artifact
+    // alone. ~100 ms each — noise against a multi-minute suite.
+    def memBwGbps(): Double = {
+      val a = new Array[Double](32 * 1024 * 1024) // 256 MB, beyond any LLC
+      java.util.Arrays.fill(a, 1.0)
+      var best = 0.0
+      var r = 0
+      while (r < 3) {
+        val t0 = System.nanoTime()
+        // four independent accumulators: a single dependent-add chain is
+        // LATENCY-bound (~5 GB/s regardless of host state) and would not
+        // see contention; unrolled, the sweep saturates a core's share of
+        // real bandwidth
+        var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+        var i = 0
+        while (i < a.length) {
+          s0 += a(i); s1 += a(i + 1); s2 += a(i + 2); s3 += a(i + 3)
+          i += 4
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (s0 + s1 + s2 + s3 > 0 && 0.256 / dt > best) best = 0.256 / dt
+        r += 1
+      }
+      (best * 10).round / 10.0
+    }
+    val membw0 = memBwGbps()
     val (busy0, steal0) = hostBusySteal()
     val proc0 = procCpuSec()
     val wall0 = System.nanoTime()
@@ -541,6 +572,7 @@ object Bench {
     val loadJson = s""""load_mean":${r3(loadMean)},"load_max":${r3(loadMax)},""" +
       s""""foreign_frac":${r3(foreignFrac)},"steal_cpu":${r3(
         if (measurable) math.max(0.0, steal1 - steal0) else -1.0)},""" +
+      s""""membw_gbps_before":$membw0,"membw_gbps_after":${memBwGbps()},""" +
       s""""extra_pass":$extraPass,"cpu_total":${r3(cpuTotalWarm)}"""
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$totalCold,"queries_cold":$qsCold,"sf":"$sfDir","passes":$passes,"headline":"warm","scratch":"${if (scratchShared) "shared" else "private"}","scratch_dirs":${observedLocals.size},"scratch_rebases":$scratchRebases,"structural_total":$structuralTotal,"queries_minwarm":$minwarmJson,"queries_cpu":$cpuJson,"queries_cpu_warm":$cpuWarmAllJson,"queries_warm3":$warm3Json,$loadJson,"failed":$failedJson,"diag":$diag$isoJson}"""
     // The driver records only the LAST ~2000 chars of stdout and tries to
