@@ -197,12 +197,28 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
     *                          the engine-side mirror of an oracle's early
     *                          keep-CTE: a cheap count-only pass per segment,
     *                          a distributed filter over the SEGMENTS frame
-    *                          (never a driver collect), and a broadcast
-    *                          left-semi prune of the assigned rows, so
-    *                          unkept windows never pay the collect buffers
-    *                          or the kernel. Output rows, values and names
-    *                          are identical to calculating everything and
-    *                          filtering afterwards.
+    *                          (never a driver collect), and a left-semi
+    *                          prune of the assigned rows — broadcast while
+    *                          the kept-segment COUNT stays at or under
+    *                          `windowKeepBroadcastLimit`, a shuffled semi
+    *                          join above it (the count is free: the kept
+    *                          frame is checkpointed for its two consumers
+    *                          anyway) — so unkept windows never pay the
+    *                          collect buffers or the kernel, and a
+    *                          keep-almost-everything predicate degrades to
+    *                          a shuffle instead of an executor OOM.
+    *                          Restricted to single-bucket collections (one
+    *                          (series, window, strides) group): there the
+    *                          output is identical — rows, values, names —
+    *                          to calculating everything and filtering
+    *                          afterwards. (Across SEVERAL buckets the
+    *                          full-outer anchor merge would null out the
+    *                          dropped bucket's columns instead of dropping
+    *                          rows — a shape no post-filter produces — so
+    *                          that composition is rejected loudly.)
+    * @param windowKeepBroadcastLimit max kept-segment count that still
+    *                          broadcasts the semi-join side (id column
+    *                          only, 8 B/row)
     */
   def calculate(
       data: Seq[Series],
@@ -212,7 +228,8 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
       windowIdx: String = "end",
       includeFinalWindow: Boolean = false,
       boundMethod: String = "inner",
-      windowKeep: Option[(Column, Column) => Column] = None): DataFrame = {
+      windowKeep: Option[(Column, Column) => Column] = None,
+      windowKeepBroadcastLimit: Long = 4000000L): DataFrame = {
     require(windowKeep.isEmpty || (segmentStartIdxs.isEmpty &&
       segmentEndIdxs.isEmpty),
       "windowKeep is not supported with manual segments")
@@ -236,6 +253,14 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
     val buckets = descriptors.groupBy { d =>
       (d.seriesNames, d.window, if (manualSegs) None else strideOverride.orElse(d.strides))
     }
+    // windowKeep's "identical to filter-afterwards" contract holds only
+    // within one bucket — across buckets the full-outer anchor merge would
+    // turn a window dropped in one bucket but kept in another into a row
+    // with nulls for the dropped bucket's features (no single post-filter
+    // produces that shape), so reject the composition loudly (ADVICE r17)
+    require(windowKeep.isEmpty || buckets.size == 1,
+      s"windowKeep requires a single (series, window, strides) bucket, " +
+        s"got ${buckets.size}: split the calculate() call per bucket")
 
     // Both segment arrays given → window ignored → names use w=manual
     // (reference: strided_rolling.py:198-211, _create_feat_col_name).
@@ -320,10 +345,14 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
       // Window-level sampling gate: count rows per segment (cheap map-side
       // partial agg), filter the SEGMENTS frame on (count, anchor) — fully
       // distributed, window-count-linear, no driver collect — then prune
-      // the assigned rows with a broadcast left-semi join so unkept windows
-      // reach neither the collect_list buffers nor the per-window kernels.
+      // the assigned rows with a left-semi join so unkept windows reach
+      // neither the collect_list buffers nor the per-window kernels.
       // The kept-segments frame is pinned: it feeds both the semi-join and
-      // the W7 left join, and re-deriving it would re-run the count pass.
+      // the W7 left join, and re-deriving it would re-run the count pass;
+      // the same pin makes the COUNTED broadcast degrade free — the ids
+      // broadcast only while their count is at or under the limit, else
+      // the semi join shuffles both sides (a keep-almost-everything
+      // predicate costs a shuffle, never an executor OOM; ADVICE r17).
       val (assignedG, segsG) = windowKeep match {
         case Some(keep) =>
           require(seriesSeq.lengthCompare(1) == 0 && !posToIdx,
@@ -335,8 +364,11 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
             plan.segments.join(cnt, Seq("__seg_id"), "left")
               .where(keep(coalesce(col("__wn"), lit(0L)), anchorC))
               .drop("__wn"))
-          (assigned.join(broadcast(kept.select("__seg_id")),
-            Seq("__seg_id"), "left_semi"), kept)
+          val keptIds = kept.select("__seg_id")
+          val hinted =
+            if (kept.count() <= windowKeepBroadcastLimit) broadcast(keptIds)
+            else keptIds
+          (assigned.join(hinted, Seq("__seg_id"), "left_semi"), kept)
         case None => (assigned, plan.segments)
       }
       val aggCols = ds.map(d =>

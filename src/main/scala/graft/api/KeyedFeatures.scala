@@ -76,11 +76,13 @@ object KeyedFeatures {
   def calculate(df: DataFrame, keyCol: String, idxCol: String, valueCol: String,
                 window: Win, strides: Seq[Win], funcs: Seq[FeatureFunc],
                 seriesName: String, windowIdx: String = "end",
-                includeFinalWindow: Boolean = false): DataFrame =
+                includeFinalWindow: Boolean = false,
+                windowKeep: Option[(Column, Column) => Column] = None): DataFrame =
     calculateWide(
       df.select(col(keyCol), col(idxCol), col(valueCol).as(seriesName)),
       keyCol, idxCol, window, strides,
-      funcs.map(f => seriesName -> f), Nil, windowIdx, includeFinalWindow)
+      funcs.map(f => seriesName -> f), Nil, windowIdx, includeFinalWindow,
+      windowKeep)
 
   /** Keyed feature extraction over a WIDE frame: one row per (key, idx) with
     * one column per series. Because the tuple series share index rows in
@@ -98,13 +100,25 @@ object KeyedFeatures {
     * @param unary (seriesColumn, func) features; output `col__f__w=...`
     * @param nary  (seriesColumns, func) tuple features; output
     *              `a|b|c__f__w=...` (W10 naming, same as the main path)
+    * @param windowKeep keyed twin of the single-series windowKeep gate
+    *              (r18): given (sampleCount of the FIRST value column,
+    *              anchor) builds a predicate; (key, window)s failing it are
+    *              pruned BEFORE the fused aggregate and emit no output row
+    *              — identical rows/values/names to calculating everything
+    *              and post-filtering, but keyed super-linear members never
+    *              pay for unkept windows. Count pass, distributed segment
+    *              filter, left-semi prune; broadcast while the kept count
+    *              stays at or under `windowKeepBroadcastLimit`, a shuffled
+    *              semi join above it.
     */
   def calculateWide(df: DataFrame, keyCol: String, idxCol: String,
                     window: Win, strides: Seq[Win],
                     unary: Seq[(String, FeatureFunc)],
                     nary: Seq[(Seq[String], NaryFunc)] = Nil,
                     windowIdx: String = "end",
-                    includeFinalWindow: Boolean = false): DataFrame = {
+                    includeFinalWindow: Boolean = false,
+                    windowKeep: Option[(Column, Column) => Column] = None,
+                    windowKeepBroadcastLimit: Long = 4000000L): DataFrame = {
     require(unary.nonEmpty || nary.nonEmpty, "no features given")
     nary.foreach { case (cols, f) =>
       require(cols.lengthCompare(f.arity) == 0,
@@ -167,6 +181,40 @@ object KeyedFeatures {
           .as("__seg_start") +:
         col("__idx") +: valueCols.map(col): _*)
 
+    val anchorRaw = windowIdx match {
+      case "end"    => col("__seg_end")
+      case "middle" => col("__seg_start") + (col("__seg_end") - col("__seg_start")) / 2
+      case "begin"  => col("__seg_start")
+      case x => throw new IllegalArgumentException(s"bad windowIdx $x")
+    }
+
+    // Keyed window-level sampling gate — the single-series windowKeep's
+    // twin: count rows per (key, window start) off the assignment explode
+    // (map-side partial agg), filter the per-key SEGMENT table on
+    // (count, anchor) — fully distributed — and prune the explode with a
+    // left-semi join BEFORE the fused aggregate, so keyed super-linear
+    // members never see unkept windows. The kept frame is pinned (it
+    // feeds the semi join and the W7 left join), which makes the counted
+    // broadcast degrade free: ids broadcast only while their count is at
+    // or under the limit, else the semi join shuffles on the key.
+    val (assignedG, segmentsG) = windowKeep match {
+      case Some(keep) =>
+        val cnt = assigned.groupBy("__key", "__seg_start")
+          .agg(count(col(firstVal)).as("__wn"))
+        val kept = Pinned.checkpoint(
+          segments.join(cnt, Seq("__key", "__seg_start"), "left")
+            .where(keep(coalesce(col("__wn"), lit(0L)),
+              series.restoreIdx(anchorRaw)))
+            .drop("__wn"))
+        val ids = kept.select("__key", "__seg_start")
+        val hinted =
+          if (kept.count() <= windowKeepBroadcastLimit) broadcast(ids)
+          else ids
+        (assigned.join(hinted, Seq("__key", "__seg_start"), "left_semi"),
+          kept)
+      case None => (assigned, segments)
+    }
+
     // 4. one fused aggregate; empty windows restored by the left join
     val winR = window.render
     case class Feat(name: String, empty: Option[Column],
@@ -184,18 +232,12 @@ object KeyedFeatures {
       "duplicate output names: " +
         feats.map(_.name).diff(feats.map(_.name).distinct).mkString(", "))
     val aggs = feats.map(f => f.agg.as(f.name))
-    val agged = assigned.groupBy("__key", "__seg_start").agg(aggs.head, aggs.tail: _*)
-    var joined = segments.join(agged, Seq("__key", "__seg_start"), "left")
+    val agged = assignedG.groupBy("__key", "__seg_start").agg(aggs.head, aggs.tail: _*)
+    var joined = segmentsG.join(agged, Seq("__key", "__seg_start"), "left")
     feats.foreach { f =>
       f.empty.foreach { ev =>
         joined = joined.withColumn(f.name, coalesce(col(s"`${f.name}`"), ev))
       }
-    }
-    val anchorRaw = windowIdx match {
-      case "end"    => col("__seg_end")
-      case "middle" => col("__seg_start") + (col("__seg_end") - col("__seg_start")) / 2
-      case "begin"  => col("__seg_start")
-      case x => throw new IllegalArgumentException(s"bad windowIdx $x")
     }
     // multi-output functions return a struct — expand each declared output
     // into its own W10-named column (same rule as the main path)
@@ -227,19 +269,29 @@ object KeyedFeatures {
     * independent of the window count.
     *
     * Output naming: `series__func__w=<window.render>` per window (W10).
+    *
+    * windowKeep semantics HERE (differs from the single-window row rule,
+    * necessarily): the gate keeps/drops (key, window, anchor) CELLS. A
+    * window dropped at an anchor where another window is kept nulls out
+    * its columns on the shared pivot row; an anchor where EVERY window is
+    * dropped emits no row. (A post-filter cannot express the cell shape —
+    * the single-bucket row-identity claim is scoped to [[calculateWide]].)
     */
   def calculateWideMulti(df: DataFrame, keyCol: String, idxCol: String,
                          windows: Seq[(Win, Seq[Win])],
                          unary: Seq[(String, FeatureFunc)],
                          nary: Seq[(Seq[String], NaryFunc)] = Nil,
                          windowIdx: String = "end",
-                         includeFinalWindow: Boolean = false): DataFrame = {
+                         includeFinalWindow: Boolean = false,
+                         windowKeep: Option[(Column, Column) => Column] = None,
+                         windowKeepBroadcastLimit: Long = 4000000L): DataFrame = {
     require(windows.nonEmpty, "no windows given")
     require(windows.map(_._1.amount).distinct.length == windows.length,
       "duplicate windows")
     if (windows.lengthCompare(1) == 0)
       return calculateWide(df, keyCol, idxCol, windows.head._1,
-        windows.head._2, unary, nary, windowIdx, includeFinalWindow)
+        windows.head._2, unary, nary, windowIdx, includeFinalWindow,
+        windowKeep, windowKeepBroadcastLimit)
     require(unary.nonEmpty || nary.nonEmpty, "no features given")
     nary.foreach { case (cols, f) =>
       require(cols.lengthCompare(f.arity) == 0,
@@ -304,6 +356,39 @@ object KeyedFeatures {
           col("__idx") +: valueCols.map(col): _*)
     }
 
+    // anchors from DIFFERENT windows must land on one row when they are
+    // mathematically equal, so the pivot groups on the key-relative offset
+    // k·st (+ w) — exact integer-valued double arithmetic, no float-summed
+    // `s0 + …` whose 1-ulp wobble would split the row. `s0` is added back
+    // once, after the merge.
+    val anchorOff = windowIdx match {
+      case "end"    => col("__koff") + col("__w")
+      case "middle" => col("__koff") + col("__w") / 2
+      case "begin"  => col("__koff")
+      case x => throw new IllegalArgumentException(s"bad windowIdx $x")
+    }
+
+    // keyed windowKeep gate per (key, window, start) — see calculateWide;
+    // here the anchor handed to the predicate is s0 + anchorOff, the exact
+    // value the pivot output restores
+    val (assignedG, segmentsG) = windowKeep match {
+      case Some(keep) =>
+        val cnt = assigned.groupBy("__key", "__w", "__seg_start")
+          .agg(count(col(valueCols.head)).as("__wn"))
+        val kept = Pinned.checkpoint(
+          segments.join(cnt, Seq("__key", "__w", "__seg_start"), "left")
+            .where(keep(coalesce(col("__wn"), lit(0L)),
+              series.restoreIdx(col("__s0") + anchorOff)))
+            .drop("__wn"))
+        val ids = kept.select("__key", "__w", "__seg_start")
+        val hinted =
+          if (kept.count() <= windowKeepBroadcastLimit) broadcast(ids)
+          else ids
+        (assigned.join(hinted, Seq("__key", "__w", "__seg_start"),
+          "left_semi"), kept)
+      case None => (assigned, segments)
+    }
+
     // 4. ONE fused aggregate across all windows, empties restored per window
     case class Feat(base: String, fname: String, empty: Option[Column],
                     outputNames: Option[Seq[String]], seriesNames: Seq[String],
@@ -317,25 +402,14 @@ object KeyedFeatures {
           f.agg(col("__idx"), cs.map(col)))
       }
     val aggs = feats.map(f => f.agg.as(f.base))
-    var agged = segments.join(
-      assigned.groupBy("__key", "__w", "__seg_start")
+    var agged = segmentsG.join(
+      assignedG.groupBy("__key", "__w", "__seg_start")
         .agg(aggs.head, aggs.tail: _*),
       Seq("__key", "__w", "__seg_start"), "left")
     feats.foreach { f =>
       f.empty.foreach { ev =>
         agged = agged.withColumn(f.base, coalesce(col(f.base), ev))
       }
-    }
-    // anchors from DIFFERENT windows must land on one row when they are
-    // mathematically equal, so the pivot groups on the key-relative offset
-    // k·st (+ w) — exact integer-valued double arithmetic, no float-summed
-    // `s0 + …` whose 1-ulp wobble would split the row. `s0` is added back
-    // once, after the merge.
-    val anchorOff = windowIdx match {
-      case "end"    => col("__koff") + col("__w")
-      case "middle" => col("__koff") + col("__w") / 2
-      case "begin"  => col("__koff")
-      case x => throw new IllegalArgumentException(s"bad windowIdx $x")
     }
 
     // 5. pivot windows into columns on the shared (key, anchor) row —

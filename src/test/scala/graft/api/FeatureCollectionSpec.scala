@@ -322,4 +322,44 @@ class FeatureCollectionSpec extends SparkSpec {
       windowKeep = Some((n, _) => n > 0)))
     assert(e.getMessage.contains("windowKeep"))
   }
+
+  test("windowKeep rejects multi-bucket collections loudly (ADVICE r17)") {
+    import spark.implicits._
+    // two windows over one series = two buckets: a window dropped in one
+    // bucket but kept in the other would merge into a row with nulls — a
+    // shape no post-filter produces, so the composition must fail up front
+    val df = (0L until 20L).map(i => (i, i.toDouble)).toDF("idx", "s")
+    val ser = Series("s", df, "idx", "s")
+    val fc = FeatureCollection(
+      FeatureDescriptor(len, "s", Some(Win.seq(5L)), Some(Seq(Win.seq(5L)))),
+      FeatureDescriptor(len, "s", Some(Win.seq(10L)), Some(Seq(Win.seq(5L)))))
+    val e = intercept[IllegalArgumentException](
+      fc.calculate(Seq(ser), windowKeep = Some((n, _) => n > 0)))
+    assert(e.getMessage.contains("single"))
+  }
+
+  test("windowKeep: counted degrade (limit 0) un-hints the semi join, rows identical") {
+    import spark.implicits._
+    val df = (0L until 40L).map(i => (i, math.sin(i * 0.7) * 5)).toDF("idx", "s")
+    val ser = Series("s", df, "idx", "s")
+    val fc = FeatureCollection(
+      FeatureDescriptor(mean, "s", Some(Win.seq(10L)), Some(Seq(Win.seq(3L)))))
+    // keeps a NONEMPTY subset (all windows here hold 10 samples, so a
+    // count-parity rule would keep nothing and the 0 <= 0 count check
+    // would legitimately broadcast)
+    val keep = (n: org.apache.spark.sql.Column, anchor: org.apache.spark.sql.Column) =>
+      n > 0 && anchor % 2 === 0 // anchors 10,13,…,37 → keeps the even half
+    val bcast = fc.calculate(Seq(ser), windowKeep = Some(keep))
+    val degraded = fc.calculate(Seq(ser), windowKeep = Some(keep),
+      windowKeepBroadcastLimit = 0L)
+    // above the limit the kept-id side must carry NO forced-broadcast hint
+    // (Spark may still pick a broadcast strategy from size estimates —
+    // the degrade removes the unbounded FORCE, not the planner's choice)
+    assert(bcast.queryExecution.optimizedPlan.toString.contains("broadcast"),
+      "expected a broadcast hint on the under-limit path")
+    assert(!degraded.queryExecution.optimizedPlan.toString.contains("broadcast"),
+      "the over-limit path must not force a broadcast")
+    assert(degraded.orderBy("idx").collect().toSeq ==
+      bcast.orderBy("idx").collect().toSeq)
+  }
 }

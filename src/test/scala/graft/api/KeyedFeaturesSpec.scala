@@ -122,6 +122,84 @@ class KeyedFeaturesSpec extends SparkSpec {
     }
   }
 
+  test("keyed windowKeep: gated == ungated + post-filter (row-identical, W7 included)") {
+    import spark.implicits._
+    // irregular per-key data incl. a gap that makes EMPTY windows for key a
+    // (the W7 rows must survive a keep rule that accepts count 0)
+    val rng = new scala.util.Random(41)
+    val df = ((0 until 25).map(i => ("a", i.toDouble)) ++
+      Seq(("a", 40.0), ("a", 41.0)) ++ // gap → empty stride windows
+      (0 until 30).map(i => ("b", i * 1.5)))
+      .toDF("k", "idx").withColumn("x", col("idx") * 2 + lit(rng.nextDouble()))
+    val keep = (n: org.apache.spark.sql.Column, anchor: org.apache.spark.sql.Column) =>
+      n <= 2 || anchor % 8 === 0
+    val gated = KeyedFeatures.calculateWide(df, "k", "idx",
+      Win.seq(4L), Seq(Win.seq(4L)), unary = Seq("x" -> len, "x" -> mean),
+      windowKeep = Some(keep))
+    val manual = KeyedFeatures.calculateWide(df, "k", "idx",
+      Win.seq(4L), Seq(Win.seq(4L)), unary = Seq("x" -> len, "x" -> mean))
+      .where(col("`x__len__w=4`") <= 2 || col("idx") % 8 === 0)
+    assert(gated.columns.toSeq == manual.columns.toSeq)
+    val a = gated.orderBy("k", "idx").collect().toSeq
+    val b = manual.orderBy("k", "idx").collect().toSeq
+    assert(a == b, s"gated:\n${a.mkString("\n")}\nmanual:\n${b.mkString("\n")}")
+    // not vacuous: something was dropped, something empty was kept
+    assert(a.nonEmpty && KeyedFeatures.calculateWide(df, "k", "idx",
+      Win.seq(4L), Seq(Win.seq(4L)),
+      unary = Seq("x" -> len)).count() > a.size)
+    assert(a.exists(r => r.getLong(2) == 0L), "expected a kept W7 empty window")
+    // counted degrade: limit 0 forces the shuffled semi join, rows identical
+    val degraded = KeyedFeatures.calculateWide(df, "k", "idx",
+      Win.seq(4L), Seq(Win.seq(4L)), unary = Seq("x" -> len, "x" -> mean),
+      windowKeep = Some(keep), windowKeepBroadcastLimit = 0L)
+    assert(!degraded.queryExecution.optimizedPlan.toString.contains("broadcast"),
+      "the over-limit path must not force a broadcast")
+    assert(degraded.orderBy("k", "idx").collect().toSeq == a)
+  }
+
+  test("keyed windowKeep on calculateWideMulti: per-(window, anchor) cell masking") {
+    import spark.implicits._
+    // semantics pinned here (scaladoc'd): the gate drops (key, window,
+    // anchor) CELLS — a window dropped where another is kept nulls its
+    // columns on the shared pivot row; anchors with NO kept window emit
+    // no row. Expected frame built from the ungated output: len_w is the
+    // count operand (len of the FIRST value column), null = window absent.
+    val rng = new scala.util.Random(7)
+    val df = (for { k <- Seq("a", "b"); i <- 0 until 32 }
+      yield (k, i.toDouble, rng.nextDouble() * 10)).toDF("k", "idx", "x")
+    val windows = Seq(
+      (Win.seq(2L): Win) -> Seq(Win.seq(2L): Win),
+      (Win.seq(4L): Win) -> Seq(Win.seq(2L): Win))
+    // count-DEPENDENT rule so the two windows (2 vs 4 samples on this
+    // dense grid) decide differently at shared anchors → mixed rows
+    val keep = (n: org.apache.spark.sql.Column, anchor: org.apache.spark.sql.Column) =>
+      (n === 2 && anchor % 3 === 0) || (n === 4 && anchor % 4 === 0)
+    val gated = KeyedFeatures.calculateWideMulti(df, "k", "idx", windows,
+      unary = Seq("x" -> len, "x" -> mean), windowKeep = Some(keep))
+    val ungated = KeyedFeatures.calculateWideMulti(df, "k", "idx", windows,
+      unary = Seq("x" -> len, "x" -> mean))
+    def keepW(lenCol: String) =
+      col(s"`$lenCol`").isNotNull &&
+        ((col(s"`$lenCol`") === 2 && col("idx") % 3 === 0) ||
+         (col(s"`$lenCol`") === 4 && col("idx") % 4 === 0))
+    val expected = ungated
+      .withColumn("__k2", keepW("x__len__w=2"))
+      .withColumn("__k4", keepW("x__len__w=4"))
+      .where(col("__k2") || col("__k4"))
+      .select(col("k"), col("idx"),
+        when(col("__k2"), col("`x__len__w=2`")).as("x__len__w=2"),
+        when(col("__k2"), col("`x__mean__w=2`")).as("x__mean__w=2"),
+        when(col("__k4"), col("`x__len__w=4`")).as("x__len__w=4"),
+        when(col("__k4"), col("`x__mean__w=4`")).as("x__mean__w=4"))
+    assert(gated.columns.toSeq == expected.columns.toSeq)
+    val a = gated.orderBy("k", "idx").collect().toSeq
+    val b = expected.orderBy("k", "idx").collect().toSeq
+    assert(a == b, s"gated:\n${a.mkString("\n")}\nexpected:\n${b.mkString("\n")}")
+    // not vacuous: some shared rows carry one kept and one dropped window
+    assert(a.exists(r => r.isNullAt(2) ^ r.isNullAt(4)),
+      "expected at least one mixed kept/dropped pivot row")
+  }
+
   test("wide frame: multi-output struct funcs expand per output name") {
     import spark.implicits._
     import org.apache.spark.sql.{functions => F}
