@@ -79,46 +79,63 @@ object SparkEntry {
     (n, ts) => n <= lit(512) ||
       substring(md5(unix_micros(ts).cast("string").cast("binary")), 1, 1) === "0"
 
-  /** Shared MemoryStream replay feed for the streaming oracle queries
-    * (q112/q113): ONE driver-side collect of the bounded `user_id % 4 = 0`
-    * events slice, the optional per-user close sentinels (one fold, no
-    * per-user row-vector materialization), and ONE (ts, event_type) sort —
-    * the same tie order for BOTH queries, matching the operators' internal
-    * (ts, group) ordering and the oracles' ORDER BY ts, event_type. r16
-    * documented q112 sorting by ts only as a latent trap for any
-    * order-sensitive operator later added to its harness; the shared
-    * builder removes the asymmetry. The collect is the replay HARNESS, not
-    * the operator (MemoryStream is driver-fed by contract); at scale the
-    * same plans read from real stream sources. Rows arrive globally
-    * ts-sorted, so block-sized feeding introduces no late data (each
-    * batch's minimum exceeds the prior watermark).
+  /** Shared FILE-SOURCE replay feed for the streaming oracle queries
+    * (q112/q113) — r18, replacing the driver-fed MemoryStream (whose
+    * collect was the harness's documented memory axis: the first 100× run
+    * OOMed a 48 g driver, and v11's storm data put the q112/q113 cells at
+    * 44/42 s with the collect riding every pass). The bounded
+    * `user_id % 4 = 0` events slice plus one `__close` sentinel per user
+    * (groupBy max — distributed, no driver fold) is range-partitioned on
+    * (ts, event_type) into 8 parquet files, each sorted within, written
+    * ONCE per (JVM, sfDir) by executors. The streaming queries read it
+    * with `maxFilesPerTrigger=1`: files are admitted in modification-time
+    * order and part-file mtimes are pinned strictly increasing in range
+    * order below, so rows arrive globally (ts, event_type)-sorted across
+    * micro-batches — each batch's minimum exceeds the prior watermark, no
+    * late data, and the cross-batch fold equals the one-batch fold (the
+    * same tie order as the operators' internal (ts, group) sort and the
+    * oracles' ORDER BY ts, event_type). No driver-side row
+    * materialization remains; the cells track executor time only.
+    * q112 filters the sentinels back out (its windowed agg must not count
+    * them); q113 needs them to close each tail run.
     */
-  private def replayFeed(s: SparkSession, dir: String,
-      withSentinels: Boolean): Seq[(Long, Long, String, Double)] = {
-    val rows = events(s, dir)
-      .where(pmod(col("user_id"), lit(4)) === 0)
-      .select(col("user_id"), unix_micros(col("ts")), col("event_type"),
-        col("value"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
-      .toSeq
-    val all =
-      if (!withSentinels) rows
-      else {
-        // per-user max ts as ONE fold over the collected rows (at 100×
-        // replay scale the harness is the memory axis); the sentinel's
-        // "__close" group closes each tail run through the ordinary
-        // group-change rule
-        val maxTs = new scala.collection.mutable.HashMap[Long, Long]
-        rows.foreach { r =>
-          val m = maxTs.getOrElse(r._1, Long.MinValue)
-          if (r._2 > m) maxTs(r._1) = r._2
-        }
-        rows ++ maxTs.iterator
-          .map { case (u, t) => (u, t + 60000000L, "__close", 0.0) }
-      }
-    all.sortBy(r => (r._2, r._3))
-  }
+  private val replayDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def replayDir(s: SparkSession, dir: String): String =
+    replayDirs.computeIfAbsent(dir, _ => {
+      graft.scale.Sink.sweepDead("/tmp", "graft-replay")
+      val out = s"/tmp/graft-replayp${ProcessHandle.current.pid}_" +
+        s"${Integer.toHexString(dir.hashCode)}"
+      graft.scale.Sink.deleteOnExit(out)
+      val ev = events(s, dir)
+        .where(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("value"))
+      val sentinels = ev.groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max(col("ts_us")).as("__mx"))
+        .select(col("user_id"), (col("__mx") + lit(60000000L)).as("ts_us"),
+          lit("__close").as("event_type"), lit(0.0).as("value"))
+      ev.unionByName(sentinels)
+        .repartitionByRange(8, col("ts_us"), col("event_type"))
+        .sortWithinPartitions("ts_us", "event_type")
+        .write.mode("overwrite").parquet(out)
+      // range partition i lands in part-0000i-*: pin strictly increasing
+      // mtimes in that (range) order so the file source's
+      // modification-time admission replays the ranges in ts order
+      val base = System.currentTimeMillis()
+      new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(base + i * 2000L) }
+      out
+    })
+  private val replaySchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "user_id BIGINT, ts_us BIGINT, event_type STRING, value DOUBLE")
+  private def replayStream(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    s.readStream.schema(replaySchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replayDir(s, dir))
 
   /** Unrolled binary search for q102's phrase-level LZ76 recursion: a
     * chain of LATERAL scalars m0..m13 accumulating the longest m with a
@@ -1105,29 +1122,23 @@ object SparkEntry {
     // anchor, see the module scaladoc), complete-mode memory sink so every
     // window the data touched is emitted deterministically.
     //
-    // Replay volume bound (the big-window-sampling precedent, mirrored in
-    // the oracle): a MemoryStream replay is driver-fed and a complete-mode
-    // memory sink is driver-held BY CONTRACT, so at replication scale the
-    // harness (not the operator) becomes the memory axis — the first 100×
-    // run OOMed a 48 g driver on the unfiltered 10M-row feed. The
-    // `user_id % 4 = 0` filter keeps the replay deterministic and the
-    // oracle twin applies the SAME predicate; the operator's own scale
-    // path is a real stream source, not this harness. Feeding in ≤100k-row
-    // blocks keeps any single MemoryStream block task-sized (one 10M-row
-    // block shipped a 467 MB task).
+    // Replay volume bound: the `user_id % 4 = 0` filter keeps the replay
+    // deterministic and the oracle twin applies the SAME predicate (the
+    // operator's own scale path is a real stream source, not this
+    // harness). r18: the feed is a FILE stream (see [[replayDir]]) — the
+    // former MemoryStream collect shipped every replay row through the
+    // driver (one 10M-row block was a 467 MB task; the unfiltered feed
+    // OOMed a 48 g driver); now executors write and read the feed and
+    // only the complete-mode memory SINK (the output contract) remains
+    // driver-held.
     "q112_streaming_rolling" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Long, String, Double)]
-      replayFeed(s, dir, withSentinels = false)
-        .grouped(100000).foreach(b => ms.addData(b))
-      // event_type rides along only as the shared replay's tie order (the
-      // rolling members len/mean are order-insensitive within a timestamp,
-      // so the tiebreaker cannot change this query's values — it removes
-      // the r16-documented q112/q113 sort asymmetry)
-      val sdf = ms.toDF().select(col("_1").as("user_id"),
-        timestamp_micros(col("_2")).as("ts"), col("_4").as("value"))
+      // sentinels filtered out: q112's windowed agg must not count them
+      // (they exist for q113's run closure); event_type rides the shared
+      // replay only as its tie order
+      val sdf = replayStream(s, dir)
+        .where(col("event_type") =!= "__close")
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+          col("value"))
       val out = graft.streaming.StreamingFeatures.rolling(sdf, "ts", "value",
         "value", Win.time("1D"), Win.time("1D"), Seq(len, mean),
         keyCols = Seq("user_id"))
@@ -1159,17 +1170,12 @@ object SparkEntry {
     // stream's output exactly the batch gaps-and-islands the oracle
     // computes.
     "q113_streaming_runs" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      // same shared replay as q112, sentinels on: one collect, one
-      // (ts, event_type)-sorted feed — see [[replayFeed]]
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Long, String, Double)]
-      replayFeed(s, dir, withSentinels = true)
-        .grouped(100000).foreach(b => ms.addData(b))
-      val sdf = ms.toDF().select(col("_1").as("user_id"),
-        timestamp_micros(col("_2")).as("ts"), col("_3").as("event_type"),
-        col("_4").as("value"))
+      // same shared file-source replay as q112, sentinels kept: the
+      // "__close" group closes each tail run through the ordinary
+      // group-change rule — see [[replayDir]]
+      val sdf = replayStream(s, dir)
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+          col("event_type"), col("value"))
       val out = graft.streaming.StreamingFeatures.consecutiveRuns(sdf, "ts",
         "user_id", "event_type", "value", watermark = "10 minutes",
         closeAfter = Win.time("3650D"))
