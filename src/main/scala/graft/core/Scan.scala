@@ -257,6 +257,99 @@ object Scan {
         keyCols.indices.flatMap(i => Seq(s"o___key$i", s"t___key$i")): _*)
   }
 
+  /** [[keyedRankMulti]] specialized to QUANTILE-BRACKET consumers (r18,
+    * from the committed ProbeQ89 attribution: at 100× the exchange is ~8%
+    * of the rank stage — the local window sort + stitch over every n·k row
+    * dominates). A quantile needs ranks only at floor/ceil(1+(n−1)q), and
+    * each such global rank falls inside exactly ONE (partition, key)
+    * segment of the range exchange — so the per-(partition, key) summary
+    * (already computed for the stitch) pinpoints the segments that contain
+    * a bracket target, a left-semi join keeps ONLY those segments' rows
+    * (≈ 2·|quantiles|/P of the input at P partitions), and the window
+    * sort + row_number + stitch run on that slice. Ranks on surviving rows
+    * are identical to [[keyedRankMulti]]'s — the kept segments retain all
+    * their rows, so partition-local numbering is unchanged (differential:
+    * RankBracketsSpec).
+    *
+    * Returns the kept segments' rows with `rankCol`/`countCol` attached —
+    * a SUPERSET of the bracket rows; the caller applies its
+    * rank-equals-target filter exactly as it would on the full ranking.
+    * Same counted `broadcastLimit` degrade as [[keyedRankMulti]] on every
+    * summary-sized side (the needed-segment list is additionally counted
+    * before the semi join: ≤ 2·|quantiles|·|keys| rows, but key
+    * cardinality is data).
+    */
+  def keyedRankBrackets(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                        rankCol: String, countCol: String,
+                        quantiles: Seq[Double],
+                        broadcastLimit: Long = 4000000L): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach(q =>
+      require(q >= 0.0 && q <= 1.0, s"quantile $q outside [0, 1]"))
+    Seq("__loc", "__off", "__tot", "__tr").foreach(r =>
+      require(!df.columns.contains(r), s"$r is reserved by keyedRankBrackets"))
+    Seq(rankCol, countCol).foreach(r =>
+      require(!df.columns.contains(r),
+        s"output column $r already exists on the input"))
+    pinnedOrder(df) // validate: untagged __pid is reserved-name collision
+    val p = pinPartitions(
+      df.drop("__pid").repartitionByRange((keyCols :+ orderCol).map(col): _*),
+      keyCols :+ orderCol)
+    val perPid = Pinned.checkpoint(
+      p.groupBy(("__pid" +: keyCols).map(col): _*)
+        .agg(count(lit(1)).as("__tot")))
+    val hint: DataFrame => DataFrame =
+      if (perPid.count() <= broadcastLimit) broadcast(_) else identity
+    def renamed(prefix: String): Seq[Column] =
+      keyCols.zipWithIndex.map { case (k, i) => col(k).as(s"${prefix}$i") }
+    def eqTo(prefix: String): Column =
+      keyCols.zipWithIndex.map { case (k, i) => col(s"${prefix}$i") <=> col(k) }
+        .reduce(_ && _)
+    val b = perPid.select(col("__pid").as("b___pid") +:
+      renamed("b___key") :+ col("__tot").as("b___tot"): _*)
+    // per-(partition, key) rank span: global ranks (__off, __off + __tot]
+    // — null-safe key equality throughout, as in keyedRankMulti
+    val spans = perPid
+      .join(b, eqTo("b___key") && col("b___pid") < col("__pid"), "left")
+      .groupBy(("__pid" +: keyCols).map(col): _*)
+      .agg(coalesce(sum(col("b___tot")), lit(0L)).as("__off"),
+        first(col("__tot")).as("__tot"))
+    val totals = perPid.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__tot")).as(countCol))
+      .select(renamed("t___key") :+ col(countCol): _*)
+    // the distinct bracket ranks per key: floor/ceil of 1 + (n-1)q
+    val trExprs = quantiles.flatMap { q =>
+      val pos = lit(1.0) + (col(countCol) - 1.0) * lit(q)
+      Seq(floor(pos).cast("long"), ceil(pos).cast("long"))
+    }
+    val targets = totals.select(
+      keyCols.indices.map(i => col(s"t___key$i")) :+
+        explode(array_distinct(array(trExprs: _*))).as("__tr"): _*)
+    // segments containing a target — summary-sized equi join + span filter
+    val needed = Pinned.checkpoint(spans
+      .join(targets,
+        keyCols.indices.map(i => col(s"t___key$i") <=> col(keyCols(i)))
+          .reduce(_ && _) &&
+          col("__tr") > col("__off") && col("__tr") <= col("__off") + col("__tot"))
+      .select(col("__pid").as("n___pid") +: renamed("n___key"): _*)
+      .distinct())
+    val neededHint: DataFrame => DataFrame =
+      if (needed.count() <= broadcastLimit) broadcast(_) else identity
+    val kept = p.join(neededHint(needed),
+      col("__pid") === col("n___pid") && eqTo("n___key"), "left_semi")
+    val w = Window.partitionBy(("__pid" +: keyCols).map(col): _*)
+      .orderBy(orderCol)
+    val local = kept.withColumn("__loc", row_number().over(w).cast("long"))
+    val offsets = spans.select(col("__pid").as("o___pid") +:
+      renamed("o___key") :+ col("__off"): _*)
+    local.join(hint(offsets), col("__pid") === col("o___pid") && eqTo("o___key"))
+      .join(hint(totals), eqTo("t___key"))
+      .withColumn(rankCol, col("__loc") + col("__off"))
+      .drop(Seq("__loc", "__off", "__pid", "o___pid") ++
+        keyCols.indices.flatMap(i => Seq(s"o___key$i", s"t___key$i")): _*)
+  }
+
   /** Running (inclusive) sum of `flagCol` WITHIN each `keyCol` group in
     * `orderCol` order — the keyed sibling of [[runningSum]], with
     * [[keyedRank]]'s layout: range-partitioned on (key, order) so one

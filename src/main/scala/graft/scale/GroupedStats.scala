@@ -37,9 +37,13 @@ object GroupedStats {
       "quantile labels must be unique (they become output column names)")
     quantiles.foreach { case (_, q) =>
       require(q >= 0.0 && q <= 1.0, s"quantile $q outside [0, 1]") }
-    val ranked = graft.core.Scan.keyedRank(
+    // bracket-targeted ranking (r18): only the (partition, key) segments
+    // containing a floor/ceil(1+(n-1)q) rank pass through the window sort
+    // — identical ranks on surviving rows (Scan.keyedRankBrackets scaladoc
+    // + RankBracketsSpec differential)
+    val ranked = graft.core.Scan.keyedRankBrackets(
       df.select(col(keyCol), col(valCol)).where(col(valCol).isNotNull),
-      keyCol, valCol, "__rk", "__n")
+      Seq(keyCol), valCol, "__rk", "__n", quantiles.map(_._2))
     val v = col(valCol).cast("double")
     val aggs = quantiles.flatMap { case (label, q) =>
       val pos = lit(1.0) + (col("__n") - 1.0) * lit(q) // fractional rank
@@ -123,8 +127,12 @@ object GroupedStats {
       .select(col(keyCol), col("__gs_p.__gs_c").as("__gs_c"),
         col("__gs_p.__gs_v").as("__gs_v"))
       .where(col("__gs_v").isNotNull)
-    val ranked = graft.core.Scan.keyedRankMulti(
-      long0, Seq(keyCol, "__gs_c"), "__gs_v", "__rk", "__n")
+    // bracket-targeted ranking (r18) — see exactQuantiles; at 100× this
+    // cuts the window-sort input from all n·k rows to the ~2·|q|/P
+    // segment slice (ProbeQ89: the sort, not the exchange, was the cost)
+    val ranked = graft.core.Scan.keyedRankBrackets(
+      long0, Seq(keyCol, "__gs_c"), "__gs_v", "__rk", "__n",
+      quantiles.map(_._2))
     val v = col("__gs_v")
     val metric = col("__gs_c")
     val aggs = for { (c, i) <- valCols.zipWithIndex; (label, q) <- quantiles }
