@@ -49,18 +49,50 @@ object ProbeQ89 {
         .where(col("__gs_v").isNotNull)
     }
 
+    // the r17-era q89 pipeline (full ranking through keyedRankMulti),
+    // reconstructed for the A/B against the r18 bracket-targeted path —
+    // the body of exactQuantilesMulti with the one line swapped
+    def fullOld: Long = {
+      val quantiles = Seq("med" -> 0.5, "p95" -> 0.95)
+      val ranked = graft.core.Scan.keyedRankMulti(
+        long0, Seq(keyCol, "__gs_c"), "__gs_v", "__rk", "__n")
+      val v = col("__gs_v"); val metric = col("__gs_c")
+      val aggs = for { (c, i) <- valCols.zipWithIndex; (label, q) <- quantiles }
+      yield {
+        val pos = lit(1.0) + (col("__n") - 1.0) * lit(q)
+        val lo = floor(pos); val hi = ceil(pos); val frac = pos - lo
+        val isC = metric === lit(i)
+        val vLo = max(when(isC && col("__rk") === lo, v))
+        val vHi = max(when(isC && col("__rk") === hi, v))
+        (vLo * (lit(1.0) - max(when(isC && col("__rk") === lo, frac))) +
+          vHi * max(when(isC && col("__rk") === hi, frac))).as(s"q_${c}_$label")
+      }
+      val needed = quantiles.map { case (_, q) =>
+        val pos = lit(1.0) + (col("__n") - 1.0) * lit(q)
+        col("__rk") === floor(pos) || col("__rk") === ceil(pos)
+      }.reduce(_ || _)
+      val quantsByKey = ranked.where(needed)
+        .groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+      val keys = base.select(col(keyCol)).distinct()
+      keys.join(quantsByKey.withColumnRenamed(keyCol, "__gs_rk"),
+          col(keyCol) <=> col("__gs_rk"), "left")
+        .drop("__gs_rk").queryExecution.toRdd.count()
+    }
+
     val stages: Seq[(String, () => Long)] = Seq(
+      "full_old" -> (() => fullOld),
+      "full_new" -> (() => SparkEntry.queries("q89_multi_quantiles")(spark, dir)
+        .queryExecution.toRdd.count()),
       "unpivot" -> (() => long0.queryExecution.toRdd.count()),
       "exchange" -> (() => long0
         .repartitionByRange(col(keyCol), col("__gs_c"), col("__gs_v"))
-        .queryExecution.toRdd.count()),
-      "ranked" -> (() => graft.core.Scan.keyedRankMulti(
-        long0, Seq(keyCol, "__gs_c"), "__gs_v", "__rk", "__n")
-        .queryExecution.toRdd.count()),
-      "full" -> (() => SparkEntry.queries("q89_multi_quantiles")(spark, dir)
         .queryExecution.toRdd.count()))
 
-    for ((name, run) <- stages; i <- 1 to passes) {
+    // PASS-MAJOR interleave: on a box whose ambient CPU inflation swings
+    // 10x between minutes (this round's measurements), stage-major order
+    // confounds variant with time — interleaving puts both variants in
+    // every weather window and min-CPU compares like with like
+    for (i <- 1 to passes; (name, run) <- stages) {
       graft.core.Pinned.release(blocking = true)
       System.gc(); Thread.sleep(300)
       cpuNs.set(0)

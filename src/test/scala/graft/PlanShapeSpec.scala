@@ -62,9 +62,13 @@ class PlanShapeSpec extends SparkSpec {
       "reused_exchange" -> 0, "broadcast_hash_join" -> 0,
       "sort_merge_join" -> 0, "shuffled_hash_join" -> 0,
       "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0),
+    // q89 (r18 bracket-targeted rank): the 4th broadcast+BHJ pair is the
+    // needed-segment LEFT-SEMI prune (counted-broadcast, keyedRankBrackets)
+    // that keeps only the range-exchange segments containing a quantile
+    // bracket out of the window sort; shuffle count unchanged at 8
     "q89_multi_quantiles" -> Map(
-      "shuffle_exchange" -> 8, "broadcast_exchange" -> 3,
-      "reused_exchange" -> 0, "broadcast_hash_join" -> 3,
+      "shuffle_exchange" -> 8, "broadcast_exchange" -> 4,
+      "reused_exchange" -> 0, "broadcast_hash_join" -> 4,
       "sort_merge_join" -> 1, "shuffled_hash_join" -> 0,
       "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0),
     "q12_group_by_consecutive" -> Map(
