@@ -23,10 +23,12 @@ import scala.jdk.CollectionConverters._
   *    storm-GATED third warm pass over the whole suite feeding the
   *    structural line — armed by foreign CPU >10%, a mid-run membw
   *    divergence, or (r18) a median per-query CPU ratio >1.15 vs the
-  *    committed idle-box reference vector (bench_ref.json) — plus a
-  *    cpu_ratio_vs_ref cell and a structural_normalized line (structural
-  *    divided by the ratio when >1) so a contended run self-normalizes
-  *    from the artifact alone (extra_pass:true records the gate).
+  *    committed idle-box reference vector (bench_ref.json) — plus
+  *    cpu_ratio_vs_ref / wall_ratio_vs_ref cells and a
+  *    structural_normalized line (structural divided by the wall ratio
+  *    when >1; the CPU ratio corroborates) so a contended run
+  *    self-normalizes from the artifact alone (extra_pass:true records
+  *    the gate).
   *  - `runMain graft.Bench <name>...`: isolated-child mode — times ONLY the
   *    named queries with the same 2-pass protocol and prints the same JSON
   *    line (no fork, no file write unless SPARK_GRAFT_BENCH_OUT is set).
@@ -59,21 +61,27 @@ object Bench {
     * legitimately move. Best-effort: absent/corrupt file → empty map →
     * the ratio publishes -1 and the structural line stays raw.
     */
-  private def loadRefCpu(): Map[String, Double] = try {
+  private def loadRef(): (Map[String, Double], Map[String, Double]) = try {
     val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json")
     val p = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.isReadable(p)) return Map.empty
+    if (!java.nio.file.Files.isReadable(p)) return (Map.empty, Map.empty)
     val s = new String(java.nio.file.Files.readAllBytes(p),
       java.nio.charset.StandardCharsets.UTF_8)
-    val key = "\"queries_cpu_warm\":{"
-    val i = s.indexOf(key)
-    if (i < 0) return Map.empty
-    val j = s.indexOf('}', i + key.length)
-    if (j < 0) return Map.empty
-    val re = "\"([^\"]+)\":([0-9.Ee+-]+)".r
-    re.findAllMatchIn(s.substring(i + key.length, j))
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
-  } catch { case _: Throwable => Map.empty }
+    // whitespace-tolerant flat-block find: the ref may be pretty-printed
+    // ("queries_cpu_warm": { on its own line) or compact
+    def block(key: String): Map[String, Double] = {
+      val k0 = s.indexOf("\"" + key + "\"")
+      if (k0 < 0) return Map.empty
+      val i = s.indexOf('{', k0)
+      if (i < 0) return Map.empty
+      val j = s.indexOf('}', i + 1)
+      if (j < 0) return Map.empty
+      val re = "\"([^\"]+)\"\\s*:\\s*([0-9.Ee+-]+)".r
+      re.findAllMatchIn(s.substring(i + 1, j))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    (block("queries_cpu_warm"), block("queries"))
+  } catch { case _: Throwable => (Map.empty, Map.empty) }
 
   private case class QRun(name: String, cold: Double, warm: Double,
                           gcColdMs: Long, gcWarmMs: Long, heapMb: Long,
@@ -452,17 +460,31 @@ object Bench {
     val membw1 = memBwGbps()
     val membwDiverge = membw0 > 0 && membw1 > 0 &&
       math.abs(membw0 - membw1) / math.max(membw0, membw1) > 0.35
-    // CPU-ratio vs the committed idle-box reference: the DIRECT storm
-    // signal (r17's storms inflated executor CPU 1.3-1.5x on identical
+    // Ratios vs the committed idle-box reference — the DIRECT storm
+    // signals (r17's storms inflated executor CPU 1.3-1.5x on identical
     // code with steal ~1.5% and the absolute membw cell TLB-pinned near
-    // its floor — both prior gates blind). Median over every query with a
-    // non-noise reference cell; -1 when no usable reference.
-    val refCpu = if (only.isEmpty) loadRefCpu() else Map.empty[String, Double]
-    val cpuRatios = timed.flatMap { t =>
-      refCpu.get(t.name).filter(_ >= 0.2).map(r => t.cpuWarm / r) }.sorted
-    val cpuRatioVsRef =
-      if (cpuRatios.length < 20) -1.0
-      else (cpuRatios(cpuRatios.length / 2) * 1000).round / 1000.0
+    // its floor — both prior gates blind). CPU ratio: wall-independent
+    // contention DETECTOR (arms the extra pass). Wall ratio: the
+    // NORMALIZER — bandwidth contention inflates wall super-
+    // proportionally to CPU (measured this round: wall ×1.24 at CPU
+    // ×1.17), and a median over the full suite is untouched-query-
+    // dominated, so a uniform wall elevation is ambient, not code (a
+    // real regression moves a handful of cells, not the median of ~114).
+    // Medians over every query with a non-noise reference cell; -1 when
+    // no usable reference.
+    val (refCpu, refWall) =
+      if (only.isEmpty) loadRef()
+      else (Map.empty[String, Double], Map.empty[String, Double])
+    def medianRatio(cur: String => Double, ref: Map[String, Double],
+                    floorSec: Double): Double = {
+      val rs = timed.flatMap { t =>
+        ref.get(t.name).filter(_ >= floorSec).map(r => cur(t.name) / r) }.sorted
+      if (rs.length < 20) -1.0
+      else (rs(rs.length / 2) * 1000).round / 1000.0
+    }
+    val byName = timed.map(t => t.name -> t).toMap
+    val cpuRatioVsRef = medianRatio(n => byName(n).cpuWarm, refCpu, 0.2)
+    val wallRatioVsRef = medianRatio(n => byName(n).warm, refWall, 0.3)
     // The extra structural pass now arms on ANY of the three storm
     // signals: foreign CPU burn (neighbor processes visible to /proc),
     // a mid-run membw shift (conditions changed between the cells), or
@@ -470,7 +492,7 @@ object Bench {
     // spot: bandwidth/SMT contention with no steal and no foreign burn).
     val extraPass = only.isEmpty && (
       (measurable && foreignFrac > 0.10) || membwDiverge ||
-      cpuRatioVsRef > 1.15)
+      cpuRatioVsRef > 1.15 || wallRatioVsRef > 1.25)
     val warm3: Map[String, Double] =
       if (!extraPass) Map.empty
       else {
@@ -561,13 +583,16 @@ object Bench {
           warm3.getOrElse(t.name, Double.MaxValue))
       }.sum
     // Storm-normalized structural line (r18, mechanizing the SCALE.md r17
-    // untouched-query CPU-ratio method): when the suite's median per-query
-    // CPU ratio vs the committed idle-box reference reads above 1, the
+    // untouched-query ratio method): when the suite's median per-query
+    // WALL ratio vs the committed idle-box reference reads above 1, the
     // whole box was contended by that factor and the structural wall is
-    // divided by it; a ratio at-or-under 1 (quiet box, or code got faster)
-    // leaves the line untouched — the cell never inflates a good run.
+    // divided by it (wall normalizes wall; the CPU ratio corroborates in
+    // the same artifact). A ratio at-or-under 1 (quiet box, or code got
+    // faster) leaves the line untouched — the cell never inflates a good
+    // run — and the RAW structural/value lines stay alongside, so the
+    // normalized view hides nothing.
     val structuralNormalized =
-      if (cpuRatioVsRef > 1.0) structuralTotal / cpuRatioVsRef
+      if (wallRatioVsRef > 1.0) structuralTotal / wallRatioVsRef
       else structuralTotal
 
     // Forked-JVM isolation pass: a fresh child JVM (same classpath + module
@@ -658,6 +683,7 @@ object Bench {
         if (measurable) math.max(0.0, steal1 - steal0) else -1.0)},""" +
       s""""membw_gbps_before":$membw0,"membw_gbps_after":$membw1,""" +
       s""""cpu_ratio_vs_ref":$cpuRatioVsRef,""" +
+      s""""wall_ratio_vs_ref":$wallRatioVsRef,""" +
       s""""structural_normalized":${r3(structuralNormalized)},""" +
       s""""extra_pass":$extraPass,"cpu_total":${r3(cpuTotalWarm)}"""
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$totalCold,"queries_cold":$qsCold,"sf":"$sfDir","passes":$passes,"headline":"warm","scratch":"${if (scratchShared) "shared" else "private"}","scratch_dirs":${observedLocals.size},"scratch_rebases":$scratchRebases,"structural_total":$structuralTotal,"queries_minwarm":$minwarmJson,"queries_cpu":$cpuJson,"queries_cpu_warm":$cpuWarmAllJson,"queries_warm3":$warm3Json,$loadJson,"failed":$failedJson,"diag":$diag$isoJson}"""

@@ -17,29 +17,37 @@ import sys
 
 def main() -> None:
     out, *paths = sys.argv[1:]
-    ref: dict[str, float] = {}
+    cpu: dict[str, float] = {}
+    wall: dict[str, float] = {}
     used = []
     for p in paths:
         with open(p) as f:
             d = json.load(f)
-        cells = d.get("queries_cpu_warm") or d.get("queries_cpu") or {}
-        n = 0
-        for q, c in cells.items():
-            if not isinstance(c, (int, float)) or c <= 0:
-                continue
-            if q not in ref or c < ref[q]:
-                ref[q] = round(float(c), 3)
-            n += 1
-        used.append({"path": p, "cells": n})
+        ncells = 0
+        for dst, srcs in (
+            (cpu, [d.get("queries_cpu_warm"), d.get("queries_cpu")]),
+            (wall, [d.get("queries"), d.get("queries_minwarm")]),
+        ):
+            for cells in srcs:
+                for q, c in (cells or {}).items():
+                    if not isinstance(c, (int, float)) or c <= 0:
+                        continue
+                    if q not in dst or c < dst[q]:
+                        dst[q] = round(float(c), 3)
+                    ncells += 1
+        used.append({"path": p, "cells": ncells})
     art = {
-        "kind": "bench_cpu_reference",
-        "method": "elementwise min of per-query executor-CPU across artifacts",
+        "kind": "bench_reference",
+        "method": "elementwise min of per-query executor-CPU (queries_cpu_warm)"
+                  " and warm wall (queries) across artifacts",
         "sources": used,
-        "queries_cpu_warm": dict(sorted(ref.items())),
+        "queries_cpu_warm": dict(sorted(cpu.items())),
+        "queries": dict(sorted(wall.items())),
     }
     with open(out, "w") as f:
         json.dump(art, f, indent=1)
-    print(f"{out}: {len(ref)} queries from {len(paths)} artifacts")
+    print(f"{out}: {len(cpu)} cpu / {len(wall)} wall cells "
+          f"from {len(paths)} artifacts")
 
 
 if __name__ == "__main__":
