@@ -61,14 +61,22 @@ object Bench {
     * legitimately move. Best-effort: absent/corrupt file → empty map →
     * the ratio publishes -1 and the structural line stays raw.
     */
-  private def loadRef(): (Map[String, Double], Map[String, Double]) = try {
+  private[graft] def loadRef(): (Map[String, Double], Map[String, Double]) = try {
     val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json")
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isReadable(p)) return (Map.empty, Map.empty)
-    val s = new String(java.nio.file.Files.readAllBytes(p),
-      java.nio.charset.StandardCharsets.UTF_8)
-    // whitespace-tolerant flat-block find: the ref may be pretty-printed
-    // ("queries_cpu_warm": { on its own line) or compact
+    parseRef(new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8))
+  } catch { case _: Throwable => (Map.empty, Map.empty) }
+
+  /** (cpu, wall) reference vectors out of a bench/ref artifact string.
+    * Whitespace-tolerant flat-block find: the ref may be pretty-printed
+    * ("queries_cpu_warm": { on its own line, tools/make_bench_ref.py) or
+    * compact (a raw bench artifact). Quoted key lookups, so "queries"
+    * never re-matches inside "queries_cpu_warm". Best-effort: a missing
+    * or malformed block parses to an empty map (ratio publishes -1).
+    */
+  private[graft] def parseRef(s: String): (Map[String, Double], Map[String, Double]) = {
     def block(key: String): Map[String, Double] = {
       val k0 = s.indexOf("\"" + key + "\"")
       if (k0 < 0) return Map.empty
@@ -81,7 +89,7 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
     (block("queries_cpu_warm"), block("queries"))
-  } catch { case _: Throwable => (Map.empty, Map.empty) }
+  }
 
   private case class QRun(name: String, cold: Double, warm: Double,
                           gcColdMs: Long, gcWarmMs: Long, heapMb: Long,
