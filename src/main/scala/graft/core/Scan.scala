@@ -277,7 +277,11 @@ object Scan {
     * Same counted `broadcastLimit` degrade as [[keyedRankMulti]] on every
     * summary-sized side (the needed-segment list is additionally counted
     * before the semi join: ≤ 2·|quantiles|·|keys| rows, but key
-    * cardinality is data).
+    * cardinality is data). A second counted degrade handles the
+    * per-entity-key regime (keys ≫ partitions, where ~every segment holds
+    * a target): when the needed list covers ≥70% of the segments the semi
+    * prune is skipped and everything is ranked directly — identical
+    * ranks, no join overhead on the full input.
     */
   def keyedRankBrackets(df: DataFrame, keyCols: Seq[String], orderCol: String,
                         rankCol: String, countCol: String,
@@ -299,8 +303,9 @@ object Scan {
     val perPid = Pinned.checkpoint(
       p.groupBy(("__pid" +: keyCols).map(col): _*)
         .agg(count(lit(1)).as("__tot")))
+    val perPidCnt = perPid.count()
     val hint: DataFrame => DataFrame =
-      if (perPid.count() <= broadcastLimit) broadcast(_) else identity
+      if (perPidCnt <= broadcastLimit) broadcast(_) else identity
     def renamed(prefix: String): Seq[Column] =
       keyCols.zipWithIndex.map { case (k, i) => col(k).as(s"${prefix}$i") }
     def eqTo(prefix: String): Column =
@@ -334,10 +339,20 @@ object Scan {
           col("__tr") > col("__off") && col("__tr") <= col("__off") + col("__tot"))
       .select(col("__pid").as("n___pid") +: renamed("n___key"): _*)
       .distinct())
+    // Selectivity degrade: when key cardinality rivals the partition count
+    // (per-entity keys), nearly EVERY (partition, key) segment contains a
+    // bracket target and the semi prune keeps ~everything — the join would
+    // be pure overhead on the full input. Both counts are already paid
+    // (the frames are checkpointed for their other consumers), so rank
+    // everything directly in that regime — ranks are identical either way.
+    val neededCnt = needed.count()
+    val prunes = neededCnt < perPidCnt * 0.7
     val neededHint: DataFrame => DataFrame =
-      if (needed.count() <= broadcastLimit) broadcast(_) else identity
-    val kept = p.join(neededHint(needed),
-      col("__pid") === col("n___pid") && eqTo("n___key"), "left_semi")
+      if (neededCnt <= broadcastLimit) broadcast(_) else identity
+    val kept =
+      if (!prunes) p
+      else p.join(neededHint(needed),
+        col("__pid") === col("n___pid") && eqTo("n___key"), "left_semi")
     val w = Window.partitionBy(("__pid" +: keyCols).map(col): _*)
       .orderBy(orderCol)
     val local = kept.withColumn("__loc", row_number().over(w).cast("long"))

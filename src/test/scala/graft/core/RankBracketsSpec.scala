@@ -95,6 +95,26 @@ class RankBracketsSpec extends SparkSpec {
     assert(slim(brk) == slim(full))
   }
 
+  test("per-entity-key regime: selectivity degrade skips the semi prune") {
+    import spark.implicits._
+    // keys >> partitions: ~every (partition, key) segment holds a bracket
+    // target, so the prune would keep everything — the counted degrade
+    // must rank directly (no LeftSemi in the plan) with identical rows
+    val rng = new scala.util.Random(11)
+    val df = (0 until 8000).map(i =>
+      (i.toLong % 2000, 0, rng.nextGaussian())).toDF("k", "c", "v")
+      .repartition(5)
+    val full = Scan.keyedRankMulti(df, Seq("k", "c"), "v", "__rk", "__n")
+    val brk = Scan.keyedRankBrackets(df, Seq("k", "c"), "v", "__rk", "__n",
+      quantiles)
+    assert(!brk.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("leftsemi"),
+      "non-selective bracket path must skip the semi prune")
+    val a = rows(full)
+    val b = rows(brk)
+    assert(a == b)
+  }
+
   test("single-key quantile pipeline unchanged end-to-end (numpy interpolation)") {
     import spark.implicits._
     val rng = new scala.util.Random(3)
