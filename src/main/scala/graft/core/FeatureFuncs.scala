@@ -125,13 +125,11 @@ object FeatureFuncs {
     * example (A7 time-valued features).
     */
   val absDiffSum: FeatureFunc = FeatureFunc("abs_diff_sum", (idx, v) => {
-    val pairs = array_sort(collect_list(
-      when(v.isNotNull, struct(idx.as("i"), v.as("v")))))
-    val vals = transform(pairs, p => p.getField("v"))
     // <2-sample windows short-circuit to 0 (a single sample has no
     // successive differences); the fold is a TemporalFoldK primitive pass
     when(count(v) <= 1, lit(0.0)).otherwise(
-      graft.expr.TemporalFoldK(vals, graft.expr.TemporalFoldK.ABS_DIFF_SUM))
+      graft.expr.TemporalFoldK(sortedVals(idx, v),
+        graft.expr.TemporalFoldK.ABS_DIFF_SUM))
   }, emptyValue = Some(lit(0.0)))
 
   /** Slope of the least-squares line of value against index. */
@@ -147,11 +145,9 @@ object FeatureFuncs {
   def fromArray(name: String, fn: Seq[Double] => Double): FeatureFunc = {
     val u = udf((arr: Seq[Double]) => fn(arr))
     FeatureFunc(name, (idx, v) => {
-      // null-valued rows (e.g. masked out by `robust`) collect as null
-      // inputs, which collect_list skips — the UDF never sees them
-      val pairs = array_sort(collect_list(
-        when(v.isNotNull, struct(idx.as("i"), v.as("v")))))
-      u(transform(pairs, p => p.getField("v")))
+      // null-valued rows (e.g. masked out by `robust`) are never
+      // collected — the UDF never sees them
+      u(sortedVals(idx, v))
     })
   }
 
@@ -184,12 +180,16 @@ object FeatureFuncs {
   // so everything below stays a single fused per-segment aggregate).
 
   /** The window's values, index-sorted, nulls dropped (shared plumbing for
-    * the order-dependent stock functions).
+    * the order-dependent stock functions). r18: a native sorted-collect
+    * aggregate — primitive buffers, one long-key merge sort at eval, and
+    * guaranteed cross-descriptor sharing through aggregate dedup — replaces
+    * `transform(array_sort(collect_list(struct(i, v))), _.v)`, whose lambda
+    * chains were re-collected and re-sorted per descriptor (no CSE) with an
+    * interpreted struct comparator. Ordering and null semantics are pinned
+    * identical in SortedCollectSpec.
     */
   private def sortedVals(idx: Column, v: Column): Column =
-    transform(
-      array_sort(collect_list(when(v.isNotNull, struct(idx.as("i"), v.as("v"))))),
-      p => p.getField("v"))
+    graft.expr.CollectSortedVals(idx, v)
 
   /** tsfresh `abs_energy`: Σ v² (the dot product of the window with itself). */
   val absEnergy: FeatureFunc = FeatureFunc("abs_energy",
@@ -351,35 +351,6 @@ object FeatureFuncs {
       graft.expr.SampenBinned(sortedVals(idx, v),
         width(idx, v).cast("double"), m))
 
-  /** Population variance of an array column in ONE fold: accumulate
-    * (n, Σx, Σx²), finish (Σx² − (Σx)²/n)/n; NULL on empty input. The
-    * lambda touches only its carry and element (see [[meanCrossings]]).
-    */
-  private def arrVarPop(arr: Column): Column =
-    aggregate(arr,
-      struct(lit(0L).as("n"), lit(0.0).as("s"), lit(0.0).as("s2")),
-      (acc, x) => struct((acc.getField("n") + 1L).as("n"),
-        (acc.getField("s") + x).as("s"),
-        (acc.getField("s2") + x * x).as("s2")),
-      acc => {
-        val n = acc.getField("n").cast("double")
-        when(acc.getField("n") > 0,
-          (acc.getField("s2") - acc.getField("s") * acc.getField("s") / n) / n)
-      })
-
-  /** First differences of an array column (index-ordered), via slices
-    * zipped pairwise — never `element_at`-in-lambda (the [[numberPeaks1]]
-    * trap). `m` is the RESULT length (input length − 1, clamped ≥ 0) as a
-    * count-derived native column, so the input chain is referenced only by
-    * the two slices. Empty for arrays shorter than 2.
-    */
-  private def arrDiffs(a: Column, m: Column): Column =
-    zip_with(slice(a, lit(2), m), slice(a, lit(1), m), (b, c) => b - c)
-
-  /** [[arrDiffs]] length helper: count-derived (input length − k)⁺ as INT. */
-  private def lenMinus(v: Column, k: Int): Column =
-    greatest(count(v) - lit(k.toLong), lit(0L)).cast("int")
-
   /** Hjorth mobility and complexity (antropy `hjorth_params`, the second
     * FuncWrapper-required member of the reference integration surface —
     * tests/test_features_integration.py:375-380): with dx/ddx the first and
@@ -395,12 +366,14 @@ object FeatureFuncs {
     */
   val hjorthParams: FeatureFunc = {
     FeatureFunc("hjorth", (idx, v) => {
-      val vals = sortedVals(idx, v)
-      val dx = arrDiffs(vals, lenMinus(v, 1))
-      val ddx = arrDiffs(dx, lenMinus(v, 2))
+      // r18: the dx/ddx variances come from one primitive HjorthFoldK pass
+      // over the sorted window (the replaced slice+zip_with arrays and
+      // their aggregate-lambda folds are kept verbatim in SortedCollectSpec
+      // and pinned bit-identical)
+      val hj = graft.expr.HjorthFoldK(sortedVals(idx, v))
       val vx = var_pop(v) // native: order-free, O(1) reference
-      val vdx = arrVarPop(dx)
-      val vddx = arrVarPop(ddx)
+      val vdx = hj.getField("vdx")
+      val vddx = hj.getField("vddx")
       val mob = when(vx > 0 && vdx.isNotNull, sqrt(vdx / vx))
       val comp = when(vdx > 0 && vddx.isNotNull && mob.isNotNull,
         sqrt(vddx / vdx) / mob)
@@ -416,14 +389,11 @@ object FeatureFuncs {
     * count. A constant window gives exactly 1.0; NULL for n < 2.
     */
   val petrosianFd: FeatureFunc = FeatureFunc("petrosian_fd", (idx, v) => {
-    val sg = transform(arrDiffs(sortedVals(idx, v), lenMinus(v, 1)),
-      x => signum(x))
     val n = count(v).cast("double") // native: O(1) reference
-    val m = lenMinus(v, 2) // |sg| - 1, count-derived
-    val nd = aggregate(
-      zip_with(slice(sg, lit(2), m), slice(sg, lit(1), m),
-        (a, b) => when(a =!= b, 1.0).otherwise(0.0)),
-      lit(0.0), (acc, x) => acc + x)
+    // r18: N_Δ is one primitive PetrosianNdK pass (the replaced signum
+    // array + zip_with/aggregate fold lives on in SortedCollectSpec,
+    // pinned bit-identical, Spark `=!=` NaN/−0.0 semantics included)
+    val nd = graft.expr.PetrosianNdK(sortedVals(idx, v))
     when(n >= 2,
       log10(n) / (log10(n) + log10(n / (n + lit(0.4) * nd))))
   })
@@ -438,9 +408,11 @@ object FeatureFuncs {
     * antropy's nan cases).
     */
   val katzFd: FeatureFunc = FeatureFunc("katz_fd", (idx, v) => {
-    val vals = sortedVals(idx, v)
-    val L = aggregate(transform(arrDiffs(vals, lenMinus(v, 1)), x => abs(x)),
-      lit(0.0), (acc, x) => acc + x)
+    // r18: L rides the existing ABS_DIFF_SUM primitive fold (identical
+    // |Δ| left-to-right accumulation — TemporalFoldSpec pins that mode;
+    // the replaced transform+aggregate chain was the same operations)
+    val L = graft.expr.TemporalFoldK(sortedVals(idx, v),
+      graft.expr.TemporalFoldK.ABS_DIFF_SUM)
     val x1 = min_by(v, idx)
     val d = greatest(org.apache.spark.sql.functions.max(v) - x1,
       x1 - org.apache.spark.sql.functions.min(v))
