@@ -287,22 +287,72 @@ object Scan {
                         rankCol: String, countCol: String,
                         quantiles: Seq[Double],
                         broadcastLimit: Long = 4000000L): DataFrame = {
+    Seq(rankCol, countCol).foreach(r =>
+      require(!df.columns.contains(r),
+        s"output column $r already exists on the input"))
+    // weight-1 degenerate of the span core: each row's span is
+    // (rank−1, rank] — the span's upper bound IS the row's rank
+    spanBracketsCore(df, keyCols, orderCol, lit(1L), countCol, quantiles,
+      broadcastLimit)
+      .withColumnRenamed("__shi", rankCol)
+      .drop("__slo")
+  }
+
+  /** WEIGHTED sibling of [[keyedRankBrackets]] for pre-aggregated
+    * (histogram) rows: each input row carries `weightCol` ≥ 1 identical
+    * underlying observations of its `orderCol` value, and the output
+    * attaches the half-open GLOBAL span `(loCol, hiCol]` of ranks the row
+    * covers within its key (in `orderCol` order), plus the key's total
+    * weight `countCol`. With all weights 1 this reduces exactly to
+    * `keyedRankBrackets` (`hiCol` = rank).
+    *
+    * This is the 100 TB quantile shape: a map-side-combining
+    * `groupBy(key, value).count()` collapses repeated values BEFORE any
+    * range exchange, so the exchange + pid-pin checkpoint + window sort —
+    * the measured q89 residual at 100× (ProbeQ89) — run over the DISTINCT
+    * (key, value) set, not every observation. Real columns repeat
+    * (quantities, prices, codes, sensor LSBs); worst case (all values
+    * unique) the histogram is a single extra linear map-combined pass.
+    *
+    * A target rank t belongs to the unique row with lo < t ≤ hi; the
+    * bracket pruning, counted broadcast degrades and the ≥70% selectivity
+    * degrade are identical to [[keyedRankBrackets]] (segment spans simply
+    * sum weights instead of counting rows). Weights must be non-null
+    * positive integers — the contract of a count aggregate.
+    */
+  def keyedSpanBrackets(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                        weightCol: String, loCol: String, hiCol: String,
+                        countCol: String, quantiles: Seq[Double],
+                        broadcastLimit: Long = 4000000L): DataFrame = {
+    require(df.columns.contains(weightCol), s"missing weight column $weightCol")
+    Seq(loCol, hiCol, countCol).foreach(r =>
+      require(!df.columns.contains(r),
+        s"output column $r already exists on the input"))
+    spanBracketsCore(df, keyCols, orderCol, col(weightCol).cast("long"),
+      countCol, quantiles, broadcastLimit)
+      .withColumnRenamed("__slo", loCol)
+      .withColumnRenamed("__shi", hiCol)
+  }
+
+  private def spanBracketsCore(df: DataFrame, keyCols: Seq[String],
+                               orderCol: String, weight: Column,
+                               countCol: String, quantiles: Seq[Double],
+                               broadcastLimit: Long): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
     require(quantiles.nonEmpty, "need at least one quantile")
     quantiles.foreach(q =>
       require(q >= 0.0 && q <= 1.0, s"quantile $q outside [0, 1]"))
-    Seq("__loc", "__off", "__tot", "__tr").foreach(r =>
+    Seq("__loc", "__off", "__tot", "__tr", "__slo", "__shi").foreach(r =>
       require(!df.columns.contains(r), s"$r is reserved by keyedRankBrackets"))
-    Seq(rankCol, countCol).foreach(r =>
-      require(!df.columns.contains(r),
-        s"output column $r already exists on the input"))
+    require(!df.columns.contains(countCol),
+      s"output column $countCol already exists on the input")
     pinnedOrder(df) // validate: untagged __pid is reserved-name collision
     val p = pinPartitions(
       df.drop("__pid").repartitionByRange((keyCols :+ orderCol).map(col): _*),
       keyCols :+ orderCol)
     val perPid = Pinned.checkpoint(
       p.groupBy(("__pid" +: keyCols).map(col): _*)
-        .agg(count(lit(1)).as("__tot")))
+        .agg(sum(weight).as("__tot")))
     val perPidCnt = perPid.count()
     val hint: DataFrame => DataFrame =
       if (perPidCnt <= broadcastLimit) broadcast(_) else identity
@@ -355,12 +405,17 @@ object Scan {
         col("__pid") === col("n___pid") && eqTo("n___key"), "left_semi")
     val w = Window.partitionBy(("__pid" +: keyCols).map(col): _*)
       .orderBy(orderCol)
-    val local = kept.withColumn("__loc", row_number().over(w).cast("long"))
+    // running INCLUSIVE weight in (pid, key)-local value order — with
+    // weight 1 this is exactly row_number (ROWS frame, so tied orderCol
+    // values get distinct consecutive positions, as row_number gave them)
+    val local = kept.withColumn("__loc",
+      sum(weight).over(w.rowsBetween(Window.unboundedPreceding, 0)))
     val offsets = spans.select(col("__pid").as("o___pid") +:
       renamed("o___key") :+ col("__off"): _*)
     local.join(hint(offsets), col("__pid") === col("o___pid") && eqTo("o___key"))
       .join(hint(totals), eqTo("t___key"))
-      .withColumn(rankCol, col("__loc") + col("__off"))
+      .withColumn("__shi", col("__loc") + col("__off"))
+      .withColumn("__slo", col("__shi") - weight)
       .drop(Seq("__loc", "__off", "__pid", "o___pid") ++
         keyCols.indices.flatMap(i => Seq(s"o___key$i", s"t___key$i")): _*)
   }

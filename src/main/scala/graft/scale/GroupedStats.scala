@@ -1,6 +1,6 @@
 package graft.scale
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** EXACT grouped order statistics at scale.
@@ -37,30 +37,45 @@ object GroupedStats {
       "quantile labels must be unique (they become output column names)")
     quantiles.foreach { case (_, q) =>
       require(q >= 0.0 && q <= 1.0, s"quantile $q outside [0, 1]") }
-    // bracket-targeted ranking (r18): only the (partition, key) segments
-    // containing a floor/ceil(1+(n-1)q) rank pass through the window sort
-    // — identical ranks on surviving rows (Scan.keyedRankBrackets scaladoc
-    // + RankBracketsSpec differential)
-    val ranked = graft.core.Scan.keyedRankBrackets(
-      df.select(col(keyCol), col(valCol)).where(col(valCol).isNotNull),
-      Seq(keyCol), valCol, "__rk", "__n", quantiles.map(_._2))
+    // the histogram/span path introduces these internally — fail loudly on
+    // a caller collision instead of an opaque ambiguous-attribute error
+    val gsReserved1 = Seq("__gs_w", "__slo", "__shi", "__n")
+    // histogram pre-collapse + weighted bracket ranking (r18): repeated
+    // values are collapsed to ONE row carrying their count by a map-side-
+    // combining hash aggregate BEFORE the rank machinery's range exchange
+    // + pid-pin checkpoint + window sort — those now run over the distinct
+    // (key, value) set (ProbeQ89 pinned them as the 100× residual). A rank
+    // t is covered by the unique histogram row whose span (__slo, __shi]
+    // contains it, so the bracket selection/interpolation below is
+    // value-identical to ranking every raw row (SpanBracketsSpec
+    // differential; worst case — all values distinct — the histogram is
+    // one extra linear map-combined pass).
+    gsReserved1.foreach(c => require(keyCol != c && valCol != c,
+      s"$c is reserved by exactQuantiles"))
+    val hist = df.select(col(keyCol), col(valCol))
+      .where(col(valCol).isNotNull)
+      .groupBy(col(keyCol), col(valCol)).agg(count(lit(1)).as("__gs_w"))
+    val ranked = graft.core.Scan.keyedSpanBrackets(
+      hist, Seq(keyCol), valCol, "__gs_w", "__slo", "__shi", "__n",
+      quantiles.map(_._2))
     val v = col(valCol).cast("double")
+    def covers(r: Column): Column = col("__slo") < r && r <= col("__shi")
     val aggs = quantiles.flatMap { case (label, q) =>
       val pos = lit(1.0) + (col("__n") - 1.0) * lit(q) // fractional rank
       val lo = floor(pos); val hi = ceil(pos); val frac = pos - lo
-      val vLo = max(when(col("__rk") === lo, v))
-      val vHi = max(when(col("__rk") === hi, v))
+      val vLo = max(when(covers(lo), v))
+      val vHi = max(when(covers(hi), v))
       // frac is a pure function of n (constant within the key); fold it
       // into both terms so the whole quantile is one expression
-      Seq((vLo * (lit(1.0) - max(when(col("__rk") === lo, frac))) +
-           vHi * max(when(col("__rk") === hi, frac)))
+      Seq((vLo * (lit(1.0) - max(when(covers(lo), frac))) +
+           vHi * max(when(covers(hi), frac)))
         .as(s"q_$label"))
     }
-    // keep only rows that bracket SOME requested quantile — the aggregate
-    // then touches ≤ 2·|quantiles| rows per key, not the whole key
+    // keep only rows whose span covers SOME requested bracket rank — the
+    // aggregate then touches ≤ 2·|quantiles| rows per key, not the whole key
     val needed = quantiles.map { case (_, q) =>
       val pos = lit(1.0) + (col("__n") - 1.0) * lit(q)
-      col("__rk") === floor(pos) || col("__rk") === ceil(pos)
+      covers(floor(pos)) || covers(ceil(pos))
     }.reduce(_ || _)
     val quantsByKey =
       ranked.where(needed).groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
@@ -104,7 +119,8 @@ object GroupedStats {
     // the unpivot introduces __gs_c/__gs_v/__gs_p internally — a caller
     // column with one of those names would fail later with an opaque
     // ambiguous-attribute error instead of this contract message
-    val gsReserved = Set("__gs_rk", "__gs_c", "__gs_v", "__gs_p")
+    val gsReserved = Set("__gs_rk", "__gs_c", "__gs_v", "__gs_p", "__gs_w",
+      "__slo", "__shi")
     (keyCol +: valCols).foreach(c => require(!gsReserved.contains(c),
       s"$c is reserved by exactQuantilesMulti"))
     // unpivot: (key, metric-INDEX, value) — one row per non-null metric
@@ -127,28 +143,34 @@ object GroupedStats {
       .select(col(keyCol), col("__gs_p.__gs_c").as("__gs_c"),
         col("__gs_p.__gs_v").as("__gs_v"))
       .where(col("__gs_v").isNotNull)
-    // bracket-targeted ranking (r18) — see exactQuantiles; at 100× this
-    // cuts the window-sort input from all n·k rows to the ~2·|q|/P
-    // segment slice (ProbeQ89: the sort, not the exchange, was the cost)
-    val ranked = graft.core.Scan.keyedRankBrackets(
-      long0, Seq(keyCol, "__gs_c"), "__gs_v", "__rk", "__n",
-      quantiles.map(_._2))
+    // histogram pre-collapse + weighted bracket ranking (r18) — see
+    // exactQuantiles: the map-side-combining count collapses repeated
+    // (key, metric, value) triples before the range exchange + pid-pin
+    // checkpoint + window sort that ProbeQ89 pinned as the 100× residual
+    // (lineitem: quantities collapse ~12×, and REPLICATED rows collapse by
+    // the copy count — exactly the repetition real prices/quantities have)
+    val hist = long0.groupBy(col(keyCol), col("__gs_c"), col("__gs_v"))
+      .agg(count(lit(1)).as("__gs_w"))
+    val ranked = graft.core.Scan.keyedSpanBrackets(
+      hist, Seq(keyCol, "__gs_c"), "__gs_v", "__gs_w", "__slo", "__shi",
+      "__n", quantiles.map(_._2))
     val v = col("__gs_v")
     val metric = col("__gs_c")
+    def covers(r: Column): Column = col("__slo") < r && r <= col("__shi")
     val aggs = for { (c, i) <- valCols.zipWithIndex; (label, q) <- quantiles }
     yield {
       val pos = lit(1.0) + (col("__n") - 1.0) * lit(q)
       val lo = floor(pos); val hi = ceil(pos); val frac = pos - lo
       val isC = metric === lit(i)
-      val vLo = max(when(isC && col("__rk") === lo, v))
-      val vHi = max(when(isC && col("__rk") === hi, v))
-      (vLo * (lit(1.0) - max(when(isC && col("__rk") === lo, frac))) +
-       vHi * max(when(isC && col("__rk") === hi, frac)))
+      val vLo = max(when(isC && covers(lo), v))
+      val vHi = max(when(isC && covers(hi), v))
+      (vLo * (lit(1.0) - max(when(isC && covers(lo), frac))) +
+       vHi * max(when(isC && covers(hi), frac)))
         .as(s"q_${c}_$label")
     }
     val needed = quantiles.map { case (_, q) =>
       val pos = lit(1.0) + (col("__n") - 1.0) * lit(q)
-      col("__rk") === floor(pos) || col("__rk") === ceil(pos)
+      covers(floor(pos)) || covers(ceil(pos))
     }.reduce(_ || _)
     val quantsByKey = ranked.where(needed)
       .groupBy(col(keyCol))

@@ -71,7 +71,12 @@ class PlanShapeSpec extends SparkSpec {
     // covers ≥70% of segments, and the counted degrade ranks directly —
     // the r17 3-BHJ shape below. Both regimes are row-pinned by
     // RankBracketsSpec (incl. the no-LeftSemi plan assert on the
-    // degrade); shuffle count is 8 in both.
+    // degrade); shuffle count is 8 in both. The r18 histogram
+    // pre-collapse (groupBy(key, metric, value).count() feeding the
+    // weighted span core) sits UPSTREAM of the pid-pin localCheckpoint,
+    // so its hash exchange is not part of this audited (post-pin) plan —
+    // the audited shape is unchanged; the collapse is row-pinned by
+    // SpanBracketsSpec instead.
     "q89_multi_quantiles" -> Map(
       "shuffle_exchange" -> 8, "broadcast_exchange" -> 3,
       "reused_exchange" -> 0, "broadcast_hash_join" -> 3,
