@@ -85,7 +85,7 @@ object FeatureFuncs {
   val min: FeatureFunc = f("min")(org.apache.spark.sql.functions.min)
   val max: FeatureFunc = f("max")(org.apache.spark.sql.functions.max)
   val mean: FeatureFunc = f("mean")(avg)
-  val median: FeatureFunc = f("median")(v => percentile(v, lit(0.5)))
+  val median: FeatureFunc = f("median")(v => pctlSorted(v, 0.5))
   val std: FeatureFunc = f("std")(stddev_pop) // numpy default ddof=0
   val variance: FeatureFunc = f("var")(var_pop)
   val sum: FeatureFunc = f("sum")(v => org.apache.spark.sql.functions.sum(v.cast("double")))
@@ -95,7 +95,21 @@ object FeatureFuncs {
   val kurt: FeatureFunc = f("kurtosis")(kurtosis) // Fisher excess, biased
 
   def quantile(q: Double): FeatureFunc =
-    f(s"quantile_$q")(v => percentile(v, lit(q)))
+    f(s"quantile_$q")(v => pctlSorted(v, q))
+
+  /** Exact percentile via the one-sort native kernel
+    * ([[graft.expr.PercentilesK]]) instead of Spark's `percentile`
+    * aggregate: each `percentile(v, q)` call is an independent
+    * OpenHashMap-buffered aggregate with its own boxed sort per window —
+    * the q71 100× ablation measured iqr's two such aggregates at ~80% of
+    * the whole fused aggregate's executor CPU. The collected feed is one
+    * shared `collect_list` (identical aggregate expressions dedup into a
+    * single buffer), and the kernel's interpolation is bit-pinned to
+    * `PercentileBase.getPercentile` (PercentileKernelsSpec differential).
+    */
+  private def pctlSorted(v: Column, q: Double): Column =
+    element_at(graft.expr.PercentilesK(
+      collect_list(v.cast("double")), Seq(q)), 1)
 
   /** Multi-output function from named sub-aggregates (one-to-many, A3):
     * computes all sub-aggregates in one pass, emits one column per name.
@@ -200,7 +214,10 @@ object FeatureFuncs {
     * interpolation (np.quantile / DuckDB quantile_cont semantics).
     */
   val iqr: FeatureFunc =
-    f("iqr")(v => percentile(v, lit(0.75)) - percentile(v, lit(0.25)))
+    // one collected buffer, ONE sort, both quantiles interpolated in the
+    // kernel (see pctlSorted — this was 80% of q71's window CPU at 100×)
+    f("iqr")(v => graft.expr.PercentileSpanK(
+      collect_list(v.cast("double")), 0.25, 0.75))
 
   /** tsfresh `number_crossing_m`: count of index-consecutive pairs strictly
     * straddling `m` (np.diff(x > m) != 0 — touching `m` is not a crossing).
@@ -714,13 +731,13 @@ object FeatureFuncs {
   }
 
   /** tsfel `ecdf_percentile_count`: number of samples ≤ the linearly
-    * interpolated q-percentile (np.percentile semantics — the native
-    * `percentile` aggregate, referenced O(1) inside the filter lambda).
+    * interpolated q-percentile (np.percentile semantics — the one-sort
+    * percentile kernel, referenced O(1) inside the filter lambda).
     */
   def ecdfPercCount(q: Double): FeatureFunc = {
     require(q > 0 && q < 1, "ecdf percentile must be in (0, 1)")
     FeatureFunc(s"ecdf_count_$q", (idx, v) => {
-      val p = percentile(v, lit(q))
+      val p = pctlSorted(v, q)
       val vals = sortedVals(idx, v)
       size(filter(vals, x => x <= p)).cast("long")
     }, emptyValue = Some(lit(0L)))
