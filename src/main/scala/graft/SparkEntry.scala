@@ -468,8 +468,13 @@ object SparkEntry {
     // ---- post-dedup: near-dup pairs -> duplicate clusters (connected
     // components, alternating large/small-star) ----------------------------
     "q54_dup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.6)
-      graft.scale.Components.dupClusters(pairs)
+      // component-equivalent star edges (r18): clustering never reads the
+      // member-level pair fan-out, so don't build it — components and their
+      // min-id reps are identical by construction (StarEdgesSpec pins the
+      // differential against dupClusters(jaccardPairs(...)))
+      val edges = Dedup.jaccardComponentEdges(docs(s, dir), "doc_id", "text",
+        3, 0.6)
+      graft.scale.Components.dupClusters(edges)
         .select(col("id").as("doc_id"), col("rep"), col("n"))
         .orderBy("doc_id")
     }),
@@ -477,8 +482,9 @@ object SparkEntry {
     // ---- post-dedup: apply the clustering — keep one doc per cluster ------
     "q65_dedup_keep_one" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pairs = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.6)
-      Dedup.keepRepresentatives(d, "doc_id", pairs)
+      // star edges, not the pair fan-out — see q54
+      val edges = Dedup.jaccardComponentEdges(d, "doc_id", "text", 3, 0.6)
+      Dedup.keepRepresentatives(d, "doc_id", edges)
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
@@ -1519,8 +1525,9 @@ object SparkEntry {
       val quality = graft.core.Pinned.checkpoint(
         scrubbed.where(TextStats.tokenCount(col("text")) >= 50))
       val exact = Dedup.keepExactNormalized(quality, "doc_id", "text")
-      val pairs = Dedup.jaccardPairs(exact, "doc_id", "text", 3, 0.6)
-      val fuzzy = Dedup.keepRepresentatives(exact, "doc_id", pairs)
+      // star edges, not the pair fan-out — see q54
+      val edges = Dedup.jaccardComponentEdges(exact, "doc_id", "text", 3, 0.6)
+      val fuzzy = Dedup.keepRepresentatives(exact, "doc_id", edges)
       val split = graft.scale.Sampling.deterministicSplit(fuzzy, "doc_id",
         Seq("train" -> 80, "val" -> 10, "test" -> 10))
       val train = split.where(col("split") === "train")

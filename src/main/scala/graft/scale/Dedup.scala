@@ -165,15 +165,7 @@ object Dedup {
     */
   private def withExactCollapse(sets: DataFrame, idCol: String)
                                (pipeline: DataFrame => DataFrame): DataFrame = {
-    val keyed = sets.where(col("__n") > 0)
-      .select(col(idCol),
-        md5(concat_ws("\u0001", array_sort(col("__arr")))).as("__key"))
-    val groups = keyed.groupBy("__key")
-      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__w"))
-    val repMap = graft.core.Pinned.checkpoint(keyed.join(groups, Seq("__key")))
-    val repSets = sets.join(
-      repMap.where(col(idCol) === col("__rep"))
-        .select(col(idCol), col("__w")), Seq(idCol))
+    val (repMap, repSets) = collapseRepMap(sets, idCol)
     val repPairs = pipeline(repSets)
     // Fan rep-level results back out to member-level pairs: each side of a
     // rep pair expands to its group's members (ids from different groups
@@ -190,6 +182,59 @@ object Dedup {
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
         lit(1.0).as("jaccard"))
     cross.unionByName(intra)
+  }
+
+  /** The exact-collapse group structure shared by [[withExactCollapse]]
+    * and [[jaccardComponentEdges]]: `repMap` = (id, __key, __rep, __w) for
+    * every doc with a non-empty shingle set, checkpointed (two
+    * differently-keyed consumers); `repSets` = the rep rows of `sets`
+    * carrying their group size `__w` (see the pre-collapse scaladoc).
+    */
+  private def collapseRepMap(sets: DataFrame,
+                             idCol: String): (DataFrame, DataFrame) = {
+    val keyed = sets.where(col("__n") > 0)
+      .select(col(idCol),
+        md5(concat_ws("\u0001", array_sort(col("__arr")))).as("__key"))
+    val groups = keyed.groupBy("__key")
+      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__w"))
+    val repMap = graft.core.Pinned.checkpoint(keyed.join(groups, Seq("__key")))
+    val repSets = sets.join(
+      repMap.where(col(idCol) === col("__rep"))
+        .select(col(idCol), col("__w")), Seq(idCol))
+    (repMap, repSets)
+  }
+
+  /** Component-equivalent SPARSE edge set for clustering consumers of
+    * [[jaccardPairs]] (`Components.dupClusters` / `keepRepresentatives`):
+    * the verified rep-level near-dup pairs plus one star edge rep→member
+    * per collapsed exact-dup member. Connected components over these
+    * edges — vertex set, reachability, and therefore every component's
+    * min id — are IDENTICAL to components over jaccardPairs' full
+    * member-level fan-out:
+    *   - every member of a ≥2-member group rides its star edge (the full
+    *     graph reaches it through intra-clique 1.0 pairs);
+    *   - members of two PAIRED groups connect through rep—star—rep—star
+    *     paths (the full graph pairs the members directly);
+    *   - singleton unpaired groups appear in neither edge set.
+    * What changes is the EDGE COUNT: linear in member count plus the
+    * verified rep pairs, instead of quadratic in clique size — on a
+    * template-/replication-heavy corpus the full fan-out is tens of
+    * millions of clique edges whose only consumer immediately collapses
+    * them back into components through the O(log² n) star fixpoint
+    * (guide §2.3/§2.4: don't shuffle bytes you are about to throw away).
+    * The jaccard values never materialize because no clustering consumer
+    * reads them. StarEdgesSpec pins the cluster- and keep-set-level
+    * differentials against the fan-out path.
+    */
+  def jaccardComponentEdges(df: DataFrame, idCol: String, textCol: String,
+                            k: Int, threshold: Double,
+                            maxDocFreq: Option[Long] = None): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, k)
+    val (repMap, repSets) = collapseRepMap(sets, idCol)
+    val repPairs = pairsOnSets(repSets, idCol, threshold, maxDocFreq)
+    val stars = repMap.where(col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col(idCol).as("id_b"))
+    repPairs.select(col("id_a"), col("id_b")).unionByName(stars)
   }
 
   /** The prefix-filtered candidate + exact-verify pipeline over a prepared
