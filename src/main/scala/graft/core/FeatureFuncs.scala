@@ -731,13 +731,20 @@ object FeatureFuncs {
   }
 
   /** tsfel `ecdf_percentile_count`: number of samples ≤ the linearly
-    * interpolated q-percentile (np.percentile semantics — the one-sort
-    * percentile kernel, referenced O(1) inside the filter lambda).
+    * interpolated q-percentile (np.percentile semantics — the native
+    * `percentile` AGGREGATE, whose result is an O(1) attribute reference
+    * inside the filter lambda).
+    *
+    * Deliberately NOT the one-sort kernel the other percentile features
+    * use: a scalar-over-collect kernel referenced inside a higher-order
+    * lambda is re-evaluated PER ELEMENT (lambdas get no CSE and only
+    * AGGREGATES are extracted to attributes) — measured as a ~14× q107
+    * CPU blowup at 100× before this was caught (OPTIMIZATION_r18.md §1).
     */
   def ecdfPercCount(q: Double): FeatureFunc = {
     require(q > 0 && q < 1, "ecdf percentile must be in (0, 1)")
     FeatureFunc(s"ecdf_count_$q", (idx, v) => {
-      val p = pctlSorted(v, q)
+      val p = percentile(v, lit(q))
       val vals = sortedVals(idx, v)
       size(filter(vals, x => x <= p)).cast("long")
     }, emptyValue = Some(lit(0L)))
