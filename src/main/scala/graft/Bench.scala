@@ -52,17 +52,26 @@ object Bench {
   /** Committed idle-box reference vector for the CPU-ratio storm
     * normalization (r18): the per-query executor-CPU map
     * (`queries_cpu_warm`) of the best quiet-window artifact, parsed from
-    * `SPARK_GRAFT_BENCH_REF` (default `./bench_ref.json` — committed, so
-    * the driver's full-suite run finds it in the repo root cwd). CPU time
+    * `SPARK_GRAFT_BENCH_REF` when set. CPU time
     * is code-determined up to contention: on identical code a quiet run's
     * per-query ratio vs this vector reads ~1.0, a bandwidth/SMT storm
     * reads the r17-measured 1.3-1.5x UNIFORMLY — and the MEDIAN over the
     * full suite is robust to the handful of queries a round's code changes
     * legitimately move. Best-effort: absent/corrupt file → empty map →
     * the ratio publishes -1 and the structural line stays raw.
+    *
+    * The DEFAULT ref is keyed on the data directory (r19, VERDICT r18 item
+    * 6: the 100× v13 run silently loaded the sf0.1 vector and published a
+    * meaningless 112× ratio): `bench_ref.json` only serves runs whose
+    * `$SPARK_GRAFT_SF_DIR` basename is `sf0.1` (the data the committed
+    * vector was measured on); any other directory looks for
+    * `bench_ref_<basename>.json` and otherwise publishes -1 rather than a
+    * cross-scale ratio.
     */
-  private[graft] def loadRef(): (Map[String, Double], Map[String, Double]) = try {
-    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json")
+  private[graft] def loadRef(sfDir: String): (Map[String, Double], Map[String, Double]) = try {
+    val base = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
+      if (base == "sf0.1") "bench_ref.json" else s"bench_ref_$base.json")
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isReadable(p)) return (Map.empty, Map.empty)
     parseRef(new String(java.nio.file.Files.readAllBytes(p),
@@ -481,7 +490,7 @@ object Bench {
     // Medians over every query with a non-noise reference cell; -1 when
     // no usable reference.
     val (refCpu, refWall) =
-      if (only.isEmpty) loadRef()
+      if (only.isEmpty) loadRef(sfDir)
       else (Map.empty[String, Double], Map.empty[String, Double])
     def medianRatio(cur: String => Double, ref: Map[String, Double],
                     floorSec: Double): Double = {

@@ -54,8 +54,26 @@ class BenchRefSpec extends AnyFunSuite {
     // default-path read the normalization depends on
     val p = java.nio.file.Paths.get("bench_ref.json")
     assume(java.nio.file.Files.isReadable(p), "no committed bench_ref.json in cwd")
-    val (cpu, wall) = Bench.loadRef()
+    val (cpu, wall) = Bench.loadRef("/root/testdata/sf0.1")
     assert(cpu.size > 100 && wall.size > 100, s"${cpu.size}/${wall.size} cells")
     assert(cpu != wall, "cpu and wall vectors must be distinct blocks")
+  }
+
+  test("default ref is keyed on the sf dir (r19: no cross-scale ratios)") {
+    // a NON-sf0.1 dir must not silently load the sf0.1 vector (the v13
+    // 100x artifact published a 112x ratio exactly that way); with no
+    // bench_ref_<basename>.json present the ratio path publishes -1
+    assume(java.nio.file.Files.isReadable(
+      java.nio.file.Paths.get("bench_ref.json")), "no committed bench_ref.json")
+    assume(!sys.env.contains("SPARK_GRAFT_BENCH_REF"), "env override set")
+    assume(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get("bench_ref_nonexistent-dir.json")))
+    val (cpu, wall) = Bench.loadRef("/somewhere/nonexistent-dir")
+    assert(cpu.isEmpty && wall.isEmpty)
+    // the committed 100x vector is found via its basename key
+    val p100 = java.nio.file.Paths.get("bench_ref_100x.json")
+    assume(java.nio.file.Files.isReadable(p100), "no committed bench_ref_100x.json")
+    val (c100, w100) = Bench.loadRef("/root/100x")
+    assert(c100.nonEmpty && w100.nonEmpty)
   }
 }
