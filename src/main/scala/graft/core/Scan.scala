@@ -286,14 +286,15 @@ object Scan {
   def keyedRankBrackets(df: DataFrame, keyCols: Seq[String], orderCol: String,
                         rankCol: String, countCol: String,
                         quantiles: Seq[Double],
-                        broadcastLimit: Long = 4000000L): DataFrame = {
+                        broadcastLimit: Long = 4000000L,
+                        pruneMinRows: Long = PruneMinRows): DataFrame = {
     Seq(rankCol, countCol).foreach(r =>
       require(!df.columns.contains(r),
         s"output column $r already exists on the input"))
     // weight-1 degenerate of the span core: each row's span is
     // (rank−1, rank] — the span's upper bound IS the row's rank
     spanBracketsCore(df, keyCols, orderCol, lit(1L), countCol, quantiles,
-      broadcastLimit)
+      broadcastLimit, pruneMinRows)
       .withColumnRenamed("__shi", rankCol)
       .drop("__slo")
   }
@@ -323,26 +324,42 @@ object Scan {
   def keyedSpanBrackets(df: DataFrame, keyCols: Seq[String], orderCol: String,
                         weightCol: String, loCol: String, hiCol: String,
                         countCol: String, quantiles: Seq[Double],
-                        broadcastLimit: Long = 4000000L): DataFrame = {
+                        broadcastLimit: Long = 4000000L,
+                        pruneMinRows: Long = PruneMinRows): DataFrame = {
     require(df.columns.contains(weightCol), s"missing weight column $weightCol")
     Seq(loCol, hiCol, countCol).foreach(r =>
       require(!df.columns.contains(r),
         s"output column $r already exists on the input"))
     spanBracketsCore(df, keyCols, orderCol, col(weightCol).cast("long"),
-      countCol, quantiles, broadcastLimit)
+      countCol, quantiles, broadcastLimit, pruneMinRows)
       .withColumnRenamed("__slo", loCol)
       .withColumnRenamed("__shi", hiCol)
   }
 
+  /** Ranked-row total below which the bracket prune is skipped outright
+    * (r19, VERDICT r18 item 2): deciding the prune costs a second summary
+    * job + a checkpoint (the `needed` list) and, when it fires, a semi-join
+    * pass over the ranked rows — fixed scheduler/materialization overhead
+    * of ~0.5-1 s that at driver scale (sf0.1: ≤ ~1.3M histogram rows for
+    * q89) exceeds the window sort it would save, the measured q89 minwarm
+    * regression 2.01→2.92 s. Above the threshold the sort over non-bracket
+    * segments dominates and the prune decision proceeds as in r18 (with its
+    * own ≥70% selectivity degrade). Counted at runtime from the same
+    * summary aggregate that feeds the broadcast gates — scale-adaptive, not
+    * core-count tuned.
+    */
+  private[graft] val PruneMinRows: Long = 4000000L
+
   private def spanBracketsCore(df: DataFrame, keyCols: Seq[String],
                                orderCol: String, weight: Column,
                                countCol: String, quantiles: Seq[Double],
-                               broadcastLimit: Long): DataFrame = {
+                               broadcastLimit: Long,
+                               pruneMinRows: Long): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
     require(quantiles.nonEmpty, "need at least one quantile")
     quantiles.foreach(q =>
       require(q >= 0.0 && q <= 1.0, s"quantile $q outside [0, 1]"))
-    Seq("__loc", "__off", "__tot", "__tr", "__slo", "__shi").foreach(r =>
+    Seq("__loc", "__off", "__tot", "__hn", "__tr", "__slo", "__shi").foreach(r =>
       require(!df.columns.contains(r), s"$r is reserved by keyedRankBrackets"))
     require(!df.columns.contains(countCol),
       s"output column $countCol already exists on the input")
@@ -352,8 +369,13 @@ object Scan {
       keyCols :+ orderCol)
     val perPid = Pinned.checkpoint(
       p.groupBy(("__pid" +: keyCols).map(col): _*)
-        .agg(sum(weight).as("__tot")))
-    val perPidCnt = perPid.count()
+        .agg(sum(weight).as("__tot"), count(lit(1)).as("__hn")))
+    // ONE summary job serving both gates: segment count (broadcast limits)
+    // and ranked-row total (the pruneMinRows degrade) — replaces the former
+    // bare perPid.count(), so the degrade costs no extra job
+    val srow = perPid.agg(count(lit(1)), sum(col("__hn"))).head
+    val perPidCnt = srow.getLong(0)
+    val rankedRows = if (srow.isNullAt(1)) 0L else srow.getLong(1)
     val hint: DataFrame => DataFrame =
       if (perPidCnt <= broadcastLimit) broadcast(_) else identity
     def renamed(prefix: String): Seq[Column] =
@@ -373,36 +395,43 @@ object Scan {
     val totals = perPid.groupBy(keyCols.map(col): _*)
       .agg(sum(col("__tot")).as(countCol))
       .select(renamed("t___key") :+ col(countCol): _*)
-    // the distinct bracket ranks per key: floor/ceil of 1 + (n-1)q
-    val trExprs = quantiles.flatMap { q =>
-      val pos = lit(1.0) + (col(countCol) - 1.0) * lit(q)
-      Seq(floor(pos).cast("long"), ceil(pos).cast("long"))
-    }
-    val targets = totals.select(
-      keyCols.indices.map(i => col(s"t___key$i")) :+
-        explode(array_distinct(array(trExprs: _*))).as("__tr"): _*)
-    // segments containing a target — summary-sized equi join + span filter
-    val needed = Pinned.checkpoint(spans
-      .join(targets,
-        keyCols.indices.map(i => col(s"t___key$i") <=> col(keyCols(i)))
-          .reduce(_ && _) &&
-          col("__tr") > col("__off") && col("__tr") <= col("__off") + col("__tot"))
-      .select(col("__pid").as("n___pid") +: renamed("n___key"): _*)
-      .distinct())
-    // Selectivity degrade: when key cardinality rivals the partition count
-    // (per-entity keys), nearly EVERY (partition, key) segment contains a
-    // bracket target and the semi prune keeps ~everything — the join would
-    // be pure overhead on the full input. Both counts are already paid
-    // (the frames are checkpointed for their other consumers), so rank
-    // everything directly in that regime — ranks are identical either way.
-    val neededCnt = needed.count()
-    val prunes = neededCnt < perPidCnt * 0.7
-    val neededHint: DataFrame => DataFrame =
-      if (neededCnt <= broadcastLimit) broadcast(_) else identity
+    // Small-input degrade (r19): below `pruneMinRows` ranked rows the
+    // bracket prune is skipped before its decision machinery is even built
+    // — no `needed` join/checkpoint/count job — and everything is ranked
+    // directly, exactly the prune-rejected plan. See [[PruneMinRows]].
     val kept =
-      if (!prunes) p
-      else p.join(neededHint(needed),
-        col("__pid") === col("n___pid") && eqTo("n___key"), "left_semi")
+      if (rankedRows <= pruneMinRows) p
+      else {
+        // the distinct bracket ranks per key: floor/ceil of 1 + (n-1)q
+        val trExprs = quantiles.flatMap { q =>
+          val pos = lit(1.0) + (col(countCol) - 1.0) * lit(q)
+          Seq(floor(pos).cast("long"), ceil(pos).cast("long"))
+        }
+        val targets = totals.select(
+          keyCols.indices.map(i => col(s"t___key$i")) :+
+            explode(array_distinct(array(trExprs: _*))).as("__tr"): _*)
+        // segments containing a target — summary-sized equi join + span filter
+        val needed = Pinned.checkpoint(spans
+          .join(targets,
+            keyCols.indices.map(i => col(s"t___key$i") <=> col(keyCols(i)))
+              .reduce(_ && _) &&
+              col("__tr") > col("__off") && col("__tr") <= col("__off") + col("__tot"))
+          .select(col("__pid").as("n___pid") +: renamed("n___key"): _*)
+          .distinct())
+        // Selectivity degrade: when key cardinality rivals the partition count
+        // (per-entity keys), nearly EVERY (partition, key) segment contains a
+        // bracket target and the semi prune keeps ~everything — the join would
+        // be pure overhead on the full input. Both counts are already paid
+        // (the frames are checkpointed for their other consumers), so rank
+        // everything directly in that regime — ranks are identical either way.
+        val neededCnt = needed.count()
+        val prunes = neededCnt < perPidCnt * 0.7
+        val neededHint: DataFrame => DataFrame =
+          if (neededCnt <= broadcastLimit) broadcast(_) else identity
+        if (!prunes) p
+        else p.join(neededHint(needed),
+          col("__pid") === col("n___pid") && eqTo("n___key"), "left_semi")
+      }
     val w = Window.partitionBy(("__pid" +: keyCols).map(col): _*)
       .orderBy(orderCol)
     // running INCLUSIVE weight in (pid, key)-local value order — with

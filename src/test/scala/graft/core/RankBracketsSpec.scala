@@ -46,11 +46,46 @@ class RankBracketsSpec extends SparkSpec {
       .repartition(7)
     val full = Scan.keyedRankMulti(df, Seq("k", "c"), "v", "__rk", "__n")
     val brk = Scan.keyedRankBrackets(df, Seq("k", "c"), "v", "__rk", "__n",
-      quantiles)
+      quantiles, pruneMinRows = 0L)
     val a = rows(full)
     val b = rows(brk)
     assert(a == b, s"full bracket rows:\n${a.take(20).mkString("\n")}\n" +
       s"vs targeted:\n${b.take(20).mkString("\n")}")
+  }
+
+  test("small-input degrade boundary (r19): under pruneMinRows the prune is " +
+    "skipped, rows identical either side") {
+    import spark.implicits._
+    // one hot key over many range partitions with a single interior
+    // quantile — the regime where the r18 prune both fires (selective) and
+    // pays off; the r19 degrade must skip it purely on size
+    val df = (0 until 40000).map(i => (1L, 0, i * 1.0)).toDF("k", "c", "v")
+      .repartition(8)
+    val q = Seq(0.5)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // default threshold (4M ≫ 40k rows) → degrade: no LeftSemi anywhere
+      val degraded = Scan.keyedRankBrackets(df, Seq("k", "c"), "v", "__rk",
+        "__n", q)
+      assert(!degraded.queryExecution.optimizedPlan.toString.toLowerCase
+        .contains("leftsemi"),
+        "under the threshold the bracket prune must be skipped")
+      // threshold forced to 0 → the r18 prune path, LeftSemi present
+      val pruned = Scan.keyedRankBrackets(df, Seq("k", "c"), "v", "__rk",
+        "__n", q, pruneMinRows = 0L)
+      assert(pruned.queryExecution.optimizedPlan.toString.toLowerCase
+        .contains("leftsemi"),
+        "above the threshold the prune decision must proceed")
+      // bracket rows identical on both sides of the boundary
+      val full = Scan.keyedRankMulti(df, Seq("k", "c"), "v", "__rk", "__n")
+      val pos = lit(1.0) + (col("__n") - 1.0) * lit(0.5)
+      val want = col("__rk") === floor(pos) || col("__rk") === ceil(pos)
+      def picked(x: org.apache.spark.sql.DataFrame) =
+        x.where(want).collect().map(_.getDouble(2)).toSeq.sorted
+      assert(picked(degraded) == picked(full))
+      assert(picked(pruned) == picked(full))
+    } finally
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
   }
 
   test("targeted path drops non-bracket segments (hot key across partitions)") {
@@ -68,7 +103,7 @@ class RankBracketsSpec extends SparkSpec {
     try {
       val full = Scan.keyedRankMulti(df, Seq("k", "c"), "v", "__rk", "__n")
       val brk = Scan.keyedRankBrackets(df, Seq("k", "c"), "v", "__rk", "__n",
-        Seq(0.5))
+        Seq(0.5), pruneMinRows = 0L)
       assert(brk.count() < full.count(),
         "bracket path kept as many rows as the full ranking")
       val pos = lit(1.0) + (col("__n") - 1.0) * lit(0.5)
@@ -87,7 +122,7 @@ class RankBracketsSpec extends SparkSpec {
       .toDF("k", "c", "v").repartition(5)
     val full = Scan.keyedRankMulti(df, Seq("k", "c"), "v", "__rk", "__n")
     val brk = Scan.keyedRankBrackets(df, Seq("k", "c"), "v", "__rk", "__n",
-      quantiles, broadcastLimit = 0L)
+      quantiles, broadcastLimit = 0L, pruneMinRows = 0L)
     def slim(x: org.apache.spark.sql.DataFrame) =
       x.where(needed).select(col("k"), col("c"), col("v"), col("__rk"), col("__n"))
         .collect().map(_.toSeq).toSeq
@@ -106,7 +141,7 @@ class RankBracketsSpec extends SparkSpec {
       .repartition(5)
     val full = Scan.keyedRankMulti(df, Seq("k", "c"), "v", "__rk", "__n")
     val brk = Scan.keyedRankBrackets(df, Seq("k", "c"), "v", "__rk", "__n",
-      quantiles)
+      quantiles, pruneMinRows = 0L)
     assert(!brk.queryExecution.optimizedPlan.toString.toLowerCase
       .contains("leftsemi"),
       "non-selective bracket path must skip the semi prune")

@@ -31,8 +31,11 @@ class SpanBracketsSpec extends SparkSpec {
       .agg((min(col("__rk")) - 1).as("lo"), max(col("__rk")).as("hi"),
         max(col("__n")).as("n"), count(lit(1)).as("w"))
     val hist = df.groupBy("k", "c", "v").agg(count(lit(1)).as("__w"))
+    // pruneMinRows = 0 keeps this differential on the r18 PRUNE path (the
+    // r19 small-input degrade would otherwise skip it at spec scale); the
+    // degrade boundary itself is pinned in RankBracketsSpec
     val spanned = Scan.keyedSpanBrackets(hist, Seq("k", "c"), "v", "__w",
-      "__slo", "__shi", "__n", quantiles)
+      "__slo", "__shi", "__n", quantiles, pruneMinRows = 0L)
     def rows(x: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
       x.select(cols.map(col): _*).collect()
         .map(_.toSeq.map(v => if (v == null) "null" else v.toString)
@@ -50,10 +53,11 @@ class SpanBracketsSpec extends SparkSpec {
       (rng.nextInt(5).toLong, rng.nextInt(2), i * 1.0 + rng.nextDouble() * 0.1))
       .toDF("k", "c", "v").repartition(5)
     val viaRank = Scan.keyedRankBrackets(df, Seq("k", "c"), "v", "__rk", "__n",
-        quantiles)
+        quantiles, pruneMinRows = 0L)
       .select(col("k"), col("c"), col("v"), col("__rk"), col("__n"))
     val viaSpan = Scan.keyedSpanBrackets(df.withColumn("__w", lit(1L)),
-        Seq("k", "c"), "v", "__w", "__slo", "__shi", "__n", quantiles)
+        Seq("k", "c"), "v", "__w", "__slo", "__shi", "__n", quantiles,
+        pruneMinRows = 0L)
       .select(col("k"), col("c"), col("v"), col("__shi").as("__rk"), col("__n"))
     def rows(x: org.apache.spark.sql.DataFrame) =
       x.collect().map(_.toSeq.mkString("|")).toSeq.sorted
