@@ -68,6 +68,45 @@ object KeyedFeatures {
       case (acc, (v, j)) => acc.when(i === j, lit(v))
     }
 
+  // ---- fused decomposable aggregate (r19) ---------------------------------
+  //
+  // The multi-window plan's generic shape is four exchange-bearing stages:
+  // the per-(key, w, seg_start) fused aggregate, the segments⋈aggregate
+  // LEFT JOIN restoring empty windows (two full exchanges + sort-merge
+  // sorts of the widest intermediates in the query — q72 at 100×: 985 MB
+  // read, the top stage of the r18 profile), and the (key, anchor) pivot.
+  // When every feature is MASKABLE — its aggregate skips null inputs, so
+  // `f.agg(when(__w === W, v))` over the combined explode equals `f.agg(v)`
+  // over just window W's rows — all four stages fuse into ONE aggregate
+  // keyed directly on (key, anchor) (guide §2.4 "remove shuffles
+  // outright"):
+  //
+  //   - each exploded row carries (w, koff); its anchor offset is the same
+  //     `anchorOff` expression the pivot grouped on, so the group set IS
+  //     the pivot's row set;
+  //   - each output column `f__w=W` is `f.agg(when(__w === W, v))` — the
+  //     per-(w, seg) aggregate and the pivot's max(when(...)) selection
+  //     collapse into the one conditional aggregate;
+  //   - empty/absent windows: the per-key segment grid (the same
+  //     SegmentsPacked kernel) unions in as null-valued filler rows. A
+  //     filler never changes a populated window (null inputs skipped); it
+  //     marks EXISTENCE via max(when(__w === W, 1)) so a window absent
+  //     from the grid at this anchor stays NULL (the pivot's semantics)
+  //     while a present-but-empty window takes its W7 emptyValue.
+  //
+  // The five registry funcs len/mean/sum/min/max are maskable (count/avg/
+  // sum/min/max all skip nulls and ignore the index argument); anything
+  // else — index-aware kernels, collect-based stocks, robust wrappers —
+  // falls back to the generic aggregate+join+pivot path. Float caveat:
+  // sum/mean accumulate the same row multiset in a different order than
+  // the per-window aggregate did (Spark's partial aggregation is already
+  // order-nondeterministic); Q72RollupSpec pins the differential within
+  // double rounding and exactly after the declared round(6).
+  private def maskable(f: FeatureFunc): Boolean =
+    (f eq FeatureFuncs.len) || (f eq FeatureFuncs.mean) ||
+      (f eq FeatureFuncs.sum) || (f eq FeatureFuncs.min) ||
+      (f eq FeatureFuncs.max)
+
   /** Single-series sugar over [[calculateWide]].
     *
     * @param funcs   features to fuse into the single per-segment aggregate
@@ -284,7 +323,8 @@ object KeyedFeatures {
                          windowIdx: String = "end",
                          includeFinalWindow: Boolean = false,
                          windowKeep: Option[(Column, Column) => Column] = None,
-                         windowKeepBroadcastLimit: Long = 4000000L): DataFrame = {
+                         windowKeepBroadcastLimit: Long = 4000000L,
+                         fusedAggregate: Boolean = true): DataFrame = {
     require(windows.nonEmpty, "no windows given")
     require(windows.map(_._1.amount).distinct.length == windows.length,
       "duplicate windows")
@@ -342,9 +382,11 @@ object KeyedFeatures {
     // the plan used to discard with a join against the segment table are
     // never emitted and the fused aggregate below runs directly on the
     // explode with map-side partial aggregation (see calculateWide's
-    // step-3 note)
+    // step-3 note).
+    val fuseOk = fusedAggregate && nary.isEmpty && windowKeep.isEmpty &&
+      unary.nonEmpty && unary.forall { case (_, f) => maskable(f) }
     val withStart = internal.join(bounds, Seq("__key"))
-    val assigned = {
+    lazy val assigned = {
       val si = unpackIdx(col("__p"))
       withStart.select(
         col("__key") +: col("__idx") +: col("__s0") +: valueCols.map(col) :+
@@ -366,6 +408,54 @@ object KeyedFeatures {
       case "middle" => col("__koff") + col("__w") / 2
       case "begin"  => col("__koff")
       case x => throw new IllegalArgumentException(s"bad windowIdx $x")
+    }
+
+    // FUSED maskable-aggregate path (r19, the `maskable` scaladoc): the
+    // per-(w, seg) aggregate, the segments⋈aggregate empty-window join and
+    // the (key, anchor) pivot collapse into ONE aggregate keyed directly
+    // on (key, anchorOff), with the segment grid union'd in as null-valued
+    // existence fillers. Same group set, same anchorOff doubles, same
+    // output names/order; plan shape 4 exchange-bearing stages → 1.
+    if (fuseOk) {
+      val si = unpackIdx(col("__p"))
+      val exploded = withStart.select(
+          col("__key") +: col("__s0") +:
+          explode(graft.expr.AssignPacked(col("__idx"), col("__s0"),
+            col("__e0"), specW, specSt, includeFinalWindow)).as("__p") +:
+          valueCols.map(col): _*)
+        .select(col("__key") +: pick(si, specW).as("__w") +:
+          (unpackK(col("__p")) * pick(si, specSt)).as("__koff") +:
+          col("__s0") +: valueCols.map(col): _*)
+      val filler = segments.select(
+        col("__key") +: col("__w") +: col("__koff") +: col("__s0") +:
+          valueCols.map(c => lit(null).cast(df.schema(c).dataType).as(c)): _*)
+      val outPairs = for {
+        (win, _) <- specs
+        (c, f) <- unary
+      } yield {
+        val isW = col("__w") === lit(win.amount)
+        // registry funcs ignore the index argument (maskable contract)
+        val masked = f.agg(lit(null), when(isW, col(c)))
+        val existsW = max(when(isW, lit(1)))
+        val guarded = f.emptyValue match {
+          case Some(ev) => when(existsW === 1, coalesce(masked, ev))
+          case None     => when(existsW === 1, masked)
+        }
+        val n = Win.outputName(Seq(c), f.name, win.render)
+        (guarded.as(n), n)
+      }
+      val outCols = outPairs.map(_._1)
+      val fusedNames = outPairs.map(_._2)
+      require(fusedNames.distinct.length == fusedNames.length,
+        "duplicate output names: " +
+          fusedNames.diff(fusedNames.distinct).mkString(", "))
+      return exploded.unionByName(filler)
+        .withColumn("__aoff", anchorOff)
+        .groupBy("__key", "__s0", "__aoff")
+        .agg(outCols.head, outCols.tail: _*)
+        .select(col("__key").as(keyCol) +:
+          series.restoreIdx(col("__s0") + col("__aoff")).as(idxCol) +:
+          fusedNames.map(n => col(s"`$n`")): _*)
     }
 
     // keyed windowKeep gate per (key, window, start) — see calculateWide;

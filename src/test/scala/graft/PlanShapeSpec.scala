@@ -19,10 +19,10 @@ package graft
   *    bounded-side crossJoin (one-row stats / bounds frame, broadcast);
   *  - q21's 7 broadcast joins are the PPJoin stats/threshold sides — the
   *    one SMJ is the candidate-verify self-join, which must shuffle;
-  *  - q72's 6 exchanges are the keyed multi-window explode + aggregate +
-  *    anchor pivot (hash-partitioned on the entity key) plus the two tiny
+  *  - q72's 5 exchanges are the fused (key, anchor) aggregate and orderBy
+  *    range exchange plus the bounds aggregate and the two tiny
   *    spreadBounds round-robin repartitions protecting the explode
-  *    consumers (see the table entry's r13/r16 notes).
+  *    consumers (see the table entry's r13/r16/r19 notes).
   */
 class PlanShapeSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
@@ -43,13 +43,18 @@ class PlanShapeSpec extends SparkSpec {
     // assignment-join-segments filter — the fan-out's SMJ (the plan's only
     // sort of the row×window pairs at full width) is gone, the fused
     // aggregate runs directly on the explode with map-side partials, and
-    // the W7 left join rides the aggregate's partitioning. The remaining 6
-    // are the entity-key aggregate/join/pivot exchanges plus the two
-    // spreadBounds round-robins protecting the explode consumers from AQE
-    // coalescing.
+    // the W7 left join rides the aggregate's partitioning. 6 → 5 in r19:
+    // the fused maskable-aggregate path (KeyedFeatures scaladoc) collapses
+    // the per-(w, seg) aggregate, the segments⋈aggregate W7 left join and
+    // the anchor pivot into ONE aggregate keyed (key, anchor) with the
+    // segment grid union'd in as null-valued existence fillers — the W7
+    // join's broadcast pair and one aggregate exchange are gone. The
+    // remaining 5: fused-agg exchange, orderBy range exchange, bounds agg
+    // exchange, and the two spreadBounds round-robins protecting the
+    // explode consumers from AQE coalescing.
     "q72_keyed_multiwin" -> Map(
-      "shuffle_exchange" -> 6, "broadcast_exchange" -> 2,
-      "reused_exchange" -> 0, "broadcast_hash_join" -> 2,
+      "shuffle_exchange" -> 5, "broadcast_exchange" -> 1,
+      "reused_exchange" -> 0, "broadcast_hash_join" -> 1,
       "sort_merge_join" -> 0, "shuffled_hash_join" -> 0,
       "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0),
     "q73_corpus_prep_fuzzy" -> Map(
