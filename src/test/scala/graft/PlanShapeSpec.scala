@@ -140,8 +140,13 @@ class PlanShapeSpec extends SparkSpec {
       "reused_exchange" -> 0, "broadcast_hash_join" -> 1,
       "sort_merge_join" -> 0, "shuffled_hash_join" -> 0,
       "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0),
+    // q32 (r19 contract, the q76 precedent): the verified pair stream ends
+    // in a per-cos-band checksum aggregate instead of the global ORDER BY
+    // over every pair — the 14th exchange is the groupBy(cos_band) hash
+    // step, and the final range exchange now moves the ≤10 band rows
+    // rather than the whole intra-clique pair set (~50M rows at 100×).
     "q32_dedup_embed" -> Map(
-      "shuffle_exchange" -> 13, "broadcast_exchange" -> 0,
+      "shuffle_exchange" -> 14, "broadcast_exchange" -> 0,
       "reused_exchange" -> 0, "broadcast_hash_join" -> 0,
       "sort_merge_join" -> 6, "shuffled_hash_join" -> 0,
       "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0),
