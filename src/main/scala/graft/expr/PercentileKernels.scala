@@ -26,12 +26,24 @@ import org.apache.spark.sql.types._
   */
 object PercentileKernelUtil {
 
-  /** Sorts a copy of `arr` and interpolates every `qs` entry. */
+  /** Sorts a copy of `arr` and interpolates every `qs` entry. Null
+    * elements are skipped exactly like the replaced `Percentile`
+    * aggregate's update does (the `collect_list` feeds never contain
+    * them, but `ArrayDoubleKernel` accepts `containsNull=true` inputs —
+    * without the guard a foreign caller would read them as 0.0).
+    * Returns null when no non-null element remains.
+    */
   def percentiles(arr: ArrayData, qs: Array[Double]): Array[Double] = {
     val n = arr.numElements()
-    val v = new Array[Double](n)
+    var v = new Array[Double](n)
+    var m = 0
     var i = 0
-    while (i < n) { v(i) = arr.getDouble(i); i += 1 }
+    while (i < n) {
+      if (!arr.isNullAt(i)) { v(m) = arr.getDouble(i); m += 1 }
+      i += 1
+    }
+    if (m == 0) return null
+    if (m != n) v = java.util.Arrays.copyOf(v, m)
     java.util.Arrays.sort(v)
     val out = new Array[Double](qs.length)
     var j = 0
@@ -71,7 +83,10 @@ case class PercentilesK(child: Expression, qs: Seq[Double])
   override def nullSafeEval(a: Any): Any = {
     val arr = a.asInstanceOf[ArrayData]
     if (arr.numElements() == 0) null
-    else new GenericArrayData(PercentileKernelUtil.percentiles(arr, qArr))
+    else {
+      val p = PercentileKernelUtil.percentiles(arr, qArr)
+      if (p == null) null else new GenericArrayData(p)
+    }
   }
   override protected def withNewChildInternal(
       newChild: Expression): PercentilesK = copy(child = newChild)
@@ -95,7 +110,7 @@ case class PercentileSpanK(child: Expression, qLo: Double, qHi: Double)
     if (arr.numElements() == 0) null
     else {
       val p = PercentileKernelUtil.percentiles(arr, Array(qLo, qHi))
-      java.lang.Double.valueOf(p(1) - p(0))
+      if (p == null) null else java.lang.Double.valueOf(p(1) - p(0))
     }
   }
   override protected def withNewChildInternal(

@@ -96,4 +96,24 @@ class PercentileKernelsSpec extends SparkSpec {
       percentile(col("v"), lit(0.5)).as("o")).collect().head
     assert(row.isNullAt(1) && row.isNullAt(2) && row.isNullAt(3))
   }
+
+  test("kernels skip null ARRAY ELEMENTS like Percentile.update (r19 guard)") {
+    import spark.implicits._
+    // The collect_list feeds never contain null elements, but the kernels
+    // accept array<double> with containsNull=true — a foreign caller
+    // handing [null, 1.0, null, 3.0] must get the percentiles of
+    // [1.0, 3.0], not of [0.0, 1.0, 0.0, 3.0]; an all-null array is null.
+    val df = Seq(
+      (1, Seq[java.lang.Double](null, 1.0, null, 3.0)),
+      (2, Seq[java.lang.Double](null, null))
+    ).toDF("g", "a")
+    val out = df.select(col("g"),
+      PercentilesK(col("a").cast("array<double>"), Seq(0.0, 0.5, 1.0)).as("p"),
+      PercentileSpanK(col("a").cast("array<double>"), 0.0, 1.0).as("s"))
+      .collect().sortBy(_.getInt(0))
+    val p1 = out(0).getSeq[Double](1)
+    assert(p1 == Seq(1.0, 2.0, 3.0), s"got $p1")
+    assert(out(0).getDouble(2) == 2.0)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+  }
 }
