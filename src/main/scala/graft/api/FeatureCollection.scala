@@ -497,8 +497,90 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
     * feature_collection.py:568-724). Implemented as lag→change-flag→running
     * sum → run table → broadcast range join.
     */
-  def calculateGroupByConsecutive(data: Seq[Series], group: Series): DataFrame = {
+  def calculateGroupByConsecutive(data: Seq[Series], group: Series): DataFrame =
+    calculateGroupByConsecutive(data, group, fuseSameSource = true)
+
+  /** `fuseSameSource = false` forces the generic union-scan plan — kept as
+    * the differential twin (G3FusedSpec pins row identity between the two).
+    */
+  def calculateGroupByConsecutive(data: Seq[Series], group: Series,
+                                  fuseSameSource: Boolean): DataFrame = {
     requireSameTz(data :+ group)
+    // SAME-SOURCE FUSION (r19, guide §2.4 "remove shuffles/passes"): when
+    // every value series reads the group series' OWN frame and index column
+    // (q12's shape — group=user_id, value=value, both over one events read),
+    // run assignment needs no second scan, no start-marker union, no
+    // forward-fill pass and no segments-to-features join: ONE ranged scan
+    // (Scan.groupRunScan) tags every row with its run id, and ONE aggregate
+    // computes the run boundaries AND every feature. The generic path's
+    // 100× ablation (ProbeQ12): full query ~330-370 s CPU, of which the
+    // second scan + 2×rows union exchange/pin + fill-forward + the
+    // runs⋈feats join — everything this branch removes — own the majority.
+    // same-source = the same analyzed plan (two `spark.read.parquet(path)`
+    // calls of one file compare equal under sameResult), same index column
+    // and same tz interpretation — everything that makes `internalPlus`
+    // over the group frame see exactly each series' `internal` rows
+    val fusible = fuseSameSource && data.forall(s =>
+      s.idxCol == group.idxCol && s.tz == group.tz &&
+        ((s.df eq group.df) || s.df.queryExecution.analyzed
+          .sameResult(group.df.queryExecution.analyzed)))
+    if (fusible) return fusedGroupByConsecutive(data, group)
+    genericGroupByConsecutive(data, group)
+  }
+
+  /** The fused same-source G3 plan — see the gate above. Row-identical to
+    * [[genericGroupByConsecutive]] on same-source inputs (G3FusedSpec):
+    * every frame row is a value row of every series, so each run owns at
+    * least its own group row and the generic path's empty-segment NULL
+    * (a seg with no rows of some series) cannot arise; null-group rows
+    * carry the last run exactly like the forward-filled start markers; the
+    * `max(group idx) + 1 unit/day` terminator becomes a bound filter fed by
+    * the same per-partition summary the scan already aggregates.
+    */
+  private def fusedGroupByConsecutive(data: Seq[Series],
+                                      group: Series): DataFrame = {
+    val valueCols = data.map(s => s.name -> s.valueCol)
+    val wide = group.internalPlus(
+        valueCols.map { case (n, c) => c -> s"__val_$n" }: _*)
+      .withColumnRenamed("__v", "__grp")
+      // tie order: a run's first (group) row sorts before null-group rows
+      // at the same index — the union-scan path's tag-0-before-tag-1
+      // ordering for start markers
+      .withColumn("__gn", when(col("__grp").isNotNull, 0).otherwise(1))
+    val scanned = Scan.groupRunScan(wide, Seq("__idx", "__gn"), "__grp",
+      "__idx", "__run", "__gmax")
+    val lastExt = group.domain match {
+      case Domain.Time     => 86400e6 // +1 day (reference: :682-688)
+      case Domain.Sequence => 1.0
+    }
+    // rows before the first run (run 0) and at/after the last segment's
+    // close are outside every segment — the generic path's null/-1 drops
+    val kept = scanned.where(col("__run") > 0 &&
+      col("__idx") < col("__gmax") + lit(lastExt))
+    val grpNN = col("__grp").isNotNull
+    val featAggs = groupedUnary.toSeq.flatMap { case (sName, ds) =>
+      ds.map { d =>
+        val n = Win.outputName(d.seriesNames, d.funcName, "manual")
+        d.aggOver(col("__idx"), Seq(col(s"__val_$sName"))).as(n)
+      }
+    }
+    val aggCols =
+      Seq(max(when(grpNN, col("__idx"))).as("__end"),
+        first(col("__grp"), ignoreNulls = true).as("__grp")) ++ featAggs
+    val out = kept.groupBy("__run").agg(
+      min(when(grpNN, col("__idx"))).as("__start"), aggCols: _*)
+    val featCols = out.columns
+      .filterNot(Set("__run", "__start", "__end", "__grp"))
+      .sorted
+    out.select(
+      (col("__grp").as(group.name) +:
+        featCols.toIndexedSeq.map(qc)) :+
+        group.restoreIdx(col("__start")).as("__start") :+
+        group.restoreIdx(col("__end")).as("__end"): _*)
+  }
+
+  private def genericGroupByConsecutive(data: Seq[Series],
+                                        group: Series): DataFrame = {
     val byName = data.map(s => s.name -> s).toMap
     // change-flag + run numbering as ONE fused distributed prefix scan
     // (Scan.lagFlagScan) — the reference's `(v != v.shift()).cumsum()`
@@ -545,10 +627,14 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
       val starts = runs.select(col("__start").as("__idx"), lit(0).as("__tag"),
         col("__run").as("__runid"), lit(null).cast(vType).as("__v"))
       // the terminator closes the LAST run at max(__seg_end) = the group
-      // series' max index + lastExt — computable from the raw group rows
-      // (one map+agg over the parquet scan, no scan pipeline)
-      val term = group.internal.where(col("__v").isNotNull)
-        .agg((max(col("__idx")) + lit(lastExt)).as("__idx"))
+      // series' max index + lastExt. r19: read it off the CHECKPOINTED run
+      // table (global max(__end) = global max(__idx) over the non-null
+      // group rows — every row belongs to exactly one run and __end is the
+      // run's max index), replacing a second full scan of the group input
+      // with a tiny agg over the run rows (guide §2.4: remove passes; at
+      // scale the saved pass is a full input read)
+      val term = runs
+        .agg((max(col("__end")) + lit(lastExt)).as("__idx"))
         .select(col("__idx"), lit(0).as("__tag"), lit(-1L).as("__runid"),
           lit(null).cast(vType).as("__v"))
       val rowsT = rows.select(col("__idx"), lit(1).as("__tag"),

@@ -530,6 +530,75 @@ object Scan {
       .drop("__flag", "__loc", "__off", "__c", "__pid")
   }
 
+  /** Fused group-run assignment over EVERY row (the single-scan G3 kernel):
+    * rows ordered by `orderCols` get the 1-based id of the consecutive run
+    * of equal NON-NULL `grpCol` values they fall in (`runCol`), where
+    * null-`grpCol` rows neither start nor break runs — they carry the last
+    * preceding run (0 before the first run). `gmaxCol` is added holding the
+    * GLOBAL max of `boundCol` over the grp-non-null rows (every row gets
+    * the same value — the G3 last-segment terminator bound, read off the
+    * same per-partition summary for free).
+    *
+    * Equivalent to `fillForward`(last-non-null grp) + change-flag +
+    * `runningSum` over the same ordering, but in ONE ranged scan: one range
+    * exchange, one pinned materialization, two window frames over one sort,
+    * one summary aggregation. The boundary algebra extends [[lagFlagScan]]:
+    *   - per-partition summary: tentative flag total `__tot`, first/last
+    *     non-null grp value in order, max bound among grp rows;
+    *   - carry: nearest PRECEDING partition's last non-null grp (skipping
+    *     partitions with no grp rows, the [[fillForward]] pattern);
+    *   - correction `__c` = 1 when the partition's first grp row was
+    *     tentatively flagged (local prev is always null there) but its value
+    *     EQUALS the carried prev — the run continues across the boundary;
+    *   - row id = `__off + greatest(__loc − __c, 0)`: rows at/after the
+    *     partition's first flag subtract the over-count; leading
+    *     null-grp rows (`__loc` = 0) take the prior partitions' run id
+    *     unchanged (they belong to the last run already counted).
+    *
+    * Ties in `orderCols` between a grp row and null-grp rows are the
+    * caller's to order (G3 appends a grp-is-null tiebreaker so the run's
+    * first row sorts before null rows at the same index, matching the
+    * union-scan path's tag ordering).
+    */
+  def groupRunScan(df: DataFrame, orderCols: Seq[String], grpCol: String,
+                   boundCol: String, runCol: String,
+                   gmaxCol: String): DataFrame = {
+    val p = ranged(df, orderCols)
+    val ord = orderCols.map(col)
+    val w = Window.partitionBy("__pid").orderBy(ord: _*)
+    // last non-null grp STRICTLY BEFORE the row, partition-local; the
+    // second frame (inclusive running flag sum) shares the same sort
+    val prevNN = last(col(grpCol), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val flag = when(col(grpCol).isNotNull &&
+      (prevNN.isNull || prevNN =!= col(grpCol)), 1L).otherwise(0L)
+    val local = p.withColumn("__flag", flag)
+      .withColumn("__loc", sum(col("__flag")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val ordKey = struct(ord: _*)
+    val grpNN = col(grpCol).isNotNull
+    val perPid = local.groupBy("__pid").agg(
+      sum(col("__flag")).as("__tot"),
+      min_by(col(grpCol), when(grpNN, ordKey)).as("__first"),
+      max_by(col(grpCol), when(grpNN, ordKey)).as("__last"),
+      max(when(grpNN, col(boundCol))).as("__gmx"))
+    val prevLast = overPrev(perPid, Seq(
+      max_by(col("b___last"), when(col("b___last").isNotNull, col("b___pid")))
+        .as("__prevLast")))
+    val corr = perPid.join(prevLast, Seq("__pid"))
+      .withColumn("__c", when(col("__prevLast").isNotNull &&
+        col("__prevLast") === col("__first"), 1L).otherwise(0L))
+      .withColumn("__adj", col("__tot") - col("__c"))
+    val offs = overPrev(corr, Seq(
+        coalesce(sum(col("b___adj")), lit(0L)).as("__off")))
+      .join(corr.select(col("__pid"), col("__c")), Seq("__pid"))
+      // the global bound rides the same broadcast: one value for all pids
+      .crossJoin(corr.agg(max(col("__gmx")).as(gmaxCol)))
+    local.join(broadcast(offs), Seq("__pid"))
+      .withColumn(runCol, col("__off") + greatest(col("__loc") - col("__c"), lit(0L)))
+      .drop("__flag", "__loc", "__off", "__c", "__pid")
+  }
+
   /** Largest gap between CONSECUTIVE values of `orderCol` as a one-row
     * frame (column `__maxgap`) — max over the partition-local lag diffs and
     * the cross-boundary diffs derived from the per-partition summary.

@@ -72,8 +72,22 @@ final case class Series(name: String, df: DataFrame, idxCol: String,
     * wall-clock (NTZ) index is interpreted in that zone, so `__idx` is the
     * true epoch instant.
     */
-  def internal: DataFrame = {
-    val idxExpr = (domain, idxType, tz) match {
+  def internal: DataFrame =
+    df.select(idxExpr.as("__idx"), col(valueCol).as("__v"))
+      .where(col("__idx").isNotNull)
+
+  /** [[internal]] plus EXTRA source columns (src → alias), one scan — the
+    * shared feed for fused same-source pipelines (the G3 single-scan path
+    * reads the group column and every value column off one projection
+    * instead of one `internal` scan per series).
+    */
+  private[graft] def internalPlus(extra: (String, String)*): DataFrame =
+    df.select(idxExpr.as("__idx") +: col(valueCol).as("__v") +:
+        extra.toIndexedSeq.map { case (src, as) => col(src).as(as) }: _*)
+      .where(col("__idx").isNotNull)
+
+  private lazy val idxExpr: org.apache.spark.sql.Column = {
+    (domain, idxType, tz) match {
       case (Domain.Time, TimestampNTZType, Some(zone)) =>
         // wall time in `zone` → true epoch instant, via a native codegen'd
         // expression (one ZoneRules.getValidOffsets lookup per row). DST edge
@@ -89,8 +103,6 @@ final case class Series(name: String, df: DataFrame, idxCol: String,
         unix_micros(col(idxCol).cast(TimestampType)).cast(DoubleType)
       case _ => col(idxCol).cast(DoubleType)
     }
-    df.select(idxExpr.as("__idx"), col(valueCol).as("__v"))
-      .where(col("__idx").isNotNull)
   }
 
   /** Restore an internal Double index/anchor column to the original dtype
