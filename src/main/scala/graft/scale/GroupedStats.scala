@@ -602,7 +602,8 @@ object GroupedStats {
     * the collect is k·O(n_k) fit rows, never raw points².
     */
   def lyapE(df: DataFrame, keyCol: String, idxCol: String, valCol: String,
-            minTsep: Int = 5, minNb: Int = 6): DataFrame = {
+            minTsep: Int = 5, minNb: Int = 6,
+            fusedRadius: Boolean = true): DataFrame = {
     require(minTsep >= 1 && minNb >= 2, "minTsep >= 1, minNb >= 2")
     require(keyCol != "__gs_rk", "__gs_rk is reserved by lyapE")
     import org.apache.spark.sql.expressions.Window
@@ -625,15 +626,42 @@ object GroupedStats {
         (col("__y1") - col("__x1")).as("__u1"),
         (col("__y2") - col("__x2")).as("__w"))
     val wr = Window.partitionBy(col(keyCol), col("__ia"))
-    val rad = pairs
-      .withColumn("__rn", row_number().over(wr.orderBy(col("__dist"), col("__ib"))))
-      .withColumn("__cnt", count(lit(1)).over(wr))
-      .where(col("__rn") === least(lit(minNb.toLong), col("__cnt")))
-      .select(col(keyCol).as("__kr"), col("__ia").as("__ir"),
-        col("__dist").as("__radius"))
-    val fit = pairs
-      .join(rad, col(keyCol) <=> col("__kr") && col("__ia") === col("__ir") &&
-        col("__dist") <= col("__radius"))
+    // r19 (guide §2.4): the kNN radius (the dist at rank min(minNb, cnt))
+    // and the fit filter run as TWO FRAMES of one window over a single
+    // materialization of the quadratic pair set, and the fit aggregation
+    // groups by the window's own partition key — one exchange end to end.
+    // The replaced shape computed `pairs` twice (the rad window and the
+    // fit join are differently-keyed consumers of an unpinned frame) and
+    // shuffled it a third time into the rad⋈pairs join: at the 100×
+    // corpus the doubled pair build + join read ~2/3 of q106's CPU
+    // (ProbeStages: 649 MB + 1241 MB pair exchanges, 22.6 s / 422 s CPU).
+    // `fusedRadius = false` keeps the replaced shape as the differential
+    // twin (NoldsSpec pins both against the driver brute force).
+    val fit0 =
+      if (fusedRadius) {
+        val ranked = pairs
+          .withColumn("__rn",
+            row_number().over(wr.orderBy(col("__dist"), col("__ib"))))
+          .withColumn("__radius",
+            max(when(col("__rn") <= minNb.toLong, col("__dist"))).over(wr))
+        ranked.where(col("__dist") <= col("__radius"))
+          .select(col(keyCol), col("__ia"), col("__u0"), col("__u1"),
+            col("__w"))
+      } else {
+        val rad = pairs
+          .withColumn("__rn",
+            row_number().over(wr.orderBy(col("__dist"), col("__ib"))))
+          .withColumn("__cnt", count(lit(1)).over(wr))
+          .where(col("__rn") === least(lit(minNb.toLong), col("__cnt")))
+          .select(col(keyCol).as("__kr"), col("__ia").as("__ir"),
+            col("__dist").as("__radius"))
+        pairs.join(rad,
+            col(keyCol) <=> col("__kr") && col("__ia") === col("__ir") &&
+              col("__dist") <= col("__radius"))
+          .select(col(keyCol), col("__ia"), col("__u0"), col("__u1"),
+            col("__w"))
+      }
+    val fit = fit0
       .groupBy(col(keyCol), col("__ia"))
       .agg(sum(col("__u0") * col("__u0")).as("__s11"),
         sum(col("__u0") * col("__u1")).as("__s12"),

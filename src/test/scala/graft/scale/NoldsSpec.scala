@@ -240,6 +240,30 @@ class NoldsSpec extends SparkSpec {
     }
   }
 
+  test("lyap_e fused radius window ≡ the replaced rad-join shape (r19)") {
+    // same pair set, same radius (dist at rank min(minNb, cnt)), same fit
+    // filter — only the aggregation ORDER differs, so equality is pinned
+    // at 1e-12 (the spec above separately pins both against the driver
+    // brute force at 1e-9)
+    val df = keyedSeries(keys = 5, n = 60, seed = 31)
+    def toMap(out: Array[org.apache.spark.sql.Row]) =
+      out.map(r => r.getLong(0) -> (
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1))),
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    val fused = toMap(GroupedStats.lyapE(df, "k", "i", "v", 5, 6).collect())
+    val old = toMap(GroupedStats.lyapE(df, "k", "i", "v", 5, 6,
+      fusedRadius = false).collect())
+    assert(fused.keySet == old.keySet)
+    for (k <- fused.keySet; ((f, o), slot) <- fused(k).productIterator
+           .zip(old(k).productIterator).zipWithIndex) {
+      (f, o) match {
+        case (Some(a: Double), Some(b: Double)) =>
+          assert(math.abs(a - b) < 1e-12, s"key $k slot $slot: $a vs $b")
+        case (a, b) => assert(a == b, s"key $k slot $slot: $a vs $b")
+      }
+    }
+  }
+
   test("lyap_e degenerate keys surface null") {
     import spark.implicits._
     val df = (0 until 7).map(i => (1L, i.toLong, i.toDouble)).toDF("k", "i", "v")
