@@ -87,11 +87,24 @@ class PlanShapeSpec extends SparkSpec {
       "reused_exchange" -> 0, "broadcast_hash_join" -> 3,
       "sort_merge_join" -> 1, "shuffled_hash_join" -> 0,
       "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0),
+    // q12 (r19, the same-source G3 fusion): the heavy-payload path is ONE
+    // range exchange of the wide (idx, grp, values) frame + ONE
+    // groupBy(__run) exchange + the contracted orderBy; everything else
+    // the audit counts is the groupRunScan boundary machinery over
+    // ≤ numPartitions-row summary tables, INLINE in this plan where the
+    // generic shape hid it behind separately-materialized checkpoints:
+    // the 4 NL joins are the two overPrev triangular prefix-combines,
+    // the last-non-null-grp carry and the one-row gmax crossJoin — all
+    // broadcast, all bounded by the partition count, none row-scaled
+    // (the generic shape's 7-exchange count likewise excluded its
+    // checkpoint-internal exchanges, which the fusion DELETED: two full
+    // input scans, the 2n-row union exchange+pin and the segs⋈feats
+    // SMJ are gone — plans/r19/q12_group_by_consecutive_{before,after}).
     "q12_group_by_consecutive" -> Map(
-      "shuffle_exchange" -> 7, "broadcast_exchange" -> 2,
-      "reused_exchange" -> 0, "broadcast_hash_join" -> 1,
-      "sort_merge_join" -> 2, "shuffled_hash_join" -> 0,
-      "broadcast_nested_loop_join" -> 1, "cartesian_product" -> 0),
+      "shuffle_exchange" -> 15, "broadcast_exchange" -> 9,
+      "reused_exchange" -> 0, "broadcast_hash_join" -> 5,
+      "sort_merge_join" -> 1, "shuffled_hash_join" -> 0,
+      "broadcast_nested_loop_join" -> 4, "cartesian_product" -> 0),
     "q54_dup_clusters" -> Map(
       "shuffle_exchange" -> 2, "broadcast_exchange" -> 1,
       "reused_exchange" -> 0, "broadcast_hash_join" -> 1,
@@ -195,7 +208,12 @@ class PlanShapeSpec extends SparkSpec {
       s"only ${observed.size}/${expected.size} shapes computed (filtered run?)")
     for ((name, got) <- observed) {
       assert(got("cartesian_product") == 0, name)
-      assert(got("broadcast_nested_loop_join") <= 1, name)
+      // q12's 4 NL joins are the fused groupRunScan's summary-table
+      // prefix-combines (bounded by the PARTITION count, broadcast,
+      // never row-scaled — see the table entry's r19 note); every other
+      // audited plan stays at the documented ≤1 bounded crossJoin
+      val nlAllowed = if (name == "q12_group_by_consecutive") 4 else 1
+      assert(got("broadcast_nested_loop_join") <= nlAllowed, name)
     }
   }
 }
