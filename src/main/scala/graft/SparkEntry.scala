@@ -1776,10 +1776,12 @@ object SparkEntry {
 
     // ---- A3 many-to-one: paired-series windowed corr/covar ---------------
     "q38_corr_pair" -> ((s, dir) => {
-      val ev = events(s, dir)
+      // both series share ONE frame instance so the tuple fusion's
+      // same-source gate fires (one scan, one assignment, no self-join —
+      // identical results, the oracle twin is unchanged)
+      val ev = events(s, dir).withColumn("vsq", col("value") * col("value"))
       val v = Series("v", ev, "ts", "value")
-      val vsq = Series("vsq", ev.withColumn("vsq", col("value") * col("value")),
-        "ts", "vsq")
+      val vsq = Series("vsq", ev, "ts", "vsq")
       val win = Some(Win.time("1D")); val st = Some(Seq(Win.time("6h")))
       FeatureCollection(
         NaryFeatureDescriptor(NaryFuncs.corr2, Seq("v", "vsq"), win, st),
@@ -1792,12 +1794,15 @@ object SparkEntry {
 
     // ---- n-ary tuple feature (arity 3): weighted windowed correlation ----
     "q51_nary_wcorr" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val a = Series("a", ev.select(col("ts"), col("value").as("a")), "ts", "a")
-      val b = Series("b", ev.select(col("ts"),
-        col("user_id").cast("double").as("b")), "ts", "b")
-      val w = Series("w", ev.select(col("ts"),
-        (col("event_id") % 7 + 1).cast("double").as("w")), "ts", "w")
+      // one shared frame instance → the tuple fusion's same-source gate
+      // fires: one scan and one assignment instead of three of each plus
+      // two (segment, index) self-joins — identical results
+      val ev = events(s, dir).select(col("ts"), col("value").as("a"),
+        col("user_id").cast("double").as("b"),
+        (col("event_id") % 7 + 1).cast("double").as("w"))
+      val a = Series("a", ev, "ts", "a")
+      val b = Series("b", ev, "ts", "b")
+      val w = Series("w", ev, "ts", "w")
       FeatureCollection(NaryFeatureDescriptor(NaryFuncs.wcorr, Seq("a", "b", "w"),
         Some(Win.time("1D")), Some(Seq(Win.time("6h")))))
         .calculate(Seq(a, b, w))

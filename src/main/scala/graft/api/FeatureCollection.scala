@@ -229,7 +229,10 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
       includeFinalWindow: Boolean = false,
       boundMethod: String = "inner",
       windowKeep: Option[(Column, Column) => Column] = None,
-      windowKeepBroadcastLimit: Long = 4000000L): DataFrame = {
+      windowKeepBroadcastLimit: Long = 4000000L,
+      // false forces the per-series assign + (segment, index) join plan
+      // for same-source tuples — the differential twin (NaryFusedSpec)
+      fuseSameSourceTuples: Boolean = true): DataFrame = {
     require(windowKeep.isEmpty || (segmentStartIdxs.isEmpty &&
       segmentEndIdxs.isEmpty),
       "windowKeep is not supported with manual segments")
@@ -331,10 +334,36 @@ class FeatureCollection(val descriptors: Seq[AnyFeatureDescriptor]) {
       // pair by (segment, index) — one co-partitioned equi-join per extra
       // series, each side shuffled on the same key (reference passes one
       // windowed view per series, strided_rolling.py:455-470).
+      // r19 same-source tuple fusion (guide §2.4): when every tuple series
+      // wraps the SAME frame and index column (sameResult gate, like the
+      // G3 fusion), the per-series assignment + (segment, index) equi-join
+      // chain is the identity — ONE wide assignment off one scan carries
+      // every value column, deleting n−1 scans, n−1 assignment exchanges
+      // and n−1 joins (q38's corr/covar pair and q51's 3-series wcorr were
+      // 2–3 full scans + self-joins of the same 10M-row frame). Rows with
+      // a DUPLICATED index are a semantic edge: the join path
+      // cross-multiplies them per series while the wide path keeps them
+      // row-aligned — the fused form matches the reference (one windowed
+      // view per column of one frame) and the DuckDB twins; the join path
+      // keeps serving genuinely different sources, where duplicates keep
+      // their documented KNOWN-LIMITATION behavior (see the anchor-join
+      // note below).
+      val sameSourceTuple = fuseSameSourceTuples &&
+        seriesSeq.lengthCompare(1) > 0 && !isSample &&
+        seriesSeq.tail.forall(s2 =>
+          s2.idxCol == series.idxCol && s2.tz == series.tz &&
+            ((s2.df eq series.df) || s2.df.queryExecution.analyzed
+              .sameResult(series.df.queryExecution.analyzed)))
       val (assigned, valueCols) =
         if (seriesSeq.lengthCompare(1) == 0)
           (Segmenter.assign(rows, plan), Seq(col("__v")))
-        else {
+        else if (sameSourceTuple) {
+          val wide = series.internalPlus(seriesSeq.tail.zipWithIndex.map {
+            case (s2, i) => s2.valueCol -> s"__v${i + 1}" }: _*)
+            .withColumnRenamed("__v", "__v0")
+          (Segmenter.assign(wide, plan),
+            seriesSeq.indices.map(i => col(s"__v$i")))
+        } else {
           val parts = seriesSeq.zipWithIndex.map { case (s2, i) =>
             Segmenter.assign(s2.internal, plan)
               .select(col("__seg_id"), col("__idx"), col("__v").as(s"__v$i"))

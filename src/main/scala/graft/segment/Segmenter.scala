@@ -46,14 +46,31 @@ object Segmenter {
     * outer = (min, max).
     */
   def bounds(series: Seq[Series], method: String = "inner"): Bounds = {
+    // r19: series wrapping the SAME frame and index column have identical
+    // index bounds — one driver agg per distinct source, not per series.
+    // These aggs run EAGERLY at plan-build time, so an n-tuple feature
+    // over one frame paid n full input scans before the query even
+    // started (q51's three-series wcorr: 3 scans → 1).
+    def sameSrc(a: Series, b: Series): Boolean =
+      a.idxCol == b.idxCol && a.tz == b.tz &&
+        ((a.df eq b.df) || a.df.queryExecution.analyzed
+          .sameResult(b.df.queryExecution.analyzed))
+    val reps = scala.collection.mutable.ArrayBuffer.empty[(Series, (Double, Double))]
     val mm = series.map { s =>
-      val r = s.internal.agg(min(col("__idx")), max(col("__idx"))).head()
-      // an all-null (or empty) series aggregates to null min/max; name the
-      // series instead of letting Row.getDouble NPE deep inside calculate
-      require(!r.isNullAt(0),
-        s"series '${s.name}' has no non-null indexed rows — cannot derive " +
-          "segmentation bounds")
-      (r.getDouble(0), r.getDouble(1))
+      reps.find { case (rep, _) => sameSrc(rep, s) } match {
+        case Some((_, v)) => v
+        case None =>
+          val r = s.internal.agg(min(col("__idx")), max(col("__idx"))).head()
+          // an all-null (or empty) series aggregates to null min/max; name
+          // the series instead of letting Row.getDouble NPE deep inside
+          // calculate
+          require(!r.isNullAt(0),
+            s"series '${s.name}' has no non-null indexed rows — cannot " +
+              "derive segmentation bounds")
+          val v = (r.getDouble(0), r.getDouble(1))
+          reps += ((s, v))
+          v
+      }
     }
     method match {
       case "inner"       => Bounds(mm.map(_._1).max, mm.map(_._2).min)
