@@ -690,7 +690,18 @@ object Dedup {
     val grams = gramIndex(df, idCol, textCol, n)
     val dup = grams.groupBy("__h").agg(count(lit(1)).as("__c"))
       .where(col("__c") >= minCount).select("__h")
-    val hits = grams.join(dup, Seq("__h"), "left_semi")
+    // counted broadcast (the verifyJaccard pattern): the duplicated-gram
+    // vocabulary is minCount-gated but the planner only sees the pre-filter
+    // estimate, so it sort-merges — shuffling AND sorting the full
+    // positional index on both sides. Broadcasting the counted hash list
+    // makes the retrieval a map-side semi join (the index never shuffles
+    // on __h at all; mergeSpans repartitions the few HITS by id). Above
+    // the limit the SMJ returns instead of an executor OOM; the count is
+    // cheap — the gated list is hash-aggregate-sized.
+    val dupCp = graft.core.Pinned.checkpoint(dup)
+    val dupSide = if (dupCp.count() <= BroadcastCandLimit) broadcast(dupCp)
+                  else dupCp
+    val hits = grams.join(dupSide, Seq("__h"), "left_semi")
     mergeSpans(hits, idCol, n)
   }
 
@@ -730,7 +741,16 @@ object Dedup {
       .where(col("__c") >= minCount)
       .select(col("__h"), col("__f").getField(idCol).as("__fid"),
         col("__f").getField("__pos").as("__fpos"))
-    val hits = grams.join(firsts, Seq("__h"))
+    // counted broadcast — see duplicatedSpans: without it the planner
+    // sort-merges the minCount-gated firsts table against the full
+    // positional index (the r19 100× ProbeStages cell: two 292 MB sorts of
+    // the same reused exchange at ~55 s CPU each); broadcasting keeps the
+    // index map-side, the SMJ degrade stays above the counted limit
+    val firstsCp = graft.core.Pinned.checkpoint(firsts)
+    val firstsSide =
+      if (firstsCp.count() <= BroadcastCandLimit) broadcast(firstsCp)
+      else firstsCp
+    val hits = grams.join(firstsSide, Seq("__h"))
       .where(col(idCol) =!= col("__fid") || col("__pos") =!= col("__fpos"))
       .select(col(idCol), col("__pos"))
     mergeSpans(hits, idCol, n)
