@@ -615,8 +615,12 @@ object Dedup {
     // its signatures and may pair with a given neighbor once per agreeing
     // signature pair (ids are expected unique per row; this is the
     // documented degenerate-input behavior, not a supported shape).
-    val groups = s.groupBy("simhash")
-      .agg(array_distinct(sort_array(collect_list(col(idCol)))).as("__ids"))
+    // pinned: `groups` feeds the within-signature fan-out AND the banded
+    // join (two differently-shaped consumers — no exchange reuse), so
+    // without the checkpoint the scan + simhash + collapse aggregate runs
+    // twice end to end (r19 100× ProbeStages: two full 500k-doc scans)
+    val groups = graft.core.Pinned.checkpoint(s.groupBy("simhash")
+      .agg(array_distinct(sort_array(collect_list(col(idCol)))).as("__ids")))
     val within = groups.where(size(col("__ids")) >= 2)
       .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "id_a")))
       .select(col("id_a"), explode(

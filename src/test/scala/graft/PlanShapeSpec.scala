@@ -144,12 +144,16 @@ class PlanShapeSpec extends SparkSpec {
     //    the two audited ones would mean the gate stopped broadcasting.
     // q76 (r18 contract): the pair stream ends in a 4-group checksum
     // aggregate instead of the global ORDER BY over every pair — the
-    // 5th exchange is the groupBy(hamming) hash + orderBy(hamming) range
-    // pair, each moving ≤4 ROWS (the partial agg collapses the 387M-pair
-    // fan-in map-side; the r15-r17 shape's single range exchange moved
-    // the whole pair set)
+    // groupBy(hamming) hash + orderBy(hamming) range exchanges each move
+    // ≤4 ROWS (the partial agg collapses the 387M-pair fan-in map-side;
+    // the r15-r17 shape's single range exchange moved the whole pair set).
+    // r19: the signature-collapse `groups` frame is CHECKPOINTED (it feeds
+    // the within-signature fan-out and the banded join — two
+    // differently-shaped consumers that otherwise re-ran the scan +
+    // simhash + collapse aggregate end to end), so its exchanges left the
+    // audited consumer plan: 5 → 2 (the two ≤4-row contract exchanges).
     "q76_simhash_near" -> Map(
-      "shuffle_exchange" -> 5, "broadcast_exchange" -> 1,
+      "shuffle_exchange" -> 2, "broadcast_exchange" -> 1,
       "reused_exchange" -> 0, "broadcast_hash_join" -> 1,
       "sort_merge_join" -> 0, "shuffled_hash_join" -> 0,
       "broadcast_nested_loop_join" -> 0, "cartesian_product" -> 0),
